@@ -1,0 +1,834 @@
+"""Suite → Spark plan compiler.
+
+The reference walks the schema tree per document at validation time,
+dispatching each keyword through a per-draft table
+(``/root/reference/src/validators.rs:44-87`` ``descend``). Our compiler does
+that walk ONCE on the driver and emits:
+
+* ``RowCheck`` — one boolean ``Column`` predicate per (keyword, column) pair.
+  All row checks fuse into a single ``select`` projection → one
+  whole-stage-codegen pass over columnar batches (the reference's per-node
+  dynamic dispatch, vectorized away).
+* ``AggCheck`` — named aggregate expressions + a post-agg verdict expression.
+  All agg checks fuse into ONE ``groupBy(partition).agg(...)`` pass
+  (BASELINE.json: "single multi-aggregate DataFrame pass").
+* ``DatasetCheck`` — checks that need their own shuffle/join topology
+  (cross-row uniqueness, referential anti-join, drift, parity); implemented
+  in ``operators/``.
+
+Null semantics: JSON Schema keywords skip instances of the wrong type (e.g.
+``minimum`` passes for a string — ``validators.rs:451-453``); absence of a
+property also skips. We collapse JSON ``null`` / absent property into SQL
+``NULL`` (documented deviation, SURVEY.md §7) — every keyword predicate is
+null-tolerant (``col IS NULL ⇒ pass``) except ``required``/``x-nullRate``.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from jsonschema_valid_spark.suite import registry
+from jsonschema_valid_spark.suite.spec import SuiteBindError, SuiteError
+
+
+# ---------------------------------------------------------------------------
+# Compiled check forms
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RowCheck:
+    check_id: str            # slash-joined schema path (≙ error.rs:29-35 path)
+    pred: Column             # True ⇒ row passes this check
+    observed: Column         # string-typed witness for the violations DF
+    expected: str            # human-readable expectation (≙ error message)
+
+
+@dataclass
+class AggCheck:
+    check_id: str
+    aggs: dict[str, Column]                      # alias → (unaliased) agg expr
+    passed: Callable[[], Column]                 # over F.col(alias) of agg output
+    metric: Callable[[], Column]                 # double metric value
+    threshold: float
+
+
+@dataclass
+class DatasetCheck:
+    check_id: str
+    kind: str                # 'unique' | 'referential' | 'drift' | 'parity'
+    column: str
+    params: dict
+
+
+@dataclass
+class BoundPlan:
+    row_checks: list[RowCheck] = field(default_factory=list)
+    agg_checks: list[AggCheck] = field(default_factory=list)
+    dataset_checks: list[DatasetCheck] = field(default_factory=list)
+
+
+# ---------------------------------------------------------------------------
+# helpers
+# ---------------------------------------------------------------------------
+
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+_FRACTIONAL = (T.FloatType, T.DoubleType, T.DecimalType)
+
+
+def _json_type_of(dt: T.DataType) -> str:
+    if isinstance(dt, T.StringType):
+        return "string"
+    if isinstance(dt, T.BooleanType):
+        return "boolean"
+    if isinstance(dt, _INTEGRAL):
+        return "integer"
+    if isinstance(dt, _FRACTIONAL):
+        return "number"
+    if isinstance(dt, T.ArrayType):
+        return "array"
+    if isinstance(dt, (T.StructType, T.MapType)):
+        return "object"
+    if isinstance(dt, T.NullType):
+        return "null"
+    if isinstance(dt, (T.DateType, T.TimestampType, T.TimestampNTZType)):
+        return "string"  # dates/times exist only as string formats (format.rs:47-61)
+    return "string"
+
+
+def _tolerant(col: Column, core: Column) -> Column:
+    """Null-tolerant wrapper: NULL target ⇒ pass; NULL-valued core ⇒ pass
+    (a NULL core can only arise from missing operands, i.e. 'keyword does
+    not apply' — matching validators.rs type-guard skips)."""
+    return F.coalesce(col.isNull() | core, F.lit(True))
+
+
+def _lit_of(v: Any) -> Column:
+    if isinstance(v, list):
+        return F.array(*[_lit_of(x) for x in v])
+    return F.lit(v)
+
+
+def _path_id(path: tuple) -> str:
+    return "/".join(str(p) for p in path) or "<root>"
+
+
+class _Ctx:
+    """Bind context: draft, resolver, $ref cycle stack."""
+
+    def __init__(self, suite):
+        self.suite = suite
+        self.draft = suite.draft
+        self.resolver = suite.resolver
+        self.keywords = registry.keywords_for(suite.draft)
+        self.ref_stack: list[int] = []   # id()s of in-flight $ref targets (cycle guard)
+
+
+# ---------------------------------------------------------------------------
+# Value-level predicate compilation
+# ---------------------------------------------------------------------------
+
+def compile_value_pred(
+    spec: Any,
+    col: Column,
+    dtype: Optional[T.DataType],
+    ctx: _Ctx,
+    path: tuple = (),
+) -> Column:
+    """Compile a suite node applied to a single VALUE into one boolean
+    ``Column`` (conjunction of all its keyword predicates). This is the
+    value-scope analog of ``descend`` (``validators.rs:44-87``)."""
+    if spec is True or spec == {}:
+        return F.lit(True)
+    if spec is False:
+        # bool schema false ⇒ fail-all (validators.rs:52-58); stays
+        # null-tolerantly strict: even NULL fails `false` in JSON Schema.
+        return F.lit(False)
+    if not isinstance(spec, dict):
+        raise SuiteError(f"bad suite node at {_path_id(path)}")
+
+    # $ref short-circuits every sibling keyword (validators.rs:60-63)
+    if "$ref" in spec:
+        target = ctx.resolver.resolve(spec["$ref"])
+        tid = id(target)
+        if tid in ctx.ref_stack:
+            raise SuiteError(
+                f"recursive $ref cycle at {_path_id(path)} — not compilable "
+                "(reference TODO resolver.rs:171; we reject at compile time)"
+            )
+        ctx.ref_stack.append(tid)
+        try:
+            return compile_value_pred(target, col, dtype, ctx, path + ("$ref",))
+        finally:
+            ctx.ref_stack.pop()
+
+    preds: list[Column] = []
+    for kw in spec:
+        if kw not in ctx.keywords:
+            continue  # unknown keyword ⇒ no-op (validators.rs:75-78)
+        p = _compile_keyword(kw, spec, col, dtype, ctx, path)
+        if p is not None:
+            preds.append(p)
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+def _numeric(col: Column, dtype) -> Column:
+    """Cast a string-typed column for numeric keywords (dynamic-typing
+    support); numeric columns pass through."""
+    if isinstance(dtype, T.StringType):
+        return col.try_cast("double")
+    return col
+
+
+def _compile_keyword(
+    kw: str, spec: dict, col: Column, dtype, ctx: _Ctx, path: tuple
+) -> Optional[Column]:
+    v = spec[kw]
+    if kw == "type":
+        return _type_pred(v, col, dtype)
+    if kw == "enum":
+        # numeric-tolerant equality (util.rs:39-45) — Spark == on
+        # cast-aligned types already treats 1 == 1.0
+        return _tolerant(col, col.isin(*[x for x in v if x is not None])
+                         if any(x is not None for x in v) else F.lit(False))
+    if kw == "const":
+        return _tolerant(col, col == _lit_of(v))
+    if kw == "minimum":
+        c = _numeric(col, dtype)
+        if ctx.draft == 4 and spec.get("exclusiveMinimum") is True:
+            return _tolerant(col, c > F.lit(v))  # validators.rs:416-445
+        return _tolerant(col, c >= F.lit(v))     # validators.rs:447-464
+    if kw == "maximum":
+        c = _numeric(col, dtype)
+        if ctx.draft == 4 and spec.get("exclusiveMaximum") is True:
+            return _tolerant(col, c < F.lit(v))  # validators.rs:466-495
+        return _tolerant(col, c <= F.lit(v))     # validators.rs:497-514
+    if kw == "exclusiveMinimum":
+        if ctx.draft == 4:
+            return None  # boolean modifier, folded into `minimum`
+        return _tolerant(col, _numeric(col, dtype) > F.lit(v))   # validators.rs:378-395
+    if kw == "exclusiveMaximum":
+        if ctx.draft == 4:
+            return None
+        return _tolerant(col, _numeric(col, dtype) < F.lit(v))   # validators.rs:397-414
+    if kw == "multipleOf":
+        # int % for integral/integral, else trunc-division equality
+        # (validators.rs:517-542)
+        c = _numeric(col, dtype)
+        if isinstance(dtype, _INTEGRAL) and isinstance(v, int):
+            return _tolerant(col, F.pmod(c, F.lit(v)) == 0)
+        q = c / F.lit(float(v))
+        return _tolerant(col, q == F.floor(q))
+    if kw == "minLength":
+        # Unicode char count, not bytes (validators.rs:641) — F.char_length
+        # on StringType counts characters, matching chars().count()
+        return _tolerant(col, F.char_length(col) >= v)
+    if kw == "maxLength":
+        return _tolerant(col, F.char_length(col) <= v)           # validators.rs:653-671
+    if kw == "pattern":
+        # partial match like Rust Regex::find (validators.rs:597-614);
+        # rlike is also a partial match
+        return _tolerant(col, col.rlike(v))
+    if kw == "format":
+        from jsonschema_valid_spark.formats import format_pred
+
+        return _tolerant(col, format_pred(v, col, ctx.draft))
+    if kw == "items":
+        return _items_pred(spec, col, dtype, ctx, path)
+    if kw == "additionalItems":
+        return _additional_items_pred(spec, col, dtype, ctx, path)
+    if kw == "contains":
+        el = dtype.elementType if isinstance(dtype, T.ArrayType) else None
+        # ≥1 element validates (validators.rs:353-376); F.exists
+        # short-circuits per row inside codegen
+        return _tolerant(
+            col, F.exists(col, lambda x: compile_value_pred(v, x, el, ctx, path + ("contains",)))
+        )
+    if kw == "minItems":
+        return _tolerant(col, F.size(col) >= v)                  # validators.rs:544-561
+    if kw == "maxItems":
+        return _tolerant(col, F.size(col) <= v)                  # validators.rs:563-580
+    if kw == "uniqueItems":
+        if v is not True:
+            return None
+        # intra-array distinctness (validators.rs:582-595 + unique.rs);
+        # NB the reference's set-equality is stricter about 1 vs 1.0 than
+        # its enum equality (unique.rs:53-57 vs util.rs:39-45) — we use
+        # Spark-native equality uniformly (SURVEY.md §7)
+        return _tolerant(col, F.size(col) == F.size(F.array_distinct(col)))
+    if kw in ("allOf", "anyOf", "oneOf"):
+        subs = [
+            compile_value_pred(s, col, dtype, ctx, path + (kw, i))
+            for i, s in enumerate(v)
+        ]
+        if kw == "allOf":     # validators.rs:866-893
+            out = subs[0]
+            for s in subs[1:]:
+                out = out & s
+            return out
+        if kw == "anyOf":     # validators.rs:895-919 (codegen short-circuits)
+            out = subs[0]
+            for s in subs[1:]:
+                out = out | s
+            return out
+        # oneOf: exactly one (validators.rs:921-975)
+        total = subs[0].cast("int")
+        for s in subs[1:]:
+            total = total + s.cast("int")
+        return total == 1
+    if kw == "not":
+        inner = compile_value_pred(v, col, dtype, ctx, path + ("not",))
+        return _tolerant(col, ~inner)                            # validators.rs:977-992
+    if kw == "if":
+        # siblings then/else read from parent schema (validators.rs:1050-1078)
+        if_p = compile_value_pred(v, col, dtype, ctx, path + ("if",))
+        then_p = (
+            compile_value_pred(spec["then"], col, dtype, ctx, path + ("then",))
+            if isinstance(spec.get("then"), (dict,)) or spec.get("then") in (True, False)
+            else F.lit(True)
+        )
+        else_p = (
+            compile_value_pred(spec["else"], col, dtype, ctx, path + ("else",))
+            if isinstance(spec.get("else"), (dict,)) or spec.get("else") in (True, False)
+            else F.lit(True)
+        )
+        return F.when(if_p, then_p).otherwise(else_p)
+    if kw in ("then", "else"):
+        return None  # consumed by `if`
+    if kw == "propertyNames":
+        if isinstance(dtype, T.MapType):
+            el = T.StringType()
+            return _tolerant(
+                col,
+                F.forall(
+                    F.map_keys(col),
+                    lambda k: compile_value_pred(v, k, el, ctx, path + ("propertyNames",)),
+                ),
+            )
+        return None  # struct/row scope handled at bind time
+    if kw in ("minProperties", "maxProperties"):
+        if isinstance(dtype, T.MapType):
+            n = F.size(F.map_keys(col))
+            return _tolerant(col, n >= v if kw == "minProperties" else n <= v)
+        return None
+    # properties / patternProperties / additionalProperties / required /
+    # dependencies at value scope are object-level — handled by the row
+    # binder for the root; nested struct columns route through dot paths.
+    if kw == "properties" and isinstance(dtype, T.StructType):
+        preds = []
+        for name, sub in v.items():
+            f = next((f for f in dtype.fields if f.name == name), None)
+            if f is None:
+                continue
+            preds.append(
+                compile_value_pred(sub, col.getField(name), f.dataType, ctx,
+                                   path + ("properties", name))
+            )
+        if not preds:
+            return None
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return _tolerant(col, out)
+    if kw == "required" and isinstance(dtype, T.StructType):
+        names = set(f.name for f in dtype.fields)
+        preds = []
+        for name in v:
+            if name not in names:
+                preds.append(F.lit(False))
+            else:
+                preds.append(col.getField(name).isNotNull())
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return _tolerant(col, out)
+    return None
+
+
+def _type_pred(v, col: Column, dtype) -> Column:
+    """``type`` keyword (validators.rs:731-767).
+
+    With a bound Spark dtype the check mostly resolves statically:
+    * declared type compatible with dtype → pass (``integer`` declared on a
+      fractional column adds the zero-fraction check, validators.rs:739-748);
+    * StringType column with a declared non-string type → dynamic
+      ``try_cast`` check (self-describing data);
+    * otherwise → constant fail (every row violates, like the reference).
+    """
+    names = v if isinstance(v, list) else [v]
+    if dtype is None:
+        return F.lit(True)  # lambda var of unknown type — let other keywords decide
+    jt = _json_type_of(dtype)
+    alts = []
+    for name in names:
+        if name == jt:
+            alts.append(F.lit(True))
+        elif name == "number" and jt == "integer":
+            alts.append(F.lit(True))  # every int is a number (validators.rs:735-738)
+        elif name == "integer" and isinstance(dtype, _FRACTIONAL):
+            alts.append(col == F.floor(col))  # x.0 counts as integer (:739-748)
+        elif name == "null":
+            alts.append(col.isNull())
+        elif isinstance(dtype, T.StringType):
+            if name in ("number",):
+                alts.append(col.try_cast("double").isNotNull())
+            elif name == "integer":
+                alts.append(col.try_cast("long").isNotNull())
+            elif name == "boolean":
+                alts.append(F.lower(col).isin("true", "false"))
+        # else: incompatible — contributes no alternative
+    if not alts:
+        return F.lit(False)
+    out = alts[0]
+    for a in alts[1:]:
+        out = out | a
+    return _tolerant(col, out)
+
+
+def _items_pred(spec, col, dtype, ctx, path) -> Optional[Column]:
+    v = spec["items"]
+    el = dtype.elementType if isinstance(dtype, T.ArrayType) else None
+    if isinstance(v, list):
+        # tuple form: positional subschemas zipped with elements
+        # (validators.rs:283-290); element_at is 1-based, missing → NULL →
+        # null-tolerant child pred passes (positional schema only applies
+        # when the element exists)
+        preds = []
+        for i, sub in enumerate(v):
+            preds.append(
+                compile_value_pred(sub, F.element_at(col, i + 1), el, ctx,
+                                   path + ("items", i))
+            )
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return _tolerant(col, out)
+    # single-schema form: every element validates (validators.rs:262-296);
+    # compiles to F.forall — NO Python at runtime, the lambda builds a
+    # Catalyst HOF expression evaluated JVM-side
+    return _tolerant(
+        col, F.forall(col, lambda x: compile_value_pred(v, x, el, ctx, path + ("items",)))
+    )
+
+
+def _additional_items_pred(spec, col, dtype, ctx, path) -> Optional[Column]:
+    # only applies when sibling `items` is an array (validators.rs:298-337)
+    items = spec.get("items")
+    if not isinstance(items, list):
+        return None
+    n = len(items)
+    v = spec["additionalItems"]
+    if v is False:
+        return _tolerant(col, F.size(col) <= n)
+    if v is True or v == {}:
+        return None
+    el = dtype.elementType if isinstance(dtype, T.ArrayType) else None
+    tail = F.slice(col, n + 1, F.greatest(F.size(col) - n, F.lit(0)))
+    return _tolerant(
+        col,
+        F.forall(tail, lambda x: compile_value_pred(v, x, el, ctx,
+                                                    path + ("additionalItems",))),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Expected-text rendering (per-keyword, for the violations DF)
+# ---------------------------------------------------------------------------
+
+def _expected_text(kw: str, v: Any, spec: dict, draft: int) -> str:
+    if kw == "minimum" and draft == 4 and spec.get("exclusiveMinimum") is True:
+        return f"> {v}"
+    if kw == "maximum" and draft == 4 and spec.get("exclusiveMaximum") is True:
+        return f"< {v}"
+    return {
+        "type": f"type {v}",
+        "enum": f"one of {v}",
+        "const": f"const {v}",
+        "minimum": f">= {v}",
+        "maximum": f"<= {v}",
+        "exclusiveMinimum": f"> {v}",
+        "exclusiveMaximum": f"< {v}",
+        "multipleOf": f"multiple of {v}",
+        "minLength": f"length >= {v}",
+        "maxLength": f"length <= {v}",
+        "pattern": f"matches /{v}/",
+        "format": f"format {v}",
+        "items": "all items valid",
+        "additionalItems": "additional items valid",
+        "contains": "contains a valid item",
+        "minItems": f"size >= {v}",
+        "maxItems": f"size <= {v}",
+        "uniqueItems": "all items unique",
+        "allOf": "all subsuites hold",
+        "anyOf": "any subsuite holds",
+        "oneOf": "exactly one subsuite holds",
+        "not": "subsuite fails",
+        "if": "conditional suite holds",
+        "$ref": "referenced suite holds",
+        "propertyNames": "all keys valid",
+        "minProperties": f">= {v} keys",
+        "maxProperties": f"<= {v} keys",
+        "properties": "nested properties valid",
+        "required": f"fields present: {v}",
+    }.get(kw, kw)
+
+
+# dataset-scope keywords and structural keywords that do not yield a
+# standalone per-keyword row check at column scope
+_NON_ROW_KEYWORDS = {"then", "else", "$id", "id", "$schema", "version",
+                     "description", "title", "default", "definitions", "$defs"}
+
+
+# ---------------------------------------------------------------------------
+# Root (row-level) binding
+# ---------------------------------------------------------------------------
+
+def _eval_name_suite(spec: Any, name: str, path: tuple) -> bool:
+    """Pure-Python evaluation of a suite node against a COLUMN NAME
+    (propertyNames / patternProperties routing at root scope) — compile-time,
+    ≙ validators.rs:126-182 but over df.columns instead of object keys."""
+    if spec is True or spec == {}:
+        return True
+    if spec is False:
+        return False
+    ok = True
+    for kw, v in spec.items():
+        if kw == "pattern":
+            ok = ok and re.search(v, name) is not None
+        elif kw == "minLength":
+            ok = ok and len(name) >= v
+        elif kw == "maxLength":
+            ok = ok and len(name) <= v
+        elif kw == "enum":
+            ok = ok and name in v
+        elif kw == "const":
+            ok = ok and name == v
+        elif kw == "type":
+            names = v if isinstance(v, list) else [v]
+            ok = ok and "string" in names
+        elif kw == "not":
+            ok = ok and not _eval_name_suite(v, name, path + ("not",))
+    return ok
+
+
+def bind(suite, df: DataFrame) -> BoundPlan:
+    """Bind a validated suite to a DataFrame: the compile stage proper.
+
+    Root scope: the suite's `properties` route to df columns (SURVEY.md §1.2
+    — one JSON document ↦ one row). Compile-time structural keywords
+    (required-presence, additionalProperties, propertyNames,
+    min/maxProperties) are enforced here against ``df.columns`` — failures
+    raise :class:`SuiteBindError` before any job launches.
+    """
+    spec = suite.spec
+    ctx = _Ctx(suite)
+    plan = BoundPlan()
+    if spec is True or spec == {}:
+        return plan
+    if spec is False:
+        plan.row_checks.append(
+            RowCheck("<root>", F.lit(False), F.lit("row"), "false suite rejects all")
+        )
+        return plan
+
+    fields = {f.name: f.dataType for f in df.schema.fields}
+    declared = set((spec.get("properties") or {}).keys())
+
+    # --- compile-time structural checks over df.columns -------------------
+    if spec.get("additionalProperties") is False:
+        # strict-schema mode (validators.rs:212-260 lifted to bind time)
+        pat_res = [re.compile(p) for p in (spec.get("patternProperties") or {})]
+        extra = [
+            c for c in fields
+            if c not in declared and not any(r.search(c) for r in pat_res)
+        ]
+        if extra:
+            raise SuiteBindError(f"undeclared columns {sorted(extra)} "
+                                 "(additionalProperties: false)")
+    if "propertyNames" in spec:
+        bad = [c for c in fields if not _eval_name_suite(spec["propertyNames"], c, ())]
+        if bad:
+            raise SuiteBindError(f"column names {bad} violate propertyNames")
+    if "minProperties" in spec and len(fields) < spec["minProperties"]:
+        raise SuiteBindError(f"{len(fields)} columns < minProperties {spec['minProperties']}")
+    if "maxProperties" in spec and len(fields) > spec["maxProperties"]:
+        raise SuiteBindError(f"{len(fields)} columns > maxProperties {spec['maxProperties']}")
+
+    # --- required: presence is compile-time, non-nullness is a row check ---
+    for name in spec.get("required", []):
+        cid = f"required/{name}"
+        if name not in fields:
+            plan.row_checks.append(
+                RowCheck(cid, F.lit(False), F.lit("<absent column>"),
+                         f"column {name} present")
+            )
+        else:
+            plan.row_checks.append(
+                RowCheck(cid, F.col(name).isNotNull(), F.lit("NULL"),
+                         f"{name} is not null")
+            )
+
+    # --- properties → per-column, per-keyword row checks + dataset checks --
+    def bind_column_suite(colname: str, sub: Any, base: tuple):
+        if colname not in fields:
+            return  # absent property ⇒ subschema not applied (JSON Schema)
+        dtype = fields[colname]
+        col = F.col(colname)
+        if sub is False:
+            plan.row_checks.append(
+                RowCheck(_path_id(base), F.lit(False),
+                         col.cast("string"), "false suite rejects all"))
+            return
+        if sub is True or not isinstance(sub, dict):
+            return
+        # $ref short-circuits siblings (validators.rs:60-63); same cycle
+        # guard as value scope (reference TODO resolver.rs:171)
+        if "$ref" in sub:
+            target = ctx.resolver.resolve(sub["$ref"])
+            tid = id(target)
+            if tid in ctx.ref_stack:
+                raise SuiteError(
+                    f"recursive $ref cycle at {_path_id(base)} — not compilable"
+                )
+            ctx.ref_stack.append(tid)
+            try:
+                bind_column_suite(colname, target, base + ("$ref",))
+            finally:
+                ctx.ref_stack.pop()
+            return
+        for kw in sub:
+            p = base + (kw,)
+            if kw in registry.DATASET_KEYWORDS:
+                _bind_dataset_keyword(plan, kw, sub[kw], colname, col, dtype, p)
+                continue
+            if kw in _NON_ROW_KEYWORDS or kw not in ctx.keywords:
+                continue
+            pred = _compile_keyword(kw, sub, col, dtype, ctx, base)
+            if pred is None:
+                continue
+            plan.row_checks.append(
+                RowCheck(_path_id(p), pred, col.cast("string"),
+                         _expected_text(kw, sub[kw], sub, ctx.draft))
+            )
+
+    for colname, sub in (spec.get("properties") or {}).items():
+        bind_column_suite(colname, sub, ("properties", colname))
+
+    # patternProperties at root: regex-route to matching columns
+    # (validators.rs:92-124, recompile-per-call bug fixed by compiling here)
+    for pat, sub in (spec.get("patternProperties") or {}).items():
+        r = re.compile(pat)
+        for colname in fields:
+            if r.search(colname):
+                bind_column_suite(colname, sub, ("patternProperties", pat, colname))
+
+    # dependencies at root (validators.rs:673-713)
+    for trig, dep in (spec.get("dependencies") or {}).items():
+        p = ("dependencies", trig)
+        if trig not in fields:
+            continue  # trigger absent ⇒ vacuous
+        trig_col = F.col(trig)
+        if isinstance(dep, list):
+            missing = [d for d in dep if d not in fields]
+            if missing:
+                pred = trig_col.isNull()  # trigger present(non-null) ⇒ fail
+            else:
+                need = F.lit(True)
+                for d in dep:
+                    need = need & F.col(d).isNotNull()
+                pred = F.when(trig_col.isNotNull(), need).otherwise(F.lit(True))
+            plan.row_checks.append(
+                RowCheck(_path_id(p), pred, trig_col.cast("string"),
+                         f"{trig} ⇒ {dep} present"))
+        else:
+            sub_pred = _row_pred(dep, fields, ctx, p)
+            pred = F.when(trig_col.isNotNull(), sub_pred).otherwise(F.lit(True))
+            plan.row_checks.append(
+                RowCheck(_path_id(p), pred, trig_col.cast("string"),
+                         f"{trig} ⇒ dependent suite holds"))
+
+    # root-level combinators over ROW suites
+    for kw in ("allOf", "anyOf", "oneOf", "not", "if", "x-rowExpr"):
+        if kw not in spec:
+            continue
+        p = (kw,)
+        if kw == "x-rowExpr":
+            plan.row_checks.append(
+                RowCheck(_path_id(p), F.expr(spec[kw]), F.lit("row"),
+                         f"row satisfies: {spec[kw]}"))
+            continue
+        if kw == "not":
+            pred = ~_row_pred(spec["not"], fields, ctx, p)
+        elif kw == "if":
+            ifp = _row_pred(spec["if"], fields, ctx, ("if",))
+            thenp = _row_pred(spec["then"], fields, ctx, ("then",)) if "then" in spec else F.lit(True)
+            elsep = _row_pred(spec["else"], fields, ctx, ("else",)) if "else" in spec else F.lit(True)
+            pred = F.when(ifp, thenp).otherwise(elsep)
+        else:
+            subs = [_row_pred(s, fields, ctx, p + (i,)) for i, s in enumerate(spec[kw])]
+            if kw == "allOf":
+                pred = subs[0]
+                for s in subs[1:]:
+                    pred = pred & s
+            elif kw == "anyOf":
+                pred = subs[0]
+                for s in subs[1:]:
+                    pred = pred | s
+            else:  # oneOf
+                pred = subs[0].cast("int")
+                for s in subs[1:]:
+                    pred = pred + s.cast("int")
+                pred = pred == 1
+        plan.row_checks.append(
+            RowCheck(_path_id(p), pred, F.lit("row"), _expected_text(kw, spec[kw], spec, ctx.draft)))
+
+    return plan
+
+
+def _row_pred(node: Any, fields: dict, ctx: _Ctx, path: tuple) -> Column:
+    """Reduce a ROW-scope suite node to a single boolean Column (used by
+    root combinators / dependencies / if-then-else)."""
+    if node is True or node == {}:
+        return F.lit(True)
+    if node is False:
+        return F.lit(False)
+    if "$ref" in node:
+        return _row_pred(ctx.resolver.resolve(node["$ref"]), fields, ctx, path)
+    preds = []
+    for name, sub in (node.get("properties") or {}).items():
+        if name not in fields:
+            continue
+        preds.append(compile_value_pred(sub, F.col(name), fields[name], ctx,
+                                        path + ("properties", name)))
+    for name in node.get("required", []):
+        preds.append(F.col(name).isNotNull() if name in fields else F.lit(False))
+    for kw in ("allOf", "anyOf", "oneOf"):
+        if kw in node:
+            subs = [_row_pred(s, fields, ctx, path + (kw, i))
+                    for i, s in enumerate(node[kw])]
+            if kw == "allOf":
+                p = subs[0]
+                for s in subs[1:]:
+                    p = p & s
+            elif kw == "anyOf":
+                p = subs[0]
+                for s in subs[1:]:
+                    p = p | s
+            else:
+                p = subs[0].cast("int")
+                for s in subs[1:]:
+                    p = p + s.cast("int")
+                p = p == 1
+            preds.append(p)
+    if "not" in node:
+        preds.append(~_row_pred(node["not"], fields, ctx, path + ("not",)))
+    if "x-rowExpr" in node:
+        preds.append(F.expr(node["x-rowExpr"]))
+    if not preds:
+        return F.lit(True)
+    out = preds[0]
+    for p in preds[1:]:
+        out = out & p
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dataset-level keyword binding
+# ---------------------------------------------------------------------------
+
+def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
+                          col: Column, dtype, path: tuple) -> None:
+    cid = _path_id(path)
+    a = f"a{len(plan.agg_checks)}_{colname}"[:48]
+
+    if kw == "x-nullRate":
+        # lift of `required` to a fraction threshold (BASELINE.json:6)
+        alias = a + "_nullrate"
+        tau = float(v.get("max", 1.0))
+        plan.agg_checks.append(AggCheck(
+            check_id=cid,
+            aggs={alias: F.avg(col.isNull().cast("double"))},
+            passed=lambda alias=alias, tau=tau: F.coalesce(F.col(alias) <= tau, F.lit(True)),
+            metric=lambda alias=alias: F.coalesce(F.col(alias), F.lit(0.0)),
+            threshold=tau,
+        ))
+    elif kw == "x-stats":
+        stat_fns = {"min": F.min, "max": F.max, "avg": F.avg,
+                    "stddev": F.stddev, "sum": F.sum}
+        for stat, bounds in v.items():
+            alias = f"{a}_{stat}"
+            agg = stat_fns[stat](col).cast("double")
+            lo = bounds.get("min")
+            hi = bounds.get("max")
+
+            def mk_passed(alias=alias, lo=lo, hi=hi):
+                c = F.lit(True)
+                if lo is not None:
+                    c = c & (F.col(alias) >= lo)
+                if hi is not None:
+                    c = c & (F.col(alias) <= hi)
+                return F.coalesce(c, F.lit(True))  # empty partition ⇒ pass
+
+            plan.agg_checks.append(AggCheck(
+                check_id=f"{cid}/{stat}",
+                aggs={alias: agg},
+                passed=mk_passed,
+                metric=lambda alias=alias: F.col(alias),
+                threshold=float(hi if hi is not None else (lo if lo is not None else 0.0)),
+            ))
+    elif kw == "x-distinctCount":
+        alias = a + "_distinct"
+        agg = (F.approx_count_distinct(col) if v.get("approx")
+               else F.countDistinct(col)).cast("double")
+        lo, hi = v.get("min"), v.get("max")
+
+        def mk_passed(alias=alias, lo=lo, hi=hi):
+            c = F.lit(True)
+            if lo is not None:
+                c = c & (F.col(alias) >= lo)
+            if hi is not None:
+                c = c & (F.col(alias) <= hi)
+            return F.coalesce(c, F.lit(True))
+
+        plan.agg_checks.append(AggCheck(
+            check_id=cid, aggs={alias: agg}, passed=mk_passed,
+            metric=lambda alias=alias: F.col(alias),
+            threshold=float(hi if hi is not None else (lo or 0.0)),
+        ))
+    elif kw == "x-quantile":
+        alias = a + "_q"
+        q = float(v["q"])
+        agg = F.percentile_approx(col.cast("double"), q,
+                                  int(v.get("accuracy", 10000))).cast("double")
+        lo, hi = v.get("min"), v.get("max")
+
+        def mk_passed(alias=alias, lo=lo, hi=hi):
+            c = F.lit(True)
+            if lo is not None:
+                c = c & (F.col(alias) >= lo)
+            if hi is not None:
+                c = c & (F.col(alias) <= hi)
+            return F.coalesce(c, F.lit(True))
+
+        plan.agg_checks.append(AggCheck(
+            check_id=cid, aggs={alias: agg}, passed=mk_passed,
+            metric=lambda alias=alias: F.col(alias),
+            threshold=float(hi if hi is not None else (lo or 0.0)),
+        ))
+    elif kw == "x-unique":
+        if v is True:
+            plan.dataset_checks.append(DatasetCheck(cid, "unique", colname, {}))
+    elif kw == "x-referential":
+        plan.dataset_checks.append(DatasetCheck(cid, "referential", colname, dict(v)))
+    elif kw == "x-drift":
+        plan.dataset_checks.append(DatasetCheck(cid, "drift", colname, dict(v)))

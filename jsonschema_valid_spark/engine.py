@@ -1,0 +1,236 @@
+"""Execution engine: one fused row pass + one fused multi-aggregate pass.
+
+Plan shape (SURVEY.md §3 "Our lifecycle"):
+
+* **Violations** — ONE ``select`` over the fact table building an array of
+  per-check violation structs, ``array_compact`` dropping passes, ``explode``
+  dropping clean rows. No shuffle; whole-stage codegen; predicate evaluation
+  fuses with the parquet scan so column pruning/pushdown apply.
+  (≙ the reference's lazy ``ErrorIterator``, ``error.rs:108-110`` — errors
+  materialize only when the consumer iterates/acts.)
+* **Verdicts** — ONE ``groupBy(partition_key).agg(...)`` carrying every
+  row-check fail-counter AND every aggregate check in the same pass
+  (map-side partial aggregation ⇒ the shuffle carries #partitions ×
+  #aggregates values, not rows), then an ``explode`` unpivot into long form.
+  This is the "single multi-aggregate DataFrame pass" of BASELINE.json.
+* **Dataset checks** (uniqueness / referential / drift / parity) union their
+  violations & verdicts in — each with its scale-appropriate topology
+  (salted two-phase agg, broadcast anti-join, broadcast histogram join).
+
+The reference's boolean fast path — peek one error, ``lib.rs:95-101`` — maps
+to :meth:`ValidationResult.ok`: ``LIMIT 1`` existence probes, not full
+materialization.
+"""
+
+from __future__ import annotations
+
+import textwrap
+from dataclasses import dataclass
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark.compiler import BoundPlan, bind
+
+VIOLATION_SCHEMA = "doc_id string, check_id string, observed string, expected string"
+VERDICT_SCHEMA = ("partition_id string, check_id string, passed boolean, "
+                  "metric_value double, threshold double")
+
+
+def _union(dfs: list[DataFrame]) -> DataFrame:
+    return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+@dataclass
+class ValidationResult:
+    """Lazy result pair (≙ ``ErrorIterator``: nothing runs until acted on)."""
+
+    violations: DataFrame
+    verdicts: DataFrame
+    plan: BoundPlan
+
+    def ok(self) -> bool:
+        """Boolean validity via LIMIT-1 probes (≙ ``validate``'s peek,
+        ``lib.rs:95-101``) — does NOT enumerate all errors."""
+        if not self.violations.isEmpty():
+            return False
+        return self.verdicts.where(~F.col("passed")).isEmpty()
+
+    def render(self, max_rows: int = 20, width: int = 78) -> str:
+        """Driver-side pretty printer (≙ ``error.rs:37-68``: wrapped text with
+        instance/schema context)."""
+        rows = self.violations.limit(max_rows).collect()
+        out = []
+        for r in rows:
+            msg = (f"doc {r['doc_id']}: expected {r['expected']}, "
+                   f"observed {r['observed']}  [at {r['check_id']}]")
+            out.append(textwrap.fill(msg, width=width, subsequent_indent="    "))
+        n = len(rows)
+        if n == max_rows:
+            out.append(f"... (showing first {max_rows})")
+        elif n == 0:
+            out.append("no violations")
+        return "\n".join(out)
+
+
+def row_violations(df: DataFrame, plan: BoundPlan, key: str) -> DataFrame:
+    """All row checks → one projection; returns the violations DF."""
+    structs = []
+    for rc in plan.row_checks:
+        failed = ~F.coalesce(rc.pred, F.lit(True))
+        structs.append(
+            F.when(
+                failed,
+                F.struct(
+                    F.lit(rc.check_id).alias("check_id"),
+                    F.coalesce(rc.observed.cast("string"), F.lit("NULL")).alias("observed"),
+                    F.lit(rc.expected).alias("expected"),
+                ),
+            )
+        )
+    if not structs:
+        spark = df.sparkSession
+        return spark.createDataFrame([], VIOLATION_SCHEMA)
+    arr = F.array_compact(F.array(*structs))
+    return (
+        df.select(F.col(key).cast("string").alias("doc_id"), F.explode(arr).alias("v"))
+        .select("doc_id", "v.*")
+    )
+
+
+def fused_verdicts(df: DataFrame, plan: BoundPlan, partition_key: Column) -> DataFrame | None:
+    """Row-check fail counters + all AggChecks in ONE groupBy().agg() pass,
+    unpivoted to the long verdicts shape."""
+    agg_exprs = [F.count(F.lit(1)).alias("__rows")]
+    rc_aliases = []
+    for i, rc in enumerate(plan.row_checks):
+        alias = f"__rc{i}"
+        rc_aliases.append(alias)
+        agg_exprs.append(
+            F.sum((~F.coalesce(rc.pred, F.lit(True))).cast("long")).alias(alias)
+        )
+    for ac in plan.agg_checks:
+        for alias, expr in ac.aggs.items():
+            agg_exprs.append(expr.alias(alias))
+    if len(agg_exprs) == 1:
+        return None
+
+    agg_df = df.groupBy(partition_key.alias("partition_id")).agg(*agg_exprs)
+
+    verdict_structs = []
+    for rc, alias in zip(plan.row_checks, rc_aliases):
+        verdict_structs.append(
+            F.struct(
+                F.lit(rc.check_id).alias("check_id"),
+                (F.col(alias) == 0).alias("passed"),
+                F.col(alias).cast("double").alias("metric_value"),
+                F.lit(0.0).cast("double").alias("threshold"),
+            )
+        )
+    for ac in plan.agg_checks:
+        verdict_structs.append(
+            F.struct(
+                F.lit(ac.check_id).alias("check_id"),
+                ac.passed().alias("passed"),
+                ac.metric().cast("double").alias("metric_value"),
+                F.lit(ac.threshold).cast("double").alias("threshold"),
+            )
+        )
+    return (
+        agg_df.select(
+            F.col("partition_id").cast("string").alias("partition_id"),
+            F.explode(F.array(*verdict_structs)).alias("v"),
+        )
+        .select("partition_id", "v.*")
+    )
+
+
+def run_suite(
+    suite,
+    df: DataFrame,
+    key: str = "doc_id",
+    partition_by: str | None = None,
+    spark: SparkSession | None = None,
+    context: dict | None = None,
+    parity_mode: str = "native",
+) -> ValidationResult:
+    """Bind + assemble the full lazy plan for a suite over ``df``.
+
+    ``partition_by``: column name for verdict granularity (stand-in for
+    Iceberg partition columns); default ``spark_partition_id()``.
+    ``context``: named DataFrames referenced by dataset checks
+    (``x-referential: {domain: "@name"}``, parity references).
+    """
+    from jsonschema_valid_spark.operators import drift as drift_op
+    from jsonschema_valid_spark.operators import parity as parity_op
+    from jsonschema_valid_spark.operators import referential as ref_op
+    from jsonschema_valid_spark.operators import uniqueness as uniq_op
+
+    spark = spark or df.sparkSession
+    context = context or {}
+    plan = bind(suite, df)
+
+    pk = (F.col(partition_by).cast("string") if partition_by
+          else F.spark_partition_id().cast("string"))
+
+    violation_dfs = [row_violations(df, plan, key)]
+    verdict_dfs = []
+    fv = fused_verdicts(df, plan, pk)
+    if fv is not None:
+        verdict_dfs.append(fv)
+
+    for dc in plan.dataset_checks:
+        if dc.kind == "unique":
+            dups = uniq_op.duplicate_keys(df, dc.column)
+            violation_dfs.append(
+                uniq_op.uniqueness_violations(df, dc.column, dc.check_id)
+            )
+            verdict_dfs.append(
+                dups.agg(F.count(F.lit(1)).alias("nd")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nd") == 0).alias("passed"),
+                    F.col("nd").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "referential":
+            dom = dc.params["domain"]
+            if isinstance(dom, str) and dom.startswith("@"):
+                dom = context[dom[1:]]
+            bad = ref_op.referential_violations(
+                df, dc.column, dom, dc.check_id, key=key,
+                domain_column=dc.params.get("domainColumn"),
+            )
+            violation_dfs.append(bad)
+            verdict_dfs.append(
+                bad.agg(F.count(F.lit(1)).alias("nb")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nb") == 0).alias("passed"),
+                    F.col("nb").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "drift":
+            verdict_dfs.extend(
+                drift_op.drift_verdict_dfs(df, dc.column, dc.check_id,
+                                           dc.params, spark)
+            )
+        elif dc.kind == "parity":
+            ref_df = dc.params["reference"]
+            if isinstance(ref_df, str) and ref_df.startswith("@"):
+                ref_df = context[ref_df[1:]]
+            violation_dfs.append(
+                parity_op.parity_violations(
+                    df, ref_df, key=dc.params.get("key", key),
+                    columns=dc.params["columns"], check_id=dc.check_id,
+                    mode=dc.params.get("mode", parity_mode),
+                )
+            )
+
+    violations = _union(violation_dfs)
+    verdicts = (_union(verdict_dfs) if verdict_dfs
+                else spark.createDataFrame([], VERDICT_SCHEMA))
+    return ValidationResult(violations=violations, verdicts=verdicts, plan=plan)

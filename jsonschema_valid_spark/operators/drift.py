@@ -1,0 +1,113 @@
+"""Distribution-drift checks (PSI / KS) for a numeric column against a
+baseline histogram (BASELINE.json north_star: "n_tok distribution-drift
+(KS/PSI against a baseline histogram)").
+
+No reference counterpart — the reference validates single documents; drift is
+a dataset-scope invariant. Design:
+
+* the baseline is a SMALL fixed-bin histogram (driver-side dict / tiny DF) —
+  broadcast, never shuffled;
+* the observed histogram is ONE ``groupBy(bucket).count()`` over the fact
+  table (map-side partial aggregation; #buckets rows reach the reducers);
+* PSI is computed natively on the joined histograms (a few hundred rows) —
+  pure Column math, no UDF;
+* KS uses the binned-ECDF approximation over the same histogram (error bound
+  ≤ bin probability mass; bins are chosen at compile time — SURVEY.md §4.4).
+  Computed via a window cumulative sum over #buckets rows — trivially small.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+EPS = 1e-9
+
+
+def histogram(df: DataFrame, column: str, bucket_width: float) -> DataFrame:
+    """Fixed-bin histogram: ``(bucket, count)``. One shuffle of #buckets rows
+    after map-side combine."""
+    return (
+        df.where(F.col(column).isNotNull())
+        .groupBy(F.floor(F.col(column) / F.lit(bucket_width)).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def _normalized_join(observed_hist: DataFrame, baseline: dict[int, int],
+                     spark) -> DataFrame:
+    base_rows = [(int(b), int(c)) for b, c in baseline.items()]
+    base_df = spark.createDataFrame(base_rows, "bucket long, base_count long")
+    joined = observed_hist.alias("o").join(
+        F.broadcast(base_df).alias("b"), on="bucket", how="full_outer"
+    ).select(
+        F.col("bucket"),
+        F.coalesce(F.col("o.count"), F.lit(0)).alias("obs"),
+        F.coalesce(F.col("b.base_count"), F.lit(0)).alias("base"),
+    )
+    totals = joined.select(F.sum("obs").alias("to"), F.sum("base").alias("tb"))
+    return joined.crossJoin(F.broadcast(totals)).select(
+        "bucket",
+        (F.col("obs") / F.col("to")).alias("p_obs"),
+        (F.col("base") / F.col("tb")).alias("p_base"),
+    )
+
+
+def psi_value_df(observed_hist: DataFrame, baseline: dict[int, int], spark) -> DataFrame:
+    """Population Stability Index: Σ (p_obs − p_base) · ln(p_obs / p_base),
+    ε-smoothed. Pure Column math over #buckets rows. Returns a 1-row DF
+    ``(value double)`` so the whole drift check stays lazy."""
+    n = _normalized_join(observed_hist, baseline, spark)
+    return n.select(
+        F.coalesce(
+            F.sum(
+                (F.col("p_obs") - F.col("p_base"))
+                * F.log((F.col("p_obs") + EPS) / (F.col("p_base") + EPS))
+            ),
+            F.lit(0.0),
+        ).alias("value")
+    )
+
+
+def ks_value_df(observed_hist: DataFrame, baseline: dict[int, int], spark) -> DataFrame:
+    """Binned-ECDF Kolmogorov–Smirnov statistic: max |CDF_obs − CDF_base|
+    over bucket boundaries. Window over #buckets rows (driver-scale)."""
+    n = _normalized_join(observed_hist, baseline, spark)
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        n.select(
+            F.abs(F.sum("p_obs").over(w) - F.sum("p_base").over(w)).alias("d")
+        )
+        .agg(F.coalesce(F.max("d"), F.lit(0.0)).alias("value"))
+    )
+
+
+def psi(observed_hist: DataFrame, baseline: dict[int, int], spark) -> float:
+    return float(psi_value_df(observed_hist, baseline, spark).first()["value"])
+
+
+def ks(observed_hist: DataFrame, baseline: dict[int, int], spark) -> float:
+    return float(ks_value_df(observed_hist, baseline, spark).first()["value"])
+
+
+def drift_verdict_dfs(df: DataFrame, column: str, check_id: str, params: dict,
+                      spark) -> list[DataFrame]:
+    """Lazy verdict DFs ``(partition_id, check_id, passed, metric_value,
+    threshold)`` for PSI and/or KS vs thresholds."""
+    width = float(params.get("bucketWidth", 1.0))
+    baseline = {int(k): int(v) for k, v in params["baseline"].items()}
+    hist = histogram(df, column, width)
+    out = []
+    for name, fn in (("psiMax", psi_value_df), ("ksMax", ks_value_df)):
+        if name in params:
+            tau = float(params[name])
+            stat = "psi" if name == "psiMax" else "ks"
+            out.append(
+                fn(hist, baseline, spark).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(f"{check_id}/{stat}").alias("check_id"),
+                    (F.col("value") <= tau).alias("passed"),
+                    F.col("value").cast("double").alias("metric_value"),
+                    F.lit(tau).cast("double").alias("threshold"),
+                )
+            )
+    return out

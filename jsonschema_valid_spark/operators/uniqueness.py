@@ -1,0 +1,65 @@
+"""Cross-row uniqueness — the table-scope lift of ``uniqueItems``
+(``/root/reference/src/validators.rs:582-595`` + ``unique.rs``).
+
+The reference inserts type-tagged hashes into an in-memory set
+(``unique.rs:61-65``) — fine for one array, impossible for 10^12 rows. At
+scale, ``groupBy(key).count()`` is a full shuffle on the key, and a hot key
+(the same doc_id duplicated millions of times) funnels into one reducer.
+
+Strategy (SURVEY.md §2.1 #18): **two-phase salted hash aggregate** —
+
+    phase 1:  groupBy(key, salt = pmod(xxhash64(key, RAND_COL), S)).count()
+              — wait: salting a *count* by key needs a second independent
+              column; for pure duplicate-detection the salt must split rows
+              of the SAME key, so we salt by a row-local value
+              (monotonically_increasing_id % S).
+    phase 2:  groupBy(key).sum(partial_count) — now at most S rows per key
+              reach the final reducer.
+
+With AQE on, Spark 3.2+ can also split skewed partitions automatically, but
+the two-phase shape guarantees bounded reducer fan-in regardless of AQE
+heuristics — at 10^12 rows we don't gamble on heuristics.
+
+Map-side combine in phase 1 means the shuffle carries at most
+(#distinct keys × S) rows per map task, not raw rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_SALT_BUCKETS = 64
+
+
+def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Return ``(key, dup_count)`` for every key value appearing more than
+    once. NULL keys are ignored (absence is `required`'s business, not
+    uniqueness's)."""
+    phase1 = (
+        df.select(F.col(key))
+        .where(F.col(key).isNotNull())
+        .groupBy(
+            F.col(key),
+            (F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))).alias("__salt"),
+        )
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return (
+        phase1.groupBy(key)
+        .agg(F.sum("__partial").alias("dup_count"))
+        .where(F.col("dup_count") > 1)
+    )
+
+
+def uniqueness_violations(df: DataFrame, key: str, check_id: str,
+                          salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Violations DF ``(doc_id, check_id, observed, expected)`` — one row per
+    duplicated key value (the reference reports the offending value once,
+    validators.rs:589-592)."""
+    dups = duplicate_keys(df, key, salt_buckets)
+    return dups.select(
+        F.col(key).cast("string").alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(F.lit("count="), F.col("dup_count").cast("string")).alias("observed"),
+        F.lit("unique").alias("expected"),
+    )

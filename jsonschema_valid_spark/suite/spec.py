@@ -1,0 +1,282 @@
+"""CheckSuite spec: validation, ``$ref`` resolution, and the public facade.
+
+Reference lifecycle being mirrored (see SURVEY.md §3):
+
+* ``Config::from_schema`` (``/root/reference/src/config.rs:55-67``) — draft
+  resolution + resolver construction → here ``CheckSuite.__init__``.
+* ``Config::validate_schema`` (``config.rs:75-90``) — the schema is validated
+  against a compiled-in metaschema before use → here ``validate_suite_spec``
+  (pure driver-side Python; no Spark job launched for an invalid suite).
+* ``Resolver`` (``resolver.rs:32-94``) — one planning walk collecting every
+  ``$id``-bearing fragment into a url→fragment map; ``$ref`` resolution joins
+  the ref against the ``$id`` scope. The reference leaves infinite-recursion
+  detection as a TODO (``resolver.rs:171``); we implement the cycle guard.
+"""
+
+from __future__ import annotations
+
+import json
+import hashlib
+from typing import Any
+
+from jsonschema_valid_spark.suite import registry
+
+
+class SuiteError(ValueError):
+    """The suite spec itself is invalid (≙ schema failing metaschema
+    validation, ``config.rs:75-90``)."""
+
+
+class SuiteBindError(ValueError):
+    """The suite is valid but cannot bind to the given DataFrame schema
+    (e.g. a declared property column is missing, or a declared JSON type is
+    incompatible with the column's Spark type)."""
+
+
+_JSON_TYPES = {"null", "boolean", "number", "integer", "string", "array", "object"}
+
+
+# ---------------------------------------------------------------------------
+# Suite metaschema validation (driver-side, pure Python)
+# ---------------------------------------------------------------------------
+
+def _err(path: tuple, msg: str) -> SuiteError:
+    p = "/".join(str(x) for x in path) or "<root>"
+    return SuiteError(f"invalid suite at {p}: {msg}")
+
+
+def _check_number(path, kw, v):
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise _err(path, f"{kw} must be a number, got {type(v).__name__}")
+
+
+def _check_nonneg_int(path, kw, v):
+    if isinstance(v, bool) or not isinstance(v, int) or v < 0:
+        raise _err(path, f"{kw} must be a non-negative integer, got {v!r}")
+
+
+def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -> None:
+    """Validate a suite node recursively (≙ metaschema validation,
+    ``config.rs:75-90``). Raises :class:`SuiteError` on the first problem —
+    matching the reference's peek-first-error contract (``lib.rs:95-101``).
+
+    A suite node is either a ``bool`` (``true`` = accept-all, ``false`` =
+    reject-all; ``validators.rs:51-58``) or a dict of keyword→argument.
+    Unknown keywords are permitted and ignored (``validators.rs:75-78``).
+    """
+    if isinstance(spec, bool):
+        return
+    if not isinstance(spec, dict):
+        raise _err(path, f"suite node must be bool or object, got {type(spec).__name__}")
+    if draft is None:
+        draft = registry.resolve_draft(spec)
+
+    for kw, v in spec.items():
+        p = path + (kw,)
+        if kw == "type":
+            names = v if isinstance(v, list) else [v]
+            if not names:
+                raise _err(p, "type list must be non-empty")
+            for n in names:
+                if n not in _JSON_TYPES:
+                    raise _err(p, f"unknown type {n!r}")
+        elif kw == "enum":
+            if not isinstance(v, list) or not v:
+                raise _err(p, "enum must be a non-empty list")
+        elif kw in ("minimum", "maximum", "multipleOf"):
+            _check_number(p, kw, v)
+            if kw == "multipleOf" and v <= 0:
+                raise _err(p, "multipleOf must be > 0")
+        elif kw in ("exclusiveMinimum", "exclusiveMaximum"):
+            # draft4: boolean modifier sibling of minimum/maximum
+            # (validators.rs:416-445); draft6+: standalone number.
+            if draft == 4:
+                if not isinstance(v, bool):
+                    raise _err(p, "draft4 exclusiveMinimum/Maximum must be boolean")
+                if kw == "exclusiveMinimum" and "minimum" not in spec:
+                    raise _err(p, "draft4 exclusiveMinimum requires sibling minimum")
+                if kw == "exclusiveMaximum" and "maximum" not in spec:
+                    raise _err(p, "draft4 exclusiveMaximum requires sibling maximum")
+            else:
+                _check_number(p, kw, v)
+        elif kw in ("minLength", "maxLength", "minItems", "maxItems",
+                    "minProperties", "maxProperties"):
+            _check_nonneg_int(p, kw, v)
+        elif kw == "pattern":
+            if not isinstance(v, str):
+                raise _err(p, "pattern must be a string")
+            # compile-time regex validity check — the analog of the
+            # reference's runtime invalid-regex error (validators.rs:609-611),
+            # hoisted to the driver so no job launches with a bad pattern.
+            import re
+
+            try:
+                re.compile(v)
+            except re.error as e:
+                raise _err(p, f"invalid regex: {e}")
+        elif kw == "format":
+            if not isinstance(v, str):
+                raise _err(p, "format must be a string")
+            # unknown formats are allowed and pass (validators.rs:624)
+        elif kw == "items":
+            if isinstance(v, list):
+                for i, sub in enumerate(v):
+                    validate_suite_spec(sub, draft, p + (i,))
+            else:
+                validate_suite_spec(v, draft, p)
+        elif kw in ("additionalItems", "additionalProperties", "propertyNames",
+                    "contains", "not", "if", "then", "else"):
+            validate_suite_spec(v, draft, p)
+        elif kw == "uniqueItems":
+            if not isinstance(v, bool):
+                raise _err(p, "uniqueItems must be boolean")
+        elif kw in ("properties", "patternProperties"):
+            if not isinstance(v, dict):
+                raise _err(p, f"{kw} must be an object")
+            for name, sub in v.items():
+                validate_suite_spec(sub, draft, p + (name,))
+        elif kw == "required":
+            if not isinstance(v, list) or not all(isinstance(x, str) for x in v):
+                raise _err(p, "required must be a list of strings")
+        elif kw == "dependencies":
+            if not isinstance(v, dict):
+                raise _err(p, "dependencies must be an object")
+            for name, dep in v.items():
+                if isinstance(dep, list):
+                    if not all(isinstance(x, str) for x in dep):
+                        raise _err(p + (name,), "property dependency must list strings")
+                else:
+                    validate_suite_spec(dep, draft, p + (name,))
+        elif kw in ("allOf", "anyOf", "oneOf"):
+            if not isinstance(v, list) or not v:
+                raise _err(p, f"{kw} must be a non-empty list")
+            for i, sub in enumerate(v):
+                validate_suite_spec(sub, draft, p + (i,))
+        elif kw == "$ref":
+            if not isinstance(v, str):
+                raise _err(p, "$ref must be a string")
+        elif kw == "x-nullRate":
+            if not isinstance(v, dict) or not ("max" in v or "min" in v):
+                raise _err(p, "x-nullRate must be {'max': τ} and/or {'min': τ}")
+        elif kw == "x-unique":
+            if not isinstance(v, bool):
+                raise _err(p, "x-unique must be boolean")
+        elif kw == "x-referential":
+            if not isinstance(v, dict) or "domain" not in v:
+                raise _err(p, "x-referential must be {'domain': <table|list>, ...}")
+        elif kw == "x-stats":
+            if not isinstance(v, dict):
+                raise _err(p, "x-stats must be an object of stat→bounds")
+            for stat in v:
+                if stat not in ("min", "max", "avg", "stddev", "sum"):
+                    raise _err(p + (stat,), f"unknown stat {stat!r}")
+        elif kw == "x-distinctCount":
+            if not isinstance(v, dict):
+                raise _err(p, "x-distinctCount must be {'min'|'max': n, 'approx': bool}")
+        elif kw == "x-quantile":
+            if not isinstance(v, dict) or "q" not in v:
+                raise _err(p, "x-quantile must be {'q': p, 'min'|'max': bound}")
+        elif kw == "x-drift":
+            if not isinstance(v, dict) or "baseline" not in v:
+                raise _err(p, "x-drift must be {'baseline': hist, 'psiMax'|'ksMax': τ, ...}")
+        elif kw == "x-rowExpr":
+            if not isinstance(v, str):
+                raise _err(p, "x-rowExpr must be a SQL boolean expression string")
+        # unknown keywords: ignored (validators.rs:75-78)
+
+
+# ---------------------------------------------------------------------------
+# $ref resolution (≙ resolver.rs, with the :171 cycle-guard TODO fixed)
+# ---------------------------------------------------------------------------
+
+class Resolver:
+    """Driver-side resolver: one walk collecting ``$id``-bearing fragments
+    (≙ ``find_ids``, ``resolver.rs:32-74``), then JSON-pointer + ``$id``
+    lookup at ``$ref`` sites (≙ ``resolve_fragment``, ``resolver.rs:140-180``).
+
+    Unlike the reference (TODO at ``resolver.rs:171``), recursive ``$ref``
+    cycles are detected and rejected at compile time — a cyclic suite cannot
+    compile to a finite Column expression.
+    """
+
+    def __init__(self, root: dict):
+        self.root = root
+        self.ids: dict[str, Any] = {}
+        self._collect(root)
+
+    def _collect(self, node: Any) -> None:
+        if isinstance(node, dict):
+            nid = node.get("$id") or node.get("id")
+            if isinstance(nid, str):
+                self.ids[nid] = node
+            for v in node.values():
+                self._collect(v)
+        elif isinstance(node, list):
+            for v in node:
+                self._collect(v)
+
+    def resolve(self, ref: str) -> Any:
+        """Resolve ``#/json/pointer``, ``#``, or ``$id`` refs. Remote URLs are
+        not fetched — same policy as the reference (``lib.rs:112`` excludes
+        refRemote.json because there is no network fetch)."""
+        if ref == "#":
+            return self.root
+        if ref.startswith("#/"):
+            node: Any = self.root
+            for raw in ref[2:].split("/"):
+                part = raw.replace("~1", "/").replace("~0", "~")  # RFC-6901, resolver.rs:150-152
+                if isinstance(node, dict):
+                    if part not in node:
+                        raise SuiteError(f"unresolvable $ref {ref!r}: missing key {part!r}")
+                    node = node[part]
+                elif isinstance(node, list):
+                    try:
+                        node = node[int(part)]
+                    except (ValueError, IndexError):
+                        raise SuiteError(f"unresolvable $ref {ref!r}: bad index {part!r}")
+                else:
+                    raise SuiteError(f"unresolvable $ref {ref!r}: hit a leaf at {part!r}")
+            return node
+        if ref in self.ids:
+            return self.ids[ref]
+        # ≙ make_error("Unresolvable reference"), validators.rs:1038-1044 —
+        # but at compile time, before any cluster work.
+        raise SuiteError(f"unresolvable $ref {ref!r}")
+
+
+# ---------------------------------------------------------------------------
+# Facade
+# ---------------------------------------------------------------------------
+
+class CheckSuite:
+    """A validated, compiled check suite (≙ ``Config``, ``config.rs:12-16``).
+
+    Compilation is driver-side and happens once; running binds the compiled
+    checks to a DataFrame and assembles ONE fused job (see ``compiler.py`` /
+    ``engine.py``).
+    """
+
+    def __init__(self, spec: dict | bool, validate: bool = True):
+        self.spec = spec
+        self.draft = registry.resolve_draft(spec) if isinstance(spec, dict) else registry.DEFAULT_DRAFT
+        if validate:
+            validate_suite_spec(spec, self.draft)
+        self.resolver = Resolver(spec) if isinstance(spec, dict) else Resolver({})
+        # Stable content hash for lineage/checkpointing (suite identity).
+        self.suite_hash = hashlib.sha256(
+            json.dumps(spec, sort_keys=True, default=str).encode()
+        ).hexdigest()[:16]
+
+    def bind(self, df):
+        """Compile against a DataFrame schema → BoundPlan (driver-side)."""
+        from jsonschema_valid_spark.compiler import bind
+
+        return bind(self, df)
+
+    def run(self, df, key: str = "doc_id", partition_by=None, spark=None,
+            context=None, parity_mode: str = "native"):
+        """Validate ``df``; returns a :class:`ValidationResult` (lazy)."""
+        from jsonschema_valid_spark.engine import run_suite
+
+        return run_suite(self, df, key=key, partition_by=partition_by,
+                         spark=spark, context=context, parity_mode=parity_mode)
