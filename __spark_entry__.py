@@ -1,38 +1,75 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation run at sf0.001.
+``queries()`` / ``oracle_sql()`` — operator inventory with DuckDB oracles
+(see ``jsonschema_valid_spark/driver_queries.py``).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: derive the canonical tokenized-sequence table from
+    sf0.001 documents, run the full validation suite (row invariants, token
+    range, enum/referential, null-rate, uniqueness, stats), return verdicts."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.sources.sequences import (
+        load_sequences,
+        source_domain,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    seq = load_sequences(spark, sf_dir)
+    suite = CheckSuite(
+        {
+            "$id": "flagship-sequence-validation",
+            "version": 7,
+            "required": ["doc_id", "tokens", "n_tok"],
+            "properties": {
+                "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$",
+                           "x-unique": True},
+                "tokens": {
+                    "type": "array",
+                    "minItems": 1,
+                    "maxItems": 8192,
+                    "items": {"type": "integer", "minimum": 0,
+                              "exclusiveMaximum": 50257},
+                },
+                "n_tok": {
+                    "type": "integer", "minimum": 1, "maximum": 8192,
+                    "x-stats": {"min": {"min": 1}, "avg": {"min": 8, "max": 256}},
+                },
+                "source": {
+                    "type": "string",
+                    "x-nullRate": {"max": 0.05},
+                    "x-referential": {"domain": "@source_domain"},
+                },
+            },
+            "x-rowExpr": "n_tok = size(tokens)",
+        }
+    )
+    result = suite.run(
+        seq, key="doc_id", partition_by="source",
+        context={"source_domain": source_domain(spark, sf_dir)},
+    )
+    return result.verdicts
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from jsonschema_valid_spark import driver_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return driver_queries.queries()
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from jsonschema_valid_spark import driver_queries
+
+    return driver_queries.oracle_sql()
