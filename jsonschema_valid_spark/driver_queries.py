@@ -225,6 +225,395 @@ def seq_stats_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Per-keyword engine queries (SURVEY.md §2.1 coverage, one per family) —
+# every one runs the ENGINE (CheckSuite → fused pass) and is oracle-checked.
+# ---------------------------------------------------------------------------
+
+def _run_engine(spark, sf_dir, table, suite_spec, key, context=None):
+    from jsonschema_valid_spark import CheckSuite
+
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    return CheckSuite(suite_spec).run(df, key=key, context=context)
+
+
+def _viol_long_key(res, keyname):
+    """Violations with the key cast back to BIGINT for numeric-keyed tables."""
+    return res.violations.select(
+        F.col("doc_id").cast("long").alias(keyname), "check_id"
+    )
+
+
+@register(
+    "kw_type_dynamic",
+    "SELECT event_id, 'properties/props/type' AS check_id FROM events "
+    "WHERE props IS NOT NULL AND TRY_CAST(props AS BIGINT) IS NULL",
+)
+def kw_type_dynamic(spark, sf_dir):
+    """`type: integer` on a string column → dynamic try_cast check
+    (validators.rs:731-767; SURVEY.md §2.1 #1)."""
+    res = _run_engine(spark, sf_dir, "events",
+                      {"properties": {"props": {"type": "integer"}}},
+                      key="event_id")
+    return _viol_long_key(res, "event_id")
+
+
+@register(
+    "kw_const",
+    "SELECT o_orderkey, observed FROM ("
+    "SELECT o_orderkey, o_orderstatus AS observed FROM orders "
+    "WHERE o_orderstatus IS NOT NULL AND o_orderstatus != 'O')",
+)
+def kw_const(spark, sf_dir):
+    """`const` deep equality (validators.rs:339-351; #3)."""
+    res = _run_engine(spark, sf_dir, "orders",
+                      {"properties": {"o_orderstatus": {"const": "O"}}},
+                      key="o_orderkey")
+    return res.violations.select(
+        F.col("doc_id").cast("long").alias("o_orderkey"), "observed")
+
+
+@register(
+    "kw_enum",
+    "SELECT event_id, event_type AS observed FROM events "
+    "WHERE event_type IS NOT NULL AND event_type NOT IN "
+    "('click','view','signup','purchase')",
+)
+def kw_enum(spark, sf_dir):
+    """`enum` membership (validators.rs:715-728; #2)."""
+    res = _run_engine(
+        spark, sf_dir, "events",
+        {"properties": {"event_type": {"enum": ["click", "view", "signup",
+                                                "purchase"]}}},
+        key="event_id")
+    return res.violations.select(
+        F.col("doc_id").cast("long").alias("event_id"), "observed")
+
+
+@register(
+    "kw_bounds",
+    "SELECT c_custkey, 'properties/c_acctbal/minimum' AS check_id FROM customer"
+    " WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal >= 0) "
+    "UNION ALL "
+    "SELECT c_custkey, 'properties/c_acctbal/maximum' AS check_id FROM customer"
+    " WHERE c_acctbal IS NOT NULL AND NOT (c_acctbal <= 9000)",
+)
+def kw_bounds(spark, sf_dir):
+    """`minimum`/`maximum` (validators.rs:447-514; #4-5)."""
+    res = _run_engine(spark, sf_dir, "customer",
+                      {"properties": {"c_acctbal": {"minimum": 0, "maximum": 9000}}},
+                      key="c_custkey")
+    return _viol_long_key(res, "c_custkey")
+
+
+@register(
+    "kw_exclusive_bounds",
+    "SELECT p_partkey, 'properties/p_size/exclusiveMinimum' AS check_id "
+    "FROM part WHERE p_size IS NOT NULL AND NOT (p_size > 1) "
+    "UNION ALL "
+    "SELECT p_partkey, 'properties/p_size/exclusiveMaximum' AS check_id "
+    "FROM part WHERE p_size IS NOT NULL AND NOT (p_size < 50)",
+)
+def kw_exclusive_bounds(spark, sf_dir):
+    """draft6+ standalone `exclusiveMinimum`/`exclusiveMaximum`
+    (validators.rs:378-414; #6-7)."""
+    res = _run_engine(
+        spark, sf_dir, "part",
+        {"properties": {"p_size": {"exclusiveMinimum": 1, "exclusiveMaximum": 50}}},
+        key="p_partkey")
+    return _viol_long_key(res, "p_partkey")
+
+
+@register(
+    "kw_draft4_exclusive",
+    "SELECT p_partkey, 'properties/p_size/minimum' AS check_id "
+    "FROM part WHERE p_size IS NOT NULL AND NOT (p_size > 1)",
+)
+def kw_draft4_exclusive(spark, sf_dir):
+    """draft4 boolean `exclusiveMinimum` modifier folded into `minimum`
+    (validators.rs:416-445; #8)."""
+    res = _run_engine(
+        spark, sf_dir, "part",
+        {"version": 4,
+         "properties": {"p_size": {"minimum": 1, "exclusiveMinimum": True}}},
+        key="p_partkey")
+    return _viol_long_key(res, "p_partkey")
+
+
+@register(
+    "kw_multiple_of",
+    "WITH li AS (SELECT l_orderkey * 10 + l_linenumber AS lkey, l_linenumber,"
+    " l_quantity FROM lineitem) "
+    "SELECT lkey, 'properties/l_linenumber/multipleOf' AS check_id FROM li "
+    "WHERE l_linenumber % 2 != 0 "
+    "UNION ALL "
+    "SELECT lkey, 'properties/l_quantity/multipleOf' AS check_id FROM li "
+    "WHERE (l_quantity / 7.0) != floor(l_quantity / 7.0)",
+)
+def kw_multiple_of(spark, sf_dir):
+    """`multipleOf` — int `%` path and float trunc-division path
+    (validators.rs:517-542; #9)."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_orderkey") * 10 + F.col("l_linenumber")).alias("lkey"),
+        "l_linenumber", "l_quantity")
+    from jsonschema_valid_spark import CheckSuite
+
+    res = CheckSuite({"properties": {
+        "l_linenumber": {"multipleOf": 2},
+        "l_quantity": {"multipleOf": 7},
+    }}).run(df, key="lkey")
+    return _viol_long_key(res, "lkey")
+
+
+@register(
+    "kw_length",
+    "SELECT doc_id, 'properties/text/minLength' AS check_id FROM documents "
+    "WHERE text IS NOT NULL AND NOT (length(text) >= 100) "
+    "UNION ALL "
+    "SELECT doc_id, 'properties/text/maxLength' AS check_id FROM documents "
+    "WHERE text IS NOT NULL AND NOT (length(text) <= 400)",
+)
+def kw_length(spark, sf_dir):
+    """`minLength`/`maxLength` — Unicode char count (validators.rs:633-671;
+    #10)."""
+    res = _run_engine(spark, sf_dir, "documents",
+                      {"properties": {"text": {"minLength": 100, "maxLength": 400}}},
+                      key="doc_id")
+    return _viol_long_key(res, "doc_id")
+
+
+@register(
+    "kw_pattern",
+    "SELECT s_suppkey, 'properties/s_name/pattern' AS check_id FROM supplier "
+    "WHERE s_name IS NOT NULL AND NOT regexp_matches(s_name, '[02468]$')",
+)
+def kw_pattern(spark, sf_dir):
+    """`pattern` — partial regex match (validators.rs:597-614; #11)."""
+    res = _run_engine(spark, sf_dir, "supplier",
+                      {"properties": {"s_name": {"pattern": "[02468]$"}}},
+                      key="s_suppkey")
+    return _viol_long_key(res, "s_suppkey")
+
+
+@register(
+    "kw_format",
+    "WITH c AS (SELECT c_custkey, "
+    " CASE WHEN c_custkey % 3 = 0 THEN c_name ELSE concat(c_name, '@x.com') END AS email, "
+    " CASE WHEN c_custkey % 5 = 0 THEN concat('999.0.0.', CAST(c_custkey % 300 AS VARCHAR)) "
+    "      ELSE concat('10.0.0.', CAST(c_custkey % 256 AS VARCHAR)) END AS ip "
+    "FROM customer) "
+    "SELECT c_custkey, 'properties/email/format' AS check_id FROM c "
+    "WHERE email NOT LIKE '%@%' "
+    "UNION ALL "
+    "SELECT c_custkey, 'properties/ip/format' AS check_id FROM c "
+    "WHERE NOT regexp_matches(ip, "
+    "'^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+    "(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$')",
+)
+def kw_format(spark, sf_dir):
+    """`format` — email (loose contains-@, format.rs:13-15) and ipv4
+    (strict octet parse, format.rs:17-19); §2.2."""
+    df = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 3 == 0, F.col("c_name"))
+        .otherwise(F.concat(F.col("c_name"), F.lit("@x.com"))).alias("email"),
+        F.when(F.col("c_custkey") % 5 == 0,
+               F.concat(F.lit("999.0.0."), (F.col("c_custkey") % 300).cast("string")))
+        .otherwise(
+            F.concat(F.lit("10.0.0."), (F.col("c_custkey") % 256).cast("string"))
+        ).alias("ip"),
+    )
+    from jsonschema_valid_spark import CheckSuite
+
+    res = CheckSuite({"properties": {
+        "email": {"format": "email"},
+        "ip": {"format": "ipv4"},
+    }}).run(df, key="c_custkey")
+    return _viol_long_key(res, "c_custkey")
+
+
+@register(
+    "kw_items_tuple",
+    oracle_with_sequences(
+        "SELECT doc_id, 'properties/tokens/items' AS check_id FROM sequences "
+        "WHERE tokens[1] < 0 OR tokens[2] < 0 OR tokens[3] > 50000 "
+        "UNION ALL "
+        "SELECT doc_id, 'properties/tokens/additionalItems' AS check_id "
+        "FROM sequences WHERE len(tokens) > 3"
+    ),
+)
+def kw_items_tuple(spark, sf_dir):
+    """tuple-form `items` + `additionalItems: false`
+    (validators.rs:283-337; #14-15)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    seq = load_sequences(spark, sf_dir)
+    res = CheckSuite({"properties": {"tokens": {
+        "items": [{"minimum": 0}, {"minimum": 0}, {"maximum": 50000}],
+        "additionalItems": False,
+    }}}).run(seq, key="doc_id")
+    return res.violations.select("doc_id", "check_id")
+
+
+@register(
+    "kw_contains",
+    oracle_with_sequences(
+        "SELECT doc_id, 'properties/tokens/contains' AS check_id FROM sequences "
+        "WHERE len(list_filter(tokens, t -> t >= 50000)) = 0"
+    ),
+)
+def kw_contains(spark, sf_dir):
+    """`contains` — ≥1 element validates (validators.rs:353-376; #16)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    seq = load_sequences(spark, sf_dir)
+    res = CheckSuite({"properties": {"tokens": {
+        "contains": {"minimum": 50000},
+    }}}).run(seq, key="doc_id")
+    return res.violations.select("doc_id", "check_id")
+
+
+@register(
+    "kw_unique_items",
+    oracle_with_sequences(
+        "SELECT doc_id, 'properties/tokens/uniqueItems' AS check_id "
+        "FROM sequences WHERE len(tokens) != len(list_distinct(tokens))"
+    ),
+)
+def kw_unique_items(spark, sf_dir):
+    """intra-array `uniqueItems` (validators.rs:582-595 + unique.rs; #18)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    seq = load_sequences(spark, sf_dir)
+    res = CheckSuite({"properties": {"tokens": {"uniqueItems": True}}}).run(
+        seq, key="doc_id")
+    return res.violations.select("doc_id", "check_id")
+
+
+@register(
+    "kw_required_dependencies",
+    "WITH e AS (SELECT event_id, event_type, value, "
+    "CASE WHEN event_id % 5 = 0 THEN NULL ELSE user_id END AS uid FROM events) "
+    "SELECT event_id, 'required/uid' AS check_id FROM e WHERE uid IS NULL "
+    "UNION ALL "
+    "SELECT event_id, 'dependencies/value' AS check_id FROM e "
+    "WHERE value IS NOT NULL AND uid IS NULL",
+)
+def kw_required_dependencies(spark, sf_dir):
+    """`required` (non-nullness lift, validators.rs:792-818; #23) +
+    property-list `dependencies` (validators.rs:673-713; #25)."""
+    df = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "event_type", "value",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("user_id")).alias("uid"))
+    from jsonschema_valid_spark import CheckSuite
+
+    res = CheckSuite({
+        "required": ["uid"],
+        "dependencies": {"value": ["uid"]},
+    }).run(df, key="event_id")
+    return _viol_long_key(res, "event_id")
+
+
+@register(
+    "kw_allof_anyof",
+    "SELECT o_orderkey, 'properties/o_totalprice/allOf' AS check_id FROM orders "
+    "WHERE o_totalprice IS NOT NULL "
+    "AND NOT (o_totalprice >= 1000 AND o_totalprice <= 400000) "
+    "UNION ALL "
+    "SELECT o_orderkey, 'properties/o_custkey/anyOf' AS check_id FROM orders "
+    "WHERE o_custkey IS NOT NULL "
+    "AND NOT (o_custkey <= 100 OR o_custkey >= 1000)",
+)
+def kw_allof_anyof(spark, sf_dir):
+    """`allOf` / `anyOf` (validators.rs:866-919; #26-27)."""
+    res = _run_engine(spark, sf_dir, "orders", {"properties": {
+        "o_totalprice": {"allOf": [{"minimum": 1000}, {"maximum": 400000}]},
+        "o_custkey": {"anyOf": [{"maximum": 100}, {"minimum": 1000}]},
+    }}, key="o_orderkey")
+    return _viol_long_key(res, "o_orderkey")
+
+
+@register(
+    "kw_oneof_not",
+    "SELECT p_partkey, 'properties/p_retailprice/oneOf' AS check_id FROM part "
+    "WHERE p_retailprice IS NOT NULL AND NOT ("
+    "(CASE WHEN p_retailprice <= 1500 THEN 1 ELSE 0 END + "
+    " CASE WHEN p_retailprice >= 1000 THEN 1 ELSE 0 END) = 1) "
+    "UNION ALL "
+    "SELECT p_partkey, 'properties/p_size/not' AS check_id FROM part "
+    "WHERE p_size IS NOT NULL AND NOT (NOT (p_size >= 40))",
+)
+def kw_oneof_not(spark, sf_dir):
+    """`oneOf` / `not` (validators.rs:921-992; #28-29)."""
+    res = _run_engine(spark, sf_dir, "part", {"properties": {
+        "p_retailprice": {"oneOf": [{"maximum": 1500}, {"minimum": 1000}]},
+        "p_size": {"not": {"minimum": 40}},
+    }}, key="p_partkey")
+    return _viol_long_key(res, "p_partkey")
+
+
+@register(
+    "kw_if_then_else",
+    "SELECT o_orderkey, 'if' AS check_id FROM orders "
+    "WHERE NOT (CASE WHEN o_orderstatus = 'O' THEN o_totalprice <= 200000 "
+    "ELSE o_totalprice >= 2000 END)",
+)
+def kw_if_then_else(spark, sf_dir):
+    """root `if`/`then`/`else` (draft7, validators.rs:1050-1078; #30)."""
+    res = _run_engine(spark, sf_dir, "orders", {
+        "if": {"properties": {"o_orderstatus": {"const": "O"}}},
+        "then": {"properties": {"o_totalprice": {"maximum": 200000}}},
+        "else": {"properties": {"o_totalprice": {"minimum": 2000}}},
+    }, key="o_orderkey")
+    return _viol_long_key(res, "o_orderkey")
+
+
+@register(
+    "kw_ref_defs",
+    "SELECT doc_id, 'properties/n_chars/$ref/minimum' AS check_id "
+    "FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars >= 100)",
+)
+def kw_ref_defs(spark, sf_dir):
+    """`$ref` into `$defs` resolved at compile time (validators.rs:994-1048 +
+    resolver.rs; #31)."""
+    res = _run_engine(spark, sf_dir, "documents", {
+        "$defs": {"charBound": {"minimum": 100}},
+        "properties": {"n_chars": {"$ref": "#/$defs/charBound"}},
+    }, key="doc_id")
+    return _viol_long_key(res, "doc_id")
+
+
+@register(
+    "agg_stats_by_returnflag",
+    "SELECT l_returnflag AS partition_id, "
+    "'properties/l_quantity/x-stats/min' AS check_id, "
+    "round(CAST(min(l_quantity) AS DOUBLE), 6) AS metric FROM lineitem "
+    "GROUP BY l_returnflag "
+    "UNION ALL "
+    "SELECT l_returnflag AS partition_id, "
+    "'properties/l_quantity/x-stats/avg' AS check_id, "
+    "round(avg(l_quantity), 6) AS metric FROM lineitem GROUP BY l_returnflag "
+    "UNION ALL "
+    "SELECT l_returnflag AS partition_id, "
+    "'properties/l_extendedprice/x-nullRate' AS check_id, "
+    "round(avg(CASE WHEN l_extendedprice IS NULL THEN 1.0 ELSE 0.0 END), 6) "
+    "AS metric FROM lineitem GROUP BY l_returnflag",
+)
+def agg_stats_by_returnflag(spark, sf_dir):
+    """Fused multi-aggregate pass: x-stats + x-nullRate per partition column
+    (the engine's single groupBy().agg() carrying every aggregate at once)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    res = CheckSuite({"properties": {
+        "l_quantity": {"x-stats": {"min": {"min": 0}, "avg": {"max": 100}}},
+        "l_extendedprice": {"x-nullRate": {"max": 0.5}},
+    }}).run(df, key="l_orderkey", partition_by="l_returnflag")
+    return res.verdicts.select(
+        "partition_id", "check_id", F.round("metric_value", 6).alias("metric"))
+
+
 @register(
     "seq_hist_ntok",
     oracle_with_sequences(
