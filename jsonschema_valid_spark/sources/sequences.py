@@ -89,6 +89,25 @@ def load_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"WITH {SEQUENCES_CTE_SPARK}\nSELECT * FROM sequences")
 
 
+def generate_sequences(spark: SparkSession, n_rows: int,
+                       partitions: int | None = None) -> DataFrame:
+    """Deterministic sequences table of arbitrary size from ``spark.range`` —
+    same arithmetic and corruption scheme as the documents-derived form, but
+    with zero input I/O and perfect parallelism (each executor generates its
+    own id range). This is the bench/scaling input: identical rows for any
+    (n_rows, partitions) so two cluster sizes validate the same data."""
+    rng = spark.range(0, n_rows, 1, partitions) if partitions else spark.range(n_rows)
+    rng.createOrReplaceTempView("__bench_ids")
+    return spark.sql(f"""
+WITH documents AS (
+  SELECT id AS doc_id,
+         concat('src', cast(1 + id % 20 AS STRING)) AS source
+  FROM __bench_ids
+),
+{SEQUENCES_CTE_SPARK}
+SELECT * FROM sequences""")
+
+
 def source_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Valid `source` domain = the distinct sources of the uncorrupted
     documents table (a dimension table at scale → broadcast side)."""

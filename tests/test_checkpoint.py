@@ -1,0 +1,82 @@
+"""Resume tests (SURVEY.md §5): kill after k partitions, re-run, assert
+completed partitions are skipped and final results equal a clean run."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark import CheckSuite
+from jsonschema_valid_spark.checkpoint import CheckpointRunner
+from jsonschema_valid_spark.sources.sequences import load_sequences
+from tests.conftest import SF_DIR
+
+SUITE = {
+    "version": 7,
+    "properties": {
+        "tokens": {"items": {"minimum": 0, "exclusiveMaximum": 50257}},
+        "n_tok": {"minimum": 1, "x-stats": {"avg": {"min": 1, "max": 8192}}},
+    },
+    "x-rowExpr": "n_tok = size(tokens)",
+}
+
+
+@pytest.fixture()
+def seq(spark):
+    return load_sequences(spark, SF_DIR).cache()
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_interrupt_and_resume(spark, seq, tmp_path):
+    base = str(tmp_path / "ckpt")
+    suite = CheckSuite(SUITE)
+    runner = CheckpointRunner(suite, base)
+
+    with pytest.raises(InterruptedError):
+        runner.run(seq, partition_by="source", key="doc_id", fail_after=3)
+
+    lin1 = runner.lineage(spark)
+    assert lin1.count() == 3
+    done_first = set(r["partition_id"] for r in lin1.collect())
+
+    # resume: completed partitions must NOT be revalidated
+    summary = runner.run(seq, partition_by="source", key="doc_id")
+    assert set(summary.skipped) == done_first
+    assert not (set(summary.processed) & done_first)
+
+    # final outputs equal a clean, non-checkpointed run
+    clean = suite.run(seq, key="doc_id", partition_by="source")
+    assert _sorted_rows(runner.violations(spark)) == _sorted_rows(clean.violations)
+
+    # verdict parity modulo partition-id labels for the NULL group
+    ck = runner.verdicts(spark).where(F.col("partition_id").isNotNull())
+    cl = clean.verdicts.where(F.col("partition_id").isNotNull())
+    assert _sorted_rows(ck) == _sorted_rows(cl)
+
+
+def test_rerun_is_idempotent(spark, seq, tmp_path):
+    base = str(tmp_path / "ckpt2")
+    suite = CheckSuite(SUITE)
+    runner = CheckpointRunner(suite, base)
+    s1 = runner.run(seq, partition_by="source", key="doc_id")
+    v1 = _sorted_rows(runner.violations(spark))
+    # second run: everything skipped, outputs unchanged
+    s2 = runner.run(seq, partition_by="source", key="doc_id")
+    assert s2.processed == []
+    assert sorted(s2.skipped) == sorted(s1.processed)
+    assert _sorted_rows(runner.violations(spark)) == v1
+
+
+def test_suite_change_invalidates_lineage(spark, seq, tmp_path):
+    base = str(tmp_path / "ckpt3")
+    runner1 = CheckpointRunner(CheckSuite(SUITE), base)
+    runner1.run(seq, partition_by="source", key="doc_id")
+
+    changed = dict(SUITE)
+    changed["properties"] = {**SUITE["properties"],
+                             "n_tok": {"minimum": 2}}
+    runner2 = CheckpointRunner(CheckSuite(changed), base)
+    s = runner2.run(seq, partition_by="source", key="doc_id")
+    assert s.skipped == []  # different suite_hash ⇒ nothing skippable
+    assert len(s.processed) > 0
