@@ -1,0 +1,270 @@
+"""Deduplication operators for training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard — each designed for the
+100 TB shape:
+
+* **exact**: hash-groupBy on a fingerprint column; one shuffle keyed by the
+  fingerprint (skew-free: fingerprints are uniform), window row_number to
+  pick the survivor deterministically.
+* **MinHash+LSH**: shingle → 64 minhash values → b bands × r rows; candidate
+  generation is an equi-join on (band_id, band_hash) — i.e. a shuffle keyed
+  by band buckets, NEVER an all-pairs product. Verification computes exact
+  Jaccard only on candidates.
+* **SimHash**: 64-bit signature via sign-summed word-hash bits; near-dup
+  candidates via the pigeonhole band trick (split into 4×16-bit chunks; any
+  pair within Hamming distance 3 shares ≥1 exact chunk).
+* **n-gram Jaccard**: exact pairwise Jaccard via an inverted-index join on
+  shared shingles (posting-list join), not a cross join.
+
+Everything is native Column expressions (HOF transforms, xxhash64) — no
+Python in the row path.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+MERSENNE61 = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+
+def exact_duplicates(df: DataFrame, key: str, on) -> DataFrame:
+    """Rows to DROP under exact dedup on expression/column ``on``; the
+    survivor per group is the minimum key (deterministic)."""
+    fp = on if isinstance(on, str) else on
+    base = df.select(F.col(key), F.col(fp).alias("__fp") if isinstance(fp, str) else fp.alias("__fp"))
+    w = Window.partitionBy("__fp").orderBy(F.col(key))
+    return (
+        base.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(F.col(key), F.col("__fp"))
+    )
+
+
+def dedup_exact(df: DataFrame, key: str, on) -> DataFrame:
+    """The deduplicated table (keep min-key row per fingerprint group)."""
+    w = Window.partitionBy(on if isinstance(on, str) else on).orderBy(F.col(key))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles + exact Jaccard (inverted-index join)
+# ---------------------------------------------------------------------------
+
+def word_shingles(col, n: int = 3):
+    """n-word shingles as strings (native HOFs)."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    k = F.size(words) - (n - 1)
+    return F.when(k <= 0, F.array(F.concat_ws(" ", words))).otherwise(
+        F.transform(F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    )
+
+
+def jaccard_pairs(df: DataFrame, key: str, text_col: str, n: int = 3,
+                  threshold: float = 0.8) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs via inverted-index join.
+
+    Plan: explode distinct shingles → self-join on shingle (posting lists) →
+    count shared shingles per pair → Jaccard = shared / (|A|+|B|−shared).
+    The join is keyed by shingle (uniform-ish); a hot shingle (stopword run)
+    can skew — callers should pre-filter ultra-common shingles at real scale
+    (document frequency cap), which is a single additional groupBy.
+    Returns (a, b, jaccard) with a < b."""
+    sh = df.select(
+        F.col(key).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+    )
+    sizes = sh.select("id", F.size("sh").alias("n_sh"))
+    inv = sh.select("id", F.explode("sh").alias("s"))
+    pairs = (
+        inv.alias("x")
+        .join(inv.alias("y"), on="s")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    out = (
+        pairs.join(F.broadcast(sizes).alias("sa"), F.col("a") == F.col("sa.id"))
+        .join(F.broadcast(sizes).alias("sb"), F.col("b") == F.col("sb.id"))
+        .select(
+            "a", "b",
+            (F.col("shared")
+             / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))
+             ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+MERSENNE31 = (1 << 31) - 1
+
+
+def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
+    rnd = random.Random(seed)
+    return [(rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31))
+            for _ in range(num_perm)]
+
+
+def _affine_min(hashes, a: int, b: int):
+    # single-arg lambda via closure factory: PySpark infers HOF arity from
+    # the Python signature, so default-arg tricks (lambda h, a=a) break it.
+    # 31-bit hash space keeps a*h+b inside int64 under ANSI mode.
+    return F.array_min(F.transform(
+        hashes,
+        lambda h: F.pmod(F.lit(a) * h + F.lit(b), F.lit(MERSENNE31)),
+    ))
+
+
+def minhash_signature(col, num_perm: int = 64, n: int = 3, seed: int = 42):
+    """Array<long> MinHash signature of the text's n-gram shingle set.
+    One xxhash64 per shingle (folded to 31 bits), then num_perm affine
+    permutations min-reduced per row — all native array HOFs."""
+    hashes = F.transform(
+        F.array_distinct(word_shingles(col, n)),
+        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)),
+    )
+    sig = [_affine_min(hashes, a, b) for a, b in _perm_params(num_perm, seed)]
+    return F.array(*sig)
+
+
+def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str,
+                      num_perm: int = 64, bands: int = 16, n: int = 3,
+                      threshold: float = 0.7, seed: int = 42) -> DataFrame:
+    """Near-duplicate pairs via MinHash LSH banding + exact-Jaccard verify.
+
+    r = num_perm // bands rows per band; a pair lands in the same bucket of
+    some band with probability 1−(1−J^r)^bands. Candidates come from a
+    groupBy/self-join on (band, band_hash) — shuffle keyed by buckets —
+    then exact Jaccard on the candidates only."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    sh = df.select(
+        F.col(key).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+        minhash_signature(F.col(text_col), num_perm, n, seed).alias("sig"),
+    )
+    # band hashes via literal indexing (bands/r are driver constants) —
+    # avoids nested HOF lambdas, which Catalyst's lambda binder rejects
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.xxhash64(F.concat_ws(",", *[
+                F.col("sig")[b * r + i].cast("string") for i in range(r)
+            ])).alias("bh"),
+        )
+        for b in range(bands)
+    ]
+    banded = sh.select(
+        "id", F.explode(F.array(*band_structs)).alias("bb")
+    ).select("id", "bb.band", "bb.bh")
+    cand = (
+        banded.alias("x")
+        .join(banded.alias("y"), on=["band", "bh"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    verified = (
+        cand.join(sh.select(F.col("id").alias("a"), F.col("sh").alias("sha")), on="a")
+        .join(sh.select(F.col("id").alias("b"), F.col("sh").alias("shb")), on="b")
+        .select(
+            "a", "b",
+            (F.size(F.array_intersect("sha", "shb"))
+             / F.size(F.array_union("sha", "shb"))).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+    return verified
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def _bit_vote(hashes, b: int):
+    """Σ_words (bit_b(hash) ? +1 : −1) — literal shift amount (Spark's
+    shift functions take Python-int bit counts, not Columns)."""
+    return F.aggregate(
+        hashes, F.lit(0).cast("long"),
+        lambda acc, h: acc + (F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1),
+    )
+
+
+def simhash64(col):
+    """64-bit SimHash over whitespace words: bit b of the signature is the
+    sign of Σ_words (bit_b(xxhash64(word)) ? +1 : −1). Native: 64 unrolled
+    array aggregates (one per bit), fused by codegen into one pass over the
+    word-hash array."""
+    hashes = F.transform(F.split(F.lower(F.trim(col)), r"\s+"),
+                         lambda w: F.xxhash64(w))
+    sig = F.lit(0).cast("long")
+    for b in range(64):
+        bit = F.when(_bit_vote(hashes, b) > 0,
+                     F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                         F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def _popcount(col):
+    """Hamming weight of a 64-bit long (native bit trick fold)."""
+    x = col
+    out = F.lit(0)
+    for shift in range(0, 64, 8):
+        byte = F.shiftright(x, shift).bitwiseAND(F.lit(255))
+        # table-free popcount per byte via nibble sums
+        n1 = byte.bitwiseAND(F.lit(0x55)) + F.shiftright(byte, 1).bitwiseAND(F.lit(0x55))
+        n2 = n1.bitwiseAND(F.lit(0x33)) + F.shiftright(n1, 2).bitwiseAND(F.lit(0x33))
+        n3 = n2.bitwiseAND(F.lit(0x0F)) + F.shiftright(n2, 4).bitwiseAND(F.lit(0x0F))
+        out = out + n3
+    return out
+
+
+def simhash_pairs(df: DataFrame, key: str, text_col: str,
+                  max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
+    band join: with 4 chunks of 16 bits, any pair within distance 3 agrees
+    exactly on ≥1 chunk → candidates = equi-join per chunk, then exact
+    Hamming verify. Returns (a, b, hamming)."""
+    sigs = df.select(F.col(key).alias("id"),
+                     simhash64(F.col(text_col)).alias("sig"))
+    chunk_structs = [
+        F.struct(
+            F.lit(c).alias("chunk"),
+            F.shiftright(F.col("sig"), c * 16).bitwiseAND(F.lit(0xFFFF)).alias("cv"),
+        )
+        for c in range(4)
+    ]
+    chunks = sigs.select(
+        "id", "sig", F.explode(F.array(*chunk_structs)).alias("cc")
+    ).select("id", "sig", "cc.chunk", "cc.cv")
+    cand = (
+        chunks.alias("x")
+        .join(chunks.alias("y"), on=["chunk", "cv"])
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("x.sig").alias("siga"),
+                F.col("y.id").alias("b"), F.col("y.sig").alias("sigb"))
+        .distinct()
+    )
+    return (
+        cand.select(
+            "a", "b",
+            _popcount(F.col("siga").bitwiseXOR(F.col("sigb"))).alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,117 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* brute-force cosine top-k — the exactness baseline: ONE pass over the fact
+  table per query batch; the query vectors are broadcast literals/rows, so
+  no shuffle at all (a 100 TB scan with a tiny sort-limit reduction).
+* hyperplane-LSH bucketed search — the scale path: each vector gets a b-bit
+  signature from signs of dot products with seeded random hyperplanes;
+  search touches only the query's bucket (plus optional multiprobe
+  neighbors). Bucketing is ONE groupBy-free projection; the candidate fetch
+  is a bucket-key equi-join.
+* embedding near-dup pairs: bucket join on signatures, exact cosine verify.
+
+All dot products are native ``zip_with``/``aggregate`` expressions —
+JVM-side, no Python UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def brute_force_topk(df: DataFrame, key: str, vec_col: str,
+                     query: list[float], k: int = 10) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector. Single scan +
+    TakeOrderedAndProject (no shuffle of the fact table)."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    sims = df.select(
+        F.col(key),
+        cosine(F.col(vec_col).cast("array<double>"), q).alias("cos"),
+    )
+    return sims.orderBy(F.desc("cos"), F.col(key)).limit(k)
+
+
+def _hyperplanes(dim: int, bits: int, seed: int) -> list[list[float]]:
+    rnd = random.Random(seed)
+    planes = []
+    for _ in range(bits):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / n for x in v])
+    return planes
+
+
+def lsh_signature(vec_col, dim: int, bits: int = 16, seed: int = 7):
+    """b-bit sign signature: bit_i = [v · h_i > 0] for seeded Gaussian
+    hyperplanes h_i. Collision probability rises with cosine similarity
+    (1 − θ/π per bit)."""
+    v = vec_col.cast("array<double>")
+    sig = F.lit(0).cast("long")
+    for i, plane in enumerate(_hyperplanes(dim, bits, seed)):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(dot(v, p) > 0,
+                     F.shiftleft(F.lit(1).cast("long"), i)).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(bit)
+    return sig
+
+
+def lsh_topk(df: DataFrame, key: str, vec_col: str, query: list[float],
+             k: int = 10, bits: int = 12, seed: int = 7) -> DataFrame:
+    """Approximate top-k: restrict the scan to rows sharing the query's LSH
+    bucket (partition-prunable if the table is written bucketed/partitioned
+    by signature), then exact cosine within the bucket."""
+    dim = len(query)
+    planes = _hyperplanes(dim, bits, seed)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if sum(q * p for q, p in zip(query, plane)) > 0:
+            qsig |= 1 << i
+    bucketed = df.withColumn("__sig", lsh_signature(F.col(vec_col), dim, bits, seed))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        bucketed.where(F.col("__sig") == qsig)
+        .select(F.col(key),
+                cosine(F.col(vec_col).cast("array<double>"), q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(key))
+        .limit(k)
+    )
+
+
+def cosine_neardup_pairs(df: DataFrame, key: str, vec_col: str,
+                         threshold: float = 0.95, bits: int = 16,
+                         seed: int = 7, dim: int | None = None) -> DataFrame:
+    """Embedding near-duplicate pairs: LSH-bucket equi-join for candidates
+    (same b-bit signature), exact cosine verify ≥ threshold. At 0.95 cosine
+    the per-bit collision probability is ≈ 1 − 0.102 ⇒ a 16-bit full-match
+    catches ~18% per table; production would union several seeds (multiprobe)
+    — expressed here as one seed for determinism."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sigs = df.select(F.col(key).alias("id"), F.col(vec_col).alias("v"),
+                     lsh_signature(F.col(vec_col), dim, bits, seed).alias("sig"))
+    return (
+        sigs.alias("x").join(sigs.alias("y"), on="sig")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(
+            F.col("x.id").alias("a"), F.col("y.id").alias("b"),
+            cosine(F.col("x.v").cast("array<double>"),
+                   F.col("y.v").cast("array<double>")).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+    )

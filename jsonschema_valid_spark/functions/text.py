@@ -1,0 +1,127 @@
+"""Text analysis for training-data pipelines: token counting, quality
+scoring, language ID, document fingerprinting.
+
+All hot-path expressions are native ``pyspark.sql.functions`` (JVM-side,
+whole-stage codegen) — no Python in the per-row path. These are the
+first-class pipeline ops the task brief adds beyond the reference's keyword
+validators; they run over the ``documents`` table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Small English stopword set for quality/lang heuristics (public knowledge).
+STOPWORDS = (
+    "the a an and or of to in is are was were be been it this that for on "
+    "with as at by from not"
+).split()
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (empty string → 0)."""
+    t = F.trim(col)
+    return F.when(F.char_length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish sub-token estimate: splits on word boundaries, digits, and
+    punctuation runs (a regex approximation of byte-pair pre-tokenization)."""
+    t = F.trim(col)
+    return F.when(F.char_length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(
+            F.split(t, r"(?=[^A-Za-z0-9])|(?<=[^A-Za-z0-9])"),
+            lambda x: F.char_length(F.trim(x)) > 0,
+        ))
+    )
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are not alphanumeric/space."""
+    clean = F.regexp_replace(col, r"[A-Za-z0-9\s]", "")
+    return F.when(F.char_length(col) == 0, F.lit(0.0)).otherwise(
+        F.char_length(clean) / F.char_length(col)
+    )
+
+
+def stopword_ratio(col: Column, stopwords: list[str] | None = None) -> Column:
+    """Fraction of whitespace tokens that are stopwords (lowercased)."""
+    sw = stopwords or STOPWORDS
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    hits = F.size(F.filter(words, lambda w: w.isin(*sw)))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        hits / F.size(words)
+    )
+
+
+def mean_word_length(col: Column) -> Column:
+    words = F.split(F.trim(col), r"\s+")
+    total = F.aggregate(words, F.lit(0), lambda acc, w: acc + F.char_length(w))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        total.cast("double") / F.size(words)
+    )
+
+
+def quality_score(col: Column) -> Column:
+    """Composite quality heuristic in [0,1]: length band + low punct +
+    reasonable stopword presence (a document of natural prose scores high;
+    code/garbage scores low). Deterministic, fully native."""
+    length_ok = ((F.char_length(col) >= 50) & (F.char_length(col) <= 20000)).cast("double")
+    punct_ok = (punct_ratio(col) <= 0.2).cast("double")
+    sw = stopword_ratio(col)
+    sw_ok = ((sw >= 0.05) & (sw <= 0.7)).cast("double")
+    wl = mean_word_length(col)
+    wl_ok = ((wl >= 2.0) & (wl <= 12.0)).cast("double")
+    return (length_ok + punct_ok + sw_ok + wl_ok) / 4.0
+
+
+def lang_id(col: Column) -> Column:
+    """Heuristic language ID: 'en' when the English stopword ratio clears a
+    threshold and the text is mostly ASCII letters; else 'unknown'. (An
+    n-gram profile model would slot in the same expression shape.)"""
+    ascii_ratio = (
+        F.char_length(F.regexp_replace(col, r"[^\x00-\x7F]", ""))
+        / F.greatest(F.char_length(col), F.lit(1))
+    )
+    return F.when(
+        (stopword_ratio(col) >= 0.02) & (ascii_ratio >= 0.9), F.lit("en")
+    ).otherwise(F.lit("unknown"))
+
+
+def fingerprint(col: Column, modulus: int = 2**61 - 1) -> Column:
+    """Order-sensitive rolling-hash document fingerprint over whitespace
+    tokens: fp = Σ hash(word_i) * 31^(i mod 8) (mod 2^61-1), computed with
+    xxhash64 per word — native, no Python. Equal normalized texts ⇒ equal
+    fingerprints; near-zero collision rate at corpus scale."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    idx = F.sequence(F.lit(0), F.size(words) - 1)
+    # keep the per-word hash < 2^27 so hash * 31^7 stays inside int64
+    # (Spark 4 runs ANSI mode: long overflow is an error, not a wrap)
+    term = F.zip_with(
+        words, idx,
+        lambda w, i: F.pmod(
+            F.pmod(F.xxhash64(w), F.lit(1 << 27))
+            * F.pow(F.lit(31.0), (i % 8)).cast("long"),
+            F.lit(modulus),
+        ),
+    )
+    return F.pmod(F.aggregate(term, F.lit(0).cast("long"),
+                              lambda acc, x: F.pmod(acc + x, F.lit(modulus))),
+                  F.lit(modulus))
+
+
+def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """One fused projection adding all text-analysis columns."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        token_count(c).alias("n_words"),
+        bpe_ish_token_count(c).alias("n_subtokens"),
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+        F.round(quality_score(c), 6).alias("quality"),
+        lang_id(c).alias("lang_pred"),
+        fingerprint(c).alias("fp"),
+    )

@@ -1,0 +1,94 @@
+"""Structured Streaming validation.
+
+The reference has no streaming (SURVEY.md §2.4) — this is an engine-level
+lift: the SAME compiled check suite runs over an unbounded stream.
+
+* **row checks** → a violations STREAM: the identical fused projection
+  (compiler row predicates) applied to a streaming DataFrame; stateless, so
+  it runs in every output mode with no watermark.
+* **aggregate checks** → WINDOWED verdicts: the fused multi-aggregate pass
+  grouped by an event-time window + watermark for late data; emits one
+  verdict row per (window, check) as windows close (append mode).
+* **cross-row uniqueness** → ``dropDuplicatesWithinWatermark`` (state-store
+  backed, state bounded by the watermark horizon) or duplicate ALERTS via a
+  stateful count.
+
+At deploy scale this is the validation-on-ingest path: readStream from
+Kafka/files → violations stream to a quarantine sink, windowed verdicts to
+a metrics sink, both from one compiled suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from jsonschema_valid_spark.compiler import bind
+from jsonschema_valid_spark.engine import row_violations
+
+
+def stream_row_violations(suite, sdf: DataFrame, key: str = "doc_id") -> DataFrame:
+    """Stateless violations stream — same fused single projection as batch
+    (engine.row_violations works unchanged on a streaming DF)."""
+    plan = bind(suite, sdf)
+    return row_violations(sdf, plan, key)
+
+
+def stream_windowed_verdicts(
+    suite,
+    sdf: DataFrame,
+    ts_col: str,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Fused multi-aggregate verdicts per event-time window.
+
+    One ``groupBy(window(ts))`` carries every row-check fail counter and
+    every aggregate check — identical fusion to the batch engine, with the
+    partition key replaced by the time window. Late rows beyond the
+    watermark are dropped by Spark's state store."""
+    plan = bind(suite, sdf)
+    wm = sdf.withWatermark(ts_col, watermark)
+
+    agg_exprs = [F.count(F.lit(1)).alias("__rows")]
+    rc_aliases = []
+    for i, rc in enumerate(plan.row_checks):
+        alias = f"__rc{i}"
+        rc_aliases.append(alias)
+        agg_exprs.append(
+            F.sum((~F.coalesce(rc.pred, F.lit(True))).cast("long")).alias(alias))
+    for ac in plan.agg_checks:
+        for alias, expr in ac.aggs.items():
+            agg_exprs.append(expr.alias(alias))
+
+    agg = wm.groupBy(F.window(F.col(ts_col), window_duration)).agg(*agg_exprs)
+
+    verdict_structs = []
+    for rc, alias in zip(plan.row_checks, rc_aliases):
+        verdict_structs.append(F.struct(
+            F.lit(rc.check_id).alias("check_id"),
+            (F.col(alias) == 0).alias("passed"),
+            F.col(alias).cast("double").alias("metric_value"),
+            F.lit(0.0).cast("double").alias("threshold"),
+        ))
+    for ac in plan.agg_checks:
+        verdict_structs.append(F.struct(
+            F.lit(ac.check_id).alias("check_id"),
+            ac.passed().alias("passed"),
+            ac.metric().cast("double").alias("metric_value"),
+            F.lit(ac.threshold).cast("double").alias("threshold"),
+        ))
+    return (
+        agg.select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            F.explode(F.array(*verdict_structs)).alias("v"),
+        )
+        .select("window_start", "window_end", "v.*")
+    )
+
+
+def stream_dedup(sdf: DataFrame, key: str, ts_col: str,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming uniqueness enforcement: exactly-once keys within the
+    watermark horizon (state-store hash set, bounded by the watermark)."""
+    return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])

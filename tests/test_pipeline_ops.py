@@ -1,0 +1,203 @@
+"""Tests for training-data pipeline operators: text analysis, dedup
+(exact / MinHash-LSH / SimHash / n-gram Jaccard), similarity search,
+multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+
+
+# -- text -------------------------------------------------------------------
+
+def test_text_profile(spark, docs):
+    from jsonschema_valid_spark.functions.text import text_profile
+
+    prof = text_profile(docs).cache()
+    rows = prof.collect()
+    assert all(0 <= r["punct_ratio"] <= 1 for r in rows)
+    assert all(0 <= r["quality"] <= 1 for r in rows)
+    assert all(r["n_words"] >= 1 for r in rows)
+    assert all(r["n_subtokens"] >= r["n_words"] for r in rows)
+    # corpus is English-ish word soup (median stopword ratio ~0.06) →
+    # the heuristic should label a solid majority 'en'
+    en = prof.where(F.col("lang_pred") == "en").count()
+    assert en > 0.7 * prof.count()
+    # fingerprint is deterministic and text-stable
+    again = text_profile(docs).select("doc_id", "fp")
+    j = prof.select("doc_id", F.col("fp").alias("fp1")).join(again, "doc_id")
+    assert j.where(F.col("fp") != F.col("fp1")).count() == 0
+
+
+def test_fingerprint_order_sensitive(spark):
+    from jsonschema_valid_spark.functions.text import fingerprint
+
+    df = spark.createDataFrame(
+        [("a", "the quick brown fox"), ("b", "fox brown quick the"),
+         ("c", "the quick brown fox")], "id string, t string")
+    rows = {r["id"]: r["f"] for r in
+            df.select("id", fingerprint(F.col("t")).alias("f")).collect()}
+    assert rows["a"] == rows["c"]
+    assert rows["a"] != rows["b"]
+
+
+# -- dedup ------------------------------------------------------------------
+
+def test_exact_dedup(spark):
+    from jsonschema_valid_spark.functions.dedup import dedup_exact, exact_duplicates
+
+    df = spark.createDataFrame(
+        [(1, "aaa"), (2, "bbb"), (3, "aaa"), (4, "aaa"), (5, "ccc")],
+        "id long, t string")
+    dropped = exact_duplicates(df, "id", "t")
+    assert sorted(r["id"] for r in dropped.collect()) == [3, 4]
+    kept = dedup_exact(df, "id", "t")
+    assert sorted(r["id"] for r in kept.collect()) == [1, 2, 5]
+
+
+@pytest.fixture(scope="module")
+def neardup_corpus(spark):
+    base = ("the quick brown fox jumps over the lazy dog and runs far "
+            "away into the deep green forest tonight").split()
+    rows = []
+    for i in range(30):
+        words = list(base)
+        if i % 3 == 1:
+            words[5] = f"mut{i}"          # near-dup of base (1 word changed)
+        elif i % 3 == 2:
+            words = [f"w{i}_{j}" for j in range(20)]  # unrelated
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, "id long, t string").cache()
+
+
+def test_jaccard_pairs(neardup_corpus):
+    from jsonschema_valid_spark.functions.dedup import jaccard_pairs
+
+    pairs = jaccard_pairs(neardup_corpus, "id", "t", n=3, threshold=0.5)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    # identical copies (i%3==0) must all pair up; unrelated must not
+    identical = [i for i in range(30) if i % 3 == 0]
+    for i in identical:
+        for j in identical:
+            if i < j:
+                assert (i, j) in got
+    unrelated = [i for i in range(30) if i % 3 == 2]
+    assert not any((a in unrelated or b in unrelated) for a, b in got)
+
+
+def test_minhash_lsh_finds_identicals(neardup_corpus):
+    from jsonschema_valid_spark.functions.dedup import minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(neardup_corpus, "id", "t",
+                              num_perm=64, bands=16, threshold=0.9)
+    got = {(r["a"], r["b"]) for r in pairs.collect()}
+    identical = [i for i in range(30) if i % 3 == 0]
+    for i in identical:
+        for j in identical:
+            if i < j:
+                assert (i, j) in got, f"missing identical pair ({i},{j})"
+    # verified Jaccard filters out unrelated docs even if bucketed together
+    unrelated = [i for i in range(30) if i % 3 == 2]
+    assert not any((a in unrelated or b in unrelated) for a, b in got)
+
+
+def test_simhash_near_dups(neardup_corpus):
+    from jsonschema_valid_spark.functions.dedup import simhash_pairs, simhash64
+
+    # identical docs: hamming 0 → always found
+    pairs = simhash_pairs(neardup_corpus, "id", "t", max_hamming=3)
+    got = {(r["a"], r["b"]): r["hamming"] for r in pairs.collect()}
+    identical = [i for i in range(30) if i % 3 == 0]
+    for i in identical:
+        for j in identical:
+            if i < j:
+                assert got.get((i, j)) == 0
+    # signature determinism
+    s = neardup_corpus.select(simhash64(F.col("t")).alias("s")).collect()
+    s2 = neardup_corpus.select(simhash64(F.col("t")).alias("s")).collect()
+    assert [r["s"] for r in s] == [r["s"] for r in s2]
+
+
+# -- similarity -------------------------------------------------------------
+
+def test_brute_force_topk_matches_python(spark, emb):
+    import math
+
+    from jsonschema_valid_spark.functions.similarity import brute_force_topk
+
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    got = brute_force_topk(emb, "vec_id", "embedding", list(q), k=5).collect()
+
+    # python oracle
+    rows = emb.select("vec_id", "embedding").collect()
+    qn = math.sqrt(sum(x * x for x in q))
+
+    def cos(v):
+        num = sum(a * b for a, b in zip(q, v))
+        return num / (qn * math.sqrt(sum(x * x for x in v)))
+
+    expect = sorted(((cos(r["embedding"]), -r["vec_id"], r["vec_id"])
+                     for r in rows), reverse=True)[:5]
+    assert [r["vec_id"] for r in got] == [e[2] for e in expect]
+    assert got[0]["vec_id"] == 0 and abs(got[0]["cos"] - 1.0) < 1e-9
+
+
+def test_lsh_topk_contains_self(spark, emb):
+    from jsonschema_valid_spark.functions.similarity import lsh_topk
+
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    got = lsh_topk(emb, "vec_id", "embedding", list(q), k=5, bits=8).collect()
+    assert got and got[0]["vec_id"] == 0  # self lands in its own bucket
+
+
+def test_cosine_neardup_pairs(spark):
+    from jsonschema_valid_spark.functions.similarity import cosine_neardup_pairs
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.999, 0.04, 0.0, 0.0]),
+            (2, [0.0, 1.0, 0.0, 0.0]), (3, [1.0, 0.001, 0.0, 0.0])]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    got = {(r["a"], r["b"]) for r in
+           cosine_neardup_pairs(df, "id", "v", threshold=0.99, bits=8,
+                                dim=4).collect()}
+    assert (0, 3) in got
+    assert not any(2 in p for p in got)
+
+
+# -- multimodal -------------------------------------------------------------
+
+def test_multimodal_decode_plumbing(spark):
+    from jsonschema_valid_spark.functions.multimodal import (
+        decode_features, frame_sample, synth_media_table)
+
+    media = synth_media_table(spark, 24)
+    feats = decode_features(media, feat_dim=8).collect()
+    assert len(feats) == 24
+    assert all(len(r["features"]) == 8 for r in feats)
+    assert all(r["n_bytes"] > 0 for r in feats)
+    # determinism
+    again = decode_features(synth_media_table(spark, 24), feat_dim=8).collect()
+    assert sorted(map(repr, feats)) == sorted(map(repr, again))
+
+    frames = frame_sample(media, every_n=2).collect()
+    assert frames and all(r["frame_idx"] % 2 == 0 for r in frames)
+    vids = {r["media_id"] for r in media.where("media_type='video'").collect()}
+    assert {r["media_id"] for r in frames} == vids
+
+
+def test_multimodal_stub_raises_without_fake(spark, monkeypatch):
+    from jsonschema_valid_spark.functions import multimodal
+
+    monkeypatch.setenv("SPARK_GRAFT_FAKE_DECODE", "0")
+    media = multimodal.synth_media_table(spark, 4)
+    with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
+        multimodal.decode_features(media).collect()

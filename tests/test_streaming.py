@@ -1,0 +1,86 @@
+"""Streaming validation tests: file source → availableNow trigger → memory
+sink, asserting the violations stream and windowed verdicts."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark import CheckSuite
+
+SUITE = {
+    "version": 7,
+    "properties": {
+        "v": {"minimum": 0},
+        "s": {"x-nullRate": {"max": 0.5}},
+    },
+}
+
+
+@pytest.fixture()
+def stream_dir(spark, tmp_path):
+    rows = [
+        (f"d{i}", f"2024-01-01 00:{i // 10:02d}:{(i * 7) % 60:02d}",
+         -1 if i % 10 == 0 else i, None if i % 4 == 0 else "src")
+        for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, ts string, v long, s string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "in")
+    df.coalesce(2).write.parquet(path)
+    return path, df
+
+
+def _run_to_memory(sdf, name):
+    q = (sdf.writeStream.format("memory").queryName(name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    return q
+
+
+def test_stream_row_violations(spark, stream_dir):
+    from jsonschema_valid_spark.streaming.checks import stream_row_violations
+
+    path, batch_df = stream_dir
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    viol = stream_row_violations(CheckSuite(SUITE), sdf, key="doc_id")
+    assert viol.isStreaming
+    _run_to_memory(viol, "viol_sink")
+    got = spark.sql("select * from viol_sink").collect()
+    exp = batch_df.where("v < 0").count()
+    assert len(got) == exp > 0
+    assert all(r["check_id"] == "properties/v/minimum" for r in got)
+
+
+def test_stream_windowed_verdicts(spark, stream_dir):
+    from jsonschema_valid_spark.streaming.checks import stream_windowed_verdicts
+
+    path, batch_df = stream_dir
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    verd = stream_windowed_verdicts(CheckSuite(SUITE), sdf, "ts",
+                                    window_duration="1 minute",
+                                    watermark="0 seconds")
+    _run_to_memory(verd, "verd_sink")
+    got = spark.sql("select * from verd_sink").collect()
+    assert got
+    names = {r["check_id"] for r in got}
+    assert "properties/v/minimum" in names
+    assert "properties/s/x-nullRate" in names
+    # each 1-minute window with an injected negative must fail the minimum
+    fails = [r for r in got if r["check_id"] == "properties/v/minimum"
+             and not r["passed"]]
+    assert fails
+
+
+def test_stream_dedup(spark, tmp_path):
+    from jsonschema_valid_spark.streaming.checks import stream_dedup
+
+    rows = [("a", "2024-01-01 00:00:01"), ("a", "2024-01-01 00:00:02"),
+            ("b", "2024-01-01 00:00:03")]
+    df = spark.createDataFrame(rows, "k string, ts string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    path = str(tmp_path / "dd")
+    df.write.parquet(path)
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+    out = stream_dedup(sdf, "k", "ts", watermark="1 hour")
+    _run_to_memory(out, "dedup_sink")
+    got = spark.sql("select k from dedup_sink").collect()
+    assert sorted(r["k"] for r in got) == ["a", "b"]
