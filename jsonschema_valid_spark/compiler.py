@@ -884,3 +884,7 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         plan.dataset_checks.append(DatasetCheck(cid, "referential", colname, dict(v)))
     elif kw == "x-drift":
         plan.dataset_checks.append(DatasetCheck(cid, "drift", colname, dict(v)))
+    elif kw == "x-parity":
+        params = dict(v)
+        params.setdefault("columns", [colname])
+        plan.dataset_checks.append(DatasetCheck(cid, "parity", colname, params))

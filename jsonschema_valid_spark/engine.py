@@ -49,6 +49,11 @@ class ValidationResult:
     violations: DataFrame
     verdicts: DataFrame
     plan: BoundPlan
+    _persisted: DataFrame | None = None
+
+    def unpersist(self) -> None:
+        if self._persisted is not None:
+            self._persisted.unpersist()
 
     def ok(self) -> bool:
         """Boolean validity via LIMIT-1 probes (≙ ``validate``'s peek,
@@ -144,6 +149,151 @@ def fused_verdicts(df: DataFrame, plan: BoundPlan, partition_key: Column) -> Dat
         )
         .select("partition_id", "v.*")
     )
+
+
+def run_suite_summarized(
+    suite,
+    df: DataFrame,
+    key: str = "doc_id",
+    partition_by: str | None = None,
+    spark: SparkSession | None = None,
+    context: dict | None = None,
+) -> ValidationResult:
+    """Single-heavy-pass variant: materializes violations ONCE (persisted),
+    derives row-check verdict counters FROM them, and runs the aggregate
+    pass over only the columns the agg checks reference.
+
+    Why: the lazy :func:`run_suite` result evaluates every row predicate
+    twice when the caller actions both violations and verdicts — at 100 TB
+    the second pass re-decodes the fat ``tokens`` column just to recount
+    failures already enumerated. Here the verdict counters are a tiny
+    groupBy over the cached violations, and the agg scan's column pruning
+    drops the array column entirely (ReadSchema shrinks to the stat
+    columns). Net: ~2 heavy scans → 1 heavy + 1 slim.
+    """
+    spark = spark or df.sparkSession
+    plan = bind(suite, df)
+    pk = (F.col(partition_by).cast("string") if partition_by
+          else F.spark_partition_id().cast("string"))
+
+    # pass 1 (heavy): violations carrying the partition label
+    structs = []
+    for rc in plan.row_checks:
+        failed = ~F.coalesce(rc.pred, F.lit(True))
+        structs.append(F.when(failed, F.struct(
+            F.lit(rc.check_id).alias("check_id"),
+            F.coalesce(rc.observed.cast("string"), F.lit("NULL")).alias("observed"),
+            F.lit(rc.expected).alias("expected"),
+        )))
+    if structs:
+        arr = F.array_compact(F.array(*structs))
+        viol_part = (
+            df.select(F.col(key).cast("string").alias("doc_id"),
+                      pk.alias("__part"), F.explode(arr).alias("v"))
+            .select("doc_id", "__part", "v.*")
+        )
+    else:
+        viol_part = spark.createDataFrame(
+            [], "doc_id string, __part string, check_id string, "
+                "observed string, expected string")
+
+    # dataset-check violations built directly from their operators (NOT by
+    # filtering the lazy union — that would re-evaluate the heavy row branch)
+    from jsonschema_valid_spark.operators import parity as parity_op
+    from jsonschema_valid_spark.operators import referential as ref_op
+    from jsonschema_valid_spark.operators import uniqueness as uniq_op
+
+    context = context or {}
+    ds_viols = []
+    for dc in plan.dataset_checks:
+        if dc.kind == "unique":
+            vdf = uniq_op.uniqueness_violations(df, dc.column, dc.check_id)
+        elif dc.kind == "referential":
+            dom = dc.params["domain"]
+            if isinstance(dom, str) and dom.startswith("@"):
+                dom = context[dom[1:]]
+            vdf = ref_op.referential_violations(
+                df, dc.column, dom, dc.check_id, key=key,
+                domain_column=dc.params.get("domainColumn"))
+        elif dc.kind == "parity":
+            ref_df = dc.params["reference"]
+            if isinstance(ref_df, str) and ref_df.startswith("@"):
+                ref_df = context[ref_df[1:]]
+            vdf = parity_op.parity_violations(
+                df, ref_df, key=dc.params.get("key", key),
+                columns=dc.params["columns"], check_id=dc.check_id,
+                mode=dc.params.get("mode", "native"))
+        else:
+            continue
+        ds_viols.append(dc.check_id)
+        viol_part = viol_part.unionByName(
+            vdf.withColumn("__part", F.lit("<global>")))
+    viol_part = viol_part.persist()
+
+    # pass 2 (slim): agg checks only — column pruning drops row-check columns
+    agg_exprs = [F.count(F.lit(1)).alias("__rows")]
+    for ac in plan.agg_checks:
+        for alias, expr in ac.aggs.items():
+            agg_exprs.append(expr.alias(alias))
+    agg_df = df.groupBy(pk.alias("partition_id")).agg(*agg_exprs)
+
+    # row-check verdicts = (partitions × checks) left-joined with counters
+    counters = (viol_part.groupBy(F.col("__part").alias("partition_id"), "check_id")
+                .agg(F.count(F.lit(1)).alias("__fails")))
+    parts = agg_df.select("partition_id")
+    row_check_ids = [rc.check_id for rc in plan.row_checks]
+    verdict_dfs = []
+    if row_check_ids:
+        catalog = spark.createDataFrame([(c,) for c in row_check_ids],
+                                        "check_id string")
+        row_verdicts = (
+            parts.crossJoin(F.broadcast(catalog))
+            .join(counters, on=["partition_id", "check_id"], how="left")
+            .select(
+                F.col("partition_id").cast("string").alias("partition_id"),
+                "check_id",
+                (F.coalesce(F.col("__fails"), F.lit(0)) == 0).alias("passed"),
+                F.coalesce(F.col("__fails"), F.lit(0)).cast("double").alias("metric_value"),
+                F.lit(0.0).cast("double").alias("threshold"),
+            )
+        )
+        verdict_dfs.append(row_verdicts)
+    if plan.agg_checks:
+        vstructs = [
+            F.struct(
+                F.lit(ac.check_id).alias("check_id"),
+                ac.passed().alias("passed"),
+                ac.metric().cast("double").alias("metric_value"),
+                F.lit(ac.threshold).cast("double").alias("threshold"),
+            )
+            for ac in plan.agg_checks
+        ]
+        verdict_dfs.append(
+            agg_df.select(F.col("partition_id").cast("string").alias("partition_id"),
+                          F.explode(F.array(*vstructs)).alias("v"))
+            .select("partition_id", "v.*"))
+    for cid in ds_viols:
+        verdict_dfs.append(
+            viol_part.where(F.col("check_id") == cid)
+            .agg(F.count(F.lit(1)).alias("nb"))
+            .select(F.lit("<global>").alias("partition_id"),
+                    F.lit(cid).alias("check_id"),
+                    (F.col("nb") == 0).alias("passed"),
+                    F.col("nb").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold")))
+    # drift stays on its own histogram pass (slim: one numeric column)
+    from jsonschema_valid_spark.operators import drift as drift_op
+
+    for dc in plan.dataset_checks:
+        if dc.kind == "drift":
+            verdict_dfs.extend(drift_op.drift_verdict_dfs(
+                df, dc.column, dc.check_id, dc.params, spark))
+
+    verdicts = (_union(verdict_dfs) if verdict_dfs
+                else spark.createDataFrame([], VERDICT_SCHEMA))
+    violations = viol_part.drop("__part")
+    return ValidationResult(violations=violations, verdicts=verdicts,
+                            plan=plan, _persisted=viol_part)
 
 
 def run_suite(

@@ -182,6 +182,9 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
         elif kw == "x-rowExpr":
             if not isinstance(v, str):
                 raise _err(p, "x-rowExpr must be a SQL boolean expression string")
+        elif kw == "x-parity":
+            if not isinstance(v, dict) or "reference" not in v:
+                raise _err(p, "x-parity must be {'reference': '@name', 'key': k?, 'mode': 'native'|'arrow'?}")
         # unknown keywords: ignored (validators.rs:75-78)
 
 
