@@ -1,0 +1,90 @@
+"""spark-submit entry point (north_rule: "run via spark-submit --py-files").
+
+    spark-submit --py-files jsonschema_valid_spark.zip \
+        -m jsonschema_valid_spark.cli  \
+        --suite suite.json --input /data/sequences --format parquet \
+        --key doc_id --partition-by source --output /out/validation \
+        [--resume] [--fail-fast]
+
+Writes ``<output>/violations`` and ``<output>/verdicts`` (parquet); with
+``--resume``, runs through :class:`CheckpointRunner` (per-partition lineage
+under ``<output>/``, idempotent re-runs). Exit code 1 when validation fails
+(any violation or failed verdict) — CI-friendly, mirroring the reference
+CLI contract of ``validate() -> Err``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="jsonschema-valid-spark")
+    p.add_argument("--suite", required=True, help="path to the CheckSuite JSON")
+    p.add_argument("--input", required=True, help="input table path")
+    p.add_argument("--format", default="parquet",
+                   choices=["parquet", "jsonl", "iceberg"])
+    p.add_argument("--key", default="doc_id")
+    p.add_argument("--partition-by", default=None)
+    p.add_argument("--output", required=True, help="output dir for results")
+    p.add_argument("--resume", action="store_true",
+                   help="checkpointed per-partition run with lineage")
+    p.add_argument("--fail-fast", action="store_true",
+                   help="LIMIT-1 probe only; skip result materialization")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from pyspark.sql import SparkSession
+
+    from jsonschema_valid_spark import CheckSuite
+
+    spark = SparkSession.builder.appName("jsonschema-valid-spark").getOrCreate()
+    with open(args.suite) as f:
+        spec = json.load(f)
+    suite = CheckSuite(spec)
+
+    if args.format == "jsonl":
+        from jsonschema_valid_spark.sources.jsonl import read_jsonl
+
+        df = read_jsonl(spark, args.input, spec)
+    elif args.format == "iceberg":
+        df = spark.table(args.input)
+    else:
+        df = spark.read.parquet(args.input)
+
+    if args.resume:
+        if not args.partition_by:
+            print("--resume requires --partition-by", file=sys.stderr)
+            return 2
+        from jsonschema_valid_spark.checkpoint import CheckpointRunner
+
+        runner = CheckpointRunner(suite, args.output)
+        summary = runner.run(df, partition_by=args.partition_by, key=args.key)
+        print(json.dumps({
+            "processed": summary.processed, "skipped": summary.skipped,
+            "rows": summary.total_rows, "violations": summary.total_violations,
+            "wall_ms": summary.wall_ms,
+        }))
+        return 0 if summary.total_violations == 0 else 1
+
+    result = suite.run(df, key=args.key, partition_by=args.partition_by)
+    if args.fail_fast:
+        ok = result.ok()
+        print(json.dumps({"ok": ok}))
+        return 0 if ok else 1
+
+    result.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
+    result.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
+    n_viol = spark.read.parquet(f"{args.output}/violations").count()
+    n_fail = (spark.read.parquet(f"{args.output}/verdicts")
+              .where("passed = false").count())
+    print(json.dumps({"violations": n_viol, "failed_verdicts": n_fail}))
+    return 0 if (n_viol == 0 and n_fail == 0) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -614,6 +614,160 @@ def agg_stats_by_returnflag(spark, sf_dir):
         "partition_id", "check_id", F.round("metric_value", 6).alias("metric"))
 
 
+# ---------------------------------------------------------------------------
+# Training-data pipeline ops (dedup / text analysis / similarity) — oracle-
+# checked where DuckDB can express the same computation; hash-based ops
+# (MinHash/SimHash/fingerprint) are rows-only (xxhash64 is Spark-specific).
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact_prefix",
+    "SELECT doc_id FROM (SELECT doc_id, row_number() OVER "
+    "(PARTITION BY substr(text, 1, 40) ORDER BY doc_id) AS rn FROM documents)"
+    " WHERE rn > 1",
+)
+def dedup_exact_prefix(spark, sf_dir):
+    """Exact dedup (hash-groupBy + deterministic survivor): drop rows whose
+    40-char text prefix collides with a lower doc_id."""
+    from jsonschema_valid_spark.functions.dedup import exact_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_duplicates(
+        docs, "doc_id", F.substring("text", 1, 40)
+    ).select("doc_id")
+
+
+@register(
+    "text_token_counts",
+    "SELECT doc_id, CAST(len(regexp_split_to_array(trim(text), '\\s+')) "
+    "AS INTEGER) AS n_words FROM documents",
+)
+def text_token_counts(spark, sf_dir):
+    """Whitespace token counting (text-analysis op)."""
+    from jsonschema_valid_spark.functions.text import token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", token_count(F.col("text")).alias("n_words"))
+
+
+@register(
+    "text_quality_metrics",
+    "SELECT doc_id, "
+    "round(CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)"
+    " / length(text), 6) AS punct_ratio, "
+    "round(CAST(len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),"
+    " w -> w IN ('the','a','an','and','or','of','to','in','is','are','was',"
+    "'were','be','been','it','this','that','for','on','with','as','at','by',"
+    "'from','not'))) AS DOUBLE) "
+    " / len(regexp_split_to_array(lower(trim(text)), '\\s+')), 6) AS stopword_ratio "
+    "FROM documents",
+)
+def text_quality_metrics(spark, sf_dir):
+    """Quality-scoring components (punctuation + stopword ratios) — fully
+    native Column math matching the SQL oracle bit-for-bit after rounding."""
+    from jsonschema_valid_spark.functions.text import punct_ratio, stopword_ratio
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.round(punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(c), 6).alias("stopword_ratio"),
+    )
+
+
+@register(
+    "dedup_jaccard_pairs",
+    """
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+           FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(wl)),
+           i -> wl[i] || ' ' || wl[i+1])) AS shl FROM w),
+sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+          FROM inv x JOIN inv y USING (s) WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON pairs.a = sa.doc_id
+JOIN sizes sb ON pairs.b = sb.doc_id
+WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.2
+""",
+)
+def dedup_jaccard_pairs(spark, sf_dir):
+    """Exact word-bigram Jaccard pairs via inverted-index join (the
+    verification stage of near-dup dedup; candidates never cross-join)."""
+    from jsonschema_valid_spark.functions.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register(
+    "ann_cosine_topk",
+    """
+WITH q AS (SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+           FROM embeddings WHERE vec_id = 0),
+sims AS (SELECT vec_id,
+    list_sum(list_transform(range(1, 65),
+        i -> CAST(embedding[i] AS DOUBLE) * qv[i]))
+    / (sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * x)))
+       * sqrt(list_sum(list_transform(qv, x -> x * x)))) AS cos
+    FROM embeddings CROSS JOIN q)
+SELECT vec_id, round(cos, 6) AS cos FROM sims
+ORDER BY cos DESC, vec_id LIMIT 10
+""",
+)
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k over the embeddings table (exactness baseline
+    for ANN; scan + TakeOrderedAndProject, zero shuffles). Ranks on the
+    ROUNDED similarity with vec_id tie-break so Spark and the oracle order
+    identically regardless of last-ulp float differences."""
+    from jsonschema_valid_spark.functions.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    qlit = F.array(*[F.lit(float(x)) for x in q])
+    sims = emb.select(
+        "vec_id",
+        F.round(cosine(F.col("embedding").cast("array<double>"), qlit), 6)
+        .alias("cos"),
+    )
+    return sims.orderBy(F.desc("cos"), F.col("vec_id")).limit(10)
+
+
+@register("dedup_minhash_lsh", None)  # xxhash64-based: no DuckDB oracle
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash(64) + 16-band LSH near-dup pairs with exact-Jaccard verify
+    (rows-only driver check; correctness covered by tests/test_pipeline_ops)."""
+    from jsonschema_valid_spark.functions.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, "doc_id", "text", num_perm=64, bands=16,
+                             n=2, threshold=0.5)
+
+
+@register("dedup_simhash", None)  # xxhash64-based: no DuckDB oracle
+def dedup_simhash(spark, sf_dir):
+    """SimHash64 near-dup pairs within Hamming distance 3 (pigeonhole chunk
+    join; rows-only driver check)."""
+    from jsonschema_valid_spark.functions.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@register("text_fingerprints", None)  # xxhash64-based: no DuckDB oracle
+def text_fingerprints(spark, sf_dir):
+    """Rolling-hash document fingerprints (rows-only driver check)."""
+    from jsonschema_valid_spark.functions.text import fingerprint
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
 @register(
     "seq_hist_ntok",
     oracle_with_sequences(

@@ -1,0 +1,85 @@
+"""CLI + JSONL-source tests (deploy surface: spark-submit entry)."""
+
+import json
+
+import pytest
+
+SUITE = {
+    "version": 7,
+    "required": ["doc_id"],
+    "properties": {
+        "doc_id": {"type": "string"},
+        "n_tok": {"type": "integer", "minimum": 1},
+        "tokens": {"type": "array", "items": {"type": "integer", "minimum": 0}},
+        "source": {"type": "string"},
+    },
+    "x-rowExpr": "n_tok = size(tokens)",
+}
+
+
+def test_suite_to_spark_schema():
+    from pyspark.sql import types as T
+
+    from jsonschema_valid_spark.sources.jsonl import suite_to_spark_schema
+
+    schema = suite_to_spark_schema(SUITE)
+    assert schema["doc_id"].dataType == T.StringType()
+    assert schema["n_tok"].dataType == T.LongType()
+    assert schema["tokens"].dataType == T.ArrayType(T.LongType())
+
+
+@pytest.fixture()
+def jsonl_path(tmp_path):
+    rows = [
+        {"doc_id": "a", "n_tok": 2, "tokens": [1, 2], "source": "web"},
+        {"doc_id": "b", "n_tok": 3, "tokens": [1, 2], "source": "web"},  # invariant
+        {"doc_id": "c", "n_tok": 1, "tokens": [-5], "source": "web"},    # range
+        {"n_tok": 1, "tokens": [1], "source": "web"},                     # no doc_id
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    return str(p)
+
+
+def test_read_jsonl_and_validate(spark, jsonl_path):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.sources.jsonl import read_jsonl
+
+    df = read_jsonl(spark, jsonl_path, SUITE)
+    res = CheckSuite(SUITE).run(df, key="doc_id")
+    got = {(r["doc_id"], r["check_id"]) for r in res.violations.collect()}
+    assert ("b", "x-rowExpr") in got
+    assert ("c", "properties/tokens/items") in got
+    assert any(cid == "required/doc_id" for _, cid in got)
+
+
+def test_cli_end_to_end(spark, tmp_path, jsonl_path):
+    from jsonschema_valid_spark.cli import main
+
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps(SUITE))
+    out = tmp_path / "out"
+
+    rc = main(["--suite", str(suite_path), "--input", jsonl_path,
+               "--format", "jsonl", "--output", str(out)])
+    assert rc == 1  # corrupt input → nonzero exit
+    viol = spark.read.parquet(f"{out}/violations")
+    assert viol.count() >= 3
+
+    # fail-fast probe path
+    rc2 = main(["--suite", str(suite_path), "--input", jsonl_path,
+                "--format", "jsonl", "--output", str(out), "--fail-fast"])
+    assert rc2 == 1
+
+
+def test_cli_clean_input_exits_zero(spark, tmp_path):
+    from jsonschema_valid_spark.cli import main
+
+    rows = [{"doc_id": "a", "n_tok": 1, "tokens": [5], "source": "web"}]
+    p = tmp_path / "clean.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps(SUITE))
+    rc = main(["--suite", str(suite_path), "--input", str(p),
+               "--format", "jsonl", "--output", str(tmp_path / "o2")])
+    assert rc == 0

@@ -1,0 +1,103 @@
+"""Physical-plan assertions: the engine must produce the plans the scale
+story depends on — no shuffle in the row pass, column pruning down to the
+checked columns, broadcast (not shuffle) joins for referential membership,
+and partial aggregation for the fused agg pass."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark import CheckSuite
+from tests.conftest import SF_DIR
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+def test_row_pass_has_no_shuffle(spark, lineitem):
+    suite = CheckSuite({"properties": {
+        "l_quantity": {"minimum": 0, "maximum": 60},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+    }})
+    res = suite.run(lineitem, key="l_orderkey")
+    plan = _plan(res.violations)
+    assert "Exchange" not in plan, f"row pass must not shuffle:\n{plan}"
+    assert "Scan parquet" in plan
+
+
+def test_row_pass_prunes_columns(spark, lineitem):
+    """The violations scan must read ONLY the key + checked columns
+    (ReadSchema pruning) — an 11-column table with a 1-column check reads 2
+    columns, not 11."""
+    suite = CheckSuite({"properties": {"l_quantity": {"minimum": 0}}})
+    res = suite.run(lineitem, key="l_orderkey")
+    plan = _plan(res.violations)
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",") if c}
+    assert cols == {"l_orderkey", "l_quantity"}, cols
+
+
+def test_agg_pass_uses_partial_aggregation(spark, lineitem):
+    """Fused verdicts = hash aggregate with partial (map-side) + final
+    phases — the shuffle carries #partitions × #aggs values, not rows."""
+    suite = CheckSuite({"properties": {
+        "l_quantity": {"x-stats": {"min": {"min": 0}, "avg": {"max": 100}}}}})
+    res = suite.run(lineitem, key="l_orderkey", partition_by="l_returnflag")
+    plan = _plan(res.verdicts)
+    assert "partial" in plan.lower(), plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_referential_uses_broadcast_anti_join(spark, lineitem):
+    from jsonschema_valid_spark.operators.referential import non_members
+
+    domain = spark.createDataFrame([("A",), ("N",), ("R",)], "f string")
+    bad = non_members(lineitem, "l_returnflag", domain, domain_column="f")
+    plan = _plan(bad)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the fact side must NOT be exchanged for the join (only the broadcast)
+    assert "ShuffledHashJoin" not in plan and "SortMergeJoin" not in plan
+
+
+def test_filter_pushdown_reaches_scan(spark, lineitem):
+    """Catalyst pushes suite-adjacent filters into the parquet scan."""
+    df = lineitem.where(F.col("l_quantity") > 10)
+    suite = CheckSuite({"properties": {"l_extendedprice": {"minimum": 0}}})
+    res = suite.run(df, key="l_orderkey")
+    plan = _plan(res.violations)
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10" in plan.replace(".0", ""), plan
+
+
+def test_summarized_agg_scan_drops_array_column(spark):
+    """run_suite_summarized's slim agg pass must NOT read the token arrays
+    (column pruning) — that's the point of deriving row counters from the
+    persisted violations."""
+    from jsonschema_valid_spark.engine import run_suite_summarized
+    from jsonschema_valid_spark.sources.sequences import load_sequences
+
+    seq = load_sequences(spark, SF_DIR)
+    suite = CheckSuite({
+        "properties": {
+            "tokens": {"items": {"minimum": 0}},
+            "n_tok": {"x-stats": {"avg": {"min": 0, "max": 10000}}},
+        },
+    })
+    res = run_suite_summarized(suite, seq, key="doc_id", partition_by="source")
+    opt = _optimized(res.verdicts)
+    # the agg branch over the base table must not reference `tokens`; the
+    # only mention allowed is via the persisted violations subtree
+    agg_branch = opt.split("Aggregate")[1] if "Aggregate" in opt else opt
+    res.unpersist()
+    assert "size(tokens" not in agg_branch
