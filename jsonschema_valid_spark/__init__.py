@@ -34,11 +34,22 @@ from jsonschema_valid_spark.suite.spec import (
 )
 from jsonschema_valid_spark.engine import ValidationResult
 
+
+def validate(df, spec, key: str = "doc_id", **kwargs) -> ValidationResult:
+    """One-shot API (≙ the reference's free function ``validate(cfg,
+    instance)``, ``lib.rs:84-102``): compile the suite and run it in one
+    call. For repeated runs over many tables, build a :class:`CheckSuite`
+    once and reuse it (≙ sharing a ``Config`` across threads,
+    ``examples/threaded.rs``)."""
+    return CheckSuite(spec).run(df, key=key, **kwargs)
+
+
 __all__ = [
     "CheckSuite",
     "SuiteError",
     "SuiteBindError",
     "ValidationResult",
+    "validate",
     "validate_suite_spec",
 ]
 
