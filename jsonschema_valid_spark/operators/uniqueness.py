@@ -51,6 +51,28 @@ def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = DEFAULT_SALT_BUC
     )
 
 
+def approx_unique_verdict(df: DataFrame, key: str, rsd: float = 0.01) -> DataFrame:
+    """HLL++ pre-filter for the boolean uniqueness verdict at 10^12 rows
+    (SURVEY.md §7 'hard parts'): ONE aggregation pass, NO shuffle of keys
+    (approx_count_distinct's sketch merges map-side).
+
+    Decision semantics with relative error ε=rsd:
+      count − approx > ε·count  ⇒  definitely duplicates (skip nothing,
+                                   report fail cheaply)
+      otherwise                 ⇒  inconclusive: the exact salted two-phase
+                                   pass is still required to PROVE uniqueness
+    Returns 1 row: (n_rows, approx_distinct, definitely_dups boolean)."""
+    agg = df.where(F.col(key).isNotNull()).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.approx_count_distinct(key, rsd).alias("approx_distinct"),
+    )
+    return agg.select(
+        "n_rows", "approx_distinct",
+        ((F.col("n_rows") - F.col("approx_distinct"))
+         > F.col("n_rows") * rsd).alias("definitely_dups"),
+    )
+
+
 def uniqueness_violations(df: DataFrame, key: str, check_id: str,
                           salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Violations DF ``(doc_id, check_id, observed, expected)`` — one row per

@@ -92,3 +92,43 @@ def stream_dedup(sdf: DataFrame, key: str, ts_col: str,
     """Streaming uniqueness enforcement: exactly-once keys within the
     watermark horizon (state-store hash set, bounded by the watermark)."""
     return sdf.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark([key])
+
+
+def stream_running_null_rate(sdf: DataFrame, group_col: str, value_col: str,
+                             ts_col: str, threshold: float,
+                             watermark: str = "10 minutes") -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-group
+    RUNNING null-rate across micro-batches (unlike the windowed verdicts,
+    state carries the lifetime totals). Emits one row per (group, batch)
+    with the cumulative rate and an alert flag.
+
+    This is the applyInPandasWithState pattern for checks that windowed
+    aggregation can't express (monotone lifetime counters); state is two
+    longs per group — O(#groups) regardless of stream length."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (f"{group_col} string, rows long, nulls long, "
+                  "null_rate double, alert boolean")
+    state_schema = "rows long, nulls long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        rows, nulls = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            rows += len(pdf)
+            nulls += int(pdf[value_col].isna().sum())
+        state.update((rows, nulls))
+        rate = (nulls / rows) if rows else 0.0
+        yield pd.DataFrame({
+            group_col: [key_tuple[0]], "rows": [rows], "nulls": [nulls],
+            "null_rate": [rate], "alert": [rate > threshold],
+        })
+
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(group_col)
+        .applyInPandasWithState(
+            update, outputStructType=out_schema, stateStructType=state_schema,
+            outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
