@@ -709,6 +709,15 @@ def bind(suite, df: DataFrame) -> BoundPlan:
                 RowCheck(_path_id(p), pred, trig_col.cast("string"),
                          f"{trig} ⇒ dependent suite holds"))
 
+    # root-level composite-key uniqueness (x-unique: [col, ...])
+    if isinstance(spec.get("x-unique"), list):
+        keys = spec["x-unique"]
+        missing = [k for k in keys if k not in fields]
+        if missing:
+            raise SuiteBindError(f"x-unique composite key columns missing: {missing}")
+        plan.dataset_checks.append(
+            DatasetCheck("x-unique", "unique", keys, {}))
+
     # root-level combinators over ROW suites
     for kw in ("allOf", "anyOf", "oneOf", "not", "if", "x-rowExpr"):
         if kw not in spec:

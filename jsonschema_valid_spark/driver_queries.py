@@ -614,6 +614,82 @@ def agg_stats_by_returnflag(spark, sf_dir):
         "partition_id", "check_id", F.round("metric_value", 6).alias("metric"))
 
 
+@register(
+    "unique_composite_lineitem",
+    "SELECT l_orderkey, l_suppkey, CAST(count(*) AS BIGINT) AS dup_count "
+    "FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1",
+)
+def unique_composite_lineitem(spark, sf_dir):
+    """Composite-key uniqueness via the salted two-phase aggregate
+    (root-scope x-unique: [cols])."""
+    from jsonschema_valid_spark.operators.uniqueness import duplicate_keys
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return duplicate_keys(li, ["l_orderkey", "l_suppkey"]).select(
+        "l_orderkey", "l_suppkey", F.col("dup_count").cast("long").alias("dup_count"))
+
+
+@register(
+    "agg_value_stats_by_event",
+    "SELECT event_type AS partition_id, "
+    "'properties/value/x-stats/min' AS check_id, "
+    "round(CAST(min(value) AS DOUBLE), 6) AS metric FROM events GROUP BY 1 "
+    "UNION ALL "
+    "SELECT event_type AS partition_id, "
+    "'properties/value/x-stats/max' AS check_id, "
+    "round(CAST(max(value) AS DOUBLE), 6) AS metric FROM events GROUP BY 1 "
+    "UNION ALL "
+    "SELECT event_type AS partition_id, "
+    "'properties/value/x-stats/sum' AS check_id, "
+    "round(CAST(sum(value) AS DOUBLE), 2) AS metric FROM events GROUP BY 1",
+)
+def agg_value_stats_by_event(spark, sf_dir):
+    """Engine multi-aggregate pass over the events stream table, partitioned
+    by event_type (sum rounded to 2dp: double summation order differs
+    between engines at ~1e-10 relative error)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    res = CheckSuite({"properties": {"value": {"x-stats": {
+        "min": {"min": -1e18}, "max": {"max": 1e18}, "sum": {"min": -1e18},
+    }}}}).run(ev, key="event_id", partition_by="event_type")
+    return res.verdicts.select(
+        "partition_id", "check_id",
+        F.when(F.col("check_id").endswith("/sum"),
+               F.round("metric_value", 2))
+        .otherwise(F.round("metric_value", 6)).alias("metric"))
+
+
+@register(
+    "emb_neardup_pairs",
+    """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_sum(list_transform(v, t -> t * t))) AS nrm FROM e)
+SELECT x.vec_id AS a, y.vec_id AS b,
+       round(list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+             / (x.nrm * y.nrm), 6) AS cos
+FROM n x JOIN n y ON x.vec_id < y.vec_id
+WHERE list_sum(list_transform(range(1, 65), i -> x.v[i] * y.v[i]))
+      / (x.nrm * y.nrm) >= 0.45
+""",
+)
+def emb_neardup_pairs(spark, sf_dir):
+    """Embedding near-duplicate pairs — exact brute-force verification form
+    (the LSH-bucketed candidate path is tested separately; xxhash-free so
+    fully oracle-checkable)."""
+    from jsonschema_valid_spark.functions.similarity import cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    x, y = emb.alias("x"), emb.alias("y")
+    joined = x.join(y, F.col("x.vec_id") < F.col("y.vec_id"))
+    cs = cosine(F.col("x.v"), F.col("y.v"))
+    return joined.where(cs >= 0.45).select(
+        F.col("x.vec_id").alias("a"), F.col("y.vec_id").alias("b"),
+        F.round(cs, 6).alias("cos"))
+
+
 # ---------------------------------------------------------------------------
 # Training-data pipeline ops (dedup / text analysis / similarity) — oracle-
 # checked where DuckDB can express the same computation; hash-based ops

@@ -31,21 +31,25 @@ from pyspark.sql import DataFrame, functions as F
 DEFAULT_SALT_BUCKETS = 64
 
 
-def duplicate_keys(df: DataFrame, key: str, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
-    """Return ``(key, dup_count)`` for every key value appearing more than
-    once. NULL keys are ignored (absence is `required`'s business, not
-    uniqueness's)."""
+def duplicate_keys(df: DataFrame, key, salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
+    """Return ``(key..., dup_count)`` for every key (single column or
+    composite list) appearing more than once. NULL keys are ignored
+    (absence is `required`'s business, not uniqueness's)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & F.col(k).isNotNull()
     phase1 = (
-        df.select(F.col(key))
-        .where(F.col(key).isNotNull())
+        df.select(*[F.col(k) for k in keys])
+        .where(cond)
         .groupBy(
-            F.col(key),
+            *[F.col(k) for k in keys],
             (F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))).alias("__salt"),
         )
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
     return (
-        phase1.groupBy(key)
+        phase1.groupBy(*keys)
         .agg(F.sum("__partial").alias("dup_count"))
         .where(F.col("dup_count") > 1)
     )
@@ -73,14 +77,17 @@ def approx_unique_verdict(df: DataFrame, key: str, rsd: float = 0.01) -> DataFra
     )
 
 
-def uniqueness_violations(df: DataFrame, key: str, check_id: str,
+def uniqueness_violations(df: DataFrame, key, check_id: str,
                           salt_buckets: int = DEFAULT_SALT_BUCKETS) -> DataFrame:
     """Violations DF ``(doc_id, check_id, observed, expected)`` — one row per
     duplicated key value (the reference reports the offending value once,
-    validators.rs:589-592)."""
-    dups = duplicate_keys(df, key, salt_buckets)
+    validators.rs:589-592). Composite keys render slash-joined."""
+    keys = [key] if isinstance(key, str) else list(key)
+    dups = duplicate_keys(df, keys, salt_buckets)
+    label = (F.col(keys[0]).cast("string") if len(keys) == 1
+             else F.concat_ws("/", *[F.col(k).cast("string") for k in keys]))
     return dups.select(
-        F.col(key).cast("string").alias("doc_id"),
+        label.alias("doc_id"),
         F.lit(check_id).alias("check_id"),
         F.concat(F.lit("count="), F.col("dup_count").cast("string")).alias("observed"),
         F.lit("unique").alias("expected"),

@@ -159,8 +159,11 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if not isinstance(v, dict) or not ("max" in v or "min" in v):
                 raise _err(p, "x-nullRate must be {'max': τ} and/or {'min': τ}")
         elif kw == "x-unique":
-            if not isinstance(v, bool):
-                raise _err(p, "x-unique must be boolean")
+            if not (isinstance(v, bool)
+                    or (isinstance(v, list) and v
+                        and all(isinstance(x, str) for x in v))):
+                raise _err(p, "x-unique must be boolean (column scope) or a "
+                              "list of columns (root scope, composite key)")
         elif kw == "x-referential":
             if not isinstance(v, dict) or "domain" not in v:
                 raise _err(p, "x-referential must be {'domain': <table|list>, ...}")
