@@ -319,6 +319,17 @@ def run_suite(
 
     spark = spark or df.sparkSession
     context = context or {}
+    if key not in df.columns:
+        from jsonschema_valid_spark.suite.spec import SuiteBindError
+
+        raise SuiteBindError(
+            f"key column {key!r} not in DataFrame columns {df.columns} — "
+            "pass key=<id column> to run()")
+    if partition_by is not None and partition_by not in df.columns:
+        from jsonschema_valid_spark.suite.spec import SuiteBindError
+
+        raise SuiteBindError(f"partition_by column {partition_by!r} not in "
+                             f"DataFrame columns {df.columns}")
     plan = bind(suite, df)
 
     pk = (F.col(partition_by).cast("string") if partition_by
