@@ -100,12 +100,23 @@ class CheckpointRunner:
         key: str = "doc_id",
         context: dict | None = None,
         fail_after: int | None = None,
+        max_concurrency: int = 1,
     ) -> RunSummary:
         """Validate ``df`` partition-by-partition, skipping completed ones.
 
         ``fail_after``: test hook — raise after N partitions to simulate an
         interrupted run (resume tests).
+
+        ``max_concurrency``: process up to this many partitions as
+        concurrent Spark jobs (driver threads; executors are shared). At
+        1000 partitions the tail of each per-partition job underutilizes
+        the cluster — overlapping jobs keeps executor slots full. Lineage
+        appends are serialized behind a lock, and dynamic partition
+        overwrite keeps concurrent per-partition commits disjoint.
         """
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
         spark = df.sparkSession
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         summary = RunSummary()
@@ -120,11 +131,9 @@ class CheckpointRunner:
         # partitioned layout this is partition pruning, zero I/O for done work
         todo = [p for p in parts if p not in done]
         summary.skipped = [p for p in parts if p in done]
+        lock = threading.Lock()
 
-        for i, p in enumerate(todo):
-            if fail_after is not None and i >= fail_after:
-                raise InterruptedError(
-                    f"simulated failure after {fail_after} partitions")
+        def process(p: str) -> tuple:
             t0 = time.perf_counter()
             if p == _NULL_PARTITION:
                 slice_df = df.where(F.col(partition_by).isNull())
@@ -133,27 +142,42 @@ class CheckpointRunner:
             res = self.suite.run(slice_df, key=key, partition_by=partition_by,
                                  context=context)
 
-            viol = res.violations.withColumn("__part", F.lit(p))
-            verd = res.verdicts.withColumn("__part", F.lit(p))
-            # idempotent per-partition commit: dynamic overwrite replaces
-            # exactly this partition's files on re-run
-            viol.write.mode("overwrite").partitionBy("__part").parquet(
-                self.violations_path)
-            verd.write.mode("overwrite").partitionBy("__part").parquet(
-                self.verdicts_path)
+            # idempotent per-partition commit: each partition owns its
+            # directory (hive-style `__part=<value>`), so re-runs replace
+            # exactly their own files and CONCURRENT writers never share a
+            # _temporary staging dir (plain-parquet safe; Iceberg would use
+            # snapshot commits instead)
+            vdir = f"{self.violations_path}/__part={p}"
+            res.violations.write.mode("overwrite").parquet(vdir)
+            res.verdicts.write.mode("overwrite").parquet(
+                f"{self.verdicts_path}/__part={p}")
 
             n_rows = slice_df.count()
-            n_viol = (
-                spark.read.parquet(self.violations_path)
-                .where(F.col("__part") == p).count()
-            )
+            n_viol = spark.read.parquet(vdir).count()
             wall_ms = int((time.perf_counter() - t0) * 1000)
-            self._append_lineage(
-                spark, (p, self.suite.suite_hash, "done", n_rows, n_viol, wall_ms))
+            with lock:
+                self._append_lineage(
+                    spark,
+                    (p, self.suite.suite_hash, "done", n_rows, n_viol, wall_ms))
+            return p, n_rows, n_viol, wall_ms
+
+        def record(result):
+            p, n_rows, n_viol, wall_ms = result
             summary.processed.append(p)
             summary.total_rows += n_rows
             summary.total_violations += n_viol
             summary.wall_ms += wall_ms
+
+        if max_concurrency <= 1:
+            for i, p in enumerate(todo):
+                if fail_after is not None and i >= fail_after:
+                    raise InterruptedError(
+                        f"simulated failure after {fail_after} partitions")
+                record(process(p))
+        else:
+            with ThreadPoolExecutor(max_concurrency) as pool:
+                for result in pool.map(process, todo):
+                    record(result)
         return summary
 
     # -- results ----------------------------------------------------------

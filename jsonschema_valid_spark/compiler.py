@@ -321,6 +321,72 @@ def _compile_keyword(
             n = F.size(F.map_keys(col))
             return _tolerant(col, n >= v if kw == "minProperties" else n <= v)
         return None
+    if kw == "patternProperties" and isinstance(dtype, T.MapType):
+        # open-keyed object: entries whose key matches the regex must
+        # validate against the subschema (validators.rs:92-124 lifted to
+        # MapType; regexes compile once at bind, fixing the reference's
+        # per-call recompilation)
+        vt = dtype.valueType
+
+        # closure factories, NOT default-arg lambdas: PySpark infers HOF
+        # arity from the Python signature, so `lambda e, pat=pat` would be
+        # bound as a 2-arg (element, index) lambda
+        def mk_entry_pred(sub, pat):
+            return lambda e: compile_value_pred(
+                sub, e["value"], vt, ctx, path + ("patternProperties", pat))
+
+        def mk_key_match(pat):
+            return lambda e: e["key"].rlike(pat)
+
+        preds = []
+        for pat, sub in v.items():
+            preds.append(
+                F.forall(F.filter(F.map_entries(col), mk_key_match(pat)),
+                         mk_entry_pred(sub, pat)))
+        if not preds:
+            return None
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return _tolerant(col, out)
+    if kw == "additionalProperties" and isinstance(dtype, T.MapType):
+        # keys not declared in `properties` nor matching `patternProperties`
+        # must satisfy the schema; `false` forbids them
+        # (find_additional_properties, validators.rs:184-210)
+        declared = list((spec.get("properties") or {}).keys())
+        pats = list((spec.get("patternProperties") or {}).keys())
+
+        def unmatched(k):
+            cond = ~k.isin(*declared) if declared else F.lit(True)
+            for p in pats:
+                cond = cond & ~k.rlike(p)
+            return cond
+
+        if v is False:
+            return _tolerant(
+                col, F.size(F.filter(F.map_keys(col), unmatched)) == 0)
+        if v is True or v == {}:
+            return None
+        vt = dtype.valueType
+
+        def entry_pred(e):
+            return (~unmatched(e["key"])) | compile_value_pred(
+                v, e["value"], vt, ctx, path + ("additionalProperties",))
+
+        return _tolerant(col, F.forall(F.map_entries(col), entry_pred))
+    if kw == "properties" and isinstance(dtype, T.MapType):
+        vt = dtype.valueType
+        preds = []
+        for name, sub in v.items():
+            preds.append(
+                compile_value_pred(sub, F.try_element_at(col, F.lit(name)), vt,
+                                   ctx, path + ("properties", name)))
+        if not preds:
+            return None
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return _tolerant(col, out)
     # properties / patternProperties / additionalProperties / required /
     # dependencies at value scope are object-level — handled by the row
     # binder for the root; nested struct columns route through dot paths.
@@ -336,6 +402,14 @@ def _compile_keyword(
             )
         if not preds:
             return None
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return _tolerant(col, out)
+    if kw == "required" and isinstance(dtype, T.MapType):
+        # MapType keeps the JSON absent-vs-null distinction the struct/row
+        # collapse loses: presence = key in map (validators.rs:792-818)
+        preds = [F.map_contains_key(col, name) for name in v]
         out = preds[0]
         for p in preds[1:]:
             out = out & p

@@ -68,6 +68,19 @@ def test_rerun_is_idempotent(spark, seq, tmp_path):
     assert _sorted_rows(runner.violations(spark)) == v1
 
 
+def test_concurrent_partitions_match_serial(spark, seq, tmp_path):
+    """max_concurrency > 1 overlaps per-partition Spark jobs; results must
+    equal the serial run exactly (per-partition dirs keep commits disjoint)."""
+    suite = CheckSuite(SUITE)
+    r_ser = CheckpointRunner(suite, str(tmp_path / "ser"))
+    r_par = CheckpointRunner(suite, str(tmp_path / "par"))
+    s1 = r_ser.run(seq, partition_by="source", key="doc_id")
+    s2 = r_par.run(seq, partition_by="source", key="doc_id", max_concurrency=4)
+    assert sorted(s1.processed) == sorted(s2.processed)
+    assert s1.total_violations == s2.total_violations
+    assert _sorted_rows(r_ser.violations(spark)) == _sorted_rows(r_par.violations(spark))
+
+
 def test_suite_change_invalidates_lineage(spark, seq, tmp_path):
     base = str(tmp_path / "ckpt3")
     runner1 = CheckpointRunner(CheckSuite(SUITE), base)
