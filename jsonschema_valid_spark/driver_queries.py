@@ -615,6 +615,46 @@ def agg_stats_by_returnflag(spark, sf_dir):
 
 
 @register(
+    "drift_psi_ntok",
+    oracle_with_sequences(
+        """
+, obs AS (SELECT CAST(floor(n_tok / 16.0) AS BIGINT) AS bucket,
+                 CAST(count(*) AS DOUBLE) AS c FROM sequences GROUP BY 1),
+base AS (SELECT CAST(floor(((doc_id * 37) % 120 + 8) / 16.0) AS BIGINT) AS bucket,
+                CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1),
+j AS (SELECT coalesce(obs.bucket, base.bucket) AS bucket,
+             coalesce(obs.c, 0) AS oc, coalesce(base.c, 0) AS bc
+      FROM obs FULL OUTER JOIN base ON obs.bucket = base.bucket),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j)
+SELECT round(sum((oc / so - bc / sb)
+        * ln((oc / so + 0.000000001) / (bc / sb + 0.000000001))), 6) AS psi
+FROM j CROSS JOIN t
+"""
+    ),
+)
+def drift_psi_ntok(spark, sf_dir):
+    """PSI drift of the corrupted sequences' n_tok distribution vs the
+    uncorrupted baseline (the per-row +1 on did%97 rows shifts a little
+    mass between buckets) — the engine's ε-smoothed PSI (operators/drift.py)
+    vs the same formula in SQL."""
+    from jsonschema_valid_spark.operators.drift import histogram, psi_value_df
+    from jsonschema_valid_spark.sources.sequences import load_sequences
+
+    seq = load_sequences(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_hist = {
+        int(r["bucket"]): int(r["count"])
+        for r in docs.groupBy(
+            F.floor(((F.col("doc_id") * 37) % 120 + 8) / 16.0)
+            .cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count")).collect()
+    }
+    obs = histogram(seq, "n_tok", 16.0)
+    return psi_value_df(obs, base_hist, spark).select(
+        F.round("value", 6).alias("psi"))
+
+
+@register(
     "unique_composite_lineitem",
     "SELECT l_orderkey, l_suppkey, CAST(count(*) AS BIGINT) AS dup_count "
     "FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1",
