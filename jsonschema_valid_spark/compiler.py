@@ -792,9 +792,12 @@ def bind(suite, df: DataFrame) -> BoundPlan:
         plan.dataset_checks.append(
             DatasetCheck("x-unique", "unique", keys, {}))
 
-    # root-level combinators over ROW suites
+    # root-level combinators over ROW suites (draft-gated like value scope:
+    # e.g. draft6 has no if/then/else — schemas.rs:137 vs :69)
     for kw in ("allOf", "anyOf", "oneOf", "not", "if", "x-rowExpr"):
         if kw not in spec:
+            continue
+        if kw != "x-rowExpr" and kw not in ctx.keywords:
             continue
         p = (kw,)
         if kw == "x-rowExpr":
