@@ -30,10 +30,10 @@ invalidates prior lineage automatically (different hash ⇒ nothing to skip).
 
 from __future__ import annotations
 
-import os
 import time
 from dataclasses import dataclass, field
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 LINEAGE_SCHEMA = ("partition_id string, suite_hash string, status string, "
@@ -71,20 +71,23 @@ class CheckpointRunner:
     # -- lineage ----------------------------------------------------------
 
     def completed_partitions(self, spark: SparkSession) -> set[str]:
-        if not os.path.exists(self.lineage_path):
-            return set()
-        lin = spark.read.parquet(self.lineage_path)
         rows = (
-            lin.where((F.col("suite_hash") == self.suite.suite_hash)
-                      & (F.col("status") == "done"))
+            self.lineage(spark)
+            .where((F.col("suite_hash") == self.suite.suite_hash)
+                   & (F.col("status") == "done"))
             .select("partition_id").distinct().collect()
         )
         return {r["partition_id"] for r in rows}
 
     def lineage(self, spark: SparkSession) -> DataFrame:
-        if not os.path.exists(self.lineage_path):
+        # existence is probed THROUGH Spark (AnalysisException on a missing
+        # path), not os.path — the lineage lives on HDFS/S3 at deploy scale,
+        # where a driver-local filesystem check would always say "absent"
+        # and silently revalidate every partition
+        try:
+            return spark.read.parquet(self.lineage_path)
+        except AnalysisException:
             return spark.createDataFrame([], LINEAGE_SCHEMA)
-        return spark.read.parquet(self.lineage_path)
 
     def _append_lineage(self, spark: SparkSession, row: tuple) -> None:
         spark.createDataFrame([row], LINEAGE_SCHEMA).write.mode("append").parquet(
@@ -92,6 +95,22 @@ class CheckpointRunner:
         )
 
     # -- run --------------------------------------------------------------
+
+    def _stage_partitioned(self, df: DataFrame, partition_by: str) -> DataFrame:
+        """Materialize ONE physically partitioned copy of the input so each
+        per-partition slice is directory-pruned instead of a full-file filter
+        scan. Without this, N logical partitions over unpartitioned parquet
+        cost N full scans; with it, 1 shuffle+write then N pruned reads.
+        Reused across resumes (written once, probed through Spark)."""
+        spark = df.sparkSession
+        staged = f"{self.base}/staged_input"
+        try:
+            return spark.read.parquet(staged)
+        except AnalysisException:
+            pass
+        (df.repartition(F.col(partition_by))
+           .write.mode("overwrite").partitionBy(partition_by).parquet(staged))
+        return spark.read.parquet(staged)
 
     def run(
         self,
@@ -101,6 +120,7 @@ class CheckpointRunner:
         context: dict | None = None,
         fail_after: int | None = None,
         max_concurrency: int = 1,
+        stage_partitioned: bool = False,
     ) -> RunSummary:
         """Validate ``df`` partition-by-partition, skipping completed ones.
 
@@ -113,6 +133,12 @@ class CheckpointRunner:
         the cluster — overlapping jobs keeps executor slots full. Lineage
         appends are serialized behind a lock, and dynamic partition
         overwrite keeps concurrent per-partition commits disjoint.
+
+        ``stage_partitioned``: when the INPUT layout is not partitioned on
+        ``partition_by``, set True to write a partitioned staging copy first
+        (one pass) so per-partition slices prune files instead of re-scanning
+        the whole input once per partition. Iceberg/hive inputs already
+        partitioned on the column don't need it (the `where` prunes natively).
         """
         import threading
         from concurrent.futures import ThreadPoolExecutor
@@ -121,6 +147,8 @@ class CheckpointRunner:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         summary = RunSummary()
         done = self.completed_partitions(spark)
+        if stage_partitioned:
+            df = self._stage_partitioned(df, partition_by)
 
         part_rows = df.select(partition_by).distinct().collect()
         parts = sorted(
@@ -147,7 +175,8 @@ class CheckpointRunner:
 
             res = run_suite_summarized(self.suite, slice_df, key=key,
                                        partition_by=partition_by,
-                                       context=context)
+                                       context=context,
+                                       emit_rows_verdict=True)
 
             # idempotent per-partition commit: each partition owns its
             # directory (hive-style `__part=<value>`), so re-runs replace
@@ -156,10 +185,18 @@ class CheckpointRunner:
             # snapshot commits instead)
             vdir = f"{self.violations_path}/__part={p}"
             res.violations.write.mode("overwrite").parquet(vdir)
-            res.verdicts.write.mode("overwrite").parquet(
-                f"{self.verdicts_path}/__part={p}")
+            vedir = f"{self.verdicts_path}/__part={p}"
+            res.verdicts.write.mode("overwrite").parquet(vedir)
 
-            n_rows = slice_df.count()
+            # metrics come from the COMMITTED outputs (tiny reads), not new
+            # scans of the partition: the row count rode the slim agg pass
+            # as the "<rows>" verdict — the old slice_df.count() here was a
+            # third scan of data the engine had already read twice
+            n_rows = int(
+                spark.read.parquet(vedir)
+                .where(F.col("check_id") == "<rows>")
+                .agg(F.coalesce(F.sum("metric_value"), F.lit(0.0)))
+                .first()[0])
             n_viol = spark.read.parquet(vdir).count()
             res.unpersist()
             wall_ms = int((time.perf_counter() - t0) * 1000)
@@ -194,4 +231,18 @@ class CheckpointRunner:
         return spark.read.parquet(self.violations_path).drop("__part")
 
     def verdicts(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.verdicts_path).drop("__part")
+        # "<rows>" rows are internal lineage metrics, not check verdicts
+        return (spark.read.parquet(self.verdicts_path).drop("__part")
+                .where(F.col("check_id") != "<rows>"))
+
+    def failed(self, spark: SparkSession) -> bool:
+        """True when ANY committed partition (this run or a previous one)
+        recorded a violation or a failed verdict — the CI exit-code source
+        for resumed runs, which must not ignore work done before the
+        interruption."""
+        lin = (self.lineage(spark)
+               .where(F.col("suite_hash") == self.suite.suite_hash))
+        n_viol = lin.agg(F.coalesce(F.sum("n_violations"), F.lit(0))).first()[0]
+        if n_viol and int(n_viol) > 0:
+            return True
+        return not self.verdicts(spark).where(~F.col("passed")).isEmpty()

@@ -64,12 +64,16 @@ def main(argv=None) -> int:
 
         runner = CheckpointRunner(suite, args.output)
         summary = runner.run(df, partition_by=args.partition_by, key=args.key)
+        # exit code covers ALL committed partitions — including ones
+        # completed (and skipped) by previous interrupted runs — and failed
+        # verdicts, not just this invocation's violation count
+        failed = runner.failed(spark)
         print(json.dumps({
             "processed": summary.processed, "skipped": summary.skipped,
             "rows": summary.total_rows, "violations": summary.total_violations,
-            "wall_ms": summary.wall_ms,
+            "wall_ms": summary.wall_ms, "failed": failed,
         }))
-        return 0 if summary.total_violations == 0 else 1
+        return 1 if failed else 0
 
     result = suite.run(df, key=args.key, partition_by=args.partition_by)
     if args.fail_fast:

@@ -47,6 +47,10 @@ class RowCheck:
     pred: Column             # True ⇒ row passes this check
     observed: Column         # string-typed witness for the violations DF
     expected: str            # human-readable expectation (≙ error message)
+    # instance path incl. array index of the first offending element
+    # (≙ error.rs:29-35 instance_context joining indices into the path);
+    # None ⇒ the engine fills in the check_id (scalar checks: same path).
+    instance_path: Optional[Column] = None
 
 
 @dataclass
@@ -152,9 +156,11 @@ def compile_value_pred(
     if not isinstance(spec, dict):
         raise SuiteError(f"bad suite node at {_path_id(path)}")
 
-    # $ref short-circuits every sibling keyword (validators.rs:60-63)
+    # $ref short-circuits every sibling keyword (validators.rs:60-63);
+    # resolution joins the ref against the lexical $id scope of THIS node
+    # (resolver.rs:96-116 join_url + context.rs scope chain)
     if "$ref" in spec:
-        target = ctx.resolver.resolve(spec["$ref"])
+        target = ctx.resolver.resolve(spec["$ref"], scope=spec)
         tid = id(target)
         if tid in ctx.ref_stack:
             raise SuiteError(
@@ -202,6 +208,12 @@ def _compile_keyword(
         return _tolerant(col, col.isin(*[x for x in v if x is not None])
                          if any(x is not None for x in v) else F.lit(False))
     if kw == "const":
+        if v is None:
+            # {const: null}: only JSON null validates (util.rs:29-31 Null
+            # arm of the deep-equality). `col == lit(None)` would yield SQL
+            # NULL and be coalesced to pass for EVERY value — special-case
+            # to an explicit null test so non-null values are flagged.
+            return col.isNull()
         return _tolerant(col, col == _lit_of(v))
     if kw == "minimum":
         c = _numeric(col, dtype)
@@ -281,11 +293,14 @@ def _compile_keyword(
             for s in subs[1:]:
                 out = out | s
             return out
-        # oneOf: exactly one (validators.rs:921-975)
+        # oneOf: exactly one (validators.rs:921-975). Null-tolerant like
+        # every other keyword (module docstring null-collapse policy): for a
+        # NULL value each subschema's tolerant predicate is True, so the sum
+        # is N and strict `== 1` would falsely flag every NULL row.
         total = subs[0].cast("int")
         for s in subs[1:]:
             total = total + s.cast("int")
-        return total == 1
+        return _tolerant(col, total == 1)
     if kw == "not":
         inner = compile_value_pred(v, col, dtype, ctx, path + ("not",))
         return _tolerant(col, ~inner)                            # validators.rs:977-992
@@ -410,6 +425,37 @@ def _compile_keyword(
         # MapType keeps the JSON absent-vs-null distinction the struct/row
         # collapse loses: presence = key in map (validators.rs:792-818)
         preds = [F.map_contains_key(col, name) for name in v]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return _tolerant(col, out)
+    if kw == "dependencies" and isinstance(dtype, (T.MapType, T.StructType)):
+        # dependencies applies at ANY object depth (validators.rs:673-713);
+        # property form: trigger present ⇒ all listed keys present;
+        # schema form: trigger present ⇒ the object validates the subschema.
+        is_map = isinstance(dtype, T.MapType)
+        struct_names = (set() if is_map else {f.name for f in dtype.fields})
+
+        def presence(name: str) -> Column:
+            if is_map:
+                return F.map_contains_key(col, name)
+            if name not in struct_names:
+                return F.lit(False)  # struct field absent from schema
+            return col.getField(name).isNotNull()
+
+        preds = []
+        for trig, dep in v.items():
+            trig_present = presence(trig)
+            if isinstance(dep, list):
+                need = F.lit(True)
+                for d in dep:
+                    need = need & presence(d)
+            else:
+                need = compile_value_pred(dep, col, dtype, ctx,
+                                          path + ("dependencies", trig))
+            preds.append(F.when(trig_present, need).otherwise(F.lit(True)))
+        if not preds:
+            return None
         out = preds[0]
         for p in preds[1:]:
             out = out & p
@@ -545,6 +591,24 @@ def _items_pred(spec, col, dtype, ctx, path) -> Optional[Column]:
     return _tolerant(
         col, F.forall(col, lambda x: compile_value_pred(v, x, el, ctx, path + ("items",)))
     )
+
+
+def _items_instance_path(check_id: str, v, col, dtype, ctx, path) -> Optional[Column]:
+    """Instance path with the FIRST offending array index rendered, e.g.
+    ``properties/tokens/items[3]`` (≙ error.rs:29-35: instance paths include
+    array indices). Single-schema `items` only; evaluated lazily inside the
+    violation branch, so passing rows never pay for it."""
+    if not isinstance(v, dict) or not isinstance(dtype, T.ArrayType):
+        return None
+    el = dtype.elementType
+    bools = F.transform(
+        col, lambda x: F.coalesce(
+            compile_value_pred(v, x, el, ctx, path + ("items",)), F.lit(True)))
+    idx = F.array_position(bools, F.lit(False))  # 1-based; 0 = none failing
+    return F.when(
+        idx > 0,
+        F.concat(F.lit(check_id + "["), (idx - 1).cast("string"), F.lit("]")),
+    ).otherwise(F.lit(check_id))
 
 
 def _additional_items_pred(spec, col, dtype, ctx, path) -> Optional[Column]:
@@ -720,7 +784,7 @@ def bind(suite, df: DataFrame) -> BoundPlan:
         # $ref short-circuits siblings (validators.rs:60-63); same cycle
         # guard as value scope (reference TODO resolver.rs:171)
         if "$ref" in sub:
-            target = ctx.resolver.resolve(sub["$ref"])
+            target = ctx.resolver.resolve(sub["$ref"], scope=sub)
             tid = id(target)
             if tid in ctx.ref_stack:
                 raise SuiteError(
@@ -742,9 +806,18 @@ def bind(suite, df: DataFrame) -> BoundPlan:
             pred = _compile_keyword(kw, sub, col, dtype, ctx, base)
             if pred is None:
                 continue
+            expected = _expected_text(kw, sub[kw], sub, ctx.draft)
+            if isinstance(sub.get("description"), str):
+                # ≙ error.rs:63-68: the keyword's `description` doc is part
+                # of the rendered error context
+                expected = f"{sub['description']}: {expected}"
+            ipath = None
+            if kw == "items":
+                ipath = _items_instance_path(_path_id(p), sub[kw], col,
+                                             dtype, ctx, base)
             plan.row_checks.append(
-                RowCheck(_path_id(p), pred, col.cast("string"),
-                         _expected_text(kw, sub[kw], sub, ctx.draft))
+                RowCheck(_path_id(p), pred, col.cast("string"), expected,
+                         instance_path=ipath)
             )
 
     for colname, sub in (spec.get("properties") or {}).items():
@@ -822,15 +895,47 @@ def bind(suite, df: DataFrame) -> BoundPlan:
                 pred = subs[0]
                 for s in subs[1:]:
                     pred = pred | s
-            else:  # oneOf
+            else:  # oneOf — null-collapse guard mirroring value scope: when
+                # every referenced column is NULL each tolerant sub passes
+                # (sum == N) and strict `== 1` would flag the row; skip it.
                 pred = subs[0].cast("int")
                 for s in subs[1:]:
                     pred = pred + s.cast("int")
                 pred = pred == 1
+                refs = set()
+                for s in spec[kw]:
+                    refs |= _referenced_columns(s, fields)
+                if refs:
+                    all_null = F.lit(True)
+                    for c in sorted(refs):
+                        all_null = all_null & F.col(c).isNull()
+                    pred = F.when(all_null, F.lit(True)).otherwise(pred)
         plan.row_checks.append(
             RowCheck(_path_id(p), pred, F.lit("row"), _expected_text(kw, spec[kw], spec, ctx.draft)))
 
     return plan
+
+
+def _referenced_columns(node: Any, fields: dict) -> set[str]:
+    """Column names a ROW-scope suite node constrains (pure-Python walk) —
+    used to give root combinators the same null-collapse semantics as value
+    scope: a row whose referenced columns are ALL NULL skips the combinator
+    (absent object properties skip keywords, validators.rs null-type guards)."""
+    if not isinstance(node, dict):
+        return set()
+    out: set[str] = set()
+    for name in (node.get("properties") or {}):
+        if name in fields:
+            out.add(name)
+    for name in node.get("required", []):
+        if name in fields:
+            out.add(name)
+    for kw in ("allOf", "anyOf", "oneOf"):
+        for sub in node.get(kw) or []:
+            out |= _referenced_columns(sub, fields)
+    if "not" in node:
+        out |= _referenced_columns(node["not"], fields)
+    return out
 
 
 def _row_pred(node: Any, fields: dict, ctx: _Ctx, path: tuple) -> Column:
@@ -841,7 +946,8 @@ def _row_pred(node: Any, fields: dict, ctx: _Ctx, path: tuple) -> Column:
     if node is False:
         return F.lit(False)
     if "$ref" in node:
-        return _row_pred(ctx.resolver.resolve(node["$ref"]), fields, ctx, path)
+        return _row_pred(ctx.resolver.resolve(node["$ref"], scope=node),
+                         fields, ctx, path)
     preds = []
     for name, sub in (node.get("properties") or {}).items():
         if name not in fields:
@@ -867,6 +973,15 @@ def _row_pred(node: Any, fields: dict, ctx: _Ctx, path: tuple) -> Column:
                 for s in subs[1:]:
                     p = p + s.cast("int")
                 p = p == 1
+                # same all-referenced-null skip as the root-scope oneOf
+                refs = set()
+                for s in node[kw]:
+                    refs |= _referenced_columns(s, fields)
+                if refs:
+                    all_null = F.lit(True)
+                    for c in sorted(refs):
+                        all_null = all_null & F.col(c).isNull()
+                    p = F.when(all_null, F.lit(True)).otherwise(p)
             preds.append(p)
     if "not" in node:
         preds.append(~_row_pred(node["not"], fields, ctx, path + ("not",)))

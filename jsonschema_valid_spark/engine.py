@@ -33,13 +33,22 @@ from pyspark.sql import functions as F
 
 from jsonschema_valid_spark.compiler import BoundPlan, bind
 
-VIOLATION_SCHEMA = "doc_id string, check_id string, observed string, expected string"
+VIOLATION_SCHEMA = ("doc_id string, check_id string, observed string, "
+                    "expected string, instance_path string")
 VERDICT_SCHEMA = ("partition_id string, check_id string, passed boolean, "
                   "metric_value double, threshold double")
 
 
 def _union(dfs: list[DataFrame]) -> DataFrame:
     return reduce(lambda a, b: a.unionByName(b), dfs)
+
+
+def _with_ipath(df: DataFrame) -> DataFrame:
+    """Dataset-check violations have no array index: instance path ==
+    check path (scalar/global checks)."""
+    if "instance_path" in df.columns:
+        return df
+    return df.withColumn("instance_path", F.col("check_id"))
 
 
 @dataclass
@@ -50,6 +59,9 @@ class ValidationResult:
     verdicts: DataFrame
     plan: BoundPlan
     _persisted: DataFrame | None = None
+    # summarized path only: violations still carrying the partition label
+    # (__part) — lets callers write partitioned outputs without recomputing
+    violations_part: DataFrame | None = None
 
     def unpersist(self) -> None:
         if self._persisted is not None:
@@ -68,8 +80,9 @@ class ValidationResult:
         rows = self.violations.limit(max_rows).collect()
         out = []
         for r in rows:
+            at = r["instance_path"] if "instance_path" in r else r["check_id"]
             msg = (f"doc {r['doc_id']}: expected {r['expected']}, "
-                   f"observed {r['observed']}  [at {r['check_id']}]")
+                   f"observed {r['observed']}  [at {at}]")
             out.append(textwrap.fill(msg, width=width, subsequent_indent="    "))
         n = len(rows)
         if n == max_rows:
@@ -84,6 +97,8 @@ def row_violations(df: DataFrame, plan: BoundPlan, key: str) -> DataFrame:
     structs = []
     for rc in plan.row_checks:
         failed = ~F.coalesce(rc.pred, F.lit(True))
+        ipath = (rc.instance_path if rc.instance_path is not None
+                 else F.lit(rc.check_id))
         structs.append(
             F.when(
                 failed,
@@ -91,6 +106,7 @@ def row_violations(df: DataFrame, plan: BoundPlan, key: str) -> DataFrame:
                     F.lit(rc.check_id).alias("check_id"),
                     F.coalesce(rc.observed.cast("string"), F.lit("NULL")).alias("observed"),
                     F.lit(rc.expected).alias("expected"),
+                    F.coalesce(ipath, F.lit(rc.check_id)).alias("instance_path"),
                 ),
             )
         )
@@ -158,6 +174,7 @@ def run_suite_summarized(
     partition_by: str | None = None,
     spark: SparkSession | None = None,
     context: dict | None = None,
+    emit_rows_verdict: bool = False,
 ) -> ValidationResult:
     """Single-heavy-pass variant: materializes violations ONCE (persisted),
     derives row-check verdict counters FROM them, and runs the aggregate
@@ -180,10 +197,13 @@ def run_suite_summarized(
     structs = []
     for rc in plan.row_checks:
         failed = ~F.coalesce(rc.pred, F.lit(True))
+        ipath = (rc.instance_path if rc.instance_path is not None
+                 else F.lit(rc.check_id))
         structs.append(F.when(failed, F.struct(
             F.lit(rc.check_id).alias("check_id"),
             F.coalesce(rc.observed.cast("string"), F.lit("NULL")).alias("observed"),
             F.lit(rc.expected).alias("expected"),
+            F.coalesce(ipath, F.lit(rc.check_id)).alias("instance_path"),
         )))
     if structs:
         arr = F.array_compact(F.array(*structs))
@@ -195,7 +215,7 @@ def run_suite_summarized(
     else:
         viol_part = spark.createDataFrame(
             [], "doc_id string, __part string, check_id string, "
-                "observed string, expected string")
+                "observed string, expected string, instance_path string")
 
     # dataset-check violations built directly from their operators (NOT by
     # filtering the lazy union — that would re-evaluate the heavy row branch)
@@ -227,7 +247,7 @@ def run_suite_summarized(
             continue
         ds_viols.append(dc.check_id)
         viol_part = viol_part.unionByName(
-            vdf.withColumn("__part", F.lit("<global>")))
+            _with_ipath(vdf).withColumn("__part", F.lit("<global>")))
     viol_part = viol_part.persist()
 
     # pass 2 (slim): agg checks only — column pruning drops row-check columns
@@ -258,6 +278,17 @@ def run_suite_summarized(
             )
         )
         verdict_dfs.append(row_verdicts)
+    if emit_rows_verdict:
+        # per-partition row count rides the SAME slim agg pass as the agg
+        # checks (check_id "<rows>"): CheckpointRunner reads it from the
+        # written verdicts instead of re-scanning the partition for .count()
+        verdict_dfs.append(
+            agg_df.select(
+                F.col("partition_id").cast("string").alias("partition_id"),
+                F.lit("<rows>").alias("check_id"),
+                F.lit(True).alias("passed"),
+                F.col("__rows").cast("double").alias("metric_value"),
+                F.lit(0.0).cast("double").alias("threshold")))
     if plan.agg_checks:
         vstructs = [
             F.struct(
@@ -293,7 +324,8 @@ def run_suite_summarized(
                 else spark.createDataFrame([], VERDICT_SCHEMA))
     violations = viol_part.drop("__part")
     return ValidationResult(violations=violations, verdicts=verdicts,
-                            plan=plan, _persisted=viol_part)
+                            plan=plan, _persisted=viol_part,
+                            violations_part=viol_part)
 
 
 def run_suite(
@@ -345,7 +377,7 @@ def run_suite(
         if dc.kind == "unique":
             dups = uniq_op.duplicate_keys(df, dc.column)
             violation_dfs.append(
-                uniq_op.uniqueness_violations(df, dc.column, dc.check_id)
+                _with_ipath(uniq_op.uniqueness_violations(df, dc.column, dc.check_id))
             )
             verdict_dfs.append(
                 dups.agg(F.count(F.lit(1)).alias("nd")).select(
@@ -364,7 +396,7 @@ def run_suite(
                 df, dc.column, dom, dc.check_id, key=key,
                 domain_column=dc.params.get("domainColumn"),
             )
-            violation_dfs.append(bad)
+            violation_dfs.append(_with_ipath(bad))
             verdict_dfs.append(
                 bad.agg(F.count(F.lit(1)).alias("nb")).select(
                     F.lit("<global>").alias("partition_id"),
@@ -383,11 +415,21 @@ def run_suite(
             ref_df = dc.params["reference"]
             if isinstance(ref_df, str) and ref_df.startswith("@"):
                 ref_df = context[ref_df[1:]]
-            violation_dfs.append(
-                parity_op.parity_violations(
-                    df, ref_df, key=dc.params.get("key", key),
-                    columns=dc.params["columns"], check_id=dc.check_id,
-                    mode=dc.params.get("mode", parity_mode),
+            pv = parity_op.parity_violations(
+                df, ref_df, key=dc.params.get("key", key),
+                columns=dc.params["columns"], check_id=dc.check_id,
+                mode=dc.params.get("mode", parity_mode),
+            )
+            violation_dfs.append(_with_ipath(pv))
+            # same count-based <global> verdict as unique/referential —
+            # consumers reading only verdicts must see parity failures too
+            verdict_dfs.append(
+                pv.agg(F.count(F.lit(1)).alias("np")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("np") == 0).alias("passed"),
+                    F.col("np").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
                 )
             )
 

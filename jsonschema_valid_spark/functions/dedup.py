@@ -71,40 +71,61 @@ def word_shingles(col, n: int = 3):
 
 
 def jaccard_pairs(df: DataFrame, key: str, text_col: str, n: int = 3,
-                  threshold: float = 0.8) -> DataFrame:
+                  threshold: float = 0.8,
+                  max_doc_freq: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard similar pairs via inverted-index join.
 
-    Plan: explode distinct shingles → self-join on shingle (posting lists) →
-    count shared shingles per pair → Jaccard = shared / (|A|+|B|−shared).
-    The join is keyed by shingle (uniform-ish); a hot shingle (stopword run)
-    can skew — callers should pre-filter ultra-common shingles at real scale
-    (document frequency cap), which is a single additional groupBy.
+    Plan: explode distinct shingles carrying each doc's shingle-set size →
+    self-join on shingle (posting lists) → count shared shingles per pair →
+    Jaccard = shared / (|A|+|B|−shared). The sizes ride the exploded rows
+    (min() in the same groupBy), so NO per-document side table is ever
+    built or broadcast — a broadcast of one-row-per-doc would OOM the driver
+    at 10⁹ documents.
+
+    ``max_doc_freq``: document-frequency cap — shingles appearing in more
+    than this many documents (stopword runs, boilerplate) are dropped from
+    the index via a broadcast anti-join against the (tiny) hot-shingle set.
+    This bounds the worst posting list: a shingle shared by D docs creates
+    D² candidate rows, so a hot shingle at D=10⁶ is a 10¹²-row skew bomb.
+    NOTE: capping changes the measured Jaccard for affected pairs (the
+    capped shingles leave the universe); it is the standard
+    precision-for-survival trade at corpus scale. None = exact.
+
     Returns (a, b, jaccard) with a < b."""
     sh = df.select(
         F.col(key).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
     )
-    sizes = sh.select("id", F.size("sh").alias("n_sh"))
-    inv = sh.select("id", F.explode("sh").alias("s"))
+    # n_sh rides every posting row — grouped back out with min() below
+    inv = sh.select(
+        "id", F.size("sh").alias("n_sh"), F.explode("sh").alias("s"))
+    if max_doc_freq is not None:
+        hot = (inv.groupBy("s").agg(F.count(F.lit(1)).alias("__df"))
+               .where(F.col("__df") > max_doc_freq)
+               .select("s"))
+        inv = inv.join(F.broadcast(hot), on="s", how="left_anti")
+        # recompute set sizes over the CAPPED universe so the Jaccard
+        # denominator matches the shared-count numerator (one extra
+        # shuffle of the posting table, only when capping is on)
+        inv = inv.withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy("id")))
     pairs = (
         inv.alias("x")
         .join(inv.alias("y"), on="s")
         .where(F.col("x.id") < F.col("y.id"))
         .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
-        .agg(F.count(F.lit(1)).alias("shared"))
+        .agg(F.count(F.lit(1)).alias("shared"),
+             F.min(F.col("x.n_sh")).alias("na"),
+             F.min(F.col("y.n_sh")).alias("nb"))
     )
-    out = (
-        pairs.join(F.broadcast(sizes).alias("sa"), F.col("a") == F.col("sa.id"))
-        .join(F.broadcast(sizes).alias("sb"), F.col("b") == F.col("sb.id"))
-        .select(
+    return (
+        pairs.select(
             "a", "b",
             (F.col("shared")
-             / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("shared"))
-             ).alias("jaccard"),
+             / (F.col("na") + F.col("nb") - F.col("shared"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
     )
-    return out
 
 
 # ---------------------------------------------------------------------------

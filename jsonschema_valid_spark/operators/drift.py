@@ -35,15 +35,21 @@ def histogram(df: DataFrame, column: str, bucket_width: float) -> DataFrame:
 
 def _normalized_join(observed_hist: DataFrame, baseline: dict[int, int],
                      spark) -> DataFrame:
+    # union + re-aggregate instead of a full_outer join: Spark REJECTS a
+    # broadcast hint on the build side of full_outer (falls back with a
+    # HintErrorLogger warning), and an unhinted join of two tiny frames can
+    # still plan a SortMergeJoin. The union shape needs no join at all —
+    # one #buckets-row shuffle with map-side combine, deliberate at any scale.
     base_rows = [(int(b), int(c)) for b, c in baseline.items()]
     base_df = spark.createDataFrame(base_rows, "bucket long, base_count long")
-    joined = observed_hist.alias("o").join(
-        F.broadcast(base_df).alias("b"), on="bucket", how="full_outer"
-    ).select(
-        F.col("bucket"),
-        F.coalesce(F.col("o.count"), F.lit(0)).alias("obs"),
-        F.coalesce(F.col("b.base_count"), F.lit(0)).alias("base"),
-    )
+    obs = observed_hist.select(
+        "bucket", F.col("count").cast("long").alias("obs"),
+        F.lit(0).cast("long").alias("base"))
+    base = base_df.select(
+        "bucket", F.lit(0).cast("long").alias("obs"),
+        F.col("base_count").alias("base"))
+    joined = (obs.unionByName(base).groupBy("bucket")
+              .agg(F.sum("obs").alias("obs"), F.sum("base").alias("base")))
     totals = joined.select(F.sum("obs").alias("to"), F.sum("base").alias("tb"))
     return joined.crossJoin(F.broadcast(totals)).select(
         "bucket",

@@ -16,7 +16,12 @@ did % 101 = 0  ``tokens[0] = -5``         out-of-range token (items check)
 did % 89 = 0   ``source = 'BOGUS'``       enum / referential violation
 did % 113 = 0  ``source = NULL``          null-rate / required violation
 did % 103 = 0  row emitted twice          doc_id uniqueness violation
+did % 107 = 0  ``tokens[1] = tokens[0]``  intra-array dup (uniqueItems)
 =============  =======================  ==============================
+
+(The token PRNG is an arithmetic progression mod 50257, which cannot
+repeat within ≤127 elements — without the did%107 arm a uniqueItems
+check over `sequences` is vacuously green.)
 
 Token PRNG: ``token_i = (did*131 + i*2654435761) % 50257`` (Knuth
 multiplicative constant; stays well inside int64). Length:
@@ -33,11 +38,13 @@ VOCAB = 50257
 _SPARK_ARRAY = (
     "transform(sequence(0, true_n - 1), i -> cast("
     "CASE WHEN i = 0 AND did % 101 = 0 THEN -5 "
+    "WHEN i = 1 AND did % 107 = 0 THEN (did * 131) % 50257 "
     "ELSE (did * 131 + i * 2654435761) % 50257 END AS INT))"
 )
 _DUCK_ARRAY = (
     "list_transform(range(0, cast(true_n AS BIGINT)), i -> cast("
     "CASE WHEN i = 0 AND did % 101 = 0 THEN -5 "
+    "WHEN i = 1 AND did % 107 = 0 THEN (did * 131) % 50257 "
     "ELSE (did * 131 + i * 2654435761) % 50257 END AS INT))"
 )
 

@@ -196,58 +196,111 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
 # ---------------------------------------------------------------------------
 
 class Resolver:
-    """Driver-side resolver: one walk collecting ``$id``-bearing fragments
-    (≙ ``find_ids``, ``resolver.rs:32-74``), then JSON-pointer + ``$id``
-    lookup at ``$ref`` sites (≙ ``resolve_fragment``, ``resolver.rs:140-180``).
+    """Driver-side resolver with lexical ``$id`` scoping: one walk collecting
+    every ``$id``-bearing fragment into an ABSOLUTE-URI map, joining each
+    ``$id`` against the base URI in effect at its lexical position
+    (≙ ``find_ids`` + ``join_url``, ``resolver.rs:32-74`` and ``:96-116``,
+    with the scope chain of ``context.rs:5-28``), then base-relative ``$ref``
+    resolution at every ref site.
+
+    * nested ``$id`` values re-scope their subtree: ``{"$id": "http://x/a/",
+      "$defs": {"b": {"$id": "b.json", ...}}}`` registers ``http://x/a/b.json``
+      and a ``$ref: "b.json"`` anywhere inside the ``a/`` scope finds it;
+    * fragment-only ``$id`` values ("#name") register draft7 location-
+      independent anchors within their enclosing document;
+    * JSON-pointer fragments walk the resolved document, not the root.
 
     Unlike the reference (TODO at ``resolver.rs:171``), recursive ``$ref``
     cycles are detected and rejected at compile time — a cyclic suite cannot
-    compile to a finite Column expression.
+    compile to a finite Column expression. Remote URLs are never fetched
+    (``lib.rs:112`` excludes refRemote.json for the same reason).
     """
 
     def __init__(self, root: dict):
-        self.root = root
-        self.ids: dict[str, Any] = {}
-        self._collect(root)
+        from urllib.parse import urldefrag
 
-    def _collect(self, node: Any) -> None:
+        self.root = root
+        self.ids: dict[str, Any] = {}       # absolute URI (defragged) → node
+        self.anchors: dict[str, Any] = {}   # "uri#name" plain anchors → node
+        self.base_of: dict[int, str] = {}   # id(node) → base URI in effect
+        self.root_base = ""
+        if isinstance(root, dict):
+            rid = root.get("$id") or root.get("id")
+            if isinstance(rid, str):
+                self.root_base = urldefrag(rid)[0]
+        self._collect(root, self.root_base)
+
+    def _collect(self, node: Any, base: str) -> None:
+        from urllib.parse import urldefrag, urljoin
+
         if isinstance(node, dict):
             nid = node.get("$id") or node.get("id")
             if isinstance(nid, str):
-                self.ids[nid] = node
+                absolute = urljoin(base, nid) if base else nid
+                doc, frag = urldefrag(absolute)
+                if frag and not doc:
+                    # fragment-only $id: anchor within the enclosing document
+                    self.anchors[f"{base}#{frag}"] = node
+                else:
+                    if doc:
+                        self.ids[doc] = node
+                        base = doc
+                    if frag:
+                        self.anchors[f"{doc}#{frag}"] = node
+            self.base_of[id(node)] = base
             for v in node.values():
-                self._collect(v)
+                self._collect(v, base)
         elif isinstance(node, list):
             for v in node:
-                self._collect(v)
+                self._collect(v, base)
 
-    def resolve(self, ref: str) -> Any:
-        """Resolve ``#/json/pointer``, ``#``, or ``$id`` refs. Remote URLs are
-        not fetched — same policy as the reference (``lib.rs:112`` excludes
-        refRemote.json because there is no network fetch)."""
-        if ref == "#":
-            return self.root
-        if ref.startswith("#/"):
-            node: Any = self.root
-            for raw in ref[2:].split("/"):
-                part = raw.replace("~1", "/").replace("~0", "~")  # RFC-6901, resolver.rs:150-152
-                if isinstance(node, dict):
-                    if part not in node:
-                        raise SuiteError(f"unresolvable $ref {ref!r}: missing key {part!r}")
-                    node = node[part]
-                elif isinstance(node, list):
-                    try:
-                        node = node[int(part)]
-                    except (ValueError, IndexError):
-                        raise SuiteError(f"unresolvable $ref {ref!r}: bad index {part!r}")
-                else:
-                    raise SuiteError(f"unresolvable $ref {ref!r}: hit a leaf at {part!r}")
-            return node
-        if ref in self.ids:
-            return self.ids[ref]
-        # ≙ make_error("Unresolvable reference"), validators.rs:1038-1044 —
-        # but at compile time, before any cluster work.
-        raise SuiteError(f"unresolvable $ref {ref!r}")
+    def _pointer(self, doc: Any, frag: str, ref: str) -> Any:
+        node = doc
+        for raw in frag.lstrip("/").split("/"):
+            part = raw.replace("~1", "/").replace("~0", "~")  # RFC-6901, resolver.rs:150-152
+            if isinstance(node, dict):
+                if part not in node:
+                    raise SuiteError(f"unresolvable $ref {ref!r}: missing key {part!r}")
+                node = node[part]
+            elif isinstance(node, list):
+                try:
+                    node = node[int(part)]
+                except (ValueError, IndexError):
+                    raise SuiteError(f"unresolvable $ref {ref!r}: bad index {part!r}")
+            else:
+                raise SuiteError(f"unresolvable $ref {ref!r}: hit a leaf at {part!r}")
+        return node
+
+    def resolve(self, ref: str, scope: Any = None) -> Any:
+        """Resolve ``ref`` against the base URI in effect at ``scope`` (the
+        suite node containing the ``$ref``; defaults to the root scope) —
+        ≙ ``Context::get_resolved_url`` joining the lexical ``$id`` chain."""
+        from urllib.parse import urldefrag, urljoin
+
+        base = self.root_base
+        if scope is not None:
+            base = self.base_of.get(id(scope), self.root_base)
+        uri = urljoin(base, ref) if base else ref
+        doc_uri, frag = urldefrag(uri)
+
+        if frag and not frag.startswith("/"):
+            # plain-name anchor fragment
+            anchor = self.anchors.get(f"{doc_uri}#{frag}")
+            if anchor is not None:
+                return anchor
+        if not doc_uri or doc_uri == self.root_base:
+            doc = self.root
+        elif doc_uri in self.ids:
+            doc = self.ids[doc_uri]
+        else:
+            # ≙ make_error("Unresolvable reference"), validators.rs:1038-1044
+            # — but at compile time, before any cluster work.
+            raise SuiteError(f"unresolvable $ref {ref!r} (resolved to {uri!r})")
+        if not frag:
+            return doc
+        if frag.startswith("/"):
+            return self._pointer(doc, frag, ref)
+        raise SuiteError(f"unresolvable $ref {ref!r}: unknown anchor {frag!r}")
 
 
 # ---------------------------------------------------------------------------

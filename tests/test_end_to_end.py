@@ -58,7 +58,7 @@ def result(spark, sequences):
 
 def test_violations_schema(result):
     assert [f.name for f in result.violations.schema.fields] == [
-        "doc_id", "check_id", "observed", "expected"]
+        "doc_id", "check_id", "observed", "expected", "instance_path"]
 
 
 def test_invariant_violations_found(result, sequences):
