@@ -584,6 +584,222 @@ def kw_ref_defs(spark, sf_dir):
     return _viol_long_key(res, "doc_id")
 
 
+def _events_map(spark, sf_dir):
+    """Open-keyed MapType object column derived deterministically from the
+    events table (both dialects reason about the same source columns):
+
+    * key ``etype`` → event_type, OMITTED when event_id % 13 = 0
+    * key ``v{event_id % 2}`` → str(round(value, 2)); corrupted to the
+      non-numeric string ``x`` when event_id % 7 = 0
+    * key ``bad key`` (space: violates propertyNames) when event_id % 11 = 0
+    """
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    entries = F.array_compact(F.array(
+        F.when(F.col("event_id") % 13 != 0,
+               F.struct(F.lit("etype").alias("key"),
+                        F.col("event_type").alias("value"))),
+        F.struct(
+            F.concat(F.lit("v"), (F.col("event_id") % 2).cast("string")).alias("key"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("x"))
+            .otherwise(F.round(F.col("value"), 2).cast("string")).alias("value")),
+        F.when(F.col("event_id") % 11 == 0,
+               F.struct(F.lit("bad key").alias("key"), F.lit("1").alias("value"))),
+    ))
+    return ev.select("event_id", F.map_from_entries(entries).alias("pm"))
+
+
+@register(
+    "kw_map_object",
+    "SELECT event_id, 'properties/pm/propertyNames' AS check_id FROM events "
+    "WHERE event_id % 11 = 0 "
+    "UNION ALL "
+    "SELECT event_id, 'properties/pm/required' AS check_id FROM events "
+    "WHERE event_id % 13 = 0 "
+    "UNION ALL "
+    "SELECT event_id, 'properties/pm/minProperties' AS check_id FROM events "
+    "WHERE event_id % 13 = 0 AND event_id % 11 != 0 "
+    "UNION ALL "
+    "SELECT event_id, 'properties/pm/maxProperties' AS check_id FROM events "
+    "WHERE event_id % 11 = 0 AND event_id % 13 != 0",
+)
+def kw_map_object(spark, sf_dir):
+    """MapType object keywords: `propertyNames` + `required` (key presence)
+    + `min/maxProperties` over an open-keyed map column
+    (validators.rs:126-182 propertyNames, :792-818 required, :580-640
+    min/maxProperties — lifted to MapType; SURVEY.md §2.1 #22-24)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    df = _events_map(spark, sf_dir)
+    res = CheckSuite({"properties": {"pm": {
+        "propertyNames": {"pattern": "^[a-z][a-z0-9]*$"},
+        "required": ["etype"],
+        "minProperties": 2,
+        "maxProperties": 2,
+    }}}).run(df, key="event_id")
+    return _viol_long_key(res, "event_id")
+
+
+@register(
+    "kw_map_props",
+    "SELECT event_id, 'properties/pm/properties' AS check_id FROM events "
+    "WHERE event_id % 13 != 0 "
+    "AND event_type NOT IN ('click','view','signup','purchase') "
+    "UNION ALL "
+    "SELECT event_id, 'properties/pm/patternProperties' AS check_id FROM events "
+    "WHERE event_id % 7 = 0 "
+    "UNION ALL "
+    "SELECT event_id, 'properties/pm/additionalProperties' AS check_id "
+    "FROM events WHERE event_id % 11 = 0",
+)
+def kw_map_props(spark, sf_dir):
+    """MapType object keywords: `properties` routing (try_element_at),
+    `patternProperties` (regex-matched keys validate the subschema), and
+    `additionalProperties: false` (keys matching neither declared names nor
+    patterns are forbidden) — validators.rs:92-124 and :184-260 lifted to
+    MapType (SURVEY.md §2.1 #19-21)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    df = _events_map(spark, sf_dir)
+    res = CheckSuite({"properties": {"pm": {
+        "properties": {"etype": {"enum": ["click", "view", "signup",
+                                          "purchase"]}},
+        "patternProperties": {"^v[0-9]$": {"pattern": "^-?[0-9]+(\\.[0-9]+)?$"}},
+        "additionalProperties": False,
+    }}}).run(df, key="event_id")
+    return _viol_long_key(res, "event_id")
+
+
+@register(
+    "kw_ref_scoped",
+    "SELECT doc_id, 'properties/n_chars/$ref/$ref/minimum' AS check_id "
+    "FROM documents WHERE n_chars IS NOT NULL AND NOT (n_chars >= 120)",
+)
+def kw_ref_scoped(spark, sf_dir):
+    """$id scope-stack $ref resolution: a relative ref (`bounds.json#/...`)
+    inside an $id-scoped subschema joins against the lexical $id chain, not
+    the root (resolver.rs:96-116 join_url + context.rs:5-28; #31)."""
+    res = _run_engine(spark, sf_dir, "documents", {
+        "$id": "http://example.com/suites/root.json",
+        "$defs": {
+            "lib": {"$id": "http://example.com/suites/lib/bounds.json",
+                    "charMin": {"minimum": 120}},
+            "use": {"$id": "http://example.com/suites/lib/user.json",
+                    "$ref": "bounds.json#/charMin"},
+        },
+        "properties": {"n_chars": {"$ref": "#/$defs/use"}},
+    }, key="doc_id")
+    return _viol_long_key(res, "doc_id")
+
+
+@register(
+    "agg_quantile_ntok",
+    oracle_with_sequences(
+        "SELECT source AS partition_id, "
+        "'properties/n_tok/x-quantile' AS check_id, "
+        "CAST(quantile_disc(n_tok, 0.9) AS DOUBLE) AS metric "
+        "FROM sequences WHERE source IS NOT NULL GROUP BY source"
+    ),
+)
+def agg_quantile_ntok(spark, sf_dir):
+    """x-quantile (approx-percentile sketch in the fused agg pass): at
+    accuracy >= N percentile_approx is EXACT and equals DuckDB's
+    quantile_disc (both return a dataset element at the same rank) —
+    verified empirically on integer and double columns."""
+    from jsonschema_valid_spark import CheckSuite
+
+    seq = load_sequences(spark, sf_dir).where(F.col("source").isNotNull())
+    res = CheckSuite({"properties": {"n_tok": {
+        "x-quantile": {"q": 0.9, "max": 1e9, "accuracy": 100000},
+    }}}).run(seq, key="doc_id", partition_by="source")
+    return res.verdicts.select("partition_id", "check_id",
+                               F.col("metric_value").alias("metric"))
+
+
+@register(
+    "drift_ks_ntok",
+    oracle_with_sequences(
+        """
+, obs AS (SELECT CAST(floor(n_tok / 16.0) AS BIGINT) AS bucket,
+                 CAST(count(*) AS DOUBLE) AS c FROM sequences GROUP BY 1),
+base AS (SELECT CAST(floor(((doc_id * 37) % 120 + 8) / 16.0) AS BIGINT) AS bucket,
+                CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1),
+j AS (SELECT coalesce(obs.bucket, base.bucket) AS bucket,
+             coalesce(obs.c, 0) AS oc, coalesce(base.c, 0) AS bc
+      FROM obs FULL OUTER JOIN base ON obs.bucket = base.bucket),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j),
+c AS (SELECT bucket,
+             sum(oc / so) OVER (ORDER BY bucket) AS co,
+             sum(bc / sb) OVER (ORDER BY bucket) AS cb
+      FROM j CROSS JOIN t)
+SELECT round(max(abs(co - cb)), 6) AS ks FROM c
+"""
+    ),
+)
+def drift_ks_ntok(spark, sf_dir):
+    """Binned-ECDF Kolmogorov–Smirnov drift statistic (operators/drift.py
+    ks_value_df) vs the same cumulative-window formula in SQL."""
+    from jsonschema_valid_spark.operators.drift import histogram, ks_value_df
+
+    seq = load_sequences(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_hist = {
+        int(r["bucket"]): int(r["count"])
+        for r in docs.groupBy(
+            F.floor(((F.col("doc_id") * 37) % 120 + 8) / 16.0)
+            .cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count")).collect()
+    }
+    obs = histogram(seq, "n_tok", 16.0)
+    return ks_value_df(obs, base_hist, spark).select(
+        F.round("value", 6).alias("ks"))
+
+
+@register(
+    "dedup_jaccard_capped",
+    """
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+           FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(wl)),
+           i -> wl[i] || ' ' || wl[i+1])) AS shl FROM w),
+inv0 AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+hot AS (SELECT s FROM inv0 GROUP BY s HAVING count(*) > 20),
+inv AS (SELECT doc_id, s FROM inv0 WHERE s NOT IN (SELECT s FROM hot)),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM inv GROUP BY doc_id),
+pairs AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+          FROM inv x JOIN inv y USING (s) WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, round(shared / (sa.n_sh + sb.n_sh - shared), 6) AS jaccard
+FROM pairs
+JOIN sizes sa ON pairs.a = sa.doc_id
+JOIN sizes sb ON pairs.b = sb.doc_id
+WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.2
+""",
+)
+def dedup_jaccard_capped(spark, sf_dir):
+    """Jaccard pairs WITH the document-frequency shingle cap (hot shingles
+    dropped from the index and from both set sizes) — the skew-bomb guard a
+    100 TB corpus needs, oracle-checked against the same cap in SQL."""
+    from jsonschema_valid_spark.functions.dedup import jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2,
+                        max_doc_freq=20)
+    return out.select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("ann_lsh_topk", None)  # seeded-Gaussian hyperplanes: no SQL oracle
+def ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed approximate top-k (the scale path: the scan
+    restricts to the query's signature bucket; rows-only driver check —
+    recall vs brute force is pytest-asserted)."""
+    from jsonschema_valid_spark.functions.similarity import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return lsh_topk(emb, "vec_id", "embedding", [float(x) for x in q],
+                    k=10, bits=8)
+
+
 @register(
     "agg_stats_by_returnflag",
     "SELECT l_returnflag AS partition_id, "
