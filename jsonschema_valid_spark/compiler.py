@@ -25,6 +25,7 @@ null-tolerant (``col IS NULL ⇒ pass``) except ``required``/``x-nullRate``.
 
 from __future__ import annotations
 
+import json
 import re
 from dataclasses import dataclass, field
 from typing import Any, Callable, Optional
@@ -51,6 +52,10 @@ class RowCheck:
     # (≙ error.rs:29-35 instance_context joining indices into the path);
     # None ⇒ the engine fills in the check_id (scalar checks: same path).
     instance_path: Optional[Column] = None
+    # compact JSON of the violated schema node, rendered by the driver-side
+    # pretty printer (≙ error.rs:47-58 schema_context) — never shipped
+    # per-row (the violations DF stays slim at 10^12 rows)
+    schema_json: Optional[str] = None
 
 
 @dataclass
@@ -817,7 +822,8 @@ def bind(suite, df: DataFrame) -> BoundPlan:
                                              dtype, ctx, base)
             plan.row_checks.append(
                 RowCheck(_path_id(p), pred, col.cast("string"), expected,
-                         instance_path=ipath)
+                         instance_path=ipath,
+                         schema_json=json.dumps({kw: sub[kw]}, default=str))
             )
 
     for colname, sub in (spec.get("properties") or {}).items():

@@ -716,6 +716,28 @@ def agg_quantile_ntok(spark, sf_dir):
 
 
 @register(
+    "agg_distinct_docid",
+    oracle_with_sequences(
+        "SELECT source AS partition_id, "
+        "'properties/doc_id/x-distinctCount' AS check_id, "
+        "CAST(count(DISTINCT doc_id) AS DOUBLE) AS metric "
+        "FROM sequences WHERE source IS NOT NULL GROUP BY source"
+    ),
+)
+def agg_distinct_docid(spark, sf_dir):
+    """x-distinctCount (exact form) in the fused agg pass — the approx HLL
+    form is pytest-verified separately (sketch values are engine-specific)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    seq = load_sequences(spark, sf_dir).where(F.col("source").isNotNull())
+    res = CheckSuite({"properties": {"doc_id": {
+        "x-distinctCount": {"min": 1},
+    }}}).run(seq, key="doc_id", partition_by="source")
+    return res.verdicts.select("partition_id", "check_id",
+                               F.col("metric_value").alias("metric"))
+
+
+@register(
     "drift_ks_ntok",
     oracle_with_sequences(
         """
@@ -1068,6 +1090,78 @@ def ann_cosine_topk(spark, sf_dir):
         .alias("cos"),
     )
     return sims.orderBy(F.desc("cos"), F.col("vec_id")).limit(10)
+
+
+@register(
+    "text_lang_quality",
+    """
+WITH t AS (SELECT doc_id, text,
+    regexp_split_to_array(lower(trim(text)), '\\s+') AS wl FROM documents),
+m AS (SELECT doc_id, text, wl,
+    CAST(length(regexp_replace(text, '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+      / greatest(length(text), 1) AS ascii_ratio,
+    CAST(len(list_filter(wl, w -> w IN ('the','a','an','and','or','of','to',
+      'in','is','are','was','were','be','been','it','this','that','for','on',
+      'with','as','at','by','from','not'))) AS DOUBLE) / len(wl) AS swr,
+    CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+      / length(text) AS pr,
+    CAST(list_sum(list_transform(regexp_split_to_array(trim(text), '\\s+'),
+      w -> length(w))) AS DOUBLE)
+      / len(regexp_split_to_array(trim(text), '\\s+')) AS mwl
+  FROM t)
+SELECT doc_id,
+  CASE WHEN swr >= 0.02 AND ascii_ratio >= 0.9 THEN 'en'
+       ELSE 'unknown' END AS lang_pred,
+  round((CASE WHEN length(text) BETWEEN 50 AND 20000 THEN 1.0 ELSE 0.0 END
+       + CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END
+       + CASE WHEN swr BETWEEN 0.05 AND 0.7 THEN 1.0 ELSE 0.0 END
+       + CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END) / 4.0,
+       6) AS quality
+FROM m
+""",
+)
+def text_lang_quality(spark, sf_dir):
+    """Language-ID heuristic (stopword + ASCII ratios) and the composite
+    quality score — both fully native Column math mirrored in SQL."""
+    from jsonschema_valid_spark.functions.text import lang_id, quality_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    c = F.col("text")
+    return docs.select(
+        "doc_id",
+        lang_id(c).alias("lang_pred"),
+        F.round(quality_score(c), 6).alias("quality"),
+    )
+
+
+@register(
+    "text_bpe_tokens",
+    # identity: the boundary-split token count equals (#alnum runs) +
+    # (#non-alnum, non-space characters) — expressible without lookarounds,
+    # which DuckDB's RE2 lacks
+    "SELECT doc_id, CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) "
+    "+ length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS INTEGER) "
+    "AS n_subtokens FROM documents",
+)
+def text_bpe_tokens(spark, sf_dir):
+    """BPE-ish sub-token estimate (regex pre-tokenization approximation)."""
+    from jsonschema_valid_spark.functions.text import bpe_ish_token_count
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).alias("n_subtokens"))
+
+
+@register("emb_neardup_lsh", None)  # seeded-Gaussian hyperplanes: no oracle
+def emb_neardup_lsh(spark, sf_dir):
+    """Embedding near-dup pairs via multiprobe hyperplane LSH (8 tables) +
+    exact cosine verify — the 100 TB-scale path whose recall is
+    pytest-asserted against brute force (rows-only driver check)."""
+    from jsonschema_valid_spark.functions.similarity import cosine_neardup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45,
+                                bits=12, tables=8, dim=64)
 
 
 @register("dedup_minhash_lsh", None)  # xxhash64-based: no DuckDB oracle

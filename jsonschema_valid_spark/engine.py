@@ -76,7 +76,11 @@ class ValidationResult:
 
     def render(self, max_rows: int = 20, width: int = 78) -> str:
         """Driver-side pretty printer (≙ ``error.rs:37-68``: wrapped text with
-        instance/schema context)."""
+        instance AND schema context). The schema JSON comes from the compiled
+        plan (driver memory), never from per-row columns — the violations DF
+        stays slim at 10^12 rows."""
+        schema_of = {rc.check_id: rc.schema_json
+                     for rc in self.plan.row_checks if rc.schema_json}
         rows = self.violations.limit(max_rows).collect()
         out = []
         for r in rows:
@@ -84,6 +88,10 @@ class ValidationResult:
             msg = (f"doc {r['doc_id']}: expected {r['expected']}, "
                    f"observed {r['observed']}  [at {at}]")
             out.append(textwrap.fill(msg, width=width, subsequent_indent="    "))
+            sj = schema_of.get(r["check_id"])
+            if sj:
+                out.append(textwrap.fill(f"    schema: {sj}", width=width,
+                                         subsequent_indent="        "))
         n = len(rows)
         if n == max_rows:
             out.append(f"... (showing first {max_rows})")

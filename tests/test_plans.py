@@ -80,6 +80,41 @@ def test_filter_pushdown_reaches_scan(spark, lineitem):
     assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,10" in plan.replace(".0", ""), plan
 
 
+def test_bucketed_layout_makes_uniqueness_shuffle_free(spark):
+    """A table bucketed on the uniqueness key runs BOTH phases of the salted
+    duplicate-key aggregate with ZERO Exchange — the write-time shuffle
+    replaces the 100 TB read-time one. HashPartitioning(key) satisfies the
+    clustered distribution of the (key, salt) phase-1 grouping too."""
+    from jsonschema_valid_spark.operators.uniqueness import duplicate_keys
+    from jsonschema_valid_spark.sources.bucketing import (
+        read_bucketed,
+        write_bucketed,
+    )
+
+    df = spark.createDataFrame(
+        [(f"d{i % 40}", i) for i in range(200)], "doc_id string, x long")
+    write_bucketed(df, "bucketed_seq_test", "doc_id", buckets=4)
+    try:
+        bucketed = read_bucketed(spark, "bucketed_seq_test")
+        plan = _plan(duplicate_keys(bucketed, "doc_id"))
+        assert "Exchange" not in plan, plan
+        # and the result is still correct
+        dups = duplicate_keys(bucketed, "doc_id").count()
+        assert dups == 40  # every key appears 5 times
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucketed_seq_test")
+
+
+def test_unbucketed_uniqueness_does_shuffle(spark):
+    """Control: the same aggregate over a plain DataFrame needs its shuffle —
+    proving the bucketed assertion above is the layout's doing."""
+    from jsonschema_valid_spark.operators.uniqueness import duplicate_keys
+
+    df = spark.createDataFrame(
+        [(f"d{i % 40}", i) for i in range(200)], "doc_id string, x long")
+    assert "Exchange" in _plan(duplicate_keys(df, "doc_id"))
+
+
 def test_summarized_agg_scan_drops_array_column(spark):
     """run_suite_summarized's slim agg pass must NOT read the token arrays
     (column pruning) — that's the point of deriving row counters from the

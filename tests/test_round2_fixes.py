@@ -42,6 +42,8 @@ def test_render_uses_instance_path_and_description(spark):
     out = res.render()
     assert "[at properties/a/items[1]]" in out
     assert "token ids must be non-negative" in out
+    # schema context (≙ error.rs:47-58) rendered from the compiled plan
+    assert 'schema: {"items": {"minimum": 0}}' in out
 
 
 # ---------------------------------------------------------------------------
