@@ -432,6 +432,99 @@ def kw_format(spark, sf_dir):
     return _viol_long_key(res, "c_custkey")
 
 
+def _format_oracle_sql() -> str:
+    from jsonschema_valid_spark.formats import (
+        IPV6_RE,
+        JSON_POINTER_RE,
+        TIME_RE,
+        URI_RE,
+    )
+
+    # RE2 (DuckDB) lacks lookahead: the hostname length guard becomes an
+    # explicit length() predicate; the label regex is the same
+    host_body = (r"^[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?"
+                 r"(\.[A-Za-z0-9]([A-Za-z0-9-]{0,61}[A-Za-z0-9])?)*$")
+    return f"""
+WITH e AS (SELECT event_id,
+  CASE WHEN event_id % 9 = 0 THEN '-bad.example.com'
+       ELSE concat('node-', CAST(event_id % 50 AS VARCHAR), '.example.com')
+       END AS host,
+  CASE WHEN event_id % 7 = 0 THEN 'not a uri'
+       ELSE concat('https://ex.com/', CAST(event_id AS VARCHAR)) END AS uri,
+  CASE WHEN event_id % 5 = 0 THEN '2024-13-40'
+       ELSE concat('2024-', lpad(CAST(1 + event_id % 12 AS VARCHAR), 2, '0'),
+                   '-', lpad(CAST(1 + event_id % 28 AS VARCHAR), 2, '0'))
+       END AS dt,
+  CASE WHEN event_id % 11 = 0 THEN '12:34' ELSE '12:34:56' END AS tm,
+  CASE WHEN event_id % 13 = 0 THEN 'a/b'
+       ELSE concat('/a/b/', CAST(event_id AS VARCHAR)) END AS jp,
+  CASE WHEN event_id % 17 = 0 THEN 'g001:db8::1'
+       ELSE concat('2001:db8::', format('{{:x}}', event_id % 65535)) END AS ip6
+  FROM events)
+SELECT event_id, 'properties/host/format' AS check_id FROM e
+  WHERE NOT (length(host) BETWEEN 1 AND 253
+             AND regexp_matches(host, '{host_body}'))
+UNION ALL
+SELECT event_id, 'properties/uri/format' AS check_id FROM e
+  WHERE NOT regexp_matches(uri, '{URI_RE}')
+UNION ALL
+SELECT event_id, 'properties/dt/format' AS check_id FROM e
+  WHERE NOT (regexp_matches(dt, '^\\d{{4}}-\\d{{2}}-\\d{{2}}$')
+             AND TRY_CAST(dt AS DATE) IS NOT NULL)
+UNION ALL
+SELECT event_id, 'properties/tm/format' AS check_id FROM e
+  WHERE NOT regexp_matches(tm, '{TIME_RE}')
+UNION ALL
+SELECT event_id, 'properties/jp/format' AS check_id FROM e
+  WHERE NOT regexp_matches(jp, '{JSON_POINTER_RE}')
+UNION ALL
+SELECT event_id, 'properties/ip6/format' AS check_id FROM e
+  WHERE NOT regexp_matches(ip6, '{IPV6_RE}')
+"""
+
+
+@register("kw_format_extended", _format_oracle_sql())
+def kw_format_extended(spark, sf_dir):
+    """Format checkers beyond email/ipv4: hostname, uri, date, time,
+    json-pointer, ipv6 (format.rs:21-61) — the SAME regex constants are
+    interpolated into the DuckDB oracle (RE2-compatible except the hostname
+    length lookahead, mirrored as an explicit length guard)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    eid = F.col("event_id")
+    df = ev.select(
+        "event_id",
+        F.when(eid % 9 == 0, F.lit("-bad.example.com"))
+        .otherwise(F.concat(F.lit("node-"), (eid % 50).cast("string"),
+                            F.lit(".example.com"))).alias("host"),
+        F.when(eid % 7 == 0, F.lit("not a uri"))
+        .otherwise(F.concat(F.lit("https://ex.com/"),
+                            eid.cast("string"))).alias("uri"),
+        F.when(eid % 5 == 0, F.lit("2024-13-40"))
+        .otherwise(F.concat(
+            F.lit("2024-"), F.lpad((1 + eid % 12).cast("string"), 2, "0"),
+            F.lit("-"), F.lpad((1 + eid % 28).cast("string"), 2, "0")))
+        .alias("dt"),
+        F.when(eid % 11 == 0, F.lit("12:34")).otherwise(F.lit("12:34:56"))
+        .alias("tm"),
+        F.when(eid % 13 == 0, F.lit("a/b"))
+        .otherwise(F.concat(F.lit("/a/b/"), eid.cast("string"))).alias("jp"),
+        F.when(eid % 17 == 0, F.lit("g001:db8::1"))
+        .otherwise(F.concat(F.lit("2001:db8::"),
+                            F.lower(F.hex(eid % 65535)))).alias("ip6"),
+    )
+    res = CheckSuite({"properties": {
+        "host": {"format": "hostname"},
+        "uri": {"format": "uri"},
+        "dt": {"format": "date"},
+        "tm": {"format": "time"},
+        "jp": {"format": "json-pointer"},
+        "ip6": {"format": "ipv6"},
+    }}).run(df, key="event_id")
+    return _viol_long_key(res, "event_id")
+
+
 @register(
     "kw_items_tuple",
     oracle_with_sequences(
@@ -1162,6 +1255,31 @@ def emb_neardup_lsh(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     return cosine_neardup_pairs(emb, "vec_id", "embedding", threshold=0.45,
                                 bits=12, tables=8, dim=64)
+
+
+@register(
+    "media_decode_features",
+    # the deterministic fake payload is `('media-%06d' % i) * 7` compressed:
+    # 12 chars x 7 = 84 bytes decompressed — the oracle replays the metadata
+    # arithmetic, proving mapInPandas batch/row alignment and schema
+    "SELECT printf('media-%06d', CAST(i AS INT)) AS media_id, "
+    "CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+    "ELSE 'video' END AS media_type, CAST(84 AS INT) AS n_bytes "
+    "FROM range(64) t(i)",
+)
+def media_decode_features(spark, sf_dir):
+    """Multimodal decode plumbing through Arrow-batched mapInPandas (the
+    deterministic fake kernel — the real PIL/ffmpeg kernel drops into the
+    same schema/batch shape). The oracle checks ids, types, and payload
+    sizes; the feature vectors themselves are Python-kernel output and are
+    pytest-verified."""
+    from jsonschema_valid_spark.functions.multimodal import (
+        decode_features,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, 64)
+    return decode_features(media).select("media_id", "media_type", "n_bytes")
 
 
 @register("dedup_minhash_lsh", None)  # xxhash64-based: no DuckDB oracle
