@@ -1087,6 +1087,14 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
     elif kw == "x-unique":
         if v is True:
             plan.dataset_checks.append(DatasetCheck(cid, "unique", colname, {}))
+        elif isinstance(v, dict) and v.get("approx"):
+            # HLL++ sketch mode: ONE aggregation pass, no key shuffle
+            # (operators/uniqueness.py approx_unique_verdict). Trades proof
+            # for speed: duplicates below rsd·n can pass — the 10^12-row
+            # fast gate; exact mode remains the proof path.
+            plan.dataset_checks.append(DatasetCheck(
+                cid, "unique", colname,
+                {"approx": True, "rsd": float(v.get("rsd", 0.01))}))
     elif kw == "x-referential":
         plan.dataset_checks.append(DatasetCheck(cid, "referential", colname, dict(v)))
     elif kw == "x-drift":

@@ -100,6 +100,38 @@ class ValidationResult:
         return "\n".join(out)
 
 
+def _approx_unique_verdict_df(df: DataFrame, dc) -> DataFrame:
+    """x-unique {"approx": true}: HLL++ sketch verdict — one aggregation
+    pass, no key shuffle. metric = estimated duplicate count; passed when
+    the estimate is inside the sketch's noise band (duplicates below rsd·n
+    can pass — the documented speed-for-proof trade)."""
+    from jsonschema_valid_spark.operators import uniqueness as uniq_op
+
+    rsd = float(dc.params.get("rsd", 0.01))
+    probe = uniq_op.approx_unique_verdict(df, dc.column, rsd=rsd)
+    return probe.select(
+        F.lit("<global>").alias("partition_id"),
+        F.lit(dc.check_id).alias("check_id"),
+        (~F.col("definitely_dups")).alias("passed"),
+        (F.col("n_rows") - F.col("approx_distinct"))
+        .cast("double").alias("metric_value"),
+        F.lit(rsd).cast("double").alias("threshold"),
+    )
+
+
+def _resolve_drift_baseline(params: dict, context: dict) -> dict:
+    """x-drift baseline may be a literal {bucket: count} dict or "@name" —
+    a context DataFrame of (bucket, count) rows (e.g. a histogram captured
+    from a reference corpus). The histogram is #buckets rows: collecting it
+    driver-side is the broadcast-small-side pattern, not a scale hazard."""
+    b = params.get("baseline")
+    if isinstance(b, str) and b.startswith("@"):
+        bdf = context[b[1:]]
+        params = dict(params)
+        params["baseline"] = {int(r[0]): int(r[1]) for r in bdf.collect()}
+    return params
+
+
 def row_violations(df: DataFrame, plan: BoundPlan, key: str) -> DataFrame:
     """All row checks → one projection; returns the violations DF."""
     structs = []
@@ -233,7 +265,12 @@ def run_suite_summarized(
 
     context = context or {}
     ds_viols = []
+    approx_unique_verdicts = []
     for dc in plan.dataset_checks:
+        if dc.kind == "unique" and dc.params.get("approx"):
+            approx_unique_verdicts.append(
+                _approx_unique_verdict_df(df, dc))
+            continue
         if dc.kind == "unique":
             vdf = uniq_op.uniqueness_violations(df, dc.column, dc.check_id)
         elif dc.kind == "referential":
@@ -320,13 +357,15 @@ def run_suite_summarized(
                     (F.col("nb") == 0).alias("passed"),
                     F.col("nb").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold")))
+    verdict_dfs.extend(approx_unique_verdicts)
     # drift stays on its own histogram pass (slim: one numeric column)
     from jsonschema_valid_spark.operators import drift as drift_op
 
     for dc in plan.dataset_checks:
         if dc.kind == "drift":
             verdict_dfs.extend(drift_op.drift_verdict_dfs(
-                df, dc.column, dc.check_id, dc.params, spark))
+                df, dc.column, dc.check_id,
+                _resolve_drift_baseline(dc.params, context), spark))
 
     verdicts = (_union(verdict_dfs) if verdict_dfs
                 else spark.createDataFrame([], VERDICT_SCHEMA))
@@ -382,7 +421,9 @@ def run_suite(
         verdict_dfs.append(fv)
 
     for dc in plan.dataset_checks:
-        if dc.kind == "unique":
+        if dc.kind == "unique" and dc.params.get("approx"):
+            verdict_dfs.append(_approx_unique_verdict_df(df, dc))
+        elif dc.kind == "unique":
             dups = uniq_op.duplicate_keys(df, dc.column)
             violation_dfs.append(
                 _with_ipath(uniq_op.uniqueness_violations(df, dc.column, dc.check_id))
@@ -416,8 +457,9 @@ def run_suite(
             )
         elif dc.kind == "drift":
             verdict_dfs.extend(
-                drift_op.drift_verdict_dfs(df, dc.column, dc.check_id,
-                                           dc.params, spark)
+                drift_op.drift_verdict_dfs(
+                    df, dc.column, dc.check_id,
+                    _resolve_drift_baseline(dc.params, context), spark)
             )
         elif dc.kind == "parity":
             ref_df = dc.params["reference"]

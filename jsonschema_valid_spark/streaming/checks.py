@@ -132,3 +132,77 @@ def stream_running_null_rate(sdf: DataFrame, group_col: str, value_col: str,
             outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
+                          baseline: dict, bucket_width: float = 1.0,
+                          psi_max: float = 0.25,
+                          window_duration: str = "1 minute",
+                          watermark: str = "2 minutes") -> DataFrame:
+    """Per-window PSI drift vs a literal baseline histogram — the streaming
+    form of ``operators/drift.py``.
+
+    Plan: windowed histogram (stateful agg #1: state = #windows × #buckets
+    counters) → per-window collect of the tiny (bucket, count) list (stateful
+    agg #2, chained via ``window_time`` — Spark supports multiple stateful
+    aggregations in append mode) → PSI computed with native array HOFs over
+    ≤ #buckets entries per window. The baseline rides as a literal map
+    expression; no Python at runtime, state bounded by the watermark.
+
+    Emits one verdict row per closed window:
+    ``(window_start, window_end, check_id, passed, metric_value, threshold)``.
+    """
+    eps = 1e-9
+    btotal = float(sum(baseline.values())) or 1.0
+    bmap = F.create_map(*[F.lit(v).cast("long")
+                          for kv in sorted(baseline.items())
+                          for v in (int(kv[0]), int(kv[1]))])
+    bbuckets = F.array(*[F.lit(int(b)).cast("long") for b in sorted(baseline)])
+
+    wm = sdf.withWatermark(ts_col, watermark)
+    hist = (
+        wm.groupBy(
+            F.window(F.col(ts_col), window_duration).alias("w"),
+            F.floor(F.col(column) / F.lit(float(bucket_width)))
+            .cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_w = (
+        hist.groupBy(F.window(F.window_time("w"), window_duration).alias("w"))
+        .agg(F.collect_list(F.struct("bucket", "cnt")).alias("h"))
+    )
+
+    obs_total = F.aggregate(
+        "h", F.lit(0).cast("long"), lambda a, e: a + e["cnt"]).cast("double")
+    obs_buckets = F.transform("h", lambda e: e["bucket"])
+
+    def term_for(e):
+        po = e["cnt"].cast("double") / F.col("__ot")
+        pb = F.coalesce(F.try_element_at(bmap, e["bucket"]),
+                        F.lit(0)).cast("double") / F.lit(btotal)
+        return (po - pb) * F.log((po + F.lit(eps)) / (pb + F.lit(eps)))
+
+    def base_only_term(b):
+        pb = F.coalesce(F.try_element_at(bmap, b),
+                        F.lit(0)).cast("double") / F.lit(btotal)
+        return (F.lit(0.0) - pb) * F.log(F.lit(eps) / (pb + F.lit(eps)))
+
+    stage = per_w.select(
+        "w", "h", obs_total.alias("__ot"), obs_buckets.alias("__ob"))
+    psi = (
+        F.aggregate("h", F.lit(0.0), lambda a, e: a + term_for(e))
+        + F.aggregate(
+            F.transform(
+                F.filter(bbuckets,
+                         lambda b: ~F.array_contains(F.col("__ob"), b)),
+                base_only_term),
+            F.lit(0.0), lambda a, x: a + x)
+    )
+    return stage.select(
+        F.col("w.start").alias("window_start"),
+        F.col("w.end").alias("window_end"),
+        F.lit(f"x-drift/{column}/psi").alias("check_id"),
+        (psi <= F.lit(float(psi_max))).alias("passed"),
+        psi.cast("double").alias("metric_value"),
+        F.lit(float(psi_max)).cast("double").alias("threshold"),
+    )

@@ -160,10 +160,12 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-nullRate must be {'max': τ} and/or {'min': τ}")
         elif kw == "x-unique":
             if not (isinstance(v, bool)
+                    or (isinstance(v, dict) and "approx" in v)
                     or (isinstance(v, list) and v
                         and all(isinstance(x, str) for x in v))):
-                raise _err(p, "x-unique must be boolean (column scope) or a "
-                              "list of columns (root scope, composite key)")
+                raise _err(p, "x-unique must be boolean (column scope), "
+                              "{'approx': true, 'rsd'?: e} (HLL sketch mode), "
+                              "or a list of columns (root scope, composite key)")
         elif kw == "x-referential":
             if not isinstance(v, dict) or "domain" not in v:
                 raise _err(p, "x-referential must be {'domain': <table|list>, ...}")
@@ -185,6 +187,21 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
         elif kw == "x-rowExpr":
             if not isinstance(v, str):
                 raise _err(p, "x-rowExpr must be a SQL boolean expression string")
+            # parse eagerly so a malformed expression fails suite validation
+            # (the analog of the compile-time regex check for `pattern`) —
+            # no Spark JOB launches, but expression parsing needs the JVM;
+            # skip silently when no session exists yet (bind() will parse).
+            try:
+                from pyspark.sql import SparkSession
+
+                s = SparkSession.getActiveSession()
+                if s is not None:
+                    # F.expr() is lazy in Spark 4 — drive the Catalyst
+                    # parser directly so the syntax error surfaces here
+                    s._jsparkSession.sessionState().sqlParser(
+                        ).parseExpression(v)
+            except Exception as e:  # ParseException
+                raise _err(p, f"invalid SQL expression: {e}")
         elif kw == "x-parity":
             if not isinstance(v, dict) or "reference" not in v:
                 raise _err(p, "x-parity must be {'reference': '@name', 'key': k?, 'mode': 'native'|'arrow'?}")

@@ -176,3 +176,71 @@ def test_resumed_run_exit_reflects_prior_partitions(spark, tmp_path):
     assert s2.processed == []
     assert s2.total_violations == 0      # the old (buggy) exit-code source
     assert runner.failed(spark) is True  # the fixed one
+
+
+# ---------------------------------------------------------------------------
+# x-unique approx (HLL sketch) mode + x-drift baseline-from-table
+# ---------------------------------------------------------------------------
+
+def test_approx_unique_sketch_mode(spark):
+    heavy = spark.createDataFrame(
+        [("k", i) for i in range(1000)] + [(f"u{i}", i) for i in range(100)],
+        "doc_id string, x long")
+    suite = CheckSuite({"properties": {"doc_id": {
+        "x-unique": {"approx": True, "rsd": 0.01}}}})
+    res = suite.run(heavy, key="doc_id")
+    v = res.verdicts.where(
+        F.col("check_id") == "properties/doc_id/x-unique").first()
+    assert v["passed"] is False          # 999 dups >> 1% of 1100
+    assert v["metric_value"] > 900       # estimated duplicate count
+    # sketch mode emits NO violation rows (verdict-only fast gate)
+    assert res.violations.where(
+        F.col("check_id") == "properties/doc_id/x-unique").isEmpty()
+
+    uniq = spark.createDataFrame(
+        [(f"u{i}", i) for i in range(1000)], "doc_id string, x long")
+    res2 = suite.run(uniq, key="doc_id")
+    assert res2.verdicts.where(
+        F.col("check_id") == "properties/doc_id/x-unique").first()["passed"]
+
+
+def test_approx_unique_summarized_path(spark):
+    from jsonschema_valid_spark.engine import run_suite_summarized
+
+    heavy = spark.createDataFrame(
+        [("k", i) for i in range(1000)], "doc_id string, x long")
+    suite = CheckSuite({"properties": {"doc_id": {
+        "x-unique": {"approx": True}}}})
+    res = run_suite_summarized(suite, heavy, key="doc_id")
+    v = res.verdicts.where(
+        F.col("check_id") == "properties/doc_id/x-unique").first()
+    res.unpersist()
+    assert v["passed"] is False
+
+
+def test_drift_baseline_from_context_table(spark):
+    # i % 15 skews bucket 0 (10/15 of rows) vs the 50/50 baseline → PSI > 0
+    df = spark.createDataFrame([(i, float(i % 15)) for i in range(300)],
+                               "id long, x double")
+    lit_baseline = {0: 100, 1: 100}
+    base_df = spark.createDataFrame(list(lit_baseline.items()),
+                                    "bucket long, count long")
+    spec = lambda b: {"properties": {"x": {
+        "x-drift": {"baseline": b, "bucketWidth": 10.0, "psiMax": 0.5}}}}
+    via_table = CheckSuite(spec("@base")).run(
+        df, key="id", context={"base": base_df})
+    via_dict = CheckSuite(spec(lit_baseline)).run(df, key="id")
+    mt = via_table.verdicts.where(
+        F.col("check_id").contains("x-drift")).first()["metric_value"]
+    md = via_dict.verdicts.where(
+        F.col("check_id").contains("x-drift")).first()["metric_value"]
+    assert abs(mt - md) < 1e-12 and mt > 0
+
+
+def test_bad_rowexpr_fails_at_suite_validation(spark):
+    """Malformed x-rowExpr SQL fails suite validation on the driver (the
+    analog of the compile-time regex check) — no job ever launches."""
+    from jsonschema_valid_spark.suite.spec import SuiteError
+
+    with pytest.raises(SuiteError, match="invalid SQL expression"):
+        CheckSuite({"x-rowExpr": "n_tok = ("})

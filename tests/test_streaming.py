@@ -84,3 +84,30 @@ def test_stream_dedup(spark, tmp_path):
     _run_to_memory(out, "dedup_sink")
     got = spark.sql("select k from dedup_sink").collect()
     assert sorted(r["k"] for r in got) == ["a", "b"]
+
+
+def test_stream_windowed_drift_matches_batch(spark, stream_dir):
+    """Per-window streaming PSI (chained stateful aggs + HOF math) must equal
+    the batch operator's PSI computed over the same window slices."""
+    from jsonschema_valid_spark.operators.drift import histogram, psi
+    from jsonschema_valid_spark.streaming.checks import stream_windowed_drift
+
+    path, batch_df = stream_dir
+    baseline = {0: 30, 1: 40, 2: 30, 3: 10}
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    drift = stream_windowed_drift(sdf, "v", "ts", baseline, bucket_width=25.0,
+                                  psi_max=0.1, window_duration="1 minute",
+                                  watermark="0 seconds")
+    assert drift.isStreaming
+    _run_to_memory(drift, "drift_sink")
+    got = spark.sql("select * from drift_sink").collect()
+    assert len(got) >= 8  # the final window may stay open at watermark 0
+
+    for r in got:
+        sliced = batch_df.where(
+            (F.col("ts") >= r["window_start"]) & (F.col("ts") < r["window_end"]))
+        expected = psi(histogram(sliced, "v", 25.0), baseline, spark)
+        assert abs(r["metric_value"] - expected) < 1e-9, (
+            r["window_start"], r["metric_value"], expected)
+        assert r["passed"] == (expected <= 0.1)
+        assert r["check_id"] == "x-drift/v/psi"
