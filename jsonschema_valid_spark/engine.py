@@ -100,6 +100,49 @@ class ValidationResult:
         return "\n".join(out)
 
 
+def _inline_referential(plan: BoundPlan, context: dict) -> None:
+    """x-referential {"inline": true}: collect the (dimension-sized) domain
+    on the driver and compile membership into the fused ROW pass as an
+    `isin` predicate — the referential check then costs ZERO extra scans of
+    the fact table (it rides the heavy pass that is already running),
+    instead of one broadcast-anti-join scan per check.
+
+    Only sane for genuinely small domains (the values become plan literals):
+    the engine refuses above 100k values — use the default broadcast
+    anti-join there, which ships the domain once per executor instead of
+    once per task closure."""
+    from jsonschema_valid_spark.suite.spec import SuiteBindError
+
+    keep = []
+    for dc in plan.dataset_checks:
+        if dc.kind != "referential" or not dc.params.get("inline"):
+            keep.append(dc)
+            continue
+        dom = dc.params["domain"]
+        if isinstance(dom, str) and dom.startswith("@"):
+            dom = context[dom[1:]]
+        if isinstance(dom, DataFrame):
+            dcol = dc.params.get("domainColumn") or dom.columns[0]
+            values = [r[0] for r in dom.select(dcol).distinct().collect()]
+        else:
+            values = list(dom)
+        if len(values) > 100_000:
+            raise SuiteBindError(
+                f"{dc.check_id}: inline domain has {len(values)} values; "
+                "inline mode is for dimension-sized domains (<=100k) — "
+                "drop 'inline' to use the broadcast anti-join")
+        col = F.col(dc.column)
+        from jsonschema_valid_spark.compiler import RowCheck
+
+        plan.row_checks.append(RowCheck(
+            dc.check_id,
+            F.coalesce(col.isNull() | col.isin(*values), F.lit(True)),
+            col.cast("string"),
+            f"{dc.column} in domain ({len(values)} values)",
+        ))
+    plan.dataset_checks = keep
+
+
 def _approx_unique_verdict_df(df: DataFrame, dc) -> DataFrame:
     """x-unique {"approx": true}: HLL++ sketch verdict — one aggregation
     pass, no key shuffle. metric = estimated duplicate count; passed when
@@ -230,6 +273,8 @@ def run_suite_summarized(
     """
     spark = spark or df.sparkSession
     plan = bind(suite, df)
+    context = context or {}
+    _inline_referential(plan, context)
     pk = (F.col(partition_by).cast("string") if partition_by
           else F.spark_partition_id().cast("string"))
 
@@ -410,6 +455,7 @@ def run_suite(
         raise SuiteBindError(f"partition_by column {partition_by!r} not in "
                              f"DataFrame columns {df.columns}")
     plan = bind(suite, df)
+    _inline_referential(plan, context)
 
     pk = (F.col(partition_by).cast("string") if partition_by
           else F.spark_partition_id().cast("string"))

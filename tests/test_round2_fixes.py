@@ -244,3 +244,30 @@ def test_bad_rowexpr_fails_at_suite_validation(spark):
 
     with pytest.raises(SuiteError, match="invalid SQL expression"):
         CheckSuite({"x-rowExpr": "n_tok = ("})
+
+
+def test_inline_referential_rides_the_row_pass(spark):
+    """x-referential {"inline": true}: small domains compile into the fused
+    row projection — same violations as the broadcast anti-join, but ZERO
+    extra scans (and no join at all in the violations plan)."""
+    from jsonschema_valid_spark.sources.sequences import source_domain
+
+    seq = load_sequences(spark, SF_DIR)
+    dom = source_domain(spark, SF_DIR)
+
+    def run(inline):
+        spec = {"domain": "@d"}
+        if inline:
+            spec["inline"] = True
+        return CheckSuite({"properties": {"source": {
+            "x-referential": spec}}}).run(seq, key="doc_id",
+                                          context={"d": dom})
+
+    va = sorted((r["doc_id"], r["check_id"])
+                for r in run(False).violations.collect())
+    res_inline = run(True)
+    vi = sorted((r["doc_id"], r["check_id"])
+                for r in res_inline.violations.collect())
+    assert va == vi and len(vi) > 0
+    plan = res_inline.violations._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
