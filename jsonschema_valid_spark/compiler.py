@@ -713,6 +713,16 @@ def _eval_name_suite(spec: Any, name: str, path: tuple) -> bool:
             ok = ok and "string" in names
         elif kw == "not":
             ok = ok and not _eval_name_suite(v, name, path + ("not",))
+        elif kw == "allOf":
+            ok = ok and all(_eval_name_suite(s, name, path + (kw, i))
+                            for i, s in enumerate(v))
+        elif kw == "anyOf":
+            ok = ok and any(_eval_name_suite(s, name, path + (kw, i))
+                            for i, s in enumerate(v))
+        elif kw == "oneOf":
+            ok = ok and sum(
+                1 for i, s in enumerate(v)
+                if _eval_name_suite(s, name, path + (kw, i))) == 1
     return ok
 
 
@@ -728,6 +738,14 @@ def bind(suite, df: DataFrame) -> BoundPlan:
     spec = suite.spec
     ctx = _Ctx(suite)
     plan = BoundPlan()
+    # root-level $ref: the whole suite delegates to the target
+    # (validators.rs:60-63 applies at the root too); same cycle guard
+    seen: set[int] = set()
+    while isinstance(spec, dict) and "$ref" in spec:
+        if id(spec) in seen:
+            raise SuiteError("recursive root $ref cycle — not compilable")
+        seen.add(id(spec))
+        spec = ctx.resolver.resolve(spec["$ref"], scope=spec)
     if spec is True or spec == {}:
         return plan
     if spec is False:
