@@ -79,3 +79,105 @@ def test_nullrate_and_enum_match_python(spark, xs, tau):
     verdict = res.verdicts.where("check_id like '%x-nullRate%'").first()
     assert verdict["passed"] == (null_rate <= tau + 1e-12)
     assert verdict["metric_value"] == pytest.approx(null_rate)
+
+
+# ---------------------------------------------------------------------------
+# random combinator suites vs a pure-Python evaluator (null-collapse
+# semantics): the generic compile-correctness property
+# ---------------------------------------------------------------------------
+
+_scalar_leaf = st.one_of(
+    st.builds(lambda v: {"minimum": v}, st.integers(-50, 50)),
+    st.builds(lambda v: {"maximum": v}, st.integers(-50, 50)),
+    st.builds(lambda v: {"exclusiveMinimum": v}, st.integers(-50, 50)),
+    st.builds(lambda v: {"exclusiveMaximum": v}, st.integers(-50, 50)),
+    st.builds(lambda v: {"multipleOf": v}, st.integers(1, 9)),
+    st.builds(lambda v: {"enum": v},
+              st.lists(st.integers(-5, 5), min_size=1, max_size=4)),
+    st.builds(lambda v: {"const": v}, st.integers(-5, 5)),
+)
+
+_scalar_suite = st.recursive(
+    _scalar_leaf,
+    lambda inner: st.one_of(
+        st.builds(lambda s: {"not": s}, inner),
+        st.builds(lambda a, b: {"anyOf": [a, b]}, inner, inner),
+        st.builds(lambda a, b: {"allOf": [a, b]}, inner, inner),
+        st.builds(lambda a, b: {"oneOf": [a, b]}, inner, inner),
+        # $ref indirection through $defs — exercises the resolver inside
+        # arbitrary nesting (value-scope $ref short-circuits siblings)
+        st.builds(lambda s: {"$defs": {"d0": s}, "$ref": "#/$defs/d0"}, inner),
+    ),
+    max_leaves=4,
+)
+
+
+def _py_eval(spec, x) -> bool:
+    """Pure-Python mirror of compile_value_pred's null-collapse semantics."""
+    if x is None:
+        return True
+    if "$ref" in spec:
+        return _py_eval(spec["$defs"]["d0"], x)
+    ok = True
+    for kw, v in spec.items():
+        if kw == "minimum":
+            ok = ok and x >= v
+        elif kw == "maximum":
+            ok = ok and x <= v
+        elif kw == "exclusiveMinimum":
+            ok = ok and x > v
+        elif kw == "exclusiveMaximum":
+            ok = ok and x < v
+        elif kw == "multipleOf":
+            ok = ok and x % v == 0
+        elif kw == "enum":
+            ok = ok and x in v
+        elif kw == "const":
+            ok = ok and x == v
+        elif kw == "not":
+            ok = ok and not _py_eval(v, x)
+        elif kw == "anyOf":
+            ok = ok and any(_py_eval(s, x) for s in v)
+        elif kw == "allOf":
+            ok = ok and all(_py_eval(s, x) for s in v)
+        elif kw == "oneOf":
+            ok = ok and sum(1 for s in v if _py_eval(s, x)) == 1
+    return ok
+
+
+def _hoist_defs(node, root_defs):
+    """JSON pointers are ROOT-relative: move generated nested $defs up to the
+    document root with unique names (the engine sees a well-formed document;
+    _py_eval evaluates the original nested form)."""
+    if isinstance(node, list):
+        return [_hoist_defs(v, root_defs) for v in node]
+    if not isinstance(node, dict):
+        return node
+    out = {k: _hoist_defs(v, root_defs) for k, v in node.items()
+           if k not in ("$defs", "$ref")}
+    if "$ref" in node:
+        name = f"d{len(root_defs)}"
+        root_defs[name] = None  # reserve before recursing (unique names)
+        root_defs[name] = _hoist_defs(node["$defs"]["d0"], root_defs)
+        out["$ref"] = f"#/$defs/{name}"
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(spec=_scalar_suite,
+       xs=st.lists(st.one_of(st.none(), st.integers(-60, 60)),
+                   min_size=1, max_size=30))
+def test_random_combinator_suite_matches_python(spark, spec, xs):
+    from jsonschema_valid_spark import CheckSuite
+
+    df = spark.createDataFrame(list(enumerate(xs)), "id long, x long")
+    root_defs = {}
+    hoisted = _hoist_defs(spec, root_defs)
+    root = {"properties": {"x": hoisted}}
+    if root_defs:
+        root["$defs"] = root_defs
+    res = CheckSuite(root).run(df, key="id")
+    failing = {int(r["doc_id"]) for r in
+               res.violations.select("doc_id").distinct().collect()}
+    expected = {i for i, x in enumerate(xs) if not _py_eval(spec, x)}
+    assert failing == expected, (spec, xs)
