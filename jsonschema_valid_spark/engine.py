@@ -420,6 +420,30 @@ def run_suite_summarized(
                             violations_part=viol_part)
 
 
+def split_valid(
+    suite,
+    df: DataFrame,
+    key: str = "doc_id",
+    context: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Partition ``df`` into (clean, quarantined) by the suite's ROW checks —
+    the batch form of the streaming quarantine router and the reference's
+    validate-then-act flow (``lib.rs:95-101`` boolean gate, applied per row).
+
+    ONE predicate over one scan per branch; both branches are lazy, so a
+    caller writing only the quarantine side never pays for the clean one.
+    Dataset-scope checks (uniqueness/referential/drift) are not row-local
+    and are NOT applied here — run the full suite for those; inline
+    referential (``x-referential: {inline: true}``) IS row-local and is
+    applied."""
+    plan = bind(suite, df)
+    _inline_referential(plan, context or {})
+    ok = F.lit(True)
+    for rc in plan.row_checks:
+        ok = ok & F.coalesce(rc.pred, F.lit(True))
+    return df.where(ok), df.where(~ok)
+
+
 def run_suite(
     suite,
     df: DataFrame,

@@ -356,3 +356,10 @@ class CheckSuite:
 
         return run_suite(self, df, key=key, partition_by=partition_by,
                          spark=spark, context=context, parity_mode=parity_mode)
+
+    def split(self, df, key: str = "doc_id", context=None):
+        """(clean, quarantined) partition of ``df`` by the ROW checks —
+        see :func:`engine.split_valid`."""
+        from jsonschema_valid_spark.engine import split_valid
+
+        return split_valid(self, df, key=key, context=context)

@@ -271,3 +271,45 @@ def test_inline_referential_rides_the_row_pass(spark):
     assert va == vi and len(vi) > 0
     plan = res_inline.violations._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
+
+
+def test_split_valid_quarantine(spark):
+    """CheckSuite.split: (clean, quarantined) by row checks — exhaustive and
+    disjoint, matching the violations DF's doc set; single-scan predicates."""
+    seq = load_sequences(spark, SF_DIR)
+    suite = CheckSuite(SUITE)
+    clean, bad = suite.split(seq, key="doc_id")
+    n, nc, nb = seq.count(), clean.count(), bad.count()
+    assert nc + nb == n and nb > 0
+    bad_ids = {r["doc_id"] for r in bad.select("doc_id").collect()}
+    viol_ids = {r["doc_id"] for r in
+                suite.run(seq, key="doc_id").violations
+                .select("doc_id").distinct().collect()}
+    assert bad_ids == viol_ids
+    # quarantine branch: one scan, no shuffle, no join
+    plan = bad._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan
+
+
+def test_property_names_combinators_bind(spark):
+    from jsonschema_valid_spark import SuiteBindError
+
+    df = spark.createDataFrame([("a", 1)], "id string, x long")
+    # anyOf over name patterns: both columns match one branch
+    CheckSuite({"propertyNames": {"anyOf": [
+        {"pattern": "^id$"}, {"pattern": "^x$"}]}}).run(df, key="id")
+    # allOf with a failing arm ("id" is longer than 1 char)
+    with pytest.raises(SuiteBindError):
+        CheckSuite({"propertyNames": {"allOf": [
+            {"pattern": "^[a-z]+$"}, {"maxLength": 1}]}}).run(df, key="id")
+
+
+def test_depth2_struct_properties(spark):
+    df = spark.createDataFrame(
+        [("d1", {"inner": {"v": 5}}), ("d2", {"inner": {"v": 50}}),
+         ("d3", {"inner": None})],
+        "id string, s struct<inner:struct<v:long>>")
+    res = CheckSuite({"properties": {"s": {"properties": {"inner": {
+        "properties": {"v": {"maximum": 10}}}}}}}).run(df, key="id")
+    got = {(r["doc_id"], r["check_id"]) for r in res.violations.collect()}
+    assert got == {("d2", "properties/s/properties")}
