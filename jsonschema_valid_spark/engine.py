@@ -308,7 +308,6 @@ def run_suite_summarized(
     from jsonschema_valid_spark.operators import referential as ref_op
     from jsonschema_valid_spark.operators import uniqueness as uniq_op
 
-    context = context or {}
     ds_viols = []
     approx_unique_verdicts = []
     for dc in plan.dataset_checks:

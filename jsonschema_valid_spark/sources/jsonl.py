@@ -57,3 +57,32 @@ def read_jsonl(spark: SparkSession, path: str, suite_spec: dict) -> DataFrame:
     enforced at bind time against the declared columns."""
     schema = suite_to_spark_schema(suite_spec)
     return spark.read.schema(schema).json(path)
+
+
+def validate_documents(spark: SparkSession, docs: list, suite,
+                       key: str | None = None):
+    """Validate in-memory JSON documents — the direct analog of the
+    reference's ``validate(instance, schema)`` entry point
+    (``lib.rs:84-102``), lifted to a (small) batch: documents become rows of
+    the suite-derived schema and run through the SAME compiled plan as a
+    100 TB table. Returns the :class:`ValidationResult`.
+
+    ``key``: a property to use as doc_id; default = the row ordinal. Meant
+    for tests/tooling — per-document Spark round trips are not a serving
+    path (batch the documents)."""
+    import json as _json
+
+    schema = suite_to_spark_schema(suite.spec)
+    if key is None:
+        schema = T.StructType(
+            [T.StructField("__doc_ordinal", T.LongType())] + list(schema))
+        payload = [_json.dumps({**d, "__doc_ordinal": i})
+                   for i, d in enumerate(docs)]
+        key = "__doc_ordinal"
+    else:
+        payload = [_json.dumps(d) for d in docs]
+    from pyspark.sql import functions as F
+
+    df = (spark.createDataFrame([(p,) for p in payload], "value string")
+          .select(F.from_json("value", schema).alias("d")).select("d.*"))
+    return suite.run(df, key=key)

@@ -83,3 +83,25 @@ def test_cli_clean_input_exits_zero(spark, tmp_path):
     rc = main(["--suite", str(suite_path), "--input", str(p),
                "--format", "jsonl", "--output", str(tmp_path / "o2")])
     assert rc == 0
+
+
+def test_validate_documents_helper(spark):
+    """validate_documents ≙ the reference's validate(instance, schema)
+    (lib.rs:84-102) — in-memory docs through the same compiled plan."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.sources.jsonl import validate_documents
+
+    suite = CheckSuite({
+        "required": ["name"],
+        "properties": {"name": {"minLength": 2},
+                       "age": {"minimum": 0}},
+    })
+    res = validate_documents(spark, [
+        {"name": "ok", "age": 3},
+        {"name": "x", "age": -1},
+        {"age": 5},
+    ], suite)
+    got = {(r["doc_id"], r["check_id"]) for r in res.violations.collect()}
+    assert got == {("1", "properties/name/minLength"),
+                   ("1", "properties/age/minimum"),
+                   ("2", "required/name")}
