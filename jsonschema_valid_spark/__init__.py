@@ -32,7 +32,7 @@ from jsonschema_valid_spark.suite.spec import (
     SuiteBindError,
     validate_suite_spec,
 )
-from jsonschema_valid_spark.engine import ValidationResult
+from jsonschema_valid_spark.engine import ValidationResult, split_valid
 
 
 def validate(df, spec, key: str = "doc_id", **kwargs) -> ValidationResult:
@@ -49,6 +49,7 @@ __all__ = [
     "SuiteError",
     "SuiteBindError",
     "ValidationResult",
+    "split_valid",
     "validate",
     "validate_suite_spec",
 ]
