@@ -101,16 +101,34 @@ class CheckpointRunner:
         per-partition slice is directory-pruned instead of a full-file filter
         scan. Without this, N logical partitions over unpartitioned parquet
         cost N full scans; with it, 1 shuffle+write then N pruned reads.
-        Reused across resumes (written once, probed through Spark)."""
+
+        The staged path is keyed by ``suite_hash`` + ``partition_by`` and
+        guarded by a marker table recording the staged row count: a resume is
+        only allowed to reuse the staged copy when the current input still
+        has the same row count (a changed source re-stages instead of
+        silently validating the stale copy). Row count is a coarse
+        fingerprint — same-count content mutations still need a lineage
+        reset (new suite_hash) or an Iceberg snapshot id at deploy scale."""
         spark = df.sparkSession
-        staged = f"{self.base}/staged_input"
+        staged = (f"{self.base}/staged_input/"
+                  f"{self.suite.suite_hash}-{partition_by}")
+        meta = f"{staged}__meta"
         try:
-            return spark.read.parquet(staged)
+            existing = spark.read.parquet(staged)
+            m = spark.read.parquet(meta).first()
+            if (m is not None and m["partition_by"] == partition_by
+                    and int(m["rows"]) == df.count()):
+                return existing
         except AnalysisException:
             pass
         (df.repartition(F.col(partition_by))
            .write.mode("overwrite").partitionBy(partition_by).parquet(staged))
-        return spark.read.parquet(staged)
+        staged_df = spark.read.parquet(staged)
+        n_rows = staged_df.count()
+        spark.createDataFrame(
+            [(partition_by, n_rows)], "partition_by string, rows long"
+        ).write.mode("overwrite").parquet(meta)
+        return staged_df
 
     def run(
         self,
@@ -228,12 +246,24 @@ class CheckpointRunner:
     # -- results ----------------------------------------------------------
 
     def violations(self, spark: SparkSession) -> DataFrame:
-        return spark.read.parquet(self.violations_path).drop("__part")
+        # probe through Spark (not os.path — HDFS/S3 at deploy scale); a run
+        # that committed zero partitions (empty input) has no output dirs yet
+        try:
+            return spark.read.parquet(self.violations_path).drop("__part")
+        except AnalysisException:
+            from jsonschema_valid_spark.engine import VIOLATION_SCHEMA
+
+            return spark.createDataFrame([], VIOLATION_SCHEMA)
 
     def verdicts(self, spark: SparkSession) -> DataFrame:
         # "<rows>" rows are internal lineage metrics, not check verdicts
-        return (spark.read.parquet(self.verdicts_path).drop("__part")
-                .where(F.col("check_id") != "<rows>"))
+        try:
+            df = spark.read.parquet(self.verdicts_path).drop("__part")
+        except AnalysisException:
+            from jsonschema_valid_spark.engine import VERDICT_SCHEMA
+
+            return spark.createDataFrame([], VERDICT_SCHEMA)
+        return df.where(F.col("check_id") != "<rows>")
 
     def failed(self, spark: SparkSession) -> bool:
         """True when ANY committed partition (this run or a previous one)

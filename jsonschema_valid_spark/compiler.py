@@ -1103,7 +1103,9 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
             threshold=float(hi if hi is not None else (lo or 0.0)),
         ))
     elif kw == "x-unique":
-        if v is True:
+        if v is True or (isinstance(v, dict) and not v.get("approx")):
+            # {'approx': false} means the EXACT check, same as `true` — a
+            # declared uniqueness check must never compile to nothing
             plan.dataset_checks.append(DatasetCheck(cid, "unique", colname, {}))
         elif isinstance(v, dict) and v.get("approx"):
             # HLL++ sketch mode: ONE aggregation pass, no key shuffle

@@ -192,16 +192,22 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             # no Spark JOB launches, but expression parsing needs the JVM;
             # skip silently when no session exists yet (bind() will parse).
             try:
+                from pyspark.errors import ParseException
                 from pyspark.sql import SparkSession
 
                 s = SparkSession.getActiveSession()
-                if s is not None:
+                if s is not None and getattr(s, "_jsparkSession", None) is not None:
                     # F.expr() is lazy in Spark 4 — drive the Catalyst
                     # parser directly so the syntax error surfaces here
                     s._jsparkSession.sessionState().sqlParser(
                         ).parseExpression(v)
-            except Exception as e:  # ParseException
+            except ParseException as e:
                 raise _err(p, f"invalid SQL expression: {e}")
+            except Exception:
+                # environment failures (Spark Connect sessions without a
+                # JVM handle, Py4J hiccups) are NOT invalid expressions —
+                # skip the eager check; bind() will surface real errors
+                pass
         elif kw == "x-parity":
             if not isinstance(v, dict) or "reference" not in v:
                 raise _err(p, "x-parity must be {'reference': '@name', 'key': k?, 'mode': 'native'|'arrow'?}")

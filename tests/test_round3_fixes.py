@@ -1,0 +1,130 @@
+"""Round-3 ADVICE fixes: x-unique {'approx': false} compiles to the exact
+check, CheckpointRunner survives zero-work runs, the staged input copy is
+invalidated when the source changes, and the eager x-rowExpr parse only
+rejects genuine SQL parse errors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark import CheckSuite
+from jsonschema_valid_spark.checkpoint import CheckpointRunner
+from jsonschema_valid_spark.suite.spec import SuiteError
+
+
+# ---------------------------------------------------------------------------
+# x-unique: {'approx': false} means the EXACT check, never a silent no-op
+# ---------------------------------------------------------------------------
+
+def test_unique_approx_false_is_exact(spark):
+    dup = spark.createDataFrame(
+        [("k", 1), ("k", 2), ("u1", 3), ("u2", 4)], "doc_id string, x long")
+    suite = CheckSuite({"properties": {"doc_id": {
+        "x-unique": {"approx": False}}}})
+    res = suite.run(dup, key="doc_id")
+    v = res.verdicts.where(
+        F.col("check_id") == "properties/doc_id/x-unique").first()
+    assert v is not None, "declared uniqueness check compiled to nothing"
+    assert v["passed"] is False
+    # exact mode emits violation rows, unlike the sketch mode
+    viol = res.violations.where(
+        F.col("check_id") == "properties/doc_id/x-unique")
+    assert viol.count() > 0
+
+
+def test_unique_false_stays_disabled(spark):
+    dup = spark.createDataFrame([("k", 1), ("k", 2)], "doc_id string, x long")
+    res = CheckSuite({"properties": {"doc_id": {"x-unique": False}}}).run(
+        dup, key="doc_id")
+    assert res.verdicts.where(
+        F.col("check_id") == "properties/doc_id/x-unique").isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# CheckpointRunner: zero committed partitions must not crash failed()
+# ---------------------------------------------------------------------------
+
+def test_failed_with_no_committed_partitions(spark, tmp_path):
+    empty = spark.createDataFrame([], "doc_id string, x long, source string")
+    suite = CheckSuite({"properties": {"x": {"minimum": 0}}})
+    runner = CheckpointRunner(suite, str(tmp_path / "ck"))
+    summary = runner.run(empty, partition_by="source", key="doc_id")
+    assert summary.processed == [] and summary.skipped == []
+    # no output dirs were ever written — these must not raise
+    assert runner.failed(spark) is False
+    assert runner.verdicts(spark).isEmpty()
+    assert runner.violations(spark).isEmpty()
+
+
+# ---------------------------------------------------------------------------
+# staged input invalidation: a grown source re-stages instead of silently
+# validating the stale staged copy
+# ---------------------------------------------------------------------------
+
+def test_staged_input_invalidated_when_source_grows(spark, tmp_path):
+    suite = CheckSuite({"properties": {"x": {"minimum": 0}}})
+    base = str(tmp_path / "ck")
+    df1 = spark.createDataFrame(
+        [("d1", -1, "a"), ("d2", 5, "b")], "doc_id string, x long, source string")
+    r = CheckpointRunner(suite, base)
+    s1 = r.run(df1, partition_by="source", key="doc_id",
+               stage_partitioned=True)
+    assert sorted(s1.processed) == ["a", "b"]
+
+    # the source grows: a new partition c arrives after the first run
+    df2 = df1.union(spark.createDataFrame(
+        [("d3", -7, "c")], "doc_id string, x long, source string"))
+    s2 = r.run(df2, partition_by="source", key="doc_id",
+               stage_partitioned=True)
+    # old bug: the stale staged copy has no partition c ⇒ nothing processed
+    assert s2.processed == ["c"], s2
+    assert s2.total_rows == 1 and s2.total_violations == 1
+    got = {r_["doc_id"] for r_ in r.violations(spark).collect()}
+    assert got == {"d1", "d3"}
+
+
+def test_staged_input_keyed_by_suite_hash(spark, tmp_path):
+    """Two different suites sharing an output base never share a staged copy
+    (a suite change resets lineage, so it must also reset staging)."""
+    base = str(tmp_path / "ck")
+    df1 = spark.createDataFrame(
+        [("d1", 1, "a")], "doc_id string, x long, source string")
+    df2 = spark.createDataFrame(
+        [("d1", 1, "a"), ("d2", -2, "b")], "doc_id string, x long, source string")
+    s_a = CheckSuite({"properties": {"x": {"minimum": 0}}})
+    s_b = CheckSuite({"properties": {"x": {"maximum": 0}}})
+    CheckpointRunner(s_a, base).run(df1, partition_by="source", key="doc_id",
+                                    stage_partitioned=True)
+    out = CheckpointRunner(s_b, base).run(
+        df2, partition_by="source", key="doc_id", stage_partitioned=True)
+    # suite B sees the CURRENT input (both partitions), not suite A's staging
+    assert sorted(out.processed) == ["a", "b"]
+    assert out.total_rows == 2
+
+
+# ---------------------------------------------------------------------------
+# eager x-rowExpr parse: only real ParseExceptions reject the suite
+# ---------------------------------------------------------------------------
+
+def test_rowexpr_invalid_sql_still_rejected(spark):
+    with pytest.raises(SuiteError, match="invalid SQL expression"):
+        CheckSuite({"x-rowExpr": "n_tok === size(("})
+
+
+def test_rowexpr_environment_error_does_not_reject(spark, monkeypatch):
+    """A session without a JVM handle (Spark Connect) or a broken
+    getActiveSession must not be misreported as an invalid expression."""
+    from pyspark.sql import SparkSession
+
+    class _ConnectLike:
+        _jsparkSession = None
+
+    monkeypatch.setattr(SparkSession, "getActiveSession",
+                        staticmethod(lambda: _ConnectLike()))
+    CheckSuite({"x-rowExpr": "n_tok = size(tokens)"})  # must not raise
+
+    def _boom():
+        raise RuntimeError("no active session backend")
+
+    monkeypatch.setattr(SparkSession, "getActiveSession",
+                        staticmethod(_boom))
+    CheckSuite({"x-rowExpr": "n_tok = size(tokens)"})  # must not raise
