@@ -82,6 +82,26 @@ def materialize_input(spark: SparkSession, n_rows: int) -> str:
     return path
 
 
+def control_probe(n: int = 20_000_000) -> float:
+    """Machine-state control probe: single-thread Python arithmetic
+    throughput in Mops/s. The sandbox host has hour-scale performance
+    phases (identical Spark plans swinging 3×+); the probe is Spark-free,
+    so a low probe reading marks 'slow host phase', not a plan regression.
+    Recorded in the bench JSON so a reader can judge confidence without
+    re-running (VERDICT r2 item 4)."""
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(n):
+        acc += i * i
+    dt = time.perf_counter() - t0
+    assert acc >= 0
+    return round(n / dt / 1e6, 1)
+
+
+def _spread(runs: list[float]) -> float:
+    return round(max(runs) / min(runs) - 1.0, 3)
+
+
 def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     from jsonschema_valid_spark import CheckSuite
     from jsonschema_valid_spark.operators.drift import histogram, psi
@@ -123,12 +143,25 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     # extrapolates to a long 100TB job)
     full_validation()
 
+    probe_before = control_probe()
     flagship_runs = []
     nv = nverd = 0
     for _ in range(3):
         t0 = time.perf_counter()
         nv, nverd = full_validation()
         flagship_runs.append(round(time.perf_counter() - t0, 3))
+    # self-describing confidence: when the 3-run spread exceeds the
+    # documented ±20% band, keep re-running (up to 5 extra) — the min
+    # approximates steady state; if the spread never settles, flag the
+    # JSON as noisy instead of publishing a silent outlier (the r2 file
+    # published a 6× 'regression' that was pure host phase)
+    extra = 0
+    while _spread(flagship_runs) > 0.20 and extra < 5:
+        t0 = time.perf_counter()
+        nv, nverd = full_validation()
+        flagship_runs.append(round(time.perf_counter() - t0, 3))
+        extra += 1
+    probe_after = control_probe()
     timings["flagship_full"] = min(flagship_runs)
 
     # components
@@ -161,6 +194,13 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
         "violations": nv,
         "verdict_rows": nverd,
         "cpus": cpus,
+        # confidence block: single-thread control-probe Mops/s before/after
+        # the timed runs + the flagship run spread; "noisy": true means the
+        # spread never settled under ±20% even after retries — read the min
+        # as steady state but trust cross-round comparisons accordingly
+        "probe_mops": {"before": probe_before, "after": probe_after},
+        "flagship_spread": _spread(flagship_runs),
+        "noisy": _spread(flagship_runs) > 0.20,
     }
 
 

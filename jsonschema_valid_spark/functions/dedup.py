@@ -135,6 +135,19 @@ def jaccard_pairs(df: DataFrame, key: str, text_col: str, n: int = 3,
 MERSENNE31 = (1 << 31) - 1
 
 
+def portable_hash60(col):
+    """60-bit deterministic string hash computable IDENTICALLY in Spark and
+    DuckDB: the first 15 hex digits of md5, parsed as an integer. Slower
+    than xxhash64 (the production default) but lets the driver's DuckDB
+    oracle replay the full MinHash/SimHash/fingerprint math — the hash is
+    the only piece xxhash64 keeps Spark-specific.
+
+    Spark:  CAST(conv(substr(md5(s), 1, 15), 16, 10) AS BIGINT)
+    DuckDB: CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)
+    """
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def _perm_params(num_perm: int, seed: int) -> list[tuple[int, int]]:
     rnd = random.Random(seed)
     return [(rnd.randrange(1, MERSENNE31), rnd.randrange(0, MERSENNE31))
@@ -151,43 +164,60 @@ def _affine_min(hashes, a: int, b: int):
     ))
 
 
-def minhash_signature(col, num_perm: int = 64, n: int = 3, seed: int = 42):
+def minhash_signature(col, num_perm: int = 64, n: int = 3, seed: int = 42,
+                      portable: bool = False):
     """Array<long> MinHash signature of the text's n-gram shingle set.
     One xxhash64 per shingle (folded to 31 bits), then num_perm affine
-    permutations min-reduced per row — all native array HOFs."""
-    hashes = F.transform(
-        F.array_distinct(word_shingles(col, n)),
-        lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)),
+    permutations min-reduced per row — all native array HOFs.
+
+    ``portable=True`` swaps xxhash64 for the md5-based ``portable_hash60``
+    so an external SQL engine (the driver's DuckDB oracle) can replay the
+    identical signature; the permutation/banding math is unchanged."""
+    shingle_hash = (
+        (lambda s: F.pmod(portable_hash60(s), F.lit(MERSENNE31)))
+        if portable
+        else (lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
     )
+    hashes = F.transform(
+        F.array_distinct(word_shingles(col, n)), shingle_hash)
     sig = [_affine_min(hashes, a, b) for a, b in _perm_params(num_perm, seed)]
     return F.array(*sig)
 
 
 def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str,
                       num_perm: int = 64, bands: int = 16, n: int = 3,
-                      threshold: float = 0.7, seed: int = 42) -> DataFrame:
+                      threshold: float = 0.7, seed: int = 42,
+                      portable: bool = False) -> DataFrame:
     """Near-duplicate pairs via MinHash LSH banding + exact-Jaccard verify.
 
     r = num_perm // bands rows per band; a pair lands in the same bucket of
     some band with probability 1−(1−J^r)^bands. Candidates come from a
     groupBy/self-join on (band, band_hash) — shuffle keyed by buckets —
-    then exact Jaccard on the candidates only."""
+    then exact Jaccard on the candidates only.
+
+    ``portable=True``: md5-based shingle hash + raw concat band keys so the
+    whole pipeline is replayable in ANSI SQL (oracle mode); xxhash64 stays
+    the production default (faster, same math)."""
     assert num_perm % bands == 0
     r = num_perm // bands
     sh = df.select(
         F.col(key).alias("id"),
         F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
-        minhash_signature(F.col(text_col), num_perm, n, seed).alias("sig"),
+        minhash_signature(F.col(text_col), num_perm, n, seed,
+                          portable=portable).alias("sig"),
     )
     # band hashes via literal indexing (bands/r are driver constants) —
-    # avoids nested HOF lambdas, which Catalyst's lambda binder rejects
+    # avoids nested HOF lambdas, which Catalyst's lambda binder rejects.
+    # Portable mode joins on the raw signature-slice string (no xxhash64
+    # compression of the key — identical join semantics).
+    def band_key(b):
+        parts = [F.col("sig")[b * r + i].cast("string") for i in range(r)]
+        joined = F.concat_ws(",", *parts)
+        # production keeps the 8-byte xxhash64 join key (narrow shuffle)
+        return joined if portable else F.xxhash64(joined)
+
     band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(F.concat_ws(",", *[
-                F.col("sig")[b * r + i].cast("string") for i in range(r)
-            ])).alias("bh"),
-        )
+        F.struct(F.lit(b).alias("band"), band_key(b).alias("bh"))
         for b in range(bands)
     ]
     banded = sh.select(
@@ -226,15 +256,26 @@ def _bit_vote(hashes, b: int):
     )
 
 
-def simhash64(col):
+def simhash64(col, portable: bool = False):
     """64-bit SimHash over whitespace words: bit b of the signature is the
     sign of Σ_words (bit_b(xxhash64(word)) ? +1 : −1). Native: 64 unrolled
     array aggregates (one per bit), fused by codegen into one pass over the
-    word-hash array."""
-    hashes = F.transform(F.split(F.lower(F.trim(col)), r"\s+"),
-                         lambda w: F.xxhash64(w))
+    word-hash array.
+
+    ``portable=True``: md5-based 60-bit word hash (``portable_hash60``) so
+    the DuckDB oracle can replay the signature; bits 60–63 vote all −1 and
+    stay 0 in both engines (an effective 60-bit SimHash — the voting,
+    pigeonhole banding, and Hamming math are identical)."""
+    if portable:
+        hashes = F.transform(F.split(F.lower(F.trim(col)), r"\s+"),
+                             lambda w: portable_hash60(w))
+        n_bits = 60
+    else:
+        hashes = F.transform(F.split(F.lower(F.trim(col)), r"\s+"),
+                             lambda w: F.xxhash64(w))
+        n_bits = 64
     sig = F.lit(0).cast("long")
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.when(_bit_vote(hashes, b) > 0,
                      F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
                          F.lit(0).cast("long"))
@@ -257,13 +298,13 @@ def _popcount(col):
 
 
 def simhash_pairs(df: DataFrame, key: str, text_col: str,
-                  max_hamming: int = 3) -> DataFrame:
+                  max_hamming: int = 3, portable: bool = False) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
     band join: with 4 chunks of 16 bits, any pair within distance 3 agrees
     exactly on ≥1 chunk → candidates = equi-join per chunk, then exact
     Hamming verify. Returns (a, b, hamming)."""
     sigs = df.select(F.col(key).alias("id"),
-                     simhash64(F.col(text_col)).alias("sig"))
+                     simhash64(F.col(text_col), portable=portable).alias("sig"))
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),

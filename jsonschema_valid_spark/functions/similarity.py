@@ -93,10 +93,9 @@ def lsh_topk(df: DataFrame, key: str, vec_col: str, query: list[float],
     )
 
 
-def cosine_neardup_pairs(df: DataFrame, key: str, vec_col: str,
+def cosine_neardup_pairs(df: DataFrame, key: str, vec_col: str, dim: int,
                          threshold: float = 0.95, bits: int = 16,
-                         seed: int = 7, dim: int | None = None,
-                         tables: int = 1) -> DataFrame:
+                         seed: int = 7, tables: int = 1) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket equi-join for candidates
     (same b-bit signature in SOME table), exact cosine verify ≥ threshold.
 
@@ -106,9 +105,12 @@ def cosine_neardup_pairs(df: DataFrame, key: str, vec_col: str,
     per row and the candidate join is keyed by (table, signature) — still a
     bucketed equi-join, never all-pairs; duplicates across tables are
     dropped BEFORE the exact-cosine verify so each candidate pays one dot
-    product."""
-    if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+    product.
+
+    ``dim`` is required (the hyperplanes are dim-sized constants): inferring
+    it from ``df.first()`` would hide a driver-side Spark action inside an
+    operator constructor. Read it from your schema metadata or pass the
+    known embedding width."""
     sig_structs = [
         F.struct(
             F.lit(t).alias("tbl"),

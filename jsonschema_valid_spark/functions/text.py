@@ -90,19 +90,26 @@ def lang_id(col: Column) -> Column:
     ).otherwise(F.lit("unknown"))
 
 
-def fingerprint(col: Column, modulus: int = 2**61 - 1) -> Column:
+def fingerprint(col: Column, modulus: int = 2**61 - 1,
+                portable: bool = False) -> Column:
     """Order-sensitive rolling-hash document fingerprint over whitespace
     tokens: fp = Σ hash(word_i) * 31^(i mod 8) (mod 2^61-1), computed with
     xxhash64 per word — native, no Python. Equal normalized texts ⇒ equal
-    fingerprints; near-zero collision rate at corpus scale."""
+    fingerprints; near-zero collision rate at corpus scale.
+
+    ``portable=True`` swaps xxhash64 for the md5-based portable_hash60 so
+    the DuckDB oracle can replay the identical rolling-hash math."""
+    from jsonschema_valid_spark.functions.dedup import portable_hash60
+
     words = F.split(F.lower(F.trim(col)), r"\s+")
     idx = F.sequence(F.lit(0), F.size(words) - 1)
+    word_hash = portable_hash60 if portable else F.xxhash64
     # keep the per-word hash < 2^27 so hash * 31^7 stays inside int64
     # (Spark 4 runs ANSI mode: long overflow is an error, not a wrap)
     term = F.zip_with(
         words, idx,
         lambda w, i: F.pmod(
-            F.pmod(F.xxhash64(w), F.lit(1 << 27))
+            F.pmod(word_hash(w), F.lit(1 << 27))
             * F.pow(F.lit(31.0), (i % 8)).cast("long"),
             F.lit(modulus),
         ),

@@ -76,7 +76,8 @@ def test_multiprobe_lsh_recall_improves(spark):
 
     def recall(tables):
         got = {(r["a"], r["b"]) for r in cosine_neardup_pairs(
-            emb, "vec_id", "v", threshold=0.95, bits=16, tables=tables).collect()}
+            emb, "vec_id", "v", dim=32, threshold=0.95, bits=16,
+            tables=tables).collect()}
         assert got <= t  # exact verify ⇒ no false positives
         return len(got) / len(t)
 

@@ -128,3 +128,77 @@ def test_rowexpr_environment_error_does_not_reject(spark, monkeypatch):
     monkeypatch.setattr(SparkSession, "getActiveSession",
                         staticmethod(_boom))
     CheckSuite({"x-rowExpr": "n_tok = size(tokens)"})  # must not raise
+
+
+# ---------------------------------------------------------------------------
+# LSH family: designed recall + portable-hash oracle modes (VERDICT r2 #1)
+# ---------------------------------------------------------------------------
+
+def test_emb_neardup_lsh_recall_vs_brute_force(spark):
+    """The registered emb_neardup_lsh parameter point (bits=4, tables=16 at
+    threshold 0.45) must overlap the brute-force truth — the r2 registration
+    (bits=12, tables=8) had ~4% expected recall and returned 0 rows."""
+    from jsonschema_valid_spark.driver_queries import queries
+
+    q = queries()
+    sf = "/root/testdata/sf0.001"
+    lsh = {(r["a"], r["b"]) for r in q["emb_neardup_lsh"](spark, sf).collect()}
+    truth = {(r["a"], r["b"]) for r in q["emb_neardup_pairs"](spark, sf).collect()}
+    assert truth, "fixture lost its near-dup pairs"
+    assert lsh <= truth            # exact verify ⇒ no false positives
+    assert len(lsh) / len(truth) >= 0.8   # designed recall ≈ 0.956
+
+
+def test_minhash_portable_matches_production_pairs(spark):
+    """The portable md5 hash changes WHICH bucket a shingle lands in, not
+    the math: on clearly-duplicated text both modes find the same verified
+    pairs (exact Jaccard is hash-free)."""
+    from jsonschema_valid_spark.functions.dedup import minhash_lsh_pairs
+
+    rows = [(1, "the quick brown fox jumps over the lazy dog today"),
+            (2, "the quick brown fox jumps over the lazy dog tonight"),
+            (3, "completely unrelated text about spark dataframes and joins"),
+            (4, "the quick brown fox jumps over the lazy dog today")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    kw = dict(num_perm=64, bands=16, n=2, threshold=0.5)
+    prod = {(r["a"], r["b"]) for r in
+            minhash_lsh_pairs(df, "doc_id", "text", **kw).collect()}
+    port = {(r["a"], r["b"]) for r in
+            minhash_lsh_pairs(df, "doc_id", "text", portable=True, **kw).collect()}
+    assert prod == port
+    assert (1, 4) in prod and (1, 2) in prod
+    assert not any(3 in p for p in prod)
+
+
+def test_simhash_portable_matches_production_pairs(spark):
+    from jsonschema_valid_spark.functions.dedup import simhash_pairs
+
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+            (3, "totally different words nothing shared at all here folks")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    prod = {(r["a"], r["b"], r["hamming"]) for r in
+            simhash_pairs(df, "doc_id", "text", max_hamming=3).collect()}
+    port = {(r["a"], r["b"], r["hamming"]) for r in
+            simhash_pairs(df, "doc_id", "text", max_hamming=3,
+                          portable=True).collect()}
+    # identical texts: hamming 0 in BOTH hash modes; disjoint text: absent
+    assert (1, 2, 0) in prod and (1, 2, 0) in port
+    assert not any(3 in (a, b) for a, b, _ in prod | port)
+
+
+def test_fingerprint_portable_equality_semantics(spark):
+    """Equal normalized texts ⇒ equal fingerprints in both hash modes."""
+    from jsonschema_valid_spark.functions.text import fingerprint
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "other text")],
+        "id long, text string")
+    for portable in (False, True):
+        fps = {r["id"]: r["fp"] for r in df.select(
+            "id", fingerprint(F.col("text"), portable=portable).alias("fp")
+        ).collect()}
+        assert fps[1] != fps[3]
+        # same words, same order (whitespace-split + lower normalizes case)
+        assert fps[1] == fps[2]
