@@ -525,6 +525,53 @@ def kw_format_extended(spark, sf_dir):
     return _viol_long_key(res, "event_id")
 
 
+_REGEX_FIXTURE_SQL = """
+WITH e AS (SELECT event_id, event_id % 8 AS m FROM events)
+SELECT event_id, 'properties/pat/format' AS check_id FROM e
+WHERE m NOT IN (1, 3, 7)
+"""
+
+
+@register("kw_format_regex", _REGEX_FIXTURE_SQL)
+def kw_format_regex(spark, sf_dir):
+    """Exact `format: regex` via the Arrow-batch re.compile probe
+    (≙ Regex::new(v).is_ok(), format.rs:51-53; replaced the r2 structural
+    approximation). The fixture derives 8 deterministic pattern families
+    from event_id with KNOWN validity — DuckDB cannot compile the patterns,
+    but it replays the construction arithmetic and the expected labels, so
+    a probe that misclassifies any family hash-mismatches:
+
+      m=0 `a{2,1}`            invalid (reversed interval — both engines)
+      m=1 `^doc-[0-9]{12}$`   valid
+      m=2 `(?P<)`             invalid (unterminated group name)
+      m=3 `[a-z]+([.][a-z]+)*` valid
+      m=4 `(unclosed`         invalid
+      m=5 `x**`               invalid (multiple repeat)
+      m=6 `(?=look)ahead`     invalid for Regex::new (no lookaround;
+                               Python-valid — the Rust-compat pre-filter
+                               rejects it, matching the reference)
+      m=7 `(a|b){2,3}`        valid
+    """
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.col("event_id") % 8
+    pat = (
+        F.when(m == 0, F.lit("a{2,1}"))
+        .when(m == 1, F.lit("^doc-[0-9]{12}$"))
+        .when(m == 2, F.lit("(?P<)"))
+        .when(m == 3, F.lit("[a-z]+([.][a-z]+)*"))
+        .when(m == 4, F.lit("(unclosed"))
+        .when(m == 5, F.lit("x**"))
+        .when(m == 6, F.lit("(?=look)ahead"))
+        .otherwise(F.lit("(a|b){2,3}"))
+    )
+    df = ev.select("event_id", pat.alias("pat"))
+    res = CheckSuite({"properties": {"pat": {"format": "regex"}}}).run(
+        df, key="event_id")
+    return _viol_long_key(res, "event_id")
+
+
 @register(
     "kw_items_tuple",
     oracle_with_sequences(

@@ -60,6 +60,56 @@ TIME_RE = r"^\d{2}:\d{2}:\d{2}(\.\d+)?$"
 
 JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
 
+# constructs Python `re` accepts but the reference's Rust `regex` crate
+# rejects (Regex::new has no lookaround or backreferences) — pre-filtered
+# so the probe matches format.rs:51-53 behavior on these families
+_RUST_REGEX_UNSUPPORTED = (
+    r"\(\?=|\(\?!|\(\?<=|\(\?<!|\\[1-9]|\\k<"
+)
+
+
+def _regex_valid_probe() -> Column:
+    """Exact `format: regex` checker: an Arrow-batched pandas UDF probing
+    ``re.compile`` per DISTINCT-ish batch value (≙ ``Regex::new(v).is_ok()``,
+    ``format.rs:51-53``). This is the one format where no native expression
+    exists; the probe is vectorized (one Python call per Arrow batch, a
+    dict-cached compile per unique pattern inside it), never row-at-a-time
+    Python — the allowance BASELINE.json grants for genuinely non-native
+    semantics. Returns a closure usable as ``pred(col)``."""
+    import re
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    unsupported = re.compile(_RUST_REGEX_UNSUPPORTED)
+
+    def regex_ok(s):
+        cache: dict[str, bool] = {}
+
+        def ok(v):
+            if v is None:
+                return None
+            hit = cache.get(v)
+            if hit is not None:
+                return hit
+            if unsupported.search(v):
+                out = False
+            else:
+                try:
+                    re.compile(v)
+                    out = True
+                except re.error:
+                    out = False
+            cache[v] = out
+            return out
+
+        return s.map(ok)
+
+    # real type objects (not strings): `from __future__ import annotations`
+    # would stringify inline hints, which pandas_udf cannot resolve
+    regex_ok.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    return pandas_udf(regex_ok, "boolean")
+
 
 def format_pred(name: str, col: Column, draft: int) -> Column:
     """Return a boolean Column for ``format: name``; unknown/unregistered
@@ -95,8 +145,8 @@ def format_pred(name: str, col: Column, draft: int) -> Column:
     if name == "json-pointer":
         return col.rlike(JSON_POINTER_RE)
     if name == "regex":
-        # schema-side validity in the reference (format.rs:51-53). For data
-        # columns there is no native "is valid regex" expr; approximate with
-        # a structural check (balanced-ish) — exactness would need a UDF.
-        return ~col.rlike(r"(\\$|\[[^\]]*$|\([^)]*$)")
+        # exact compile probe (≙ Regex::new(v).is_ok(), format.rs:51-53)
+        # via an Arrow-batched pandas UDF — replaced the r2 structural
+        # rlike approximation that misclassified e.g. `a{2,1}` as valid
+        return _regex_valid_probe()(col)
     return F.lit(True)

@@ -202,3 +202,43 @@ def test_fingerprint_portable_equality_semantics(spark):
         assert fps[1] != fps[3]
         # same words, same order (whitespace-split + lower normalizes case)
         assert fps[1] == fps[2]
+
+
+# ---------------------------------------------------------------------------
+# exact `format: regex` (VERDICT r2 #3) — vectors matching Regex::new
+# (format.rs:51-53): compile probe + Rust-compat pre-filter
+# ---------------------------------------------------------------------------
+
+def test_format_regex_exact_vectors(spark):
+    vectors = [
+        ("a+b*", True),
+        ("[a-z]{2,3}", True),
+        (r"^\d{4}$", True),
+        ("(?i)case", True),          # inline flags: valid in both engines
+        ("a{2,1}", False),           # reversed interval
+        ("(?P<)", False),            # unterminated group name
+        ("(unclosed", False),
+        ("x**", False),              # multiple repeat
+        ("[z-a]", False),            # bad character range
+        ("(?=look)ahead", False),    # Rust regex has no lookaround
+        (r"(a)\1", False),           # Rust regex has no backreferences
+        (None, True),                # null: absent value passes the check
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, (p, _) in enumerate(vectors)], "id long, p string")
+    res = CheckSuite({"properties": {"p": {"format": "regex"}}}).run(
+        df, key="id")
+    failed = {int(r["doc_id"]) for r in res.violations.collect()}
+    expect_failed = {i for i, (_, ok) in enumerate(vectors) if not ok}
+    assert failed == expect_failed
+
+
+def test_format_regex_fixed_old_approximation(spark):
+    """The r2 structural rlike called `a{2,1}` valid and could reject valid
+    patterns with literal backslashes; the probe gets both right."""
+    df = spark.createDataFrame(
+        [(0, "a{2,1}"), (1, r"foo\.bar")], "id long, p string")
+    res = CheckSuite({"properties": {"p": {"format": "regex"}}}).run(
+        df, key="id")
+    failed = {int(r["doc_id"]) for r in res.violations.collect()}
+    assert failed == {0}
