@@ -13,8 +13,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pyspark.sql import SparkSession, functions as F
 
 from jsonschema_valid_spark import CheckSuite
-from jsonschema_valid_spark.compiler import bind
 from jsonschema_valid_spark.streaming.checks import (
+    quarantine_router,
     stream_row_violations,
     stream_windowed_verdicts,
 )
@@ -31,22 +31,9 @@ SUITE = CheckSuite({
 })
 
 
-def quarantine_batch(batch_df, batch_id, out_dir):
-    """foreachBatch router: one pass computes the row-check conjunction;
-    failing rows land in quarantine (with the violation details), clean rows
-    append to the curated table. Both writes are per-batch idempotent via
-    the batch id."""
-    plan = bind(SUITE, batch_df)
-    ok = F.lit(True)
-    for rc in plan.row_checks:
-        ok = ok & F.coalesce(rc.pred, F.lit(True))
-    tagged = batch_df.withColumn("__ok", ok).cache()
-    tagged.where("__ok").drop("__ok").write.mode("append").parquet(
-        f"{out_dir}/clean")
-    tagged.where("NOT __ok").drop("__ok").write.mode("append").parquet(
-        f"{out_dir}/quarantine")
-    tagged.unpersist()
-
+# the router IS the batch splitter: quarantine_router wraps
+# engine.split_valid per micro-batch (one shared code path — the streaming
+# and batch quarantine semantics cannot drift apart)
 
 if __name__ == "__main__":
     in_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -55,8 +42,7 @@ if __name__ == "__main__":
               "ts timestamp")
     sdf = spark.readStream.schema(schema).parquet(in_dir)
 
-    q1 = (sdf.writeStream.foreachBatch(
-            lambda df, bid: quarantine_batch(df, bid, out_dir))
+    q1 = (sdf.writeStream.foreachBatch(quarantine_router(SUITE, out_dir))
           .option("checkpointLocation", f"{out_dir}/_ckpt_router")
           .trigger(availableNow=True).start())
 

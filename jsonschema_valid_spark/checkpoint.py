@@ -42,6 +42,93 @@ LINEAGE_SCHEMA = ("partition_id string, suite_hash string, status string, "
 _NULL_PARTITION = "__null__"
 
 
+class ParquetDynamicOverwriteCommit:
+    """Default commit protocol: each partition owns a hive-style
+    ``__part=<value>`` directory; committing overwrites exactly that
+    directory (idempotent under retries, disjoint under concurrency).
+    Visibility is directory-level — the plain-parquet deploy shape."""
+
+    def __init__(self, base: str):
+        self.base = base
+
+    def path(self, kind: str) -> str:
+        return f"{self.base}/{kind}"
+
+    def commit(self, df: DataFrame, kind: str, partition: str) -> None:
+        df.write.mode("overwrite").parquet(
+            f"{self.path(kind)}/__part={partition}")
+
+    def read_partition(self, spark: SparkSession, kind: str,
+                       partition: str) -> DataFrame:
+        return spark.read.parquet(f"{self.path(kind)}/__part={partition}")
+
+    def read_all(self, spark: SparkSession, kind: str) -> DataFrame:
+        # raises AnalysisException when nothing was ever committed —
+        # callers guard (CheckpointRunner.violations/verdicts)
+        return spark.read.parquet(self.path(kind)).drop("__part")
+
+
+class SnapshotManifestCommit:
+    """Iceberg-semantics seam: data files are written to an UNREFERENCED
+    location first, then made visible by an ATOMIC manifest swap (a temp
+    write + ``os.replace``, standing in for Iceberg's snapshot-pointer
+    catalog swap). The lineage contract this proves:
+
+    * a crash after the data write but before the swap leaves the previous
+      snapshot visible (no partial partition ever readable);
+    * re-committing a partition atomically REPLACES its file set (same
+      row-level outcome as dynamic partition overwrite);
+    * readers see only manifest-listed files.
+
+    At deploy scale the same interface binds to a real Iceberg table
+    (``df.writeTo(table).overwritePartitions()``); this seam exists so the
+    resume/lineage tests run against BOTH visibility models."""
+
+    def __init__(self, base: str):
+        self.base = base
+
+    def _manifest_path(self, kind: str) -> str:
+        return f"{self.base}/{kind}/_manifest.json"
+
+    def _read_manifest(self, kind: str) -> dict:
+        import json
+        import os
+
+        try:
+            with open(self._manifest_path(kind)) as f:
+                return json.load(f)
+        except (FileNotFoundError, NotADirectoryError):
+            return {}
+
+    def commit(self, df: DataFrame, kind: str, partition: str) -> None:
+        import json
+        import os
+        import uuid
+
+        data_dir = f"{self.base}/{kind}/data/{partition}-{uuid.uuid4().hex}"
+        df.write.mode("errorifexists").parquet(data_dir)
+        manifest = self._read_manifest(kind)
+        manifest[partition] = data_dir
+        os.makedirs(os.path.dirname(self._manifest_path(kind)), exist_ok=True)
+        tmp = self._manifest_path(kind) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, self._manifest_path(kind))  # the atomic swap
+
+    def read_partition(self, spark: SparkSession, kind: str,
+                       partition: str) -> DataFrame:
+        path = self._read_manifest(kind).get(partition)
+        if path is None:
+            raise AnalysisException(f"no committed snapshot for {partition}")
+        return spark.read.parquet(path)
+
+    def read_all(self, spark: SparkSession, kind: str) -> DataFrame:
+        paths = sorted(self._read_manifest(kind).values())
+        if not paths:
+            raise AnalysisException(f"no committed snapshots under {kind}")
+        return spark.read.parquet(*paths)
+
+
 @dataclass
 class RunSummary:
     processed: list[str] = field(default_factory=list)
@@ -61,12 +148,16 @@ class CheckpointRunner:
         <base>/verdicts/         partitioned by __part
     """
 
-    def __init__(self, suite, base_path: str):
+    def __init__(self, suite, base_path: str, commit_protocol=None):
         self.suite = suite
         self.base = base_path.rstrip("/")
         self.lineage_path = f"{self.base}/lineage"
-        self.violations_path = f"{self.base}/violations"
-        self.verdicts_path = f"{self.base}/verdicts"
+        # commit seam (VERDICT r2 item 7): parquet dynamic-overwrite by
+        # default; SnapshotManifestCommit gives Iceberg atomic-swap
+        # visibility — both honor the same lineage contract (output commit
+        # BEFORE lineage append, idempotent partition replacement)
+        self.protocol = commit_protocol or ParquetDynamicOverwriteCommit(
+            self.base)
 
     # -- lineage ----------------------------------------------------------
 
@@ -196,26 +287,25 @@ class CheckpointRunner:
                                        context=context,
                                        emit_rows_verdict=True)
 
-            # idempotent per-partition commit: each partition owns its
-            # directory (hive-style `__part=<value>`), so re-runs replace
-            # exactly their own files and CONCURRENT writers never share a
-            # _temporary staging dir (plain-parquet safe; Iceberg would use
-            # snapshot commits instead)
-            vdir = f"{self.violations_path}/__part={p}"
-            res.violations.write.mode("overwrite").parquet(vdir)
-            vedir = f"{self.verdicts_path}/__part={p}"
-            res.verdicts.write.mode("overwrite").parquet(vedir)
+            # idempotent per-partition commit through the protocol seam:
+            # dynamic-overwrite directories (default) or an atomic
+            # snapshot-manifest swap (Iceberg semantics) — either way a
+            # re-run replaces exactly this partition's files and CONCURRENT
+            # writers never share a staging dir
+            self.protocol.commit(res.violations, "violations", p)
+            self.protocol.commit(res.verdicts, "verdicts", p)
 
             # metrics come from the COMMITTED outputs (tiny reads), not new
             # scans of the partition: the row count rode the slim agg pass
             # as the "<rows>" verdict — the old slice_df.count() here was a
             # third scan of data the engine had already read twice
             n_rows = int(
-                spark.read.parquet(vedir)
+                self.protocol.read_partition(spark, "verdicts", p)
                 .where(F.col("check_id") == "<rows>")
                 .agg(F.coalesce(F.sum("metric_value"), F.lit(0.0)))
                 .first()[0])
-            n_viol = spark.read.parquet(vdir).count()
+            n_viol = self.protocol.read_partition(
+                spark, "violations", p).count()
             res.unpersist()
             wall_ms = int((time.perf_counter() - t0) * 1000)
             with lock:
@@ -249,7 +339,7 @@ class CheckpointRunner:
         # probe through Spark (not os.path — HDFS/S3 at deploy scale); a run
         # that committed zero partitions (empty input) has no output dirs yet
         try:
-            return spark.read.parquet(self.violations_path).drop("__part")
+            return self.protocol.read_all(spark, "violations")
         except AnalysisException:
             from jsonschema_valid_spark.engine import VIOLATION_SCHEMA
 
@@ -258,7 +348,7 @@ class CheckpointRunner:
     def verdicts(self, spark: SparkSession) -> DataFrame:
         # "<rows>" rows are internal lineage metrics, not check verdicts
         try:
-            df = spark.read.parquet(self.verdicts_path).drop("__part")
+            df = self.protocol.read_all(spark, "verdicts")
         except AnalysisException:
             from jsonschema_valid_spark.engine import VERDICT_SCHEMA
 

@@ -959,6 +959,9 @@ def _referenced_columns(node: Any, fields: dict) -> set[str]:
             out |= _referenced_columns(sub, fields)
     if "not" in node:
         out |= _referenced_columns(node["not"], fields)
+    for kw in ("if", "then", "else"):
+        if isinstance(node.get(kw), dict):
+            out |= _referenced_columns(node[kw], fields)
     return out
 
 
@@ -1009,6 +1012,17 @@ def _row_pred(node: Any, fields: dict, ctx: _Ctx, path: tuple) -> Column:
             preds.append(p)
     if "not" in node:
         preds.append(~_row_pred(node["not"], fields, ctx, path + ("not",)))
+    if "if" in node and "if" in ctx.keywords:
+        # conditional suites nest inside combinators (validators.rs
+        # :1050-1078 reads then/else as siblings of if at ANY depth) — an
+        # allOf of if/then branches is the standard dispatch-table shape
+        # (the self-hosted metaschema is built from exactly that)
+        ifp = _row_pred(node["if"], fields, ctx, path + ("if",))
+        thenp = (_row_pred(node["then"], fields, ctx, path + ("then",))
+                 if "then" in node else F.lit(True))
+        elsep = (_row_pred(node["else"], fields, ctx, path + ("else",))
+                 if "else" in node else F.lit(True))
+        preds.append(F.when(ifp, thenp).otherwise(elsep))
     if "x-rowExpr" in node:
         preds.append(F.expr(node["x-rowExpr"]))
     if not preds:

@@ -596,6 +596,54 @@ def kw_items_tuple(spark, sf_dir):
 
 
 @register(
+    "kw_additional_items_schema",
+    oracle_with_sequences(
+        "SELECT doc_id, 'properties/tokens/items' AS check_id FROM sequences "
+        "WHERE tokens[1] < 0 OR tokens[2] < 0 "
+        "UNION ALL "
+        "SELECT doc_id, 'properties/tokens/additionalItems' AS check_id "
+        "FROM sequences WHERE len(tokens) > 2 "
+        "AND len(list_filter(tokens[3:], t -> t > 40000)) > 0"
+    ),
+)
+def kw_additional_items_schema(spark, sf_dir):
+    """`additionalItems` as a SCHEMA validating the tail beyond the tuple
+    prefix (validators.rs:298-337 tail validation — the object-schema arm
+    r2 covered only as `additionalItems: false`; VERDICT r2 item 6)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    seq = load_sequences(spark, sf_dir)
+    res = CheckSuite({"properties": {"tokens": {
+        "items": [{"minimum": 0}, {"minimum": 0}],
+        "additionalItems": {"maximum": 40000},
+    }}}).run(seq, key="doc_id")
+    return res.violations.select("doc_id", "check_id")
+
+
+@register(
+    "kw_propertynames_combinators",
+    # 'etype' passes ONLY the pattern branch, 'v0'/'v1' pass ONLY the
+    # maxLength branch, 'bad key' fails both — the violating set is exactly
+    # the %11 arm IFF anyOf in name evaluation is computed correctly (a
+    # broken anyOf→allOf would flag every row; an ignored one, none)
+    "SELECT event_id, 'properties/pm/propertyNames' AS check_id FROM events "
+    "WHERE event_id % 11 = 0",
+)
+def kw_propertynames_combinators(spark, sf_dir):
+    """`propertyNames` with COMBINATORS in the name schema (anyOf over
+    pattern/maxLength branches) — the name-eval combinator support landed in
+    r2 with pytest-only coverage; VERDICT r2 item 6 asks for the oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    df = _events_map(spark, sf_dir)
+    res = CheckSuite({"properties": {"pm": {
+        "propertyNames": {"anyOf": [{"pattern": "^etype$"},
+                                    {"maxLength": 2}]},
+    }}}).run(df, key="event_id")
+    return _viol_long_key(res, "event_id")
+
+
+@register(
     "kw_contains",
     oracle_with_sequences(
         "SELECT doc_id, 'properties/tokens/contains' AS check_id FROM sequences "
@@ -1299,6 +1347,30 @@ def text_bpe_tokens(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return docs.select(
         "doc_id", bpe_ish_token_count(F.col("text")).alias("n_subtokens"))
+
+
+def _ann_ivf_oracle():
+    from jsonschema_valid_spark.oracle_gen import ivf_topk_sql
+
+    return ivf_topk_sql(dim=64, n_cells=16, n_probe=4, seed=11, k=10,
+                        query_vec_id=0)
+
+
+@register("ann_ivf_topk", _ann_ivf_oracle())
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate top-k — the second ANN scale path beside LSH
+    (the brief names both): rows are assigned to deterministic seeded coarse
+    centroids, the query probes its n_probe nearest cells, exact cosine
+    inside them. At 100 TB the table is written partitioned by __cell and
+    the probe is partition pruning. FULLY oracled: centroid constants are
+    interpolated into DuckDB SQL (oracle_gen.ivf_topk_sql)."""
+    from jsonschema_valid_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    return ivf_topk(emb, "vec_id", "embedding", [float(x) for x in q],
+                    k=10, n_cells=16, n_probe=4).select(
+        "vec_id", F.round("cos", 6).alias("cos"))
 
 
 def _emb_neardup_lsh_oracle():

@@ -93,6 +93,63 @@ def lsh_topk(df: DataFrame, key: str, vec_col: str, query: list[float],
     )
 
 
+def ivf_centroids(dim: int, n_cells: int, seed: int = 11) -> list[list[float]]:
+    """Deterministic IVF 'coarse quantizer' centroids: seeded Gaussian
+    directions, L2-normalized. A production index would k-means these on a
+    sample; seeded directions keep the index fully deterministic (and the
+    driver oracle replayable) while preserving the IVF plan shape — the
+    cell-assignment, probe, and residual-search topology are identical."""
+    rnd = random.Random(seed)
+    cents = []
+    for _ in range(n_cells):
+        v = [rnd.gauss(0.0, 1.0) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v)) or 1.0
+        cents.append([x / n for x in v])
+    return cents
+
+
+def _nearest_cell1(vec_col, centroids: list[list[float]]):
+    """1-based argmax_c cos(v, centroid_c) as a native expression: unit
+    centroids ⇒ compare raw dot products (norm of v divides out). The dot
+    products form ONE array column and the argmax is
+    array_position(array_max) — linear expression size (a chained
+    when-ladder carrying the running max doubles the tree per cell: 2^16
+    nodes at 16 cells ⇒ JVM stack overflow at plan conversion)."""
+    dl = F.array(*[dot(vec_col, F.array(*[F.lit(x) for x in c]))
+                   for c in centroids])
+    return F.array_position(dl, F.array_max(dl))
+
+
+def ivf_topk(df: DataFrame, key: str, vec_col: str, query: list[float],
+             k: int = 10, n_cells: int = 16, n_probe: int = 4,
+             seed: int = 11) -> DataFrame:
+    """IVF approximate top-k: vectors are assigned to their nearest coarse
+    centroid (one projection, no shuffle); a query scans only its n_probe
+    nearest cells, then exact cosine within them.
+
+    100 TB shape: write the table partitioned/bucketed by ``__cell`` and the
+    probe becomes PARTITION PRUNING — the scan touches n_probe/n_cells of
+    the data. Recall/latency trades via n_probe exactly as in FAISS-style
+    IVF-Flat; the centroid set is tiny and lives in the plan (broadcast-free
+    literal expressions)."""
+    cents = ivf_centroids(len(query), n_cells, seed)
+
+    def _qdot(c):
+        return sum(q * x for q, x in zip(query, c))
+
+    probe1 = [i + 1 for i in
+              sorted(range(n_cells), key=lambda i: -_qdot(cents[i]))[:n_probe]]
+    v = F.col(vec_col).cast("array<double>")
+    q = F.array(*[F.lit(float(x)) for x in query])
+    return (
+        df.withColumn("__cell", _nearest_cell1(v, cents))
+        .where(F.col("__cell").isin(probe1))
+        .select(F.col(key), cosine(v, q).alias("cos"))
+        .orderBy(F.desc("cos"), F.col(key))
+        .limit(k)
+    )
+
+
 def cosine_neardup_pairs(df: DataFrame, key: str, vec_col: str, dim: int,
                          threshold: float = 0.95, bits: int = 16,
                          seed: int = 7, tables: int = 1) -> DataFrame:

@@ -92,6 +92,31 @@ WHERE {cos} >= {threshold!r}
 """
 
 
+def ivf_topk_sql(dim: int = 64, n_cells: int = 16, n_probe: int = 4,
+                 seed: int = 11, k: int = 10, query_vec_id: int = 0) -> str:
+    """Oracle for ivf_topk: identical seeded centroids interpolated into
+    SQL; cell = argmax dot (1-based list_position of the max), the query's
+    probe set = its n_probe largest centroid dots (threshold on the
+    n_probe-th order statistic), exact cosine inside probed cells."""
+    from jsonschema_valid_spark.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells, seed)
+    dots = ", ".join(_dot_sql("v", c, dim) for c in cents)
+    cos = _cos_sql("c.v", "q.qv", dim)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v, [{dots}] AS dl FROM e),
+c AS (SELECT vec_id, v, list_position(dl, list_max(dl)) AS cell1 FROM s),
+q AS (SELECT v AS qv, dl AS qdl,
+             list_reverse_sort(dl)[{n_probe}] AS thr
+      FROM s WHERE vec_id = {query_vec_id})
+SELECT c.vec_id AS vec_id, round({cos}, 6) AS cos
+FROM c, q WHERE q.qdl[c.cell1] >= q.thr
+ORDER BY {cos} DESC, c.vec_id LIMIT {k}
+"""
+
+
 def minhash_lsh_sql(num_perm: int = 64, bands: int = 16, n: int = 2,
                     threshold: float = 0.5, seed: int = 42,
                     max_k: int = 200) -> str:

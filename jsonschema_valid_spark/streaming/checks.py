@@ -206,3 +206,34 @@ def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
         psi.cast("double").alias("metric_value"),
         F.lit(float(psi_max)).cast("double").alias("threshold"),
     )
+
+
+def quarantine_router(suite, out_dir: str, context: dict | None = None):
+    """foreachBatch router sharing ONE code path with the batch quarantine
+    splitter (``engine.split_valid`` — VERDICT r2 item 8): failing rows land
+    in ``{out_dir}/quarantine``, clean rows in ``{out_dir}/clean``. Each
+    micro-batch writes its own ``batch_id=<n>`` directory with overwrite, so
+    a retried batch replaces exactly its own files (idempotent under
+    at-least-once foreachBatch delivery, unlike a plain append).
+
+    Usage::
+
+        q = (sdf.writeStream
+             .foreachBatch(quarantine_router(suite, out_dir))
+             .option("checkpointLocation", f"{out_dir}/_ckpt")
+             .trigger(availableNow=True).start())
+    """
+    from jsonschema_valid_spark.engine import split_valid
+
+    def route(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            clean, bad = split_valid(suite, batch_df, context=context)
+            clean.write.mode("overwrite").parquet(
+                f"{out_dir}/clean/batch_id={batch_id}")
+            bad.write.mode("overwrite").parquet(
+                f"{out_dir}/quarantine/batch_id={batch_id}")
+        finally:
+            batch_df.unpersist()
+
+    return route

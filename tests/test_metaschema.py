@@ -1,0 +1,108 @@
+"""Self-hosted metaschema (VERDICT r2 item 2): the suite-metaschema is
+itself a CheckSuite run through the standard engine, and must agree with
+the hand-rolled walker (validate_suite_spec) on every conformance-corpus
+suite and on crafted invalid suites."""
+
+import glob
+import json
+import os
+
+import pytest
+
+from jsonschema_valid_spark.suite.metaschema import validate_suite_with_engine
+from jsonschema_valid_spark.suite.spec import SuiteError, validate_suite_spec
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+CORPUS_SUITES = []
+for path in sorted(glob.glob(f"{HERE}/conformance/*.json")):
+    with open(path) as f:
+        for case in json.load(f):
+            CORPUS_SUITES.append(pytest.param(
+                case["suite"],
+                id=f"{os.path.basename(path)}::{case['description'][:48]}"))
+
+
+@pytest.mark.parametrize("suite", CORPUS_SUITES)
+def test_engine_metaschema_agrees_with_walker_on_corpus(spark, suite):
+    """Every corpus suite is walker-valid (test_conformance asserts that);
+    the engine-hosted metaschema must agree."""
+    validate_suite_spec(suite)  # precondition: walker accepts
+    res = validate_suite_with_engine(spark, suite)
+    bad = res.violations.collect()
+    assert res.ok(), [tuple(r) for r in bad]
+
+
+INVALID_SUITES = [
+    ("bad-type-name", {"properties": {"x": {"type": "decimal"}}}),
+    ("bad-type-in-list", {"properties": {"x": {"type": ["string", "float"]}}}),
+    ("empty-type-list", {"properties": {"x": {"type": []}}}),
+    ("empty-enum", {"properties": {"x": {"enum": []}}}),
+    ("string-minimum", {"properties": {"x": {"minimum": "5"}}}),
+    ("bool-maximum", {"properties": {"x": {"maximum": True}}}),
+    ("zero-multipleOf", {"properties": {"x": {"multipleOf": 0}}}),
+    ("negative-minLength", {"properties": {"x": {"minLength": -1}}}),
+    ("float-maxItems", {"properties": {"x": {"maxItems": 2.5}}}),
+    ("bad-regex-pattern", {"properties": {"x": {"pattern": "a{2,1}"}}}),
+    ("nonstring-format", {"properties": {"x": {"format": 7}}}),
+    ("nonbool-uniqueItems", {"properties": {"x": {"uniqueItems": "yes"}}}),
+    ("array-properties", {"properties": ["x"]}),
+    ("required-nonstrings", {"required": [1, 2]}),
+    ("empty-allOf", {"allOf": []}),
+    ("scalar-anyOf-member", {"anyOf": [{"type": "string"}, 42]}),
+    ("nonstring-ref", {"$ref": 7}),
+    ("draft4-exclusive-without-sibling",
+     {"version": 4, "properties": {"x": {"exclusiveMinimum": True}}}),
+    ("draft7-boolean-exclusive",
+     {"properties": {"x": {"exclusiveMinimum": True}}}),
+    ("empty-nullRate", {"properties": {"x": {"x-nullRate": {}}}}),
+    ("x-unique-no-approx", {"properties": {"x": {"x-unique": {"rsd": 0.1}}}}),
+    ("x-unique-empty-list", {"x-unique": []}),
+    ("x-unique-int-list", {"x-unique": [1]}),
+    ("x-referential-no-domain",
+     {"properties": {"x": {"x-referential": {"table": "t"}}}}),
+    ("x-stats-unknown-stat",
+     {"properties": {"x": {"x-stats": {"median": {"min": 0}}}}}),
+    ("x-quantile-no-q", {"properties": {"x": {"x-quantile": {"min": 0}}}}),
+    ("x-drift-no-baseline",
+     {"properties": {"x": {"x-drift": {"psiMax": 0.2}}}}),
+    ("x-parity-no-reference", {"properties": {"x": {"x-parity": {}}}}),
+    ("nonstring-rowexpr", {"x-rowExpr": 42}),
+    ("scalar-schema-node", {"properties": {"x": 42}}),
+    ("dependency-nonstring-list", {"dependencies": {"a": [1]}}),
+    ("nested-bad", {"properties": {"x": {"items": {"anyOf": [
+        {"type": "nope"}]}}}}),
+]
+
+
+@pytest.mark.parametrize(
+    "spec", [p for _, p in INVALID_SUITES],
+    ids=[n for n, _ in INVALID_SUITES])
+def test_invalid_suite_caught_by_both(spark, spec):
+    with pytest.raises(SuiteError):
+        validate_suite_spec(spec)
+    res = validate_suite_with_engine(spark, spec)
+    assert not res.ok(), "engine-hosted metaschema accepted an invalid suite"
+
+
+def test_metaschema_validates_itself(spark):
+    """Self-hosting closure: the metaschema is a valid suite under BOTH the
+    walker and the engine-hosted metaschema (≙ draft7.json validating
+    itself against itself)."""
+    from jsonschema_valid_spark.suite.metaschema import METASCHEMA_SUITE
+
+    validate_suite_spec(METASCHEMA_SUITE)
+    assert validate_suite_with_engine(spark, METASCHEMA_SUITE).ok()
+
+
+def test_bool_suites_trivially_valid(spark):
+    assert validate_suite_with_engine(spark, True).ok()
+    assert validate_suite_with_engine(spark, False).ok()
+
+
+def test_violation_rows_name_the_offending_path(spark):
+    res = validate_suite_with_engine(
+        spark, {"properties": {"n_tok": {"minimum": "zero"}}})
+    rows = res.violations.collect()
+    assert rows
+    assert any("properties/n_tok/minimum" in r["doc_id"] for r in rows)

@@ -242,3 +242,102 @@ def test_format_regex_fixed_old_approximation(spark):
         df, key="id")
     failed = {int(r["doc_id"]) for r in res.violations.collect()}
     assert failed == {0}
+
+
+# ---------------------------------------------------------------------------
+# commit-protocol seam (VERDICT r2 #7): resume runs against BOTH the parquet
+# dynamic-overwrite path and the Iceberg-style atomic snapshot-manifest path
+# ---------------------------------------------------------------------------
+
+def _ckpt_suite():
+    return CheckSuite({"properties": {"x": {"minimum": 0}}})
+
+
+def _ckpt_input(spark):
+    rows = [(f"d{i}", -1 if i % 5 == 0 else i, f"p{i % 3}")
+            for i in range(30)]
+    return spark.createDataFrame(rows, "doc_id string, x long, source string")
+
+
+@pytest.mark.parametrize("seam", ["parquet", "iceberg"])
+def test_resume_contract_under_both_commit_seams(spark, tmp_path, seam):
+    from jsonschema_valid_spark.checkpoint import SnapshotManifestCommit
+
+    df = _ckpt_input(spark)
+    base = str(tmp_path / seam)
+    proto = SnapshotManifestCommit(base) if seam == "iceberg" else None
+    runner = CheckpointRunner(_ckpt_suite(), base, commit_protocol=proto)
+
+    # interrupted after 1 partition, then resumed — same lineage contract
+    with pytest.raises(InterruptedError):
+        runner.run(df, partition_by="source", key="doc_id", fail_after=1)
+    done_first = runner.completed_partitions(spark)
+    assert len(done_first) == 1
+
+    s2 = runner.run(df, partition_by="source", key="doc_id")
+    assert sorted(s2.processed + s2.skipped) == ["p0", "p1", "p2"]
+    assert sorted(s2.skipped) == sorted(done_first)
+
+    viol = {r["doc_id"] for r in runner.violations(spark).collect()}
+    assert viol == {f"d{i}" for i in range(30) if i % 5 == 0}
+    assert runner.failed(spark) is True
+    # re-running a completed partition is a no-op (lineage prunes it)
+    s3 = runner.run(df, partition_by="source", key="doc_id")
+    assert s3.processed == []
+
+
+def test_snapshot_seam_crash_before_swap_invisible(spark, tmp_path):
+    """Iceberg contract: data files written but NOT manifest-swapped are
+    invisible to readers — a crash between write and commit can never
+    expose a partial partition."""
+    from jsonschema_valid_spark.checkpoint import SnapshotManifestCommit
+
+    base = str(tmp_path / "snap")
+    proto = SnapshotManifestCommit(base)
+    df1 = spark.createDataFrame([("a", 1)], "doc_id string, x long")
+    proto.commit(df1, "violations", "p0")
+    assert proto.read_all(spark, "violations").count() == 1
+
+    # simulate the crash: write data files directly, no manifest swap
+    df2 = spark.createDataFrame([("b", 2)], "doc_id string, x long")
+    df2.write.parquet(f"{base}/violations/data/p1-crashed")
+    assert proto.read_all(spark, "violations").count() == 1  # still old view
+
+    # a re-commit of p0 atomically REPLACES its file set
+    df3 = spark.createDataFrame([("c", 3), ("d", 4)], "doc_id string, x long")
+    proto.commit(df3, "violations", "p0")
+    got = {r["doc_id"] for r in proto.read_all(spark, "violations").collect()}
+    assert got == {"c", "d"}
+
+
+# ---------------------------------------------------------------------------
+# IVF-Flat ANN (second scale path beside LSH)
+# ---------------------------------------------------------------------------
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    import random
+
+    from jsonschema_valid_spark.functions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.gauss(0.0, 1.0) for _ in range(16)]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    q = rows[7][1]
+
+    exact = [r["vec_id"] for r in
+             brute_force_topk(df, "vec_id", "v", q, k=10).collect()]
+    approx = [r["vec_id"] for r in
+              ivf_topk(df, "vec_id", "v", q, k=10, n_cells=8,
+                       n_probe=4).collect()]
+    # probing half the cells recovers most of the exact top-10, and the
+    # query point itself (cos 1.0) is always in its own probed cell
+    assert approx[0] == 7
+    assert len(set(approx) & set(exact)) >= 6
+
+    full = [r["vec_id"] for r in
+            ivf_topk(df, "vec_id", "v", q, k=10, n_cells=8,
+                     n_probe=8).collect()]
+    assert full == exact  # probing every cell IS the exact search

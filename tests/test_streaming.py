@@ -111,3 +111,35 @@ def test_stream_windowed_drift_matches_batch(spark, stream_dir):
             r["window_start"], r["metric_value"], expected)
         assert r["passed"] == (expected <= 0.1)
         assert r["check_id"] == "x-drift/v/psi"
+
+
+def test_quarantine_router_matches_batch_split(spark, stream_dir, tmp_path):
+    """VERDICT r2 item 8: the streaming foreachBatch router and the batch
+    split_valid quarantine share one code path — identical clean/quarantine
+    partitions for the same input."""
+    from jsonschema_valid_spark.engine import split_valid
+    from jsonschema_valid_spark.streaming.checks import quarantine_router
+
+    path, df = stream_dir
+    suite = CheckSuite(SUITE)
+    out = str(tmp_path / "routed")
+
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+    q = (sdf.writeStream.foreachBatch(quarantine_router(suite, out))
+         .option("checkpointLocation", f"{out}/_ckpt")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    s_clean = {r["doc_id"] for r in
+               spark.read.parquet(f"{out}/clean").collect()}
+    s_bad = {r["doc_id"] for r in
+             spark.read.parquet(f"{out}/quarantine").collect()}
+
+    b_clean_df, b_bad_df = split_valid(suite, df)
+    b_clean = {r["doc_id"] for r in b_clean_df.collect()}
+    b_bad = {r["doc_id"] for r in b_bad_df.collect()}
+
+    assert s_clean == b_clean
+    assert s_bad == b_bad
+    assert s_bad and s_clean            # both sides non-trivial
+    assert s_clean.isdisjoint(s_bad)
