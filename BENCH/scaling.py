@@ -17,6 +17,12 @@ this box — see BENCH/BASELINE.md for the numbers):
   + page-cache faults; a 100 TB job is steady-state by definition.
 * Identical materialized parquet input, fresh JVM per leg, legs run
   sequentially (never concurrently).
+* **Probe-matched interleaved rounds** (r3): the sandbox host has
+  hour-scale performance phases; measuring leg N in one phase and leg 4N
+  in another biases the RATIO in either direction. Each round runs
+  (probe, N leg, probe, 4N leg); a round is comparable only when both
+  probes agree within 25%. The reported efficiency is the MEDIAN over
+  matched rounds — never a single-phase-straddling pair.
 
 Writes BENCH/BASELINE.md. Acceptance: eff = (thru_4N/thru_N)/4 ≥ 0.8.
 """
@@ -34,7 +40,8 @@ REPO = os.path.dirname(HERE)
 ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "16000000"))
 LEG_N = int(os.environ.get("SPARK_GRAFT_LEG_N", "2"))
 LEG_4N = int(os.environ.get("SPARK_GRAFT_LEG_4N", "8"))
-REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "5"))
+REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
 
 CHILD = r"""
 import json, sys, time
@@ -73,21 +80,42 @@ def run_leg(cpus: int, path: str) -> dict:
 
 def main() -> None:
     sys.path.insert(0, REPO)
-    from bench import make_spark, materialize_input
+    from bench import control_probe, make_spark, materialize_input
 
     spark = make_spark(32)
     path = materialize_input(spark, ROWS)
     n_rows = spark.read.parquet(path).count()
     spark.stop()
 
-    rn = run_leg(LEG_N, path)
-    r4 = run_leg(LEG_4N, path)
-    # min over post-warm repeats = best sustained throughput (steady state)
-    wn = min(rn["walls"][1:])
-    w4 = min(r4["walls"][1:])
+    rounds = []
+    for rnd in range(ROUNDS):
+        pn = control_probe()
+        rn = run_leg(LEG_N, path)
+        p4 = control_probe()
+        r4 = run_leg(LEG_4N, path)
+        wn = min(rn["walls"][1:])
+        w4 = min(r4["walls"][1:])
+        e = ((n_rows / w4) / (n_rows / wn)) / (LEG_4N / LEG_N)
+        matched = abs(pn - p4) / min(pn, p4) <= 0.25
+        rounds.append({"round": rnd, "probe_n": pn, "probe_4n": p4,
+                       "matched": matched, "walls_n": rn["walls"],
+                       "walls_4n": r4["walls"], "wall_n": wn, "wall_4n": w4,
+                       "eff": round(e, 3), "violations_n": rn["violations"],
+                       "violations_4n": r4["violations"],
+                       "verdicts_n": rn["verdicts"],
+                       "verdicts_4n": r4["verdicts"]})
+
+    usable = [r for r in rounds if r["matched"]] or rounds
+    usable.sort(key=lambda r: r["eff"])
+    pick = usable[len(usable) // 2]  # median over probe-matched rounds
+    wn, w4 = pick["wall_n"], pick["wall_4n"]
+    rn = {"walls": pick["walls_n"], "violations": pick["violations_n"],
+          "verdicts": pick["verdicts_n"]}
+    r4 = {"walls": pick["walls_4n"], "violations": pick["violations_4n"],
+          "verdicts": pick["verdicts_4n"]}
     thru_n = n_rows / wn
     thru_4n = n_rows / w4
-    eff = (thru_4n / thru_n) / (LEG_4N / LEG_N)
+    eff = pick["eff"]
 
     md = f"""# BENCH/BASELINE — two-cluster-size scaling evidence
 
@@ -107,6 +135,14 @@ the IDENTICAL materialized parquet input ({n_rows:,} rows,
 
 **Scaling efficiency** = (thru_4N / thru_N) / {LEG_4N // LEG_N} = **{eff:.3f}**
 (acceptance ≥ 0.8: **{"PASS" if eff >= 0.8 else "FAIL"}**)
+
+Protocol (r3): {ROUNDS} interleaved rounds of (probe, N leg, probe, 4N leg);
+a round counts only when its two single-thread control probes agree within
+25% (same host phase for BOTH legs — the phases swing 2×+ and straddling
+one biases the ratio either direction). Reported = MEDIAN efficiency over
+matched rounds. All rounds:
+
+{{rounds_md}}
 
 Violations found (identical at both levels): {rn['violations']:,} vs
 {r4['violations']:,}; verdict rows {rn['verdicts']} vs {r4['verdicts']}.
@@ -139,11 +175,17 @@ are job scheduling and the final tiny verdict joins).
   `spark.sql.files.maxPartitionBytes=16MB` (so a small bench file set still
   produces ≥ cores read splits; moot at deploy scale).
 """
+    rounds_md = "| round | probe N/4N (Mops) | min wall N | min wall 4N | eff | matched |\n|---|---|---|---|---|---|\n"
+    for r in sorted(rounds, key=lambda x: x["round"]):
+        rounds_md += (f"| {r['round']} | {r['probe_n']}/{r['probe_4n']} "
+                      f"| {r['wall_n']:.2f} | {r['wall_4n']:.2f} "
+                      f"| {r['eff']} | {'yes' if r['matched'] else 'NO'} |\n")
+    md = md.replace("{rounds_md}", rounds_md)
     with open(f"{HERE}/BASELINE.md", "w") as f:
         f.write(md)
     print(json.dumps({"thru_n": round(thru_n, 1), "thru_4n": round(thru_4n, 1),
-                      "efficiency": round(eff, 3), "rows": n_rows,
-                      "walls_n": rn["walls"], "walls_4n": r4["walls"]}))
+                      "efficiency": eff, "rows": n_rows,
+                      "rounds": rounds}))
 
 
 if __name__ == "__main__":

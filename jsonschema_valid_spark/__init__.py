@@ -32,6 +32,7 @@ from jsonschema_valid_spark.suite.spec import (
     SuiteBindError,
     validate_suite_spec,
 )
+from jsonschema_valid_spark.suite.metaschema import validate_suite_with_engine
 from jsonschema_valid_spark.engine import ValidationResult, split_valid
 
 
@@ -52,6 +53,7 @@ __all__ = [
     "split_valid",
     "validate",
     "validate_suite_spec",
+    "validate_suite_with_engine",
 ]
 
 __version__ = "0.1.0"

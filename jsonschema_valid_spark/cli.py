@@ -31,8 +31,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", required=True, help="output dir for results")
     p.add_argument("--resume", action="store_true",
                    help="checkpointed per-partition run with lineage")
+    p.add_argument("--commit-protocol", default="overwrite",
+                   choices=["overwrite", "snapshot"],
+                   help="resume-mode output visibility: parquet dynamic "
+                        "overwrite (default) or atomic snapshot-manifest "
+                        "swap (Iceberg semantics)")
     p.add_argument("--fail-fast", action="store_true",
                    help="LIMIT-1 probe only; skip result materialization")
+    p.add_argument("--check-suite", action="store_true",
+                   help="validate ONLY the suite spec (walker + the "
+                        "engine-hosted self-metaschema) and exit — the "
+                        "analog of the reference's Config::validate_schema")
     return p
 
 
@@ -45,6 +54,24 @@ def main(argv=None) -> int:
     spark = SparkSession.builder.appName("jsonschema-valid-spark").getOrCreate()
     with open(args.suite) as f:
         spec = json.load(f)
+
+    if args.check_suite:
+        from jsonschema_valid_spark.suite.metaschema import (
+            validate_suite_with_engine,
+        )
+        from jsonschema_valid_spark.suite.spec import SuiteError
+
+        try:
+            CheckSuite(spec)  # walker (fast path) raises on first error
+        except SuiteError as e:
+            print(json.dumps({"suite_valid": False, "walker_error": str(e)}))
+            return 1
+        res = validate_suite_with_engine(spark, spec)
+        bad = [{"at": r["doc_id"], "check": r["check_id"]}
+               for r in res.violations.collect()]
+        print(json.dumps({"suite_valid": not bad, "engine_violations": bad}))
+        return 0 if not bad else 1
+
     suite = CheckSuite(spec)
 
     if args.format == "jsonl":
@@ -60,9 +87,14 @@ def main(argv=None) -> int:
         if not args.partition_by:
             print("--resume requires --partition-by", file=sys.stderr)
             return 2
-        from jsonschema_valid_spark.checkpoint import CheckpointRunner
+        from jsonschema_valid_spark.checkpoint import (
+            CheckpointRunner,
+            SnapshotManifestCommit,
+        )
 
-        runner = CheckpointRunner(suite, args.output)
+        proto = (SnapshotManifestCommit(args.output.rstrip("/"))
+                 if args.commit_protocol == "snapshot" else None)
+        runner = CheckpointRunner(suite, args.output, commit_protocol=proto)
         summary = runner.run(df, partition_by=args.partition_by, key=args.key)
         # exit code covers ALL committed partitions — including ones
         # completed (and skipped) by previous interrupted runs — and failed

@@ -341,3 +341,48 @@ def test_ivf_topk_recall_vs_brute_force(spark):
             ivf_topk(df, "vec_id", "v", q, k=10, n_cells=8,
                      n_probe=8).collect()]
     assert full == exact  # probing every cell IS the exact search
+
+
+# ---------------------------------------------------------------------------
+# CLI: --check-suite (engine-hosted metaschema) and --commit-protocol
+# ---------------------------------------------------------------------------
+
+def test_cli_check_suite(spark, tmp_path):
+    import json
+
+    from jsonschema_valid_spark.cli import main
+
+    good = tmp_path / "good.json"
+    good.write_text(json.dumps({"properties": {"x": {"minimum": 0}}}))
+    assert main(["--suite", str(good), "--input", "unused",
+                 "--output", "unused", "--check-suite"]) == 0
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"properties": {"x": {"minimum": "zero"}}}))
+    assert main(["--suite", str(bad), "--input", "unused",
+                 "--output", "unused", "--check-suite"]) == 1
+
+
+def test_cli_resume_snapshot_protocol(spark, tmp_path):
+    import json
+
+    from jsonschema_valid_spark.cli import main
+
+    p = tmp_path / "in.parquet"
+    _ckpt_input(spark).write.parquet(str(p))
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps({"properties": {"x": {"minimum": 0}}}))
+    out = str(tmp_path / "out")
+    rc = main(["--suite", str(suite_path), "--input", str(p),
+               "--output", out, "--resume", "--partition-by", "source",
+               "--commit-protocol", "snapshot"])
+    assert rc == 1  # the %5 rows violate
+    # outputs are visible only through the manifest
+    import os
+
+    assert os.path.exists(f"{out}/violations/_manifest.json")
+    # second invocation: everything skipped, exit still reflects history
+    rc2 = main(["--suite", str(suite_path), "--input", str(p),
+                "--output", out, "--resume", "--partition-by", "source",
+                "--commit-protocol", "snapshot"])
+    assert rc2 == 1
