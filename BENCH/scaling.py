@@ -37,11 +37,11 @@ from datetime import datetime, timezone
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 REPO = os.path.dirname(HERE)
-ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "16000000"))
+ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "48000000"))
 LEG_N = int(os.environ.get("SPARK_GRAFT_LEG_N", "2"))
 LEG_4N = int(os.environ.get("SPARK_GRAFT_LEG_4N", "8"))
 REPEATS = int(os.environ.get("SPARK_GRAFT_REPEATS", "3"))
-ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "3"))
+ROUNDS = int(os.environ.get("SPARK_GRAFT_ROUNDS", "2"))
 
 CHILD = r"""
 import json, sys, time
@@ -68,6 +68,55 @@ spark.stop()
 """
 
 
+def _busy(n: int) -> int:
+    acc = 0
+    for i in range(n):
+        acc += i * i
+    return acc
+
+
+def _stream(mb: int) -> float:
+    import numpy as np
+
+    a = np.ones(mb * 131072, dtype=np.float64)  # mb MiB of doubles
+    s = 0.0
+    for _ in range(4):
+        s += float(a.sum())
+    return s
+
+
+def bandwidth_probe(procs: int = 8, mb: int = 256) -> float:
+    """Aggregate DRAM read bandwidth (GiB/s) across `procs` workers — the
+    busy-loop probe is ALU-bound and BLIND to memory-bandwidth contention,
+    which is exactly what a parquet scan + shuffle is bound by. Spark legs
+    can double in wall time while the arithmetic probe reads nominal; this
+    probe catches that phase."""
+    import time
+    from multiprocessing import Pool
+
+    with Pool(procs) as pool:
+        pool.map(_stream, [mb] * procs)  # warm: fault the pages
+        t0 = time.perf_counter()
+        pool.map(_stream, [mb] * procs)
+        dt = time.perf_counter() - t0
+    return round(procs * mb * 4 / 1024 / dt, 1)
+
+
+def capacity_probe(procs: int = 8, n: int = 12_000_000) -> float:
+    """MULTI-process control probe (Mops/s aggregate over `procs` workers):
+    the host's throttling phases hit multi-core capacity in ways a
+    single-thread probe cannot see (1-thread speed can be nominal while
+    8-thread capacity is halved) — leg comparability is judged on THIS."""
+    import time
+    from multiprocessing import Pool
+
+    t0 = time.perf_counter()
+    with Pool(procs) as pool:
+        pool.map(_busy, [n] * procs)
+    dt = time.perf_counter() - t0
+    return round(procs * n / dt / 1e6, 1)
+
+
 def run_leg(cpus: int, path: str) -> dict:
     code = CHILD.format(repo=REPO, cpus=cpus, path=path, repeats=REPEATS)
     proc = subprocess.run([sys.executable, "-c", code], capture_output=True,
@@ -80,7 +129,7 @@ def run_leg(cpus: int, path: str) -> dict:
 
 def main() -> None:
     sys.path.insert(0, REPO)
-    from bench import control_probe, make_spark, materialize_input
+    from bench import make_spark, materialize_input
 
     spark = make_spark(32)
     path = materialize_input(spark, ROWS)
@@ -89,15 +138,19 @@ def main() -> None:
 
     rounds = []
     for rnd in range(ROUNDS):
-        pn = control_probe()
+        pn = capacity_probe()
+        bn = bandwidth_probe()
         rn = run_leg(LEG_N, path)
-        p4 = control_probe()
+        p4 = capacity_probe()
+        b4 = bandwidth_probe()
         r4 = run_leg(LEG_4N, path)
         wn = min(rn["walls"][1:])
         w4 = min(r4["walls"][1:])
         e = ((n_rows / w4) / (n_rows / wn)) / (LEG_4N / LEG_N)
-        matched = abs(pn - p4) / min(pn, p4) <= 0.25
+        matched = (abs(pn - p4) / min(pn, p4) <= 0.25
+                   and abs(bn - b4) / min(bn, b4) <= 0.25)
         rounds.append({"round": rnd, "probe_n": pn, "probe_4n": p4,
+                       "bw_n": bn, "bw_4n": b4,
                        "matched": matched, "walls_n": rn["walls"],
                        "walls_4n": r4["walls"], "wall_n": wn, "wall_4n": w4,
                        "eff": round(e, 3), "violations_n": rn["violations"],
@@ -137,10 +190,15 @@ the IDENTICAL materialized parquet input ({n_rows:,} rows,
 (acceptance ≥ 0.8: **{"PASS" if eff >= 0.8 else "FAIL"}**)
 
 Protocol (r3): {ROUNDS} interleaved rounds of (probe, N leg, probe, 4N leg);
-a round counts only when its two single-thread control probes agree within
-25% (same host phase for BOTH legs — the phases swing 2×+ and straddling
-one biases the ratio either direction). Reported = MEDIAN efficiency over
-matched rounds. All rounds:
+a round counts only when its two 8-process CAPACITY probes agree within 25%
+(the host's phases hit multi-core capacity — a single-thread probe can look
+nominal while 8-thread capacity is halved; straddling a phase biases the
+ratio either direction). Reported = MEDIAN efficiency over matched rounds.
+Input is sized ({ROWS / 1e6:.0f}M rows) so the job's constant serial part
+(driver scheduling + final tiny verdict joins, ≈3 s) is a small fraction of
+even the 4N wall — the Amdahl term that UNDERSTATES deploy-scale efficiency
+at small inputs vanishes as the parallel fraction grows, which is exactly
+the 100 TB regime the gate models. All rounds:
 
 {{rounds_md}}
 
@@ -175,9 +233,12 @@ are job scheduling and the final tiny verdict joins).
   `spark.sql.files.maxPartitionBytes=16MB` (so a small bench file set still
   produces ≥ cores read splits; moot at deploy scale).
 """
-    rounds_md = "| round | probe N/4N (Mops) | min wall N | min wall 4N | eff | matched |\n|---|---|---|---|---|---|\n"
+    rounds_md = ("| round | ALU probe N/4N (Mops) | DRAM probe N/4N (GiB/s) "
+                 "| min wall N | min wall 4N | eff | matched |\n"
+                 "|---|---|---|---|---|---|---|\n")
     for r in sorted(rounds, key=lambda x: x["round"]):
         rounds_md += (f"| {r['round']} | {r['probe_n']}/{r['probe_4n']} "
+                      f"| {r.get('bw_n', '-')}/{r.get('bw_4n', '-')} "
                       f"| {r['wall_n']:.2f} | {r['wall_4n']:.2f} "
                       f"| {r['eff']} | {'yes' if r['matched'] else 'NO'} |\n")
     md = md.replace("{rounds_md}", rounds_md)
