@@ -1517,3 +1517,71 @@ def seq_hist_ntok(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bucket").cast("long").alias("bucket"),
         F.col("count").cast("long").alias("cnt"),
     )
+
+
+_CLEAN_REF_SQL = """
+SELECT concat('doc-', lpad(cast(doc_id AS STRING), 12, '0')) AS doc_id,
+       transform(sequence(0, cast((doc_id * 37) % 120 + 7 AS INT)),
+                 i -> cast((doc_id * 131 + i * 2654435761) % 50257 AS INT))
+           AS tokens
+FROM documents
+"""
+
+
+@register(
+    "seq_parity_tokens",
+    # mismatching rows are EXACTLY the %101 (tokens[0] = -5) and %107
+    # (tokens[1] duplicated) corruption arms; the %103 dup arm replays the
+    # violation multiplicity. did is recovered from the doc_id suffix.
+    oracle_with_sequences(
+        "SELECT doc_id, 'properties/tokens/x-parity' AS check_id "
+        "FROM sequences "
+        "WHERE CAST(substr(doc_id, 5) AS BIGINT) % 101 = 0 "
+        "   OR CAST(substr(doc_id, 5) AS BIGINT) % 107 = 0"
+    ),
+)
+def seq_parity_tokens(spark, sf_dir):
+    """Token-array equality vs the reference table (the BASELINE.json
+    per-row invariant: 'token-array equality against the reference') via
+    the engine's x-parity dataset check — inner equi-join on doc_id +
+    native array equality (bucketed co-located join / broadcast at scale;
+    the arrow mode is the same join with a mapInPandas predicate, pytest-
+    covered). Reference = the CLEAN sequence derivation (no corruption
+    arms), so the mismatch set is exactly the injected token corruptions."""
+    from jsonschema_valid_spark import CheckSuite
+
+    seq = load_sequences(spark, sf_dir)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents")
+    ref = spark.sql(_CLEAN_REF_SQL)
+    res = CheckSuite({"properties": {"tokens": {
+        "x-parity": {"reference": "@ref", "key": "doc_id"},
+    }}}).run(seq, key="doc_id", context={"ref": ref})
+    return res.violations.select("doc_id", "check_id")
+
+
+@register(
+    "seq_parity_tokens_arrow",
+    oracle_with_sequences(
+        "SELECT doc_id, 'properties/tokens/x-parity' AS check_id "
+        "FROM sequences "
+        "WHERE CAST(substr(doc_id, 5) AS BIGINT) % 101 = 0 "
+        "   OR CAST(substr(doc_id, 5) AS BIGINT) % 107 = 0"
+    ),
+)
+def seq_parity_tokens_arrow(spark, sf_dir):
+    """Same token-parity invariant through the ARROW-batch predicate
+    (mapInPandas, one vectorized pandas call per Arrow batch — the literal
+    BASELINE.json wording: 'token-array equality against the reference
+    enforced in an Arrow-batch predicate'). Same oracle as the native mode:
+    both must find exactly the injected corruption arms."""
+    from jsonschema_valid_spark import CheckSuite
+
+    seq = load_sequences(spark, sf_dir)
+    spark.read.parquet(f"{sf_dir}/documents.parquet").createOrReplaceTempView(
+        "documents")
+    ref = spark.sql(_CLEAN_REF_SQL)
+    res = CheckSuite({"properties": {"tokens": {
+        "x-parity": {"reference": "@ref", "key": "doc_id", "mode": "arrow"},
+    }}}).run(seq, key="doc_id", context={"ref": ref})
+    return res.violations.select("doc_id", "check_id")
