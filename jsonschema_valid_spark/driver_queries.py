@@ -1585,3 +1585,54 @@ def seq_parity_tokens_arrow(spark, sf_dir):
         "x-parity": {"reference": "@ref", "key": "doc_id", "mode": "arrow"},
     }}}).run(seq, key="doc_id", context={"ref": ref})
     return res.violations.select("doc_id", "check_id")
+
+
+@register(
+    "dedup_cluster_survivors",
+    """
+WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+           FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(wl)),
+           i -> wl[i] || ' ' || wl[i+1])) AS shl FROM w),
+sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+p0 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+          FROM inv x JOIN inv y USING (s) WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT a, b FROM p0
+        JOIN sizes sa ON p0.a = sa.doc_id
+        JOIN sizes sb ON p0.b = sb.doc_id
+        WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.2),
+nodes AS (SELECT a AS id FROM prs UNION SELECT b FROM prs),
+edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b AS u, a AS v FROM prs),
+reach(id, lbl) AS (
+    SELECT id, id FROM nodes
+  UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id,
+       (id = min(lbl)) AS is_survivor
+FROM reach GROUP BY id
+""",
+)
+def dedup_cluster_survivors(spark, sf_dir):
+    """Near-dup pair list -> connected components -> deterministic survivor
+    per cluster (min doc_id), via alternating large-star/small-star
+    (functions/dedup.py connected_components). The oracle replays the
+    same word-bigram Jaccard pairs and computes min-reachable-label
+    components with a recursive CTE. This is the stage that turns every
+    pair-producing dedup op (Jaccard/MinHash/SimHash/embedding) into an
+    actionable keep/drop set."""
+    from jsonschema_valid_spark.functions.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2)
+    cc = connected_components(pairs, "a", "b")
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
+    )

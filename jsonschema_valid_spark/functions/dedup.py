@@ -297,6 +297,117 @@ def _popcount(col):
     return out
 
 
+# ---------------------------------------------------------------------------
+# connected components (pair lists -> cluster assignments -> survivors)
+# ---------------------------------------------------------------------------
+
+def connected_components(pairs: DataFrame, a: str = "a", b: str = "b",
+                         max_iter: int = 25) -> DataFrame:
+    """Cluster assignment ``(id, cluster_id)`` for every node in an
+    undirected edge list, where ``cluster_id`` is the MINIMUM node id (in
+    the key column's native ordering) of the connected component — the piece that turns near-dup PAIR lists (Jaccard /
+    MinHash-LSH / SimHash / embedding-cosine) into a keep/drop decision.
+
+    Algorithm: alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC 2014) — the
+    standard shared-nothing CC algorithm:
+
+    * **large-star**: every node connects its LARGER neighbors to the
+      minimum of its neighborhood (incl. itself);
+    * **small-star**: every node connects its smaller-or-equal neighbors
+      (and itself) to that minimum.
+
+    Each round is two groupBy/join shuffles keyed by node id; the edge set
+    contracts toward a forest of stars rooted at component minima in
+    O(log² n) rounds (2-4 in practice for near-dup graphs, whose components
+    are small and dense). Per-round `localCheckpoint` truncates the lineage
+    so the plan does not grow with iterations — without it the DAG doubles
+    every round and the driver, not the data, becomes the bottleneck at
+    10⁹ edges. Convergence is detected with a count + order-insensitive
+    XOR-fold fingerprint of the edge set (order-insensitive and
+    overflow-free under ANSI mode; one cheap aggregate per round, never a
+    `collect()` of rows).
+
+    At 100 TB this is a driver-side loop of Spark jobs over an edge table
+    ~1000× smaller than the corpus (only near-dup pairs), so the iteration
+    cost is marginal next to the candidate-generation join that produced
+    the pairs. Reference analog: the reference validates rows one-by-one and
+    has no dedup graph stage; this extends SURVEY §2's pipeline ops.
+    """
+    e = (
+        pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    fp_prev = e.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+    ).first()
+    for _ in range(max_iter):
+        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        mins = (sym.groupBy("u").agg(F.min("v").alias("mn"))
+                .select("u", F.least("mn", F.col("u")).alias("m")))
+        large = (
+            sym.join(mins, on="u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e1 = (large.where(F.col("u") != F.col("v")).distinct()
+              .localCheckpoint(eager=True))
+        # small-star over (hi=u, lo=v) edges: m(hi) = min(lo ∪ {hi});
+        # emit (lo, m) for every lo, plus (hi, m)
+        smins = (e1.groupBy("u").agg(F.min("v").alias("mn"))
+                 .select("u", F.least("mn", F.col("u")).alias("m")))
+        small = (
+            e1.join(smins, on="u")
+            .select(F.col("v").alias("n"), F.col("m"))
+            .union(smins.select(F.col("u").alias("n"), F.col("m")))
+        )
+        e = (
+            small.where(F.col("n") != F.col("m"))
+            .select(F.greatest("n", "m").alias("u"), F.least("n", "m").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        fp = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
+        ).first()
+        if (fp["n"], fp["h"]) == (fp_prev["n"], fp_prev["h"]):
+            break
+        fp_prev = fp
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds")
+    # fixed point = stars (node -> component min); roots appear only as v
+    nodes = (pairs.select(F.col(a).alias("id"))
+             .union(pairs.select(F.col(b).alias("id")))
+             .distinct())
+    return (
+        nodes.join(e, nodes["id"] == e["u"], "left")
+        .select("id", F.coalesce(F.col("v"), F.col("id")).alias("cluster_id"))
+    )
+
+
+def neardup_survivors(df: DataFrame, key: str, pairs: DataFrame,
+                      a: str = "a", b: str = "b") -> DataFrame:
+    """Annotate ``df`` with ``cluster_id`` + ``is_survivor`` from a near-dup
+    pair list: one deterministic survivor (minimum key) per connected
+    component; rows in no pair survive as their own singleton cluster.
+    ``df.where("is_survivor")`` is the deduplicated corpus; the complement is
+    the drop set. One broadcast-or-shuffle join against the (small) cluster
+    table on top of :func:`connected_components`."""
+    cc = connected_components(pairs, a, b)
+    joined = df.join(
+        cc.select(F.col("id").alias(key), "cluster_id"), on=key, how="left")
+    return joined.withColumn(
+        "cluster_id", F.coalesce(F.col("cluster_id"), F.col(key))
+    ).withColumn("is_survivor", F.col("cluster_id") == F.col(key))
+
+
 def simhash_pairs(df: DataFrame, key: str, text_col: str,
                   max_hamming: int = 3, portable: bool = False) -> DataFrame:
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole

@@ -201,3 +201,56 @@ def test_multimodal_stub_raises_without_fake(spark, monkeypatch):
     media = multimodal.synth_media_table(spark, 4)
     with pytest.raises(Exception):  # NotImplementedError surfaces via Py4J
         multimodal.decode_features(media).collect()
+
+
+def test_connected_components_chain_and_islands(spark):
+    """Chain (worst case for naive min-propagation), a separate triangle,
+    and an isolated pair — large-star/small-star must label every node with
+    its component minimum."""
+    from jsonschema_valid_spark.functions.dedup import connected_components
+
+    edges = (
+        # chain 1-2-3-4-5-6-7-8 (diameter 7)
+        [(i, i + 1) for i in range(1, 8)]
+        # triangle 20-21-22
+        + [(20, 21), (21, 22), (20, 22)]
+        # pair 30-31 (listed big-first: orientation must not matter)
+        + [(31, 30)]
+    )
+    pairs = spark.createDataFrame(edges, "a: long, b: long")
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs, "a", "b").collect()}
+    want = {i: 1 for i in range(1, 9)}
+    want.update({20: 20, 21: 20, 22: 20, 30: 30, 31: 30})
+    assert got == want
+
+
+def test_connected_components_empty_and_string_keys(spark):
+    from jsonschema_valid_spark.functions.dedup import connected_components
+
+    empty = spark.createDataFrame([], "a: string, b: string")
+    assert connected_components(empty, "a", "b").count() == 0
+
+    pairs = spark.createDataFrame(
+        [("doc-9", "doc-2"), ("doc-2", "doc-5")], "a: string, b: string")
+    got = {r["id"]: r["cluster_id"]
+           for r in connected_components(pairs, "a", "b").collect()}
+    assert got == {"doc-9": "doc-2", "doc-2": "doc-2", "doc-5": "doc-2"}
+
+
+def test_neardup_survivors(spark):
+    """One survivor (min key) per component; untouched rows survive as
+    singleton clusters; the survivor table partitions the corpus."""
+    from jsonschema_valid_spark.functions.dedup import neardup_survivors
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(10)], "doc_id: long, text: string")
+    pairs = spark.createDataFrame(
+        [(1, 4), (4, 7), (2, 3)], "a: long, b: long")
+    out = neardup_survivors(docs, "doc_id", pairs, "a", "b").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert len(by_id) == 10
+    assert [by_id[i]["cluster_id"] for i in range(10)] == [
+        0, 1, 2, 2, 1, 5, 6, 1, 8, 9]
+    survivors = {i for i in range(10) if by_id[i]["is_survivor"]}
+    assert survivors == {0, 1, 2, 5, 6, 8, 9}
