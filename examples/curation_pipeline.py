@@ -21,6 +21,7 @@ def curate(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     from jsonschema_valid_spark.functions.dedup import (
         dedup_exact,
         minhash_lsh_pairs,
+        neardup_survivors,
     )
     from jsonschema_valid_spark.functions.similarity import cosine_neardup_pairs
     from jsonschema_valid_spark.functions.text import text_profile
@@ -37,12 +38,16 @@ def curate(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     #    (uniform) fingerprint, deterministic min-key survivor
     exact = dedup_exact(kept, "doc_id", "fp")
 
-    # 3. MinHash-LSH near-dup pairs (banded buckets, never all-pairs);
-    #    drop the higher doc_id of each verified pair
+    # 3. MinHash-LSH near-dup pairs (banded buckets, never all-pairs),
+    #    resolved to one survivor per connected component — a pairwise
+    #    drop-the-higher-id rule over-drops on transitive chains (a~b, b~c,
+    #    a!~c would drop both b AND c); large-star/small-star keeps exactly
+    #    the component minimum
     near = minhash_lsh_pairs(exact, "doc_id", "text",
                              num_perm=64, bands=16, n=2, threshold=0.6)
-    near_losers = near.select(F.col("b").alias("doc_id")).distinct()
-    after_text = exact.join(near_losers, on="doc_id", how="left_anti")
+    after_text = (neardup_survivors(exact, "doc_id", near)
+                  .where("is_survivor")
+                  .drop("cluster_id", "is_survivor"))
 
     # 4. embedding near-dup removal (multi-table hyperplane LSH + exact
     #    cosine verify); embeddings keyed by vec_id == doc_id here
