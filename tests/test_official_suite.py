@@ -1,0 +1,177 @@
+"""Official JSON-Schema-Test-Suite harness — the lift of the reference's
+submodule-driven test runner (``/root/reference/src/lib.rs:114-160``).
+
+The reference iterates ``JSON-Schema-Test-Suite/tests/draft{4,6,7}/*.json``
+files of ``[{description, schema, tests: [{description, data, valid}]}]``
+and asserts ``validate(data, schema).is_ok() == valid``. This harness runs
+the same file format through the engine's in-memory entry point
+(``validate_documents`` ≙ ``lib.rs:84-102``): each instance becomes a row
+``{"value": data}`` validated against ``{"properties": {"value": schema}}``
+— the relational lift of instance-level validation.
+
+In this sandbox the submodule directory is EMPTY (verified — the reference
+repo ships it as an uninitialized git submodule), so the directory scan
+yields no cases and the harness instead proves itself on SELF-AUTHORED
+sample cases written in the official file format below. Point
+``SPARK_GRAFT_JSTS_DIR`` at a real checkout (``.../tests/draft7``) to run
+the official corpus; files named in ``_SKIP_FILES`` cover keywords outside
+the relational lift (``definitions``/``refRemote`` need network or
+documents that are not objects at the wrapped level).
+"""
+
+import glob
+import json
+import os
+
+import pytest
+
+from jsonschema_valid_spark import CheckSuite
+from jsonschema_valid_spark.sources.jsonl import validate_documents
+
+JSTS_DIR = os.environ.get(
+    "SPARK_GRAFT_JSTS_DIR",
+    "/root/reference/JSON-Schema-Test-Suite/tests/draft7",
+)
+
+# outside the relational lift or need remote refs — same families the
+# reference's own harness feature-gates (lib.rs tests are draft-gated too)
+_SKIP_FILES = {
+    "refRemote.json",      # network refs
+    "definitions.json",    # bare metaschema $ref
+    "dependencies.json",   # draft-specific alias handling differs per file
+    "optional",            # optional/ subtree (format edge cases, bignum)
+}
+
+# Self-authored sample cases in the OFFICIAL file format — prove the
+# harness translation end-to-end even without the submodule. One entry per
+# representable keyword family.
+_SAMPLE_CASES = [
+    {
+        "description": "integer bounds",
+        "schema": {"type": "integer", "minimum": 2, "exclusiveMaximum": 10},
+        "tests": [
+            {"description": "inside", "data": 5, "valid": True},
+            {"description": "below", "data": 1, "valid": False},
+            {"description": "at exclusive max", "data": 10, "valid": False},
+        ],
+    },
+    {
+        "description": "string pattern and length",
+        "schema": {"type": "string", "pattern": "^a+b$", "maxLength": 4},
+        "tests": [
+            {"description": "match", "data": "aab", "valid": True},
+            {"description": "no match", "data": "abc", "valid": False},
+            {"description": "too long", "data": "aaaab", "valid": False},
+        ],
+    },
+    {
+        "description": "enum",
+        "schema": {"type": "string", "enum": ["red", "green"]},
+        "tests": [
+            {"description": "member", "data": "green", "valid": True},
+            {"description": "non-member", "data": "blue", "valid": False},
+        ],
+    },
+    {
+        "description": "array items and uniqueness",
+        "schema": {"type": "array", "items": {"type": "integer", "minimum": 0},
+                   "minItems": 1, "uniqueItems": True},
+        "tests": [
+            {"description": "ok", "data": [1, 2, 3], "valid": True},
+            {"description": "negative item", "data": [1, -2], "valid": False},
+            {"description": "dup", "data": [1, 1], "valid": False},
+            {"description": "empty", "data": [], "valid": False},
+        ],
+    },
+    {
+        "description": "object properties and required",
+        "schema": {
+            "type": "object",
+            "required": ["name"],
+            "properties": {"name": {"type": "string", "minLength": 1},
+                           "age": {"type": "integer", "minimum": 0}},
+        },
+        "tests": [
+            {"description": "ok", "data": {"name": "x", "age": 3},
+             "valid": True},
+            {"description": "missing required", "data": {"age": 3},
+             "valid": False},
+            {"description": "bad nested", "data": {"name": "x", "age": -1},
+             "valid": False},
+        ],
+    },
+    {
+        "description": "combinators",
+        "schema": {"type": "integer",
+                   "allOf": [{"minimum": 0},
+                             {"anyOf": [{"minimum": 10},
+                                        {"multipleOf": 3}]}]},
+        "tests": [
+            {"description": "first branch", "data": 11, "valid": True},
+            {"description": "second branch", "data": 6, "valid": True},
+            {"description": "neither", "data": 7, "valid": False},
+        ],
+    },
+    {
+        "description": "conditional",
+        "schema": {"type": "integer", "if": {"minimum": 10},
+                   "then": {"multipleOf": 5}, "else": {"multipleOf": 2}},
+        "tests": [
+            {"description": "then ok", "data": 15, "valid": True},
+            {"description": "then bad", "data": 12, "valid": False},
+            {"description": "else ok", "data": 4, "valid": True},
+            {"description": "else bad", "data": 3, "valid": False},
+        ],
+    },
+]
+
+
+def _load_official():
+    cases = []
+    if os.path.isdir(JSTS_DIR):
+        for path in sorted(glob.glob(f"{JSTS_DIR}/*.json")):
+            fname = os.path.basename(path)
+            if fname in _SKIP_FILES:
+                continue
+            with open(path) as f:
+                for case in json.load(f):
+                    cases.append((fname, case))
+    return cases
+
+
+def _params(origin, cases):
+    out = []
+    for fname, case in cases:
+        for t in case["tests"]:
+            out.append(pytest.param(
+                case["schema"], t["data"], t["valid"],
+                id=f"{origin}:{fname}::{case['description'][:40]}"
+                   f"::{t['description'][:40]}"))
+    return out
+
+
+OFFICIAL = _params("official", _load_official())
+SAMPLES = _params("sample", [("sample.json", c) for c in _SAMPLE_CASES])
+
+
+def _run(spark, schema, data, valid):
+    suite = CheckSuite({"properties": {"value": schema},
+                        "required": ["value"]})
+    res = validate_documents(spark, [{"value": data}], suite)
+    assert res.ok() is valid, (
+        f"schema={schema} data={data!r}: expected valid={valid};"
+        f" violations:\n{res.render()}")
+
+
+@pytest.mark.parametrize("schema,data,valid", SAMPLES)
+def test_sample_official_format(spark, schema, data, valid):
+    _run(spark, schema, data, valid)
+
+
+@pytest.mark.skipif(not OFFICIAL,
+                    reason="JSON-Schema-Test-Suite checkout not present "
+                           "(empty submodule in this sandbox); set "
+                           "SPARK_GRAFT_JSTS_DIR to run it")
+@pytest.mark.parametrize("schema,data,valid", OFFICIAL or [("x", "x", True)])
+def test_official_suite(spark, schema, data, valid):
+    _run(spark, schema, data, valid)
