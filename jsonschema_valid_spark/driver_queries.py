@@ -1636,3 +1636,65 @@ def dedup_cluster_survivors(spark, sf_dir):
         "cluster_id",
         (F.col("id") == F.col("cluster_id")).alias("is_survivor"),
     )
+
+
+@register(
+    "sample_stratified",
+    """
+WITH g AS (SELECT doc_id, lang,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '7'),
+                         1, 15)) AS BIGINT) % 1000000 AS gate
+    FROM documents)
+SELECT doc_id, lang FROM g
+WHERE gate < (CASE lang WHEN 'en' THEN 500000 WHEN 'es' THEN 200000
+              ELSE 100000 END)
+""",
+)
+def sample_stratified(spark, sf_dir):
+    """Deterministic per-stratum hash-gate sampling (functions/sampling.py):
+    a pure codegen'd filter — zero shuffles at any corpus size — with
+    per-language rates as a when-ladder (never a join). Portable-hash twin
+    mode so the oracle replays the identical sample; production default is
+    xxhash64 (pytest-covered)."""
+    from jsonschema_valid_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, "doc_id", "lang",
+                            rates={"en": 0.5, "es": 0.2}, default_rate=0.1,
+                            seed=7, portable=True)
+    return out.select("doc_id", "lang")
+
+
+@register(
+    "decontam_overlap",
+    """
+WITH bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 != 0),
+bw AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS wl FROM bench),
+probes AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, len(wl) - 3), i -> wl[i] || ' ' || wl[i+1] || ' ' ||
+               wl[i+2] || ' ' || wl[i+3] || ' ' || wl[i+4]))) AS s FROM bw),
+cw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+       FROM corpus),
+csh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(wl) - 3),
+            i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' ' ||
+            wl[i+3] || ' ' || wl[i+4])) AS shl FROM cw),
+posting AS (SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS s FROM csh)
+SELECT doc_id, min(n_shingles) AS n_shingles,
+       count(*) AS n_contaminated,
+       round(count(*) / min(n_shingles), 6) AS contamination_ratio
+FROM posting JOIN probes USING (s)
+GROUP BY doc_id
+""",
+)
+def decontam_overlap(spark, sf_dir):
+    """Benchmark decontamination (functions/decontamination.py): word
+    5-gram overlap of the corpus (doc_id % 17 != 0) against a benchmark
+    subset (doc_id % 17 == 0). Benchmark n-grams are broadcast; the corpus
+    is never shuffled before the sparse per-doc rollup."""
+    from jsonschema_valid_spark.functions.decontamination import contamination
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select("text")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    return contamination(corpus, bench, "doc_id", "text", n=5)

@@ -1,0 +1,80 @@
+"""Benchmark decontamination — n-gram overlap of a training corpus against
+an evaluation/benchmark set.
+
+The standard hygiene pass before training: any document sharing enough
+word n-grams with a benchmark item is flagged (and usually dropped) so eval
+scores measure generalization, not memorization of leaked test data.
+
+Scale shape (corpus ~10⁹ docs, benchmark ~10⁴-10⁶ items — benchmarks are
+ALWAYS the small side):
+
+1. benchmark n-grams: distinct shingles of the benchmark texts — a tiny
+   table, explicitly ``broadcast()``;
+2. corpus side: explode each doc's distinct shingles (carrying the doc's
+   shingle count on every posting row, same trick as ``jaccard_pairs`` —
+   no per-doc side table), broadcast-hash-join against the benchmark set
+   (NO shuffle of the corpus), and
+3. one groupBy(doc_id) — the only shuffle, keyed by the uniform doc id and
+   carrying only the matched posting rows (a sparse subset of the corpus).
+
+Everything is native HOFs + joins; no Python in the row path. The reference
+has no dedup/decontamination stage — this is a beyond-reference pipeline op
+per the brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from jsonschema_valid_spark.functions.dedup import word_shingles
+
+
+def benchmark_ngrams(bench: DataFrame, text_col: str, n: int = 8) -> DataFrame:
+    """Distinct word n-grams of the benchmark set — the contamination
+    probe list. n=8-13 is the published range (large n ⇒ near-zero false
+    positives on natural text); small corpora/tests use smaller n."""
+    return (
+        bench.select(F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), n))).alias("s"))
+        .distinct()
+    )
+
+
+def contamination(docs: DataFrame, bench: DataFrame, key: str,
+                  text_col: str, n: int = 8,
+                  bench_text_col: str | None = None) -> DataFrame:
+    """Per-document contamination report vs the benchmark set:
+    ``(key, n_shingles, n_contaminated, contamination_ratio)`` for every
+    document with ≥1 overlapping n-gram. Join the result back with a
+    left-anti (or threshold the ratio) to drop contaminated docs.
+
+    The benchmark side is deduplicated to distinct n-grams and broadcast;
+    the corpus is never shuffled before the (sparse) per-doc rollup."""
+    probes = benchmark_ngrams(bench, bench_text_col or text_col, n)
+    posting = docs.select(
+        F.col(key).alias("id"),
+        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
+    ).select(
+        "id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("s"))
+    hits = posting.join(F.broadcast(probes), on="s")
+    return (
+        hits.groupBy(F.col("id").alias(key))
+        .agg(F.min("n_shingles").alias("n_shingles"),
+             F.count(F.lit(1)).alias("n_contaminated"))
+        .withColumn("contamination_ratio",
+                    F.round(F.col("n_contaminated") / F.col("n_shingles"), 6))
+    )
+
+
+def decontaminate(docs: DataFrame, bench: DataFrame, key: str,
+                  text_col: str, n: int = 8, max_ratio: float = 0.0,
+                  bench_text_col: str | None = None) -> DataFrame:
+    """The clean corpus: drop documents whose contamination_ratio exceeds
+    ``max_ratio`` (default 0 — any overlap drops). One broadcast join + one
+    sparse groupBy + one left-anti join against the (small) flagged set."""
+    flagged = (
+        contamination(docs, bench, key, text_col, n, bench_text_col)
+        .where(F.col("contamination_ratio") > max_ratio)
+        .select(key)
+    )
+    return docs.join(flagged, on=key, how="left_anti")

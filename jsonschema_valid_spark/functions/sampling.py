@@ -1,0 +1,81 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+Sampling at 100 TB must be (a) shuffle-free — a sample is a FILTER, never a
+sort or a global randperm — and (b) reproducible — reruns, resumed runs, and
+the train/holdout split must see the same rows. Both fall out of hash-gate
+sampling: keep a row iff ``hash(key, seed) mod M < rate*M``. That is one
+deterministic projection inside whole-stage codegen; no state, no shuffle,
+no RNG whose stream depends on partitioning.
+
+``portable=True`` swaps xxhash64 (production default, fastest) for the
+md5-based :func:`portable_hash60` so an external ANSI-SQL engine (the
+driver's DuckDB oracle) replays the identical sample — the same twin-mode
+pattern as MinHash/SimHash (see ``dedup.py``).
+
+The reference validator has no sampling stage (it validates every instance,
+``lib.rs:84-102``); these are the beyond-reference dataset ops the brief
+lists for large-scale pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from jsonschema_valid_spark.functions.dedup import portable_hash60
+
+_GATE_M = 1_000_000
+
+
+def _hash_gate(key_col: Column, seed: int, portable: bool) -> Column:
+    """Uniform integer in [0, 1e6) derived from (key, seed) — the sampling
+    gate. Seed is mixed into the hashed STRING so changing it yields an
+    independent sample (xxhash64's seed argument has no DuckDB twin)."""
+    tagged = F.concat_ws("\x1f", key_col.cast("string"),
+                         F.lit(str(seed)))
+    h = portable_hash60(tagged) if portable else F.xxhash64(tagged)
+    return F.pmod(h, F.lit(_GATE_M))
+
+
+def hash_sample(df: DataFrame, key: str, rate: float, seed: int = 0,
+                portable: bool = False) -> DataFrame:
+    """Deterministic ``rate``-fraction sample keyed by ``key``: a pure
+    filter (no shuffle, no RNG state). The same key always lands on the
+    same side at the same (rate, seed) — and because the gate is a
+    THRESHOLD on one uniform hash, samples at increasing rates are nested
+    (rate 0.1 ⊂ rate 0.2), which is what you want for scaling-law subsets."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    return df.where(
+        _hash_gate(F.col(key), seed, portable) < int(rate * _GATE_M))
+
+
+def stratified_sample(df: DataFrame, key: str, stratum: str,
+                      rates: dict[str, float], default_rate: float = 0.0,
+                      seed: int = 0, portable: bool = False) -> DataFrame:
+    """Per-stratum hash-gate sampling: ``rates`` maps stratum value →
+    fraction; strata not listed get ``default_rate``. Compiles to one
+    ``when``-ladder over the (driver-constant, small) rate table inside the
+    same codegen'd filter — NOT a join, so still zero shuffles regardless
+    of stratum skew. Use it for language/source rebalancing: upsample the
+    tail strata, downsample the head."""
+    for s, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for stratum {s!r} must be in [0,1], got {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1], got {default_rate}")
+    threshold = F.lit(int(default_rate * _GATE_M))
+    for s, r in sorted(rates.items()):
+        threshold = F.when(F.col(stratum) == s,
+                           F.lit(int(r * _GATE_M))).otherwise(threshold)
+    return df.where(_hash_gate(F.col(key), seed, portable) < threshold)
+
+
+def train_holdout_split(df: DataFrame, key: str, holdout_rate: float,
+                        seed: int = 0, portable: bool = False
+                        ) -> tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, deterministic (train, holdout) split on the
+    same hash gate — one scan each side, a row can never migrate between
+    sides across reruns or resumes."""
+    gate = _hash_gate(F.col(key), seed, portable)
+    cut = int(holdout_rate * _GATE_M)
+    return df.where(gate >= cut), df.where(gate < cut)

@@ -254,3 +254,66 @@ def test_neardup_survivors(spark):
         0, 1, 2, 2, 1, 5, 6, 1, 8, 9]
     survivors = {i for i in range(10) if by_id[i]["is_survivor"]}
     assert survivors == {0, 1, 2, 5, 6, 8, 9}
+
+
+def test_hash_sample_deterministic_and_nested(spark):
+    from jsonschema_valid_spark.functions.sampling import hash_sample
+
+    docs = spark.range(0, 2000).withColumnRenamed("id", "doc_id")
+    s10 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    s10b = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    s30 = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.3).collect()}
+    assert s10 == s10b                      # deterministic
+    assert s10 <= s30                       # threshold gate => nested
+    assert 0.05 < len(s10) / 2000 < 0.15    # near the nominal rate
+    other_seed = {r["doc_id"]
+                  for r in hash_sample(docs, "doc_id", 0.1, seed=9).collect()}
+    assert other_seed != s10                # seed changes the sample
+
+
+def test_stratified_sample_rates_and_portability(spark):
+    from jsonschema_valid_spark.functions.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en" if i % 2 == 0 else "fr") for i in range(2000)],
+        "doc_id: long, lang: string")
+    out = stratified_sample(docs, "doc_id", "lang",
+                            rates={"en": 0.4}, default_rate=0.05)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert 300 < counts.get("en", 0) < 500
+    assert counts.get("fr", 0) < 120
+    # zero-shuffle plan: a pure filter over the scan
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_train_holdout_split_partitions(spark):
+    from jsonschema_valid_spark.functions.sampling import train_holdout_split
+
+    docs = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    train, hold = train_holdout_split(docs, "doc_id", 0.2)
+    t = {r["doc_id"] for r in train.collect()}
+    h = {r["doc_id"] for r in hold.collect()}
+    assert t | h == set(range(1000)) and not (t & h)
+
+
+def test_contamination_and_decontaminate(spark):
+    from jsonschema_valid_spark.functions.decontamination import (
+        contamination,
+        decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [("the secret benchmark answer is forty two exactly",)], "text: string")
+    docs = spark.createDataFrame(
+        [(1, "a clean document about spark joins and shuffles here"),
+         (2, "leaked: the secret benchmark answer is forty two exactly wow"),
+         (3, "another clean one with plenty of ordinary words inside")],
+        "doc_id: long, text: string")
+    rep = {r["doc_id"]: r for r in
+           contamination(docs, bench, "doc_id", "text", n=5).collect()}
+    assert set(rep) == {2}
+    assert rep[2]["n_contaminated"] >= 3       # the leaked 8-word span
+    clean = decontaminate(docs, bench, "doc_id", "text", n=5)
+    assert {r["doc_id"] for r in clean.collect()} == {1, 3}
