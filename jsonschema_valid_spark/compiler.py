@@ -1137,3 +1137,6 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         params = dict(v)
         params.setdefault("columns", [colname])
         plan.dataset_checks.append(DatasetCheck(cid, "parity", colname, params))
+    elif kw == "x-decontamination":
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "decontamination", colname, dict(v)))

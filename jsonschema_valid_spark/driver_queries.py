@@ -1698,3 +1698,46 @@ def decontam_overlap(spark, sf_dir):
     bench = docs.where(F.col("doc_id") % 17 == 0).select("text")
     corpus = docs.where(F.col("doc_id") % 17 != 0)
     return contamination(corpus, bench, "doc_id", "text", n=5)
+
+
+@register(
+    "engine_decontam_violations",
+    """
+WITH bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 != 0),
+bw AS (SELECT regexp_split_to_array(lower(trim(text)), '\\s+') AS wl FROM bench),
+probes AS (SELECT DISTINCT unnest(list_distinct(list_transform(
+               range(1, len(wl) - 3), i -> wl[i] || ' ' || wl[i+1] || ' ' ||
+               wl[i+2] || ' ' || wl[i+3] || ' ' || wl[i+4]))) AS s FROM bw),
+cw AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+       FROM corpus),
+csh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(wl) - 3),
+            i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2] || ' ' ||
+            wl[i+3] || ' ' || wl[i+4])) AS shl FROM cw),
+posting AS (SELECT doc_id, len(shl) AS n_shingles, unnest(shl) AS s FROM csh)
+SELECT doc_id, 'properties/text/x-decontamination' AS check_id,
+       round(count(*) / min(n_shingles), 6) AS ratio
+FROM posting JOIN probes USING (s)
+GROUP BY doc_id
+HAVING round(count(*) / min(n_shingles), 6) > 0
+""",
+)
+def engine_decontam_violations(spark, sf_dir):
+    """x-decontamination as a DECLARATIVE suite keyword through the engine
+    (violations carry the contamination ratio as `observed`): the benchmark
+    table arrives via @context exactly like x-referential domains and
+    x-parity references."""
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select("text")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    suite = CheckSuite({"properties": {"text": {
+        "type": "string",
+        "x-decontamination": {"benchmark": "@bench", "n": 5}}}})
+    res = suite.run(corpus, key="doc_id", context={"bench": bench})
+    return res.violations.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "check_id",
+        F.col("observed").cast("double").alias("ratio"),
+    )

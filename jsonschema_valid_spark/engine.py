@@ -332,6 +332,19 @@ def run_suite_summarized(
                 df, ref_df, key=dc.params.get("key", key),
                 columns=dc.params["columns"], check_id=dc.check_id,
                 mode=dc.params.get("mode", "native"))
+        elif dc.kind == "decontamination":
+            from jsonschema_valid_spark.functions.decontamination import (
+                decontamination_violations,
+            )
+
+            bench = dc.params["benchmark"]
+            if isinstance(bench, str) and bench.startswith("@"):
+                bench = context[bench[1:]]
+            vdf = decontamination_violations(
+                df, dc.column, bench, dc.check_id, key=key,
+                n=int(dc.params.get("n", 8)),
+                max_ratio=float(dc.params.get("maxRatio", 0.0)),
+                bench_text_col=dc.params.get("benchTextColumn"))
         else:
             continue
         ds_viols.append(dc.check_id)
@@ -548,6 +561,29 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("np") == 0).alias("passed"),
                     F.col("np").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "decontamination":
+            from jsonschema_valid_spark.functions.decontamination import (
+                decontamination_violations,
+            )
+
+            bench = dc.params["benchmark"]
+            if isinstance(bench, str) and bench.startswith("@"):
+                bench = context[bench[1:]]
+            dv = decontamination_violations(
+                df, dc.column, bench, dc.check_id, key=key,
+                n=int(dc.params.get("n", 8)),
+                max_ratio=float(dc.params.get("maxRatio", 0.0)),
+                bench_text_col=dc.params.get("benchTextColumn"))
+            violation_dfs.append(_with_ipath(dv))
+            verdict_dfs.append(
+                dv.agg(F.count(F.lit(1)).alias("nc")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nc") == 0).alias("passed"),
+                    F.col("nc").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

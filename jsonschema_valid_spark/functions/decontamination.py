@@ -78,3 +78,22 @@ def decontaminate(docs: DataFrame, bench: DataFrame, key: str,
         .select(key)
     )
     return docs.join(flagged, on=key, how="left_anti")
+
+
+def decontamination_violations(df: DataFrame, text_col: str, bench: DataFrame,
+                               check_id: str, key: str = "doc_id",
+                               n: int = 8, max_ratio: float = 0.0,
+                               bench_text_col: str | None = None) -> DataFrame:
+    """Violation rows (doc_id, check_id, observed, expected) for the
+    ``x-decontamination`` dataset keyword: one row per document whose
+    benchmark n-gram contamination_ratio exceeds ``max_ratio``."""
+    rep = contamination(df, bench, key, text_col, n, bench_text_col)
+    return (
+        rep.where(F.col("contamination_ratio") > max_ratio)
+        .select(
+            F.col(key).cast("string").alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.col("contamination_ratio").cast("string").alias("observed"),
+            F.lit(f"contamination_ratio <= {max_ratio}").alias("expected"),
+        )
+    )

@@ -268,6 +268,10 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "reference"}},
         }}),
+        _kw("x-decontamination", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "benchmark"}},
+        }}),
     ],
 }
 

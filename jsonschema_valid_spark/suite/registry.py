@@ -80,6 +80,7 @@ DATASET_KEYWORDS = frozenset(
         "x-stats",          # per-partition min/max/avg/stddev bounds
         "x-distinctCount",  # (approx) distinct cardinality bounds
         "x-quantile",       # approx-quantile bounds
+        "x-decontamination",  # benchmark n-gram overlap (train/eval hygiene)
         "x-rowExpr",        # escape hatch: arbitrary SQL boolean over the row
         "x-parity",         # per-row equality vs a reference table (BASELINE.json:15)
     }

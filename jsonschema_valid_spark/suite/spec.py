@@ -211,6 +211,10 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
         elif kw == "x-parity":
             if not isinstance(v, dict) or "reference" not in v:
                 raise _err(p, "x-parity must be {'reference': '@name', 'key': k?, 'mode': 'native'|'arrow'?}")
+        elif kw == "x-decontamination":
+            if not isinstance(v, dict) or "benchmark" not in v:
+                raise _err(p, "x-decontamination must be {'benchmark': '@name', "
+                              "'n'?: int, 'maxRatio'?: float, 'benchTextColumn'?: str}")
         # unknown keywords: ignored (validators.rs:75-78)
 
 

@@ -386,3 +386,69 @@ def test_cli_resume_snapshot_protocol(spark, tmp_path):
                 "--output", out, "--resume", "--partition-by", "source",
                 "--commit-protocol", "snapshot"])
     assert rc2 == 1
+
+
+# ---------------------------------------------------------------------------
+# x-decontamination dataset keyword (late round 3)
+# ---------------------------------------------------------------------------
+
+def _decontam_fixture(spark):
+    bench = spark.createDataFrame(
+        [("the secret benchmark answer is forty two exactly",)],
+        "text: string")
+    docs = spark.createDataFrame(
+        [(1, "a clean document about spark joins and shuffles here"),
+         (2, "leaked: the secret benchmark answer is forty two exactly wow"),
+         (3, "another clean one with plenty of ordinary words inside")],
+        "doc_id: long, text: string")
+    spec = {"properties": {"text": {
+        "type": "string",
+        "x-decontamination": {"benchmark": "@bench", "n": 5}}}}
+    return bench, docs, spec
+
+
+def test_x_decontamination_keyword(spark):
+    from jsonschema_valid_spark import CheckSuite
+
+    bench, docs, spec = _decontam_fixture(spark)
+    res = CheckSuite(spec).run(docs, key="doc_id", context={"bench": bench})
+    assert res.ok() is False
+    viols = res.violations.collect()
+    assert {(r["doc_id"], r["check_id"]) for r in viols} == {
+        ("2", "properties/text/x-decontamination")}
+    verdict = {(r["check_id"], r["passed"]) for r in res.verdicts.collect()}
+    assert ("properties/text/x-decontamination", False) in verdict
+
+
+def test_x_decontamination_summarized_path_agrees(spark):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.engine import run_suite_summarized
+
+    bench, docs, spec = _decontam_fixture(spark)
+    suite = CheckSuite(spec)
+    res = run_suite_summarized(suite, docs, key="doc_id",
+                               context={"bench": bench})
+    assert {(r["doc_id"], r["check_id"]) for r in res.violations.collect()} \
+        == {("2", "properties/text/x-decontamination")}
+    assert res.ok() is False
+
+
+def test_x_decontamination_spec_validation(spark):
+    from jsonschema_valid_spark.suite.metaschema import (
+        validate_suite_with_engine,
+    )
+    from jsonschema_valid_spark.suite.spec import (
+        SuiteError,
+        validate_suite_spec,
+    )
+
+    good = {"properties": {"text": {
+        "x-decontamination": {"benchmark": "@bench", "maxRatio": 0.1}}}}
+    validate_suite_spec(good)
+    assert validate_suite_with_engine(spark, good).ok() is True
+
+    bad = {"properties": {"text": {"x-decontamination": {"n": 5}}}}
+    import pytest as _pytest
+    with _pytest.raises(SuiteError):
+        validate_suite_spec(bad)
+    assert validate_suite_with_engine(spark, bad).ok() is False
