@@ -136,3 +136,42 @@ def test_summarized_agg_scan_drops_array_column(spark):
     agg_branch = opt.split("Aggregate")[1] if "Aggregate" in opt else opt
     res.unpersist()
     assert "size(tokens" not in agg_branch
+
+
+def test_decontamination_broadcasts_benchmark_side(spark):
+    """contamination() must broadcast the (small) benchmark n-gram set and
+    never shuffle the corpus posting table before the sparse per-doc
+    rollup: expect a BroadcastHashJoin and exactly ONE non-broadcast
+    Exchange (the groupBy on doc id)."""
+    from jsonschema_valid_spark.functions.decontamination import contamination
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select("text")
+    corpus = docs.where(F.col("doc_id") % 17 != 0)
+    plan = _plan(contamination(corpus, bench, "doc_id", "text", n=5))
+    assert "BroadcastHashJoin" in plan
+    # the CORPUS branch (between the join and the bench-side
+    # BroadcastExchange) must have no Exchange: scan -> explode -> join
+    corpus_branch = plan.split("BroadcastHashJoin", 1)[1].split(
+        "BroadcastExchange", 1)[0]
+    assert "Exchange" not in corpus_branch, plan
+    # total shuffles: the per-doc rollup + the TINY bench-side distinct
+    # (pre-broadcast dedup of the probe list) — nothing corpus-sized
+    non_broadcast_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange" in ln and "BroadcastExchange" not in ln
+    ]
+    assert len(non_broadcast_exchanges) == 2, plan
+
+
+def test_stratified_sample_is_pure_filter(spark):
+    """The hash-gate sample compiles to filter-over-scan: no Exchange, no
+    Python, inside WholeStageCodegen."""
+    from jsonschema_valid_spark.functions.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    plan = _plan(stratified_sample(
+        docs, "doc_id", "lang", rates={"en": 0.5}, default_rate=0.1))
+    assert "Exchange" not in plan
+    # `*(n)` prefixes in executedPlan toString = WholeStageCodegen stages
+    assert plan.lstrip().startswith("*("), plan
