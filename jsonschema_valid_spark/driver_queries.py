@@ -1741,3 +1741,34 @@ def engine_decontam_violations(spark, sf_dir):
         "check_id",
         F.col("observed").cast("double").alias("ratio"),
     )
+
+
+@register(
+    "text_repetition",
+    """
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+           FROM documents),
+g AS (SELECT doc_id, wl,
+    list_transform(range(1, len(wl)), i -> wl[i] || ' ' || wl[i+1]) AS bg,
+    list_transform(range(1, len(wl) - 1),
+                   i -> wl[i] || ' ' || wl[i+1] || ' ' || wl[i+2]) AS tg
+    FROM w)
+SELECT doc_id,
+    round(1 - CAST(len(list_distinct(wl)) AS DOUBLE) / len(wl), 6)
+        AS dup_word_ratio,
+    round(1 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 6)
+        AS dup_bigram_ratio,
+    round(1 - CAST(len(list_distinct(tg)) AS DOUBLE) / len(tg), 6)
+        AS dup_trigram_ratio
+FROM g
+""",
+)
+def text_repetition(spark, sf_dir):
+    """Gopher-style intra-document repetition metrics (duplicate n-gram
+    occurrence fractions, functions/text.py repetition_metrics) — one fused
+    projection, no shuffle."""
+    from jsonschema_valid_spark.functions.text import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(docs).select(
+        "doc_id", "dup_word_ratio", "dup_bigram_ratio", "dup_trigram_ratio")

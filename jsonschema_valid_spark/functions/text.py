@@ -132,3 +132,34 @@ def text_profile(df: DataFrame, text_col: str = "text") -> DataFrame:
         lang_id(c).alias("lang_pred"),
         fingerprint(c).alias("fp"),
     )
+
+
+def dup_ngram_ratio(col, n: int = 2):
+    """Intra-document repetition: fraction of word n-gram OCCURRENCES that
+    are repeats of an earlier occurrence — ``1 − distinct/total``. The
+    standard repetition quality filter (the Gopher/MassiveText
+    duplicate-n-gram family): boilerplate, keyword stuffing, and degenerate
+    generations score high. Native HOFs only — one projection, no shuffle,
+    no Python."""
+    from jsonschema_valid_spark.functions.dedup import word_shingles
+
+    grams = word_shingles(col, n)
+    return F.when(
+        F.size(grams) <= 0, F.lit(0.0)
+    ).otherwise(
+        F.lit(1.0) - F.size(F.array_distinct(grams))
+        / F.size(grams).cast("double")
+    )
+
+
+def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition report per document: duplicate word, bigram, and trigram
+    occurrence fractions (filter thresholds in the Gopher rules run ~0.2
+    for bigrams at n-gram scale). One fused projection."""
+    c = F.col(text_col)
+    return df.select(
+        "*",
+        F.round(dup_ngram_ratio(c, 1), 6).alias("dup_word_ratio"),
+        F.round(dup_ngram_ratio(c, 2), 6).alias("dup_bigram_ratio"),
+        F.round(dup_ngram_ratio(c, 3), 6).alias("dup_trigram_ratio"),
+    )

@@ -317,3 +317,18 @@ def test_contamination_and_decontaminate(spark):
     assert rep[2]["n_contaminated"] >= 3       # the leaked 8-word span
     clean = decontaminate(docs, bench, "doc_id", "text", n=5)
     assert {r["doc_id"] for r in clean.collect()} == {1, 3}
+
+
+def test_repetition_metrics(spark):
+    from jsonschema_valid_spark.functions.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(1, "spam spam spam spam"),
+         (2, "all four words differ")],
+        "doc_id: long, text: string")
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    # doc 1: words 4 occurrences/1 distinct = 0.75 dup; bigrams 3/1 ≈ 0.6667
+    assert out[1]["dup_word_ratio"] == 0.75
+    assert abs(out[1]["dup_bigram_ratio"] - 2 / 3) < 1e-6
+    assert out[2]["dup_word_ratio"] == 0.0
+    assert out[2]["dup_bigram_ratio"] == 0.0
