@@ -1772,3 +1772,23 @@ def text_repetition(spark, sf_dir):
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return repetition_metrics(docs).select(
         "doc_id", "dup_word_ratio", "dup_bigram_ratio", "dup_trigram_ratio")
+
+
+from jsonschema_valid_spark import oracle_gen as _og
+
+
+@register("ann_pq_topk", _og.pq_topk_sql(dim=64, m=8, n_codes=16, seed=13,
+                                         k=10, query_vec_id=0))
+def ann_pq_topk(spark, sf_dir):
+    """Product-quantization ANN top-k (functions/similarity.py pq_topk):
+    rows encode to 8 four-bit codes (4 bytes vs 256 — the compression that
+    keeps a 100 TB table's index in RAM), query scores are 8 literal-array
+    lookups per row, no shuffle. Oracle replays codebooks, argmin encode,
+    and the ADC lookup with interpolated constants."""
+    from jsonschema_valid_spark.functions.similarity import pq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_topk(emb, "vec_id", "embedding", q, k=10, m=8, n_codes=16,
+                   seed=13)

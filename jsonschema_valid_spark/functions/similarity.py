@@ -196,3 +196,90 @@ def cosine_neardup_pairs(df: DataFrame, key: str, vec_col: str, dim: int,
         )
         .where(F.col("cos") >= threshold)
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: product-quantization ANN (the memory-compression scale path)
+# ---------------------------------------------------------------------------
+
+def pq_codebooks(dim: int, m: int = 8, k: int = 16, seed: int = 13,
+                 scale: float = 0.15) -> list[list[list[float]]]:
+    """Deterministic product-quantization codebooks: ``m`` subspaces of
+    ``dim/m`` dims, ``k`` seeded-Gaussian centroids each (componentwise
+    std ``scale`` ≈ the embedding component scale). A production index
+    would k-means these per subspace on a sample; seeded centroids keep
+    the index fully deterministic (and the driver oracle replayable) with
+    the identical encode/ADC topology — same trade as ``ivf_centroids``."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    rnd = random.Random(seed)
+    d = dim // m
+    return [[[rnd.gauss(0.0, scale) for _ in range(d)] for _ in range(k)]
+            for _ in range(m)]
+
+
+def _sub_dot(vec_col, coeffs: list[float], offset: int):
+    """Σ_i v[offset+i+1] * c_i in fixed index order (1-based element_at) —
+    the term order is part of the oracle contract (identical FP addition
+    order in Spark and DuckDB ⇒ identical doubles ⇒ identical argmins)."""
+    terms = [F.try_element_at(vec_col, F.lit(offset + i + 1)) * F.lit(c)
+             for i, c in enumerate(coeffs)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def pq_encode(vec_col, books: list[list[list[float]]]):
+    """``array<int>`` of per-subspace code indices (1-based):
+    code_j = argmin_c ||x_j − c||² = argmin_c (|c|² − 2·c·x_j) — one linear
+    expression per centroid (the |x_j|² term is constant across centroids
+    and drops out), argmin via array_position(array_min) exactly like the
+    IVF cell assignment (linear plan size, no when-ladder)."""
+    codes = []
+    for j, book in enumerate(books):
+        d = len(book[0])
+        dists = F.array(*[
+            F.lit(sum(c * c for c in cent)) - 2.0 * _sub_dot(vec_col, cent, j * d)
+            for cent in book
+        ])
+        codes.append(F.array_position(dists, F.array_min(dists)).cast("int"))
+    return F.array(*codes)
+
+
+def pq_topk(df: DataFrame, key: str, vec_col: str, query: list[float],
+            k: int = 10, m: int = 8, n_codes: int = 16,
+            seed: int = 13) -> DataFrame:
+    """IVF-PQ-style approximate top-k by asymmetric distance computation:
+    rows are product-quantized to ``m`` code indices (``m·log₂(n_codes)``
+    bits — 4 bytes here vs 256 bytes of float32, the factor that lets a
+    100 TB embedding table's index live in RAM); the query builds an
+    ``m × n_codes`` lookup table of subspace dot products as LITERAL arrays
+    in the plan, and each row's score is ``m`` array lookups + adds — no
+    shuffle, one projection, then TakeOrderedAndProject.
+
+    At deploy the codes are computed ONCE at write time (a column of the
+    table, exactly like ``__cell``); compose with ``ivf_topk``'s partition
+    pruning for the full IVF-PQ pipeline: prune cells → score codes →
+    exact-rerank the top candidates. Ranks on the 6dp-ROUNDED score with
+    key tie-break so Spark and the DuckDB oracle order identically."""
+    dim = len(query)
+    books = pq_codebooks(dim, m, n_codes, seed)
+    d = dim // m
+    v = F.col(vec_col).cast("array<double>")
+    codes = pq_encode(v, books)
+    luts = [
+        F.array(*[F.lit(sum(q * c for q, c in
+                            zip(query[j * d:(j + 1) * d], cent)))
+                  for cent in book])
+        for j, book in enumerate(books)
+    ]
+    score = F.try_element_at(luts[0], F.try_element_at(codes, F.lit(1)))
+    for j in range(1, m):
+        score = score + F.try_element_at(luts[j],
+                                         F.try_element_at(codes, F.lit(j + 1)))
+    return (
+        df.select(F.col(key), F.round(score, 6).alias("adc"))
+        .orderBy(F.desc("adc"), F.col(key))
+        .limit(k)
+    )

@@ -196,3 +196,44 @@ SELECT doc_id, list_reduce(
     (acc, x) -> (acc + x) % {MERSENNE61}) AS fp
 FROM w
 """
+
+
+def pq_topk_sql(dim: int = 64, m: int = 8, n_codes: int = 16,
+                seed: int = 13, k: int = 10, query_vec_id: int = 0) -> str:
+    """Oracle for pq_topk: identical seeded codebooks interpolated into SQL;
+    per-subspace code = argmin (|c|² − 2·c·x_j) via list_position(list_min),
+    ADC score = Σ_j lut_j[code_j] with the lut computed from the query row's
+    vector inside SQL. Sums run in the same sequential index order as the
+    Spark expressions; argmin gaps are O(0.1) ≫ any association noise, and
+    the score is rounded to 6dp on both sides (module docstring contract)."""
+    from jsonschema_valid_spark.functions.similarity import pq_codebooks
+
+    books = pq_codebooks(dim, m, n_codes, seed)
+    d = dim // m
+
+    def sub_dot(vec: str, cent: list[float], j: int) -> str:
+        consts = ", ".join(repr(x) for x in cent)
+        return (f"list_sum(list_transform(range(1, {d + 1}), "
+                f"i -> {vec}[{j * d} + i] * ([{consts}])[i]))")
+
+    code_cols = []
+    for j, book in enumerate(books):
+        dists = ", ".join(
+            f"({sum(c * c for c in cent)!r} - 2.0 * {sub_dot('v', cent, j)})"
+            for cent in book)
+        code_cols.append(
+            f"list_position([{dists}], list_min([{dists}])) AS c{j}")
+    lut_terms = []
+    for j, book in enumerate(books):
+        luts = ", ".join(f"({sub_dot('q.qv', cent, j)})" for cent in book)
+        lut_terms.append(f"([{luts}])[enc.c{j}]")
+    adc = " + ".join(lut_terms)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+q AS (SELECT v AS qv FROM e WHERE vec_id = {query_vec_id}),
+enc AS (SELECT vec_id, v, {', '.join(code_cols)} FROM e)
+SELECT enc.vec_id AS vec_id, round({adc}, 6) AS adc
+FROM enc, q
+ORDER BY adc DESC, enc.vec_id LIMIT {k}
+"""

@@ -332,3 +332,39 @@ def test_repetition_metrics(spark):
     assert abs(out[1]["dup_bigram_ratio"] - 2 / 3) < 1e-6
     assert out[2]["dup_word_ratio"] == 0.0
     assert out[2]["dup_bigram_ratio"] == 0.0
+
+
+def test_pq_topk_self_match_and_rerank_window(spark, emb):
+    """PQ ADC ranking: the query's own (quantized) row scores highest, and
+    an exact-rerank window of 50 recovers most of the exact top-10 — the
+    honest recall level for UNTRAINED seeded codebooks on near-random
+    vectors (production swaps in per-subspace k-means; topology
+    identical)."""
+    from jsonschema_valid_spark.functions.similarity import pq_topk
+
+    q = [float(x) for x in emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    top50 = pq_topk(emb, "vec_id", "embedding", q, k=50)
+    ids = [r["vec_id"] for r in top50.collect()]
+    assert ids[0] == 0  # self-match survives quantization
+
+    from jsonschema_valid_spark.functions.similarity import brute_force_topk
+    exact10 = {r["vec_id"] for r in
+               brute_force_topk(emb, "vec_id", "embedding", q, k=10).collect()}
+    assert len(exact10 & set(ids)) >= 5
+
+
+def test_pq_encode_deterministic_and_bounded(spark, emb):
+    from jsonschema_valid_spark.functions.similarity import (
+        pq_codebooks,
+        pq_encode,
+    )
+
+    books = pq_codebooks(64, m=8, k=16, seed=13)
+    enc = emb.select(
+        "vec_id", pq_encode(F.col("embedding").cast("array<double>"),
+                            books).alias("codes"))
+    rows = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    rows2 = {r["vec_id"]: list(r["codes"]) for r in enc.collect()}
+    assert rows == rows2
+    assert all(len(c) == 8 and all(1 <= x <= 16 for x in c)
+               for c in rows.values())
