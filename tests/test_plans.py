@@ -175,3 +175,75 @@ def test_stratified_sample_is_pure_filter(spark):
     assert "Exchange" not in plan
     # `*(n)` prefixes in executedPlan toString = WholeStageCodegen stages
     assert plan.lstrip().startswith("*("), plan
+
+
+def test_ivf_pq_index_partition_pruning(spark, tmp_path):
+    """The written IVF-PQ index must serve queries through PARTITION
+    PRUNING: the scan's PartitionFilters carry the __cell probe set and the
+    planned file index contains only the probed cells' files."""
+    from jsonschema_valid_spark.sources.ann_index import (
+        ivf_pq_topk,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ann_index")
+    write_ivf_pq_index(emb, path, "vec_id", "embedding", dim=64)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    res = ivf_pq_topk(spark, path, "vec_id", q, k=10, n_probe=4)
+    plan = _plan(res)
+    import re
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "__cell" in m.group(1), plan
+    # and the ADC projection must not read the vector column
+    m2 = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m2 and "embedding" not in m2.group(1), plan
+
+
+def test_ivf_pq_topk_matches_inline_composition(spark, tmp_path):
+    """Index-served results == the inline composition (cell filter + ADC
+    over freshly-computed codes) — the write-time layout changes WHERE the
+    work happens, not the answer."""
+    from jsonschema_valid_spark.functions.similarity import (
+        _nearest_cell1,
+        ivf_centroids,
+        pq_codebooks,
+        pq_encode,
+    )
+    from jsonschema_valid_spark.sources.ann_index import (
+        ivf_pq_topk,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    path = str(tmp_path / "ann_index2")
+    write_ivf_pq_index(emb, path, "vec_id", "embedding", dim=64)
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    served = [tuple(r) for r in
+              ivf_pq_topk(spark, path, "vec_id", q, k=10, n_probe=4).collect()]
+
+    cents = ivf_centroids(64, 16, 11)
+    probe1 = [i + 1 for i in
+              sorted(range(16),
+                     key=lambda i: -sum(a * b for a, b in zip(q, cents[i]))
+                     )[:4]]
+    books = pq_codebooks(64, 8, 16, 13)
+    v = F.col("embedding").cast("array<double>")
+    d = 8
+    luts = [F.array(*[F.lit(sum(qq * c for qq, c in
+                                zip(q[j * d:(j + 1) * d], cent)))
+                      for cent in book])
+            for j, book in enumerate(books)]
+    codes = pq_encode(v, books)
+    score = F.try_element_at(luts[0], F.try_element_at(codes, F.lit(1)))
+    for j in range(1, 8):
+        score = score + F.try_element_at(
+            luts[j], F.try_element_at(codes, F.lit(j + 1)))
+    inline = [tuple(r) for r in (
+        emb.withColumn("__cell", _nearest_cell1(v, cents))
+        .where(F.col("__cell").isin(probe1))
+        .select("vec_id", F.round(score, 6).alias("adc"))
+        .orderBy(F.desc("adc"), F.col("vec_id")).limit(10)).collect()]
+    assert served == inline
