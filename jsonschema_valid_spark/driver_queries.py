@@ -1792,3 +1792,33 @@ def ann_pq_topk(spark, sf_dir):
          emb.where(F.col("vec_id") == 0).first()["embedding"]]
     return pq_topk(emb, "vec_id", "embedding", q, k=10, m=8, n_codes=16,
                    seed=13)
+
+
+@register(
+    "seq_packing",
+    oracle_with_sequences(
+        """
+SELECT doc_id,
+       CAST(floor((cum - n_tok) / 512.0) AS BIGINT) AS bin_id,
+       CAST((cum - n_tok) - CAST(floor((cum - n_tok) / 512.0) AS BIGINT) * 512
+            AS BIGINT) AS bin_offset
+FROM (SELECT doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY source
+                              ORDER BY n_tok DESC, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM sequences)
+"""
+    ),
+)
+def seq_packing(spark, sf_dir):
+    """Deterministic concatenate-and-chunk sequence packing
+    (functions/packing.py): per-source token stream cut into 512-token
+    bins; one window shuffle keyed by source. The oracle replays the
+    identical SUM() OVER layout."""
+    from jsonschema_valid_spark.functions.packing import pack_sequences
+
+    seq = load_sequences(spark, sf_dir)
+    packed = pack_sequences(seq, "doc_id", "n_tok", 512,
+                            partition_col="source")
+    return packed.select(
+        "doc_id", "bin_id", F.col("bin_offset").cast("long").alias("bin_offset"))

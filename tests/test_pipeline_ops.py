@@ -368,3 +368,41 @@ def test_pq_encode_deterministic_and_bounded(spark, emb):
     assert rows == rows2
     assert all(len(c) == 8 and all(1 <= x <= 16 for x in c)
                for c in rows.values())
+
+
+def test_pack_sequences_layout(spark):
+    from jsonschema_valid_spark.functions.packing import (
+        pack_sequences,
+        packing_stats,
+    )
+
+    rows = [("a", f"d{i}", n) for i, n in enumerate([300, 300, 200, 100, 700])]
+    df = spark.createDataFrame(rows, "src: string, doc_id: string, n_tok: int")
+    packed = {r["doc_id"]: r for r in
+              pack_sequences(df, "doc_id", "n_tok", 512,
+                             partition_col="src").collect()}
+    # order: 700(d4), 300(d0), 300(d1), 200(d2), 100(d3) — starts 0,700,1000,1300,1500
+    assert (packed["d4"]["bin_id"], packed["d4"]["bin_offset"]) == (0, 0)
+    assert packed["d4"]["oversize"] is True
+    assert (packed["d0"]["bin_id"], packed["d0"]["bin_offset"]) == (1, 188)
+    assert (packed["d1"]["bin_id"], packed["d1"]["bin_offset"]) == (1, 488)
+    assert (packed["d2"]["bin_id"], packed["d2"]["bin_offset"]) == (2, 276)
+    assert (packed["d3"]["bin_id"], packed["d3"]["bin_offset"]) == (2, 476)
+    stats = packing_stats(
+        pack_sequences(df, "doc_id", "n_tok", 512, partition_col="src"),
+        "n_tok", partition_col="src").collect()[0]
+    assert stats["total_tokens"] == 1600 and stats["oversize_seqs"] == 1
+
+
+def test_pack_sequences_partitions_independent(spark):
+    """Each partition packs from offset 0 — partitions never share bins."""
+    from jsonschema_valid_spark.functions.packing import pack_sequences
+
+    df = spark.createDataFrame(
+        [("a", "x", 100), ("b", "y", 100)],
+        "src: string, doc_id: string, n_tok: int")
+    packed = {r["doc_id"]: r for r in
+              pack_sequences(df, "doc_id", "n_tok", 512,
+                             partition_col="src").collect()}
+    assert packed["x"]["bin_id"] == 0 and packed["x"]["bin_offset"] == 0
+    assert packed["y"]["bin_id"] == 0 and packed["y"]["bin_offset"] == 0
