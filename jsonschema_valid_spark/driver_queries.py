@@ -1822,3 +1822,31 @@ def seq_packing(spark, sf_dir):
                             partition_col="source")
     return packed.select(
         "doc_id", "bin_id", F.col("bin_offset").cast("long").alias("bin_offset"))
+
+
+@register(
+    "sample_mix_budget",
+    """
+WITH avail AS (SELECT source, SUM(n_chars) AS w FROM documents GROUP BY source),
+rates AS (SELECT source,
+                 CAST(floor(least(1.0, 4000.0 / w) * 1000000) AS BIGINT) AS thr
+          FROM avail),
+g AS (SELECT doc_id, d.source,
+    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31) || '3'),
+                         1, 15)) AS BIGINT) % 1000000 AS gate
+    FROM documents d)
+SELECT doc_id, g.source FROM g JOIN rates USING (source)
+WHERE gate < thr
+""",
+)
+def sample_mix_budget(spark, sf_dir):
+    """Source mixing to a char budget (functions/sampling.py
+    mix_to_budget): per-source rates derived from one dimension-sized
+    aggregate, applied as the zero-shuffle hash-gate filter. The oracle
+    recomputes the identical rates and gate in SQL."""
+    from jsonschema_valid_spark.functions.sampling import mix_to_budget
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = mix_to_budget(docs, "doc_id", "source", "n_chars",
+                        budget_per_stratum=4000.0, seed=3, portable=True)
+    return out.select("doc_id", "source")

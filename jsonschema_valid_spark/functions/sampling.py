@@ -79,3 +79,34 @@ def train_holdout_split(df: DataFrame, key: str, holdout_rate: float,
     gate = _hash_gate(F.col(key), seed, portable)
     cut = int(holdout_rate * _GATE_M)
     return df.where(gate >= cut), df.where(gate < cut)
+
+
+def mix_to_budget(df: DataFrame, key: str, stratum: str, weight: str,
+                  budget_per_stratum: float, seed: int = 0,
+                  portable: bool = False,
+                  max_strata: int = 100_000) -> DataFrame:
+    """Data mixing: deterministically downsample each stratum (source,
+    language, …) toward a per-stratum WEIGHT budget (tokens, chars):
+    rate_s = min(1, budget / Σ_s weight). Two passes —
+
+    1. a dimension-sized aggregate (one row per stratum) collected to the
+       driver: the same contract as referential domains, guarded by
+       ``max_strata`` (a stratum column with corpus-scale cardinality is a
+       usage error, not something to silently collect);
+    2. the zero-shuffle hash-gate filter with the computed rates as a
+       when-ladder (see :func:`stratified_sample`).
+
+    The sample is EXPECTED to hit the budget (hash-gate is Bernoulli per
+    row, variance O(√n)); exact-budget packing belongs to
+    ``functions/packing.py`` downstream. Deterministic for a fixed corpus:
+    the rates derive from exact integer sums."""
+    avail = df.groupBy(stratum).agg(F.sum(F.col(weight)).alias("__w"))
+    rows = avail.limit(max_strata + 1).collect()
+    if len(rows) > max_strata:
+        raise ValueError(
+            f"{stratum} has more than {max_strata} strata; mix_to_budget "
+            "collects one row per stratum — use a coarser stratum column")
+    rates = {r[stratum]: min(1.0, budget_per_stratum / r["__w"])
+             for r in rows if r[stratum] is not None and r["__w"]}
+    return stratified_sample(df, key, stratum, rates, default_rate=0.0,
+                             seed=seed, portable=portable)

@@ -406,3 +406,20 @@ def test_pack_sequences_partitions_independent(spark):
                              partition_col="src").collect()}
     assert packed["x"]["bin_id"] == 0 and packed["x"]["bin_offset"] == 0
     assert packed["y"]["bin_id"] == 0 and packed["y"]["bin_offset"] == 0
+
+
+def test_mix_to_budget(spark):
+    from jsonschema_valid_spark.functions.sampling import mix_to_budget
+
+    rows = ([("big", f"b{i}", 10) for i in range(1000)]     # 10k weight
+            + [("small", f"s{i}", 10) for i in range(40)])  # 400 weight
+    df = spark.createDataFrame(rows, "src: string, doc_id: string, w: int")
+    out = mix_to_budget(df, "doc_id", "src", "w", budget_per_stratum=500.0)
+    got = {r["src"]: r["n"] for r in
+           out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    assert got.get("small") == 40            # under budget: rate 1, keep all
+    assert 20 < got.get("big", 0) < 90       # ~5% of 1000 (Bernoulli spread)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        mix_to_budget(df, "doc_id", "doc_id", "w", 500.0, max_strata=10)
