@@ -23,3 +23,29 @@ def test_curation_pipeline_end_to_end(spark, tmp_path):
     clean = spark.read.parquet(f"{tmp_path}/clean")
     assert clean.count() > 0
     assert "quality" in clean.columns and "fp" in clean.columns
+
+
+def test_training_prep_pipeline(spark, tmp_path):
+    """End-to-end training-prep composition: gate → dedup → mix → split →
+    pack → validate → write; the final engine gate over the pipeline's own
+    output must PASS."""
+    from pyspark.sql import functions as F
+
+    from training_prep_pipeline import prepare, validate_and_write
+
+    stages = prepare(spark, SF_DIR, budget_tokens_per_source=20_000.0,
+                     holdout_rate=0.1, capacity=2048)
+    train = {r["doc_id"] for r in stages["train"].select("doc_id").collect()}
+    hold = {r["doc_id"] for r in stages["holdout"].select("doc_id").collect()}
+    mixed = {r["doc_id"] for r in stages["mixed"].select("doc_id").collect()}
+    assert train and hold and (train | hold) == mixed and not (train & hold)
+
+    out = str(tmp_path / "prep_out")
+    assert validate_and_write(spark, stages["packed"], out, capacity=2048)
+    written = spark.read.parquet(out)
+    assert written.count() == len(train)
+    assert {r["doc_id"] for r in written.select("doc_id").collect()} == train
+    # block addresses well-formed
+    bad = written.where((F.col("bin_offset") < 0)
+                        | (F.col("bin_offset") >= 2048)).count()
+    assert bad == 0
