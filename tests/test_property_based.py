@@ -77,7 +77,12 @@ def test_nullrate_and_enum_match_python(spark, xs, tau):
     assert got == expect
     null_rate = sum(1 for x in xs if x is None) / len(xs)
     verdict = res.verdicts.where("check_id like '%x-nullRate%'").first()
-    assert verdict["passed"] == (null_rate <= tau + 1e-12)
+    # exact comparison: the engine's avg(isNull) is the same k/n double
+    # division as the Python oracle — an epsilon here would hide real
+    # off-by-one-ulp threshold bugs (hypothesis found exactly that: at
+    # tau = nextafter(1.0, 0) and null_rate 1.0 the engine correctly
+    # FAILS while a 1e-12-slackened oracle wrongly expected a pass)
+    assert verdict["passed"] == (null_rate <= tau)
     assert verdict["metric_value"] == pytest.approx(null_rate)
 
 
