@@ -1850,3 +1850,24 @@ def sample_mix_budget(spark, sf_dir):
     out = mix_to_budget(docs, "doc_id", "source", "n_chars",
                         budget_per_stratum=4000.0, seed=3, portable=True)
     return out.select("doc_id", "source")
+
+
+@register(
+    "text_top_ngrams",
+    """
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+           FROM documents),
+g AS (SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(wl)),
+          i -> wl[i] || ' ' || wl[i+1]))) AS gram FROM w)
+SELECT gram, count(*) AS doc_freq FROM g
+GROUP BY gram ORDER BY doc_freq DESC, gram LIMIT 20
+""",
+)
+def text_top_ngrams(spark, sf_dir):
+    """Top-20 word bigrams by document frequency (functions/text.py
+    top_ngrams) — boilerplate discovery + the data-driven doc-frequency
+    cap for the Jaccard index."""
+    from jsonschema_valid_spark.functions.text import top_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_ngrams(docs, "text", n=2, k=20)

@@ -163,3 +163,22 @@ def repetition_metrics(df: DataFrame, text_col: str = "text") -> DataFrame:
         F.round(dup_ngram_ratio(c, 2), 6).alias("dup_bigram_ratio"),
         F.round(dup_ngram_ratio(c, 3), 6).alias("dup_trigram_ratio"),
     )
+
+
+def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2,
+               k: int = 20) -> DataFrame:
+    """Corpus-level top-k word n-grams by DOCUMENT frequency — boilerplate
+    and template discovery, and the data-driven feed for
+    ``jaccard_pairs(max_doc_freq=...)``'s hot-shingle cap. Per-doc distinct
+    n-grams explode into one count aggregate (map-side partial combine)
+    then a global top-k (TakeOrderedAndProject — never a full sort).
+    Deterministic: ties break on the gram itself."""
+    from jsonschema_valid_spark.functions.dedup import word_shingles
+
+    grams = df.select(F.explode(
+        F.array_distinct(word_shingles(F.col(text_col), n))).alias("gram"))
+    return (
+        grams.groupBy("gram").agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.desc("doc_freq"), F.col("gram"))
+        .limit(k)
+    )

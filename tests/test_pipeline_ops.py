@@ -423,3 +423,15 @@ def test_mix_to_budget(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         mix_to_budget(df, "doc_id", "doc_id", "w", 500.0, max_strata=10)
+
+
+def test_top_ngrams(spark):
+    from jsonschema_valid_spark.functions.text import top_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "the cat ran"), (3, "a dog ran")],
+        "doc_id: long, text: string")
+    top = [(r["gram"], r["doc_freq"]) for r in
+           top_ngrams(docs, "text", n=2, k=3).collect()]
+    assert top[0] == ("the cat", 2)
+    assert all(f == 1 for _, f in top[1:])

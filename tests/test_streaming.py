@@ -143,3 +143,22 @@ def test_quarantine_router_matches_batch_split(spark, stream_dir, tmp_path):
     assert s_bad == b_bad
     assert s_bad and s_clean            # both sides non-trivial
     assert s_clean.isdisjoint(s_bad)
+
+
+def test_hash_sample_streaming_matches_batch(spark, stream_dir):
+    """The hash-gate sample is a stateless codegen'd filter, so it applies
+    to readStream unchanged — the streamed sample must equal the batch
+    sample row-for-row (the property that makes sampled stream taps
+    consistent with offline reruns)."""
+    from jsonschema_valid_spark.functions.sampling import hash_sample
+
+    path, df = stream_dir
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+    _run_to_memory(
+        hash_sample(sdf, "doc_id", 0.3, seed=5).select("doc_id"),
+        "sample_stream")
+    s_ids = {r["doc_id"]
+             for r in spark.sql("select * from sample_stream").collect()}
+    b_ids = {r["doc_id"] for r in
+             hash_sample(df, "doc_id", 0.3, seed=5).select("doc_id").collect()}
+    assert s_ids == b_ids and 0 < len(b_ids) < 100
