@@ -1871,3 +1871,49 @@ def text_top_ngrams(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return top_ngrams(docs, "text", n=2, k=20)
+
+
+@register(
+    "emb_quantize_int8",
+    """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+d AS (SELECT vec_id, v, scale,
+             list_transform(v, x -> round(x / scale, 0) * scale) AS dq
+      FROM s)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       round(list_max(list_transform(range(1, 65),
+             i -> abs(v[i] - dq[i]))), 6) AS max_err,
+       round(list_sum(list_transform(range(1, 65), i -> v[i] * dq[i]))
+             / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                * sqrt(list_sum(list_transform(dq, x -> x * x)))), 6)
+           AS cos_recon
+FROM d
+""",
+)
+def emb_quantize_int8(spark, sf_dir):
+    """int8 scalar quantization round-trip report (functions/similarity.py
+    quantize_int8/dequantize_int8): per-vector scale, max reconstruction
+    error (bounded by scale/2), and original-vs-reconstructed cosine —
+    the acceptance check a pipeline runs before switching storage to int8."""
+    from jsonschema_valid_spark.functions.similarity import (
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    qs = quantize_int8(F.col("embedding"))
+    dq = dequantize_int8(qs)
+    err = F.array_max(F.zip_with(v, dq, lambda a, b: F.abs(a - b)))
+    return emb.select(
+        "vec_id",
+        F.round(qs["scale"], 9).alias("scale"),
+        F.round(err, 6).alias("max_err"),
+        F.round(cosine(v, dq), 6).alias("cos_recon"),
+    )

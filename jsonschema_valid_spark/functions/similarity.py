@@ -283,3 +283,30 @@ def pq_topk(df: DataFrame, key: str, vec_col: str, query: list[float],
         .orderBy(F.desc("adc"), F.col(key))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization (4× embedding storage cut; companion to PQ)
+# ---------------------------------------------------------------------------
+
+def quantize_int8(vec_col):
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``q_i = round(x_i/scale)`` — a struct(scale: double, q: array<tinyint>)
+    column. One projection; 4× smaller than float32 at write time (the
+    cheap storage cut to take BEFORE reaching for PQ's 64×). Zero vectors
+    quantize to scale 0 / all-zero codes."""
+    v = vec_col.cast("array<double>")
+    absmax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(absmax > 0, absmax / 127.0).otherwise(F.lit(0.0))
+    q = F.when(
+        absmax > 0,
+        F.transform(v, lambda x: F.round(x / (absmax / 127.0), 0)
+                    .cast("tinyint"))
+    ).otherwise(F.transform(v, lambda x: F.lit(0).cast("tinyint")))
+    return F.struct(scale.alias("scale"), q.alias("q"))
+
+
+def dequantize_int8(qstruct):
+    """array<double> reconstruction: ``x̂_i = q_i · scale``."""
+    scale = qstruct["scale"]
+    return F.transform(qstruct["q"], lambda c: c.cast("double") * scale)

@@ -435,3 +435,41 @@ def test_top_ngrams(spark):
            top_ngrams(docs, "text", n=2, k=3).collect()]
     assert top[0] == ("the cat", 2)
     assert all(f == 1 for _, f in top[1:])
+
+
+def test_int8_quantization_roundtrip(spark, emb):
+    from jsonschema_valid_spark.functions.similarity import (
+        cosine,
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    v = F.col("embedding").cast("array<double>")
+    qs = quantize_int8(F.col("embedding"))
+    dq = dequantize_int8(qs)
+    rep = emb.select(
+        qs["scale"].alias("scale"),
+        F.array_max(F.zip_with(v, dq, lambda a, b: F.abs(a - b))).alias("err"),
+        cosine(v, dq).alias("cos"),
+        F.array_max(F.transform(qs["q"], lambda c: F.abs(c.cast("int"))))
+        .alias("qmax"),
+    ).collect()
+    for r in rep:
+        assert r["err"] <= r["scale"] / 2 + 1e-12   # round() error bound
+        assert r["cos"] > 0.999                      # near-lossless direction
+        assert r["qmax"] <= 127
+
+
+def test_int8_quantization_zero_vector(spark):
+    from jsonschema_valid_spark.functions.similarity import (
+        dequantize_int8,
+        quantize_int8,
+    )
+
+    df = spark.createDataFrame([([0.0] * 4,)], "v: array<float>")
+    row = df.select(quantize_int8(F.col("v")).alias("qs")).select(
+        F.col("qs.scale"), F.col("qs.q"),
+        dequantize_int8(F.col("qs")).alias("dq")).first()
+    assert row["scale"] == 0.0
+    assert list(row["q"]) == [0, 0, 0, 0]
+    assert list(row["dq"]) == [0.0, 0.0, 0.0, 0.0]
