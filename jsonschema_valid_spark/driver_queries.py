@@ -1917,3 +1917,26 @@ def emb_quantize_int8(spark, sf_dir):
         F.round(err, 6).alias("max_err"),
         F.round(cosine(v, dq), 6).alias("cos_recon"),
     )
+
+
+@register(
+    "text_blocklist_hits",
+    r"""
+SELECT doc_id,
+       CAST(len(list_distinct(regexp_extract_all(lower(text),
+            '\b(merge|spark|window)\b', 1))) AS INTEGER) AS n_blocked
+FROM documents
+""",
+)
+def text_blocklist_hits(spark, sf_dir):
+    """Safety blocklist scan (functions/text.py blocklist_hits): distinct
+    whole-word blocklist terms per document via one compiled alternation
+    regex — a pure codegen'd projection, no shuffle; blocklist_filter is
+    the same expression as a WHERE."""
+    from jsonschema_valid_spark.functions.text import blocklist_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        blocklist_hits(F.col("text"), ["spark", "window", "merge"])
+        .alias("n_blocked"))

@@ -182,3 +182,30 @@ def top_ngrams(df: DataFrame, text_col: str = "text", n: int = 2,
         .orderBy(F.desc("doc_freq"), F.col("gram"))
         .limit(k)
     )
+
+
+def blocklist_hits(col, terms: list[str]):
+    """Number of blocklist terms present as WHOLE WORDS (case-insensitive)
+    — one compiled alternation regex per column, evaluated natively
+    (JVM regex, no Python). ``terms`` are literal words/phrases; regex
+    metacharacters are escaped. For corpus-scale blocklists (>10⁴ terms)
+    split into several alternations or move to a broadcast n-gram join
+    (``decontamination.contamination`` is that shape)."""
+    import re as _re
+
+    if not terms:
+        return F.lit(0)
+    alts = "|".join(_re.escape(t.lower()) for t in sorted(terms))
+    pat = rf"\b({alts})\b"
+    # count distinct MATCHED TERMS, not occurrences: regexp_extract_all of
+    # the alternation (Column-literal pattern — no SQL string escaping),
+    # deduplicated
+    return F.size(F.array_distinct(
+        F.regexp_extract_all(F.lower(col), F.lit(pat), F.lit(1))))
+
+
+def blocklist_filter(df: DataFrame, text_col: str, terms: list[str],
+                     max_hits: int = 0) -> DataFrame:
+    """Drop rows with more than ``max_hits`` distinct blocklist terms —
+    the safety-filter stage; a pure codegen'd filter, no shuffle."""
+    return df.where(blocklist_hits(F.col(text_col), terms) <= max_hits)

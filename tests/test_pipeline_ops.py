@@ -473,3 +473,28 @@ def test_int8_quantization_zero_vector(spark):
     assert row["scale"] == 0.0
     assert list(row["q"]) == [0, 0, 0, 0]
     assert list(row["dq"]) == [0.0, 0.0, 0.0, 0.0]
+
+
+def test_blocklist_whole_word_semantics(spark):
+    from jsonschema_valid_spark.functions.text import (
+        blocklist_filter,
+        blocklist_hits,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "the spark table scan"),      # both terms
+         (2, "clean words only here"),     # none
+         (3, "SPARK and scan twice spark"),  # case-insensitive, distinct=2
+         (4, "sparkle scanner")],          # substrings do NOT match
+        "doc_id: long, text: string")
+    hits = {r["doc_id"]: r["h"] for r in df.select(
+        "doc_id",
+        blocklist_hits(F.col("text"), ["spark", "scan"]).alias("h")).collect()}
+    assert hits == {1: 2, 2: 0, 3: 2, 4: 0}
+    kept = {r["doc_id"]
+            for r in blocklist_filter(df, "text", ["spark", "scan"]).collect()}
+    assert kept == {2, 4}
+    # regex metacharacters in terms are escaped, empty list is a no-op
+    assert df.select(blocklist_hits(F.col("text"), ["a.c"]).alias("h")) \
+        .agg(F.sum("h")).first()[0] == 0
+    assert blocklist_filter(df, "text", []).count() == 4
