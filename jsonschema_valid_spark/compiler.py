@@ -1140,3 +1140,17 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
     elif kw == "x-decontamination":
         plan.dataset_checks.append(
             DatasetCheck(cid, "decontamination", colname, dict(v)))
+    elif kw == "x-blocklist":
+        # ROW-scope safety filter: rides the fused row projection (zero
+        # extra scans/shuffles), null-tolerant like every value check
+        from jsonschema_valid_spark.functions.text import blocklist_hits
+
+        terms = list(v["terms"])
+        max_hits = int(v.get("maxHits", 0))
+        hits = blocklist_hits(col, terms)
+        plan.row_checks.append(RowCheck(
+            cid,
+            F.coalesce(hits <= max_hits, F.lit(True)),
+            hits.cast("string"),
+            f"at most {max_hits} blocklist term(s) of {sorted(terms)}",
+        ))

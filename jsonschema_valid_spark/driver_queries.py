@@ -1940,3 +1940,32 @@ def text_blocklist_hits(spark, sf_dir):
         "doc_id",
         blocklist_hits(F.col("text"), ["spark", "window", "merge"])
         .alias("n_blocked"))
+
+
+@register(
+    "engine_blocklist_violations",
+    r"""
+SELECT doc_id, 'properties/text/x-blocklist' AS check_id,
+       CAST(len(list_distinct(regexp_extract_all(lower(text),
+            '\b(merge|spark|window)\b', 1))) AS INTEGER) AS n_blocked
+FROM documents
+WHERE len(list_distinct(regexp_extract_all(lower(text),
+          '\b(merge|spark|window)\b', 1))) > 2
+""",
+)
+def engine_blocklist_violations(spark, sf_dir):
+    """x-blocklist as a DECLARATIVE row check through the engine: rides the
+    fused row projection (no extra scan), violations carry the distinct
+    blocked-term count as observed."""
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suite = CheckSuite({"properties": {"text": {
+        "x-blocklist": {"terms": ["spark", "window", "merge"],
+                        "maxHits": 2}}}})
+    res = suite.run(docs, key="doc_id")
+    return res.violations.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "check_id",
+        F.col("observed").cast("int").alias("n_blocked"),
+    )

@@ -209,3 +209,28 @@ def blocklist_filter(df: DataFrame, text_col: str, terms: list[str],
     """Drop rows with more than ``max_hits`` distinct blocklist terms —
     the safety-filter stage; a pure codegen'd filter, no shuffle."""
     return df.where(blocklist_hits(F.col(text_col), terms) <= max_hits)
+
+
+PII_PATTERNS = {
+    # conservative, high-precision patterns — a production scrubber would
+    # add locale-specific ones; counts drive review/drop decisions
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+    "phone": r"\+?\d[\d\s().-]{8,}\d",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII indicator counts (one fused projection of native
+    ``regexp_count`` calls — JVM regex, no shuffle, no Python) plus the
+    rolled-up ``pii_total``. Filter/quarantine on the counts downstream;
+    redaction itself is a ``regexp_replace`` with the same patterns."""
+    c = F.col(text_col)
+    cols = [F.regexp_count(c, F.lit(p)).alias(f"pii_{name}")
+            for name, p in PII_PATTERNS.items()]
+    total = None
+    for name in PII_PATTERNS:
+        t = F.col(f"pii_{name}")
+        total = t if total is None else total + t
+    return df.select("*", *cols).withColumn("pii_total", total)

@@ -123,6 +123,11 @@ def suite_nodes(spec: Any, draft: int | None = None,
         elif kw in _SCHEMA_LISTS and isinstance(v, list):
             for i, sub in enumerate(v):
                 rows += suite_nodes(sub, draft, p + (i,))
+        elif kw == "x-blocklist" and isinstance(v, dict):
+            # the terms list gets its own shape row (same pattern as
+            # <dependency-entry>): non-empty list of strings
+            rows.append(_node_row(p + ("terms",), "<blocklist-terms>",
+                                  v.get("terms"), draft, siblings))
         elif kw == "dependencies" and isinstance(v, dict):
             for name, dep in v.items():
                 # list form gets its own shape row; schema form recurses
@@ -271,6 +276,15 @@ METASCHEMA_SUITE: dict = {
         _kw("x-decontamination", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "benchmark"}},
+        }}),
+        _kw("x-blocklist", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "terms"}},
+        }}),
+        _kw("<blocklist-terms>", {"properties": {
+            "value_type": {"const": "array"},
+            "list_len": {"minimum": 1},
+            "list_types": {"items": {"const": "string"}},
         }}),
     ],
 }

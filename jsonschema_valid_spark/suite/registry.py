@@ -81,6 +81,7 @@ DATASET_KEYWORDS = frozenset(
         "x-distinctCount",  # (approx) distinct cardinality bounds
         "x-quantile",       # approx-quantile bounds
         "x-decontamination",  # benchmark n-gram overlap (train/eval hygiene)
+        "x-blocklist",      # whole-word safety blocklist (row-scope filter)
         "x-rowExpr",        # escape hatch: arbitrary SQL boolean over the row
         "x-parity",         # per-row equality vs a reference table (BASELINE.json:15)
     }

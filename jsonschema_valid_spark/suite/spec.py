@@ -215,6 +215,12 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if not isinstance(v, dict) or "benchmark" not in v:
                 raise _err(p, "x-decontamination must be {'benchmark': '@name', "
                               "'n'?: int, 'maxRatio'?: float, 'benchTextColumn'?: str}")
+        elif kw == "x-blocklist":
+            if not (isinstance(v, dict) and isinstance(v.get("terms"), list)
+                    and v["terms"]
+                    and all(isinstance(t, str) for t in v["terms"])):
+                raise _err(p, "x-blocklist must be {'terms': [str, ...], "
+                              "'maxHits'?: int}")
         # unknown keywords: ignored (validators.rs:75-78)
 
 

@@ -498,3 +498,18 @@ def test_blocklist_whole_word_semantics(spark):
     assert df.select(blocklist_hits(F.col("text"), ["a.c"]).alias("h")) \
         .agg(F.sum("h")).first()[0] == 0
     assert blocklist_filter(df, "text", []).count() == 4
+
+
+def test_pii_scan(spark):
+    from jsonschema_valid_spark.functions.text import pii_scan
+
+    df = spark.createDataFrame(
+        [(1, "contact me at jane.doe@example.com or +1 (555) 123-4567"),
+         (2, "served from 192.168.0.1 see https://example.com/x?y=1"),
+         (3, "no personal data in this row at all")],
+        "doc_id: long, text: string")
+    rows = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert rows[1]["pii_email"] == 1 and rows[1]["pii_phone"] >= 1
+    assert rows[2]["pii_ipv4"] == 1 and rows[2]["pii_url"] == 1
+    assert rows[3]["pii_total"] == 0
+    assert rows[1]["pii_total"] >= 2

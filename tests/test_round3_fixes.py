@@ -452,3 +452,51 @@ def test_x_decontamination_spec_validation(spark):
     with _pytest.raises(SuiteError):
         validate_suite_spec(bad)
     assert validate_suite_with_engine(spark, bad).ok() is False
+
+
+# ---------------------------------------------------------------------------
+# x-blocklist row-scope keyword (late round 3)
+# ---------------------------------------------------------------------------
+
+def test_x_blocklist_keyword(spark):
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.createDataFrame(
+        [(1, "totally clean content"),
+         (2, "contains the badword here"),
+         (3, None)],
+        "doc_id: long, text: string")
+    suite = CheckSuite({"properties": {"text": {
+        "x-blocklist": {"terms": ["badword", "otherbad"]}}}})
+    res = suite.run(docs, key="doc_id")
+    viols = res.violations.collect()
+    assert {(r["doc_id"], r["check_id"]) for r in viols} == {
+        ("2", "properties/text/x-blocklist")}
+    assert viols[0]["observed"] == "1"
+    assert res.ok() is False
+    # null text is tolerated (value-check null semantics)
+    assert "3" not in {r["doc_id"] for r in viols}
+    # maxHits loosens the gate
+    ok = CheckSuite({"properties": {"text": {
+        "x-blocklist": {"terms": ["badword"], "maxHits": 1}}}}).run(
+        docs, key="doc_id")
+    assert ok.ok() is True
+
+
+def test_x_blocklist_spec_validation(spark):
+    from jsonschema_valid_spark.suite.metaschema import (
+        validate_suite_with_engine,
+    )
+    from jsonschema_valid_spark.suite.spec import (
+        SuiteError,
+        validate_suite_spec,
+    )
+
+    good = {"properties": {"text": {"x-blocklist": {"terms": ["a b"]}}}}
+    validate_suite_spec(good)
+    assert validate_suite_with_engine(spark, good).ok() is True
+    bad = {"properties": {"text": {"x-blocklist": {"terms": []}}}}
+    import pytest as _pytest
+    with _pytest.raises(SuiteError):
+        validate_suite_spec(bad)
+    assert validate_suite_with_engine(spark, bad).ok() is False
