@@ -1969,3 +1969,21 @@ def engine_blocklist_violations(spark, sf_dir):
         "check_id",
         F.col("observed").cast("int").alias("n_blocked"),
     )
+
+
+@register(
+    "skew_heavy_keys",
+    """
+SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+FROM lineitem GROUP BY l_orderkey
+ORDER BY cnt DESC, l_orderkey LIMIT 10
+""",
+)
+def skew_heavy_keys(spark, sf_dir):
+    """Exact heavy-key report (operators/skew.py heavy_keys) — the
+    measurement that drives salting / AQE skew-split decisions before any
+    keyed shuffle. Partial+final count aggregate + TakeOrderedAndProject."""
+    from jsonschema_valid_spark.operators.skew import heavy_keys
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return heavy_keys(li, "l_orderkey", top=10)

@@ -66,3 +66,17 @@ def test_stream_running_null_rate(spark, tmp_path):
     got = {r["grp"]: r for r in spark.sql("select * from nullrate_sink").collect()}
     assert got["g1"]["alert"] is True and abs(got["g1"]["null_rate"] - 0.5) < 1e-9
     assert got["g2"]["alert"] is False and got["g2"]["nulls"] == 0
+
+
+def test_skew_report(spark):
+    from jsonschema_valid_spark.operators.skew import heavy_keys, skew_summary
+
+    rows = ([("hot", i) for i in range(90)]
+            + [(f"k{i}", i) for i in range(10)])
+    df = spark.createDataFrame(rows, "k: string, v: long")
+    top = [(r["k"], r["cnt"]) for r in heavy_keys(df, "k", top=3).collect()]
+    assert top[0] == ("hot", 90)
+    assert all(c == 1 for _, c in top[1:])
+    prof = skew_summary(df, "k").first()
+    assert prof["n_keys"] == 11 and prof["max_cnt"] == 90
+    assert prof["skew_factor"] > 9  # 90 / (100/11) ≈ 9.9
