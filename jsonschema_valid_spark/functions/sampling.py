@@ -99,7 +99,9 @@ def mix_to_budget(df: DataFrame, key: str, stratum: str, weight: str,
     The sample is EXPECTED to hit the budget (hash-gate is Bernoulli per
     row, variance O(√n)); exact-budget packing belongs to
     ``functions/packing.py`` downstream. Deterministic for a fixed corpus:
-    the rates derive from exact integer sums."""
+    the rates derive from exact integer sums. Rows with a NULL stratum get
+    ``default_rate`` 0 — i.e. they are dropped; filter or fill the stratum
+    column first if they should participate."""
     avail = df.groupBy(stratum).agg(F.sum(F.col(weight)).alias("__w"))
     rows = avail.limit(max_strata + 1).collect()
     if len(rows) > max_strata:
