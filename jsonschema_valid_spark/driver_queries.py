@@ -1987,3 +1987,42 @@ def skew_heavy_keys(spark, sf_dir):
 
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     return heavy_keys(li, "l_orderkey", top=10)
+
+
+@register(
+    "drift_chi2_ntok",
+    oracle_with_sequences(
+        """
+, obs AS (SELECT CAST(floor(n_tok / 16.0) AS BIGINT) AS bucket,
+                 CAST(count(*) AS DOUBLE) AS c FROM sequences GROUP BY 1),
+base AS (SELECT CAST(floor(((doc_id * 37) % 120 + 8) / 16.0) AS BIGINT) AS bucket,
+                CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1),
+j AS (SELECT coalesce(obs.bucket, base.bucket) AS bucket,
+             coalesce(obs.c, 0) AS oc, coalesce(base.c, 0) AS bc
+      FROM obs FULL OUTER JOIN base ON obs.bucket = base.bucket),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j)
+SELECT round(sum((oc / so - bc / sb) * (oc / so - bc / sb)
+        / (bc / sb + 0.000000001)), 6) AS chi2
+FROM j CROSS JOIN t
+"""
+    ),
+)
+def drift_chi2_ntok(spark, sf_dir):
+    """Pearson chi-square drift of n_tok vs the uncorrupted baseline
+    (operators/drift.py chi2_value_df; x-drift accepts chi2Max alongside
+    psiMax/ksMax) — the tail-sensitive third statistic."""
+    from jsonschema_valid_spark.operators.drift import chi2_value_df, histogram
+    from jsonschema_valid_spark.sources.sequences import load_sequences
+
+    seq = load_sequences(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_hist = {
+        int(r["bucket"]): int(r["count"])
+        for r in docs.groupBy(
+            F.floor(((F.col("doc_id") * 37) % 120 + 8) / 16.0)
+            .cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count")).collect()
+    }
+    obs = histogram(seq, "n_tok", 16.0)
+    return chi2_value_df(obs, base_hist, spark).select(
+        F.round("value", 6).alias("chi2"))

@@ -87,6 +87,27 @@ def ks_value_df(observed_hist: DataFrame, baseline: dict[int, int], spark) -> Da
     )
 
 
+def chi2_value_df(observed_hist: DataFrame, baseline: dict[int, int],
+                  spark) -> DataFrame:
+    """Pearson chi-square statistic over the normalized histograms:
+    Σ (p_obs − p_base)² / (p_base + ε) — the third drift statistic next to
+    PSI (symmetric-ish, log-scaled) and KS (worst-case CDF gap): chi-square
+    over-weights RELATIVE distortions of thin tails, which PSI's log damps
+    and KS's max ignores when the mass shift is spread across buckets.
+    Same #buckets-row plan as PSI."""
+    n = _normalized_join(observed_hist, baseline, spark)
+    return n.select(
+        F.coalesce(
+            F.sum(
+                (F.col("p_obs") - F.col("p_base"))
+                * (F.col("p_obs") - F.col("p_base"))
+                / (F.col("p_base") + EPS)
+            ),
+            F.lit(0.0),
+        ).alias("value")
+    )
+
+
 def psi(observed_hist: DataFrame, baseline: dict[int, int], spark) -> float:
     return float(psi_value_df(observed_hist, baseline, spark).first()["value"])
 
@@ -103,10 +124,11 @@ def drift_verdict_dfs(df: DataFrame, column: str, check_id: str, params: dict,
     baseline = {int(k): int(v) for k, v in params["baseline"].items()}
     hist = histogram(df, column, width)
     out = []
-    for name, fn in (("psiMax", psi_value_df), ("ksMax", ks_value_df)):
+    for name, fn in (("psiMax", psi_value_df), ("ksMax", ks_value_df),
+                     ("chi2Max", chi2_value_df)):
         if name in params:
             tau = float(params[name])
-            stat = "psi" if name == "psiMax" else "ks"
+            stat = {"psiMax": "psi", "ksMax": "ks", "chi2Max": "chi2"}[name]
             out.append(
                 fn(hist, baseline, spark).select(
                     F.lit("<global>").alias("partition_id"),

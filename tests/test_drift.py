@@ -63,3 +63,32 @@ def test_subsampled_same_distribution_passes(spark, baseline):
     df = _gen(spark, 10000)
     h = histogram(df, "n_tok", BUCKET)
     assert psi(h, baseline, spark) < 1e-6
+
+
+def test_chi2_matches_python(spark):
+    from jsonschema_valid_spark.operators.drift import chi2_value_df, histogram
+
+    df = spark.createDataFrame([(float(i % 4),) for i in range(100)], "v: double")
+    baseline = {0: 40, 1: 20, 2: 20, 3: 20}
+    got = chi2_value_df(histogram(df, "v", 1.0), baseline, spark).first()["value"]
+    eps = 1e-9
+    expect = sum((0.25 - b / 100) ** 2 / (b / 100 + eps)
+                 for b in (40, 20, 20, 20))
+    assert abs(got - expect) < 1e-12
+
+
+def test_x_drift_chi2_keyword(spark):
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.createDataFrame(
+        [(i, float(i % 10)) for i in range(100)], "id: long, v: double")
+    flat = {str(b): 10 for b in range(10)}
+    ok = CheckSuite({"properties": {"v": {"x-drift": {
+        "baseline": flat, "bucketWidth": 1.0, "chi2Max": 0.01}}}}).run(
+        docs, key="id")
+    assert ok.ok() is True
+    skewed = {str(b): (100 if b == 0 else 1) for b in range(10)}
+    bad = CheckSuite({"properties": {"v": {"x-drift": {
+        "baseline": skewed, "bucketWidth": 1.0, "chi2Max": 0.01}}}}).run(
+        docs, key="id")
+    assert bad.ok() is False
