@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from jsonschema_valid_spark.functions.similarity import (
     _nearest_cell1,
+    cosine,
     ivf_centroids,
     pq_codebooks,
     pq_encode,
@@ -33,13 +34,20 @@ from jsonschema_valid_spark.functions.similarity import (
 def write_ivf_pq_index(df: DataFrame, path: str, key: str, vec_col: str,
                        dim: int, n_cells: int = 16, seed: int = 11,
                        m: int = 8, n_codes: int = 16, pq_seed: int = 13,
-                       keep_vectors: bool = True) -> None:
+                       keep_vectors: bool = True,
+                       centroids: list | None = None,
+                       books: list | None = None) -> None:
     """Materialize the ANN index: one pass over the corpus computing cell +
     codes (both pure projections), written ``partitionBy("__cell")``.
     ``keep_vectors=False`` drops the float vectors for a codes-only index
-    (ADC-only serving, ~64× smaller)."""
-    cents = ivf_centroids(dim, n_cells, seed)
-    books = pq_codebooks(dim, m, n_codes, pq_seed)
+    (ADC-only serving, ~64× smaller). Pass ``centroids``/``books`` from
+    ``train_ivf_centroids``/``train_pq_codebooks`` for k-means-trained
+    quantizers (r4); the seeded defaults keep the index input-independent.
+    Queries against a trained index must pass the SAME constants."""
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_cells, seed)
+    books = books if books is not None else pq_codebooks(
+        dim, m, n_codes, pq_seed)
     v = F.col(vec_col).cast("array<double>")
     cols = [F.col(key),
             _nearest_cell1(v, cents).alias("__cell"),
@@ -52,19 +60,23 @@ def write_ivf_pq_index(df: DataFrame, path: str, key: str, vec_col: str,
 def ivf_pq_topk(spark: SparkSession, path: str, key: str,
                 query: list[float], k: int = 10, n_cells: int = 16,
                 n_probe: int = 4, seed: int = 11, m: int = 8,
-                n_codes: int = 16, pq_seed: int = 13) -> DataFrame:
+                n_codes: int = 16, pq_seed: int = 13,
+                centroids: list | None = None,
+                books: list | None = None) -> DataFrame:
     """Approximate top-k over a written index: probe cells are computed
     driver-side from the (tiny, deterministic) centroid set, so the filter
     is a literal ``__cell IN (...)`` the scan prunes on; scoring is the
     same ADC lookup as ``pq_topk`` but over the PRECOMPUTED ``__codes``
     column — the float vectors are never read."""
     dim = len(query)
-    cents = ivf_centroids(dim, n_cells, seed)
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_cells, seed)
     probe1 = [i + 1 for i in
               sorted(range(n_cells),
                      key=lambda i: -sum(q * x for q, x in zip(query, cents[i]))
                      )[:n_probe]]
-    books = pq_codebooks(dim, m, n_codes, pq_seed)
+    books = books if books is not None else pq_codebooks(
+        dim, m, n_codes, pq_seed)
     d = dim // m
     luts = [
         F.array(*[F.lit(sum(q * c for q, c in
@@ -82,5 +94,43 @@ def ivf_pq_topk(spark: SparkSession, path: str, key: str,
         idx.where(F.col("__cell").isin(probe1))
         .select(F.col(key), F.round(score, 6).alias("adc"))
         .orderBy(F.desc("adc"), F.col(key))
+        .limit(k)
+    )
+
+
+def ivf_pq_rerank_from_index(spark: SparkSession, path: str, key: str,
+                             vec_col: str, query: list[float], k: int = 10,
+                             n_cells: int = 16, n_probe: int = 4,
+                             seed: int = 11, m: int = 8, n_codes: int = 16,
+                             pq_seed: int = 13,
+                             rerank: int = 64,
+                             centroids: list | None = None,
+                             books: list | None = None) -> DataFrame:
+    """The complete IVF-PQ serving pipeline over a written index
+    (``write_ivf_pq_index`` with ``keep_vectors=True``):
+
+    1. prune cells (``__cell IN probes`` → partition pruning),
+    2. ADC-score the PRECOMPUTED ``__codes`` → top ``rerank`` candidates —
+       this stage's scan reads only (key, __codes): the float vector column
+       is absent from its ReadSchema (plan-asserted in tests/test_plans.py),
+    3. fetch vectors for ONLY the candidates (broadcast join of the tiny
+       candidate set) and exact-cosine reorder → top-k.
+
+    At 100 TB stage 2 touches 4-byte codes across probed cells and stage 3
+    touches ``rerank`` vectors — the full-precision column is never scanned
+    corpus-wide."""
+    cand = ivf_pq_topk(spark, path, key, query, k=rerank, n_cells=n_cells,
+                       n_probe=n_probe, seed=seed, m=m, n_codes=n_codes,
+                       pq_seed=pq_seed, centroids=centroids,
+                       books=books).select(key)
+    q = F.array(*[F.lit(float(x)) for x in query])
+    vecs = spark.read.parquet(path).select(
+        F.col(key), F.col(vec_col).alias("__v"))
+    return (
+        F.broadcast(cand).join(vecs, on=key)
+        .select(F.col(key),
+                F.round(cosine(F.col("__v").cast("array<double>"), q), 6)
+                .alias("cos"))
+        .orderBy(F.desc("cos"), F.col(key))
         .limit(k)
     )

@@ -42,10 +42,12 @@ def _norm_rows(cols, rows):
 
 
 def _all_query_names():
-    from jsonschema_valid_spark.driver_queries import oracle_sql, queries
+    # main registry (the 50 driver-gated entries) PLUS the extended
+    # mirror-only registry (superseded twins) — the mirror checks everything
+    from jsonschema_valid_spark.driver_queries import all_oracle_sql, all_queries
 
-    q = queries()
-    o = oracle_sql()
+    q = all_queries()
+    o = all_oracle_sql()
     return sorted(q), q, o
 
 

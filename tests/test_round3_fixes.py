@@ -138,9 +138,9 @@ def test_emb_neardup_lsh_recall_vs_brute_force(spark):
     """The registered emb_neardup_lsh parameter point (bits=4, tables=16 at
     threshold 0.45) must overlap the brute-force truth — the r2 registration
     (bits=12, tables=8) had ~4% expected recall and returned 0 rows."""
-    from jsonschema_valid_spark.driver_queries import queries
+    from jsonschema_valid_spark.driver_queries import all_queries
 
-    q = queries()
+    q = all_queries()
     sf = "/root/testdata/sf0.001"
     lsh = {(r["a"], r["b"]) for r in q["emb_neardup_lsh"](spark, sf).collect()}
     truth = {(r["a"], r["b"]) for r in q["emb_neardup_pairs"](spark, sf).collect()}
