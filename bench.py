@@ -109,14 +109,31 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     from jsonschema_valid_spark.operators.uniqueness import duplicate_keys
 
     timings: dict[str, float] = {}
+    component_runs: dict[str, list[float]] = {}
     cpus = spark.sparkContext.defaultParallelism
     seq = spark.read.parquet(materialize_input(spark, n_rows))
     domain = [f"src{i}" for i in range(1, 21)]
 
     def timed(name, fn):
-        t0 = time.perf_counter()
-        out = fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        # the same confidence machinery as the flagship (VERDICT r3 item 4:
+        # r3's committed row_pass_violations 19.4 s was host-phase noise a
+        # re-run disproved at 4.76 s): warm once untimed, then best-of-3
+        # with retry-on-spread — min approximates steady state
+        fn()
+        runs: list[float] = []
+        out = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            out = fn()
+            runs.append(round(time.perf_counter() - t0, 3))
+        extra = 0
+        while _spread(runs) > 0.20 and extra < 3:
+            t0 = time.perf_counter()
+            out = fn()
+            runs.append(round(time.perf_counter() - t0, 3))
+            extra += 1
+        timings[name] = min(runs)
+        component_runs[name] = runs
         return out
 
     suite = CheckSuite(flagship_suite(domain))
@@ -184,8 +201,11 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     return {
         "metric": "validated sequences/sec (flagship suite, generated table)",
         "value": round(n_rows / wall, 1),
-        "unit": "sec",
+        # the headline value is a THROUGHPUT (the r1-r3 files said "sec" —
+        # mislabeled, VERDICT r3 item 4); per-query timings below are secs
+        "unit": "sequences/sec",
         "queries": timings,
+        "query_runs": component_runs,
         "sf": SF_DIR.rstrip("/").split("sf")[-1],
         "rows": n_rows,
         "flagship_runs": flagship_runs,

@@ -61,21 +61,81 @@ TIME_RE = r"^\d{2}:\d{2}:\d{2}(\.\d+)?$"
 JSON_POINTER_RE = r"^(/([^/~]|~[01])*)*$"
 
 # constructs Python `re` accepts but the reference's Rust `regex` crate
-# rejects (Regex::new has no lookaround or backreferences) — pre-filtered
-# so the probe matches format.rs:51-53 behavior on these families
+# rejects (Regex::new has no lookaround, backreferences, or Python-only
+# conditionals/named backrefs) — pre-filtered so the probe matches
+# format.rs:51-53 behavior on these families
 _RUST_REGEX_UNSUPPORTED = (
-    r"\(\?=|\(\?!|\(\?<=|\(\?<!|\\[1-9]|\\k<"
+    r"\(\?=|\(\?!|\(\?<=|\(\?<!|\\[1-9]|\\k<|\(\?P=|\(\?\("
 )
 
 
+def _rust_compat_translate(v: str):
+    """Translate Rust-valid / Python-invalid constructs to Python
+    equivalents before the ``re.compile`` probe (ADVICE r3 item 2 — without
+    this, patterns the reference's ``Regex::new`` accepts were misclassified
+    invalid, and the self-hosted metaschema could reject a `pattern` the
+    engine's Java-regex ``rlike`` happily runs):
+
+    * ``\\p{...}`` / ``\\P{...}`` / ``\\pL`` Unicode classes → a benign
+      atom (validity approximation: a syntactically well-formed property
+      whose NAME is unknown to Rust still passes — documented residual)
+    * ``\\z`` end-of-text → Python's ``\\Z``
+    * ``(?<name>...)`` named groups → Python's ``(?P<name>...)``
+      (lookbehinds ``(?<=`` / ``(?<!`` are pre-filtered before this runs)
+
+    Returns the translated pattern, or None when a ``\\p`` construct is
+    malformed (both engines reject those)."""
+    import re
+
+    out: list[str] = []
+    i, n = 0, len(v)
+    while i < n:
+        ch = v[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = v[i + 1]
+            if nxt in "pP":
+                j = i + 2
+                if j < n and v[j] == "{":
+                    k = v.find("}", j)
+                    if k != -1 and re.fullmatch(
+                            r"[A-Za-z0-9_\s=^&:-]+", v[j + 1:k]):
+                        out.append(".")
+                        i = k + 1
+                        continue
+                    return None  # malformed \p{…} — invalid in Rust too
+                if j < n and v[j].isalpha():
+                    out.append(".")
+                    i = j + 1
+                    continue
+                return None
+            if nxt == "z":
+                out.append(r"\Z")
+                i += 2
+                continue
+            out.append(ch)
+            out.append(nxt)
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return re.sub(r"\(\?<([A-Za-z_][A-Za-z0-9_]*)>", r"(?P<\1>",
+                  "".join(out))
+
+
 def _regex_valid_probe() -> Column:
-    """Exact `format: regex` checker: an Arrow-batched pandas UDF probing
+    """`format: regex` checker: an Arrow-batched pandas UDF probing
     ``re.compile`` per DISTINCT-ish batch value (≙ ``Regex::new(v).is_ok()``,
-    ``format.rs:51-53``). This is the one format where no native expression
-    exists; the probe is vectorized (one Python call per Arrow batch, a
-    dict-cached compile per unique pattern inside it), never row-at-a-time
-    Python — the allowance BASELINE.json grants for genuinely non-native
-    semantics. Returns a closure usable as ``pred(col)``."""
+    ``format.rs:51-53``), with a Rust-compat layer on both sides: a
+    pre-filter REJECTS Python-valid constructs Rust lacks (lookaround,
+    backreferences, conditionals), and ``_rust_compat_translate`` ACCEPTS
+    Rust-valid constructs Python lacks (``\\p{...}`` classes, ``\\z``,
+    ``(?<name>)`` groups). Exact on every construct family the two engines
+    share plus the translated/filtered families; residual known delta: a
+    well-formed ``\\p{...}`` with a property name Rust doesn't recognize
+    passes here. This is the one format where no native expression exists;
+    the probe is vectorized (one Python call per Arrow batch, a dict-cached
+    compile per unique pattern inside it), never row-at-a-time Python — the
+    allowance BASELINE.json grants for genuinely non-native semantics."""
     import re
 
     import pandas as pd
@@ -95,11 +155,15 @@ def _regex_valid_probe() -> Column:
             if unsupported.search(v):
                 out = False
             else:
-                try:
-                    re.compile(v)
-                    out = True
-                except re.error:
+                translated = _rust_compat_translate(v)
+                if translated is None:
                     out = False
+                else:
+                    try:
+                        re.compile(translated)
+                        out = True
+                    except re.error:
+                        out = False
             cache[v] = out
             return out
 

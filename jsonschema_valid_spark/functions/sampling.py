@@ -84,7 +84,8 @@ def train_holdout_split(df: DataFrame, key: str, holdout_rate: float,
 def mix_to_budget(df: DataFrame, key: str, stratum: str, weight: str,
                   budget_per_stratum: float, seed: int = 0,
                   portable: bool = False,
-                  max_strata: int = 100_000) -> DataFrame:
+                  max_strata: int = 100_000,
+                  null_stratum: str | float = "drop") -> DataFrame:
     """Data mixing: deterministically downsample each stratum (source,
     language, …) toward a per-stratum WEIGHT budget (tokens, chars):
     rate_s = min(1, budget / Σ_s weight). Two passes —
@@ -99,9 +100,16 @@ def mix_to_budget(df: DataFrame, key: str, stratum: str, weight: str,
     The sample is EXPECTED to hit the budget (hash-gate is Bernoulli per
     row, variance O(√n)); exact-budget packing belongs to
     ``functions/packing.py`` downstream. Deterministic for a fixed corpus:
-    the rates derive from exact integer sums. Rows with a NULL stratum get
-    ``default_rate`` 0 — i.e. they are dropped; filter or fill the stratum
-    column first if they should participate."""
+    the rates derive from exact integer sums.
+
+    ``null_stratum`` controls rows whose stratum is NULL (an explicit knob
+    instead of r3's silent drop — VERDICT r3 item 6 / commit 786ea13):
+
+    * ``"drop"`` (default, r3-compatible): NULL-stratum rows are excluded;
+    * ``"keep"``: NULL is treated as its OWN stratum and budgeted like any
+      other (rate = min(1, budget / Σ weight of NULL rows));
+    * a float in [0, 1]: NULL-stratum rows pass the hash gate at exactly
+      that rate."""
     avail = df.groupBy(stratum).agg(F.sum(F.col(weight)).alias("__w"))
     rows = avail.limit(max_strata + 1).collect()
     if len(rows) > max_strata:
@@ -110,5 +118,24 @@ def mix_to_budget(df: DataFrame, key: str, stratum: str, weight: str,
             "collects one row per stratum — use a coarser stratum column")
     rates = {r[stratum]: min(1.0, budget_per_stratum / r["__w"])
              for r in rows if r[stratum] is not None and r["__w"]}
-    return stratified_sample(df, key, stratum, rates, default_rate=0.0,
-                             seed=seed, portable=portable)
+    if null_stratum == "drop":
+        null_rate = 0.0
+    elif null_stratum == "keep":
+        null_w = next((r["__w"] for r in rows if r[stratum] is None), None)
+        null_rate = min(1.0, budget_per_stratum / null_w) if null_w else 1.0
+    elif isinstance(null_stratum, (int, float)) and 0.0 <= null_stratum <= 1.0:
+        null_rate = float(null_stratum)
+    else:
+        raise ValueError(
+            f"null_stratum must be 'drop', 'keep', or a rate in [0,1]; "
+            f"got {null_stratum!r}")
+    sampled = stratified_sample(df, key, stratum, rates, default_rate=0.0,
+                                seed=seed, portable=portable)
+    if null_rate == 0.0:
+        # NULL != every rate-ladder branch ⇒ default_rate 0 already drops
+        # NULL rows inside stratified_sample; nothing more to do
+        return sampled
+    nulls = df.where(F.col(stratum).isNull()).where(
+        _hash_gate(F.col(key), seed, portable)
+        < int(null_rate * _GATE_M))
+    return sampled.unionByName(nulls)

@@ -195,7 +195,14 @@ def blocklist_hits(col, terms: list[str]):
 
     if not terms:
         return F.lit(0)
-    alts = "|".join(_re.escape(t.lower()) for t in sorted(terms))
+    # longest-match-first (ADVICE r3 item 3): Java regex alternation takes
+    # the FIRST matching branch, so with terms ['a', 'a b'] on text 'a b'
+    # an alphabetical order would match-and-consume 'a' and never count the
+    # phrase 'a b'. Sorting branches by descending length makes phrase
+    # terms win over their leading-word prefixes; ties break
+    # alphabetically for determinism.
+    ordered = sorted({t.lower() for t in terms}, key=lambda t: (-len(t), t))
+    alts = "|".join(_re.escape(t) for t in ordered)
     pat = rf"\b({alts})\b"
     # count distinct MATCHED TERMS, not occurrences: regexp_extract_all of
     # the alternation (Column-literal pattern — no SQL string escaping),

@@ -136,20 +136,28 @@ def stream_running_null_rate(sdf: DataFrame, group_col: str, value_col: str,
 
 def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
                           baseline: dict, bucket_width: float = 1.0,
-                          psi_max: float = 0.25,
+                          psi_max: float | None = 0.25,
+                          ks_max: float | None = None,
+                          chi2_max: float | None = None,
                           window_duration: str = "1 minute",
                           watermark: str = "2 minutes") -> DataFrame:
-    """Per-window PSI drift vs a literal baseline histogram — the streaming
-    form of ``operators/drift.py``.
+    """Per-window drift verdicts vs a literal baseline histogram — the
+    streaming form of ``operators/drift.py``, now with the SAME three
+    statistics as batch (VERDICT r3 item 5): PSI, binned-ECDF KS, and
+    Pearson chi-square, each gated by its own threshold (pass ``None`` to
+    skip a statistic; defaults keep the r3 PSI-only surface).
 
     Plan: windowed histogram (stateful agg #1: state = #windows × #buckets
     counters) → per-window collect of the tiny (bucket, count) list (stateful
     agg #2, chained via ``window_time`` — Spark supports multiple stateful
-    aggregations in append mode) → PSI computed with native array HOFs over
-    ≤ #buckets entries per window. The baseline rides as a literal map
-    expression; no Python at runtime, state bounded by the watermark.
+    aggregations in append mode) → all three statistics computed with native
+    array HOFs over ≤ #buckets entries per window (the KS cumulative sum is
+    an O(#buckets²) nested-slice aggregate — #buckets is a compile-time
+    constant, so this is driver-scale math regardless of stream volume).
+    The baseline rides as a literal map expression; no Python at runtime,
+    state bounded by the watermark.
 
-    Emits one verdict row per closed window:
+    Emits one verdict row per closed window per enabled statistic:
     ``(window_start, window_end, check_id, passed, metric_value, threshold)``.
     """
     eps = 1e-9
@@ -175,36 +183,65 @@ def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
     obs_total = F.aggregate(
         "h", F.lit(0).cast("long"), lambda a, e: a + e["cnt"]).cast("double")
     obs_buckets = F.transform("h", lambda e: e["bucket"])
-
-    def term_for(e):
-        po = e["cnt"].cast("double") / F.col("__ot")
-        pb = F.coalesce(F.try_element_at(bmap, e["bucket"]),
-                        F.lit(0)).cast("double") / F.lit(btotal)
-        return (po - pb) * F.log((po + F.lit(eps)) / (pb + F.lit(eps)))
-
-    def base_only_term(b):
-        pb = F.coalesce(F.try_element_at(bmap, b),
-                        F.lit(0)).cast("double") / F.lit(btotal)
-        return (F.lit(0.0) - pb) * F.log(F.lit(eps) / (pb + F.lit(eps)))
+    obs_map = F.map_from_entries(
+        F.transform("h", lambda e: F.struct(e["bucket"].alias("key"),
+                                            e["cnt"].alias("value"))))
 
     stage = per_w.select(
-        "w", "h", obs_total.alias("__ot"), obs_buckets.alias("__ob"))
-    psi = (
-        F.aggregate("h", F.lit(0.0), lambda a, e: a + term_for(e))
-        + F.aggregate(
-            F.transform(
-                F.filter(bbuckets,
-                         lambda b: ~F.array_contains(F.col("__ob"), b)),
-                base_only_term),
-            F.lit(0.0), lambda a, x: a + x)
+        "w", "h",
+        obs_total.alias("__ot"),
+        obs_buckets.alias("__ob"),
+        obs_map.alias("__om"),
+        # union bucket set, sorted — every statistic walks this array, so
+        # the batch normalization domain (obs ∪ base) is replayed exactly
+        F.array_sort(F.array_union(obs_buckets, bbuckets)).alias("__ub"),
     )
-    return stage.select(
-        F.col("w.start").alias("window_start"),
-        F.col("w.end").alias("window_end"),
-        F.lit(f"x-drift/{column}/psi").alias("check_id"),
-        (psi <= F.lit(float(psi_max))).alias("passed"),
-        psi.cast("double").alias("metric_value"),
-        F.lit(float(psi_max)).cast("double").alias("threshold"),
+
+    def p_obs(b):
+        return (F.coalesce(F.try_element_at(F.col("__om"), b), F.lit(0))
+                .cast("double") / F.col("__ot"))
+
+    def p_base(b):
+        return (F.coalesce(F.try_element_at(bmap, b), F.lit(0))
+                .cast("double") / F.lit(btotal))
+
+    psi_val = F.aggregate(
+        F.col("__ub"), F.lit(0.0),
+        lambda a, b: a + (p_obs(b) - p_base(b))
+        * F.log((p_obs(b) + F.lit(eps)) / (p_base(b) + F.lit(eps))))
+    chi2_val = F.aggregate(
+        F.col("__ub"), F.lit(0.0),
+        lambda a, b: a + (p_obs(b) - p_base(b)) * (p_obs(b) - p_base(b))
+        / (p_base(b) + F.lit(eps)))
+    # KS: max over bucket boundaries of |cum p_obs − cum p_base|; the
+    # cumulative sum at position i re-aggregates the prefix slice
+    cum_gaps = F.transform(
+        F.col("__ub"),
+        lambda b, i: F.abs(F.aggregate(
+            F.slice(F.col("__ub"), F.lit(1), i + 1), F.lit(0.0),
+            lambda a, x: a + (p_obs(x) - p_base(x)))))
+    ks_val = F.coalesce(F.array_max(cum_gaps), F.lit(0.0))
+
+    verdicts = []
+    for stat, val, tau in (("psi", psi_val, psi_max),
+                           ("ks", ks_val, ks_max),
+                           ("chi2", chi2_val, chi2_max)):
+        if tau is None:
+            continue
+        verdicts.append(F.struct(
+            F.lit(f"x-drift/{column}/{stat}").alias("check_id"),
+            (val <= F.lit(float(tau))).alias("passed"),
+            val.cast("double").alias("metric_value"),
+            F.lit(float(tau)).cast("double").alias("threshold"),
+        ))
+    if not verdicts:
+        raise ValueError("at least one of psi_max/ks_max/chi2_max required")
+    return (
+        stage.select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            F.explode(F.array(*verdicts)).alias("v"))
+        .select("window_start", "window_end", "v.*")
     )
 
 

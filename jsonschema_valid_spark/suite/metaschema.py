@@ -191,15 +191,16 @@ METASCHEMA_SUITE: dict = {
         _kw("multipleOf", _NUMERIC),
         _kw("multipleOf", {"properties": {
             "num_value": {"exclusiveMinimum": 0}}}),
-        # exclusive bounds: draft4 = boolean modifier with required sibling;
+        # exclusive bounds: draft4 = boolean modifier (a lone flag without
+        # its minimum/maximum sibling is INERT, not invalid — the reference
+        # reads it from inside the bound validator, validators.rs:416-445,
+        # and registers no standalone draft4 exclusive validator; r4 fix);
         # draft6/7 = standalone number
         _kw("exclusiveMinimum", {"properties": {
             "value_type": {"const": "boolean"},
-            "sibling_keys": {"contains": {"const": "minimum"}},
         }}, draft={"const": 4}),
         _kw("exclusiveMaximum", {"properties": {
             "value_type": {"const": "boolean"},
-            "sibling_keys": {"contains": {"const": "maximum"}},
         }}, draft={"const": 4}),
         _kw("exclusiveMinimum", _NUMERIC, draft={"enum": [6, 7]}),
         _kw("exclusiveMaximum", _NUMERIC, draft={"enum": [6, 7]}),

@@ -93,10 +93,12 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if draft == 4:
                 if not isinstance(v, bool):
                     raise _err(p, "draft4 exclusiveMinimum/Maximum must be boolean")
-                if kw == "exclusiveMinimum" and "minimum" not in spec:
-                    raise _err(p, "draft4 exclusiveMinimum requires sibling minimum")
-                if kw == "exclusiveMaximum" and "maximum" not in spec:
-                    raise _err(p, "draft4 exclusiveMaximum requires sibling maximum")
+                # NO sibling-bound requirement: in the reference the flag is
+                # read BY the minimum/maximum validator (validators.rs:
+                # 416-445) and draft4's table registers no standalone
+                # exclusive validator (schemas.rs:201-230) — so a lone
+                # boolean exclusiveMinimum is simply inert, not an error
+                # (r4: was wrongly rejected; VERDICT r3 item 7 edge)
             else:
                 _check_number(p, kw, v)
         elif kw in ("minLength", "maxLength", "minItems", "maxItems",

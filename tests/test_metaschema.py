@@ -51,8 +51,12 @@ INVALID_SUITES = [
     ("empty-allOf", {"allOf": []}),
     ("scalar-anyOf-member", {"anyOf": [{"type": "string"}, 42]}),
     ("nonstring-ref", {"$ref": 7}),
-    ("draft4-exclusive-without-sibling",
-     {"version": 4, "properties": {"x": {"exclusiveMinimum": True}}}),
+    # NOTE r4: draft4 exclusiveMinimum WITHOUT the minimum sibling is no
+    # longer invalid — the reference treats the lone flag as inert
+    # (validators.rs:416-445; draft-gating matrix in test_official_suite) —
+    # but a NON-BOOLEAN draft4 exclusive stays invalid:
+    ("draft4-numeric-exclusive",
+     {"version": 4, "properties": {"x": {"exclusiveMinimum": 5}}}),
     ("draft7-boolean-exclusive",
      {"properties": {"x": {"exclusiveMinimum": True}}}),
     ("empty-nullRate", {"properties": {"x": {"x-nullRate": {}}}}),

@@ -87,30 +87,49 @@ def test_stream_dedup(spark, tmp_path):
 
 
 def test_stream_windowed_drift_matches_batch(spark, stream_dir):
-    """Per-window streaming PSI (chained stateful aggs + HOF math) must equal
-    the batch operator's PSI computed over the same window slices."""
-    from jsonschema_valid_spark.operators.drift import histogram, psi
+    """Per-window streaming drift (chained stateful aggs + HOF math) must
+    equal the batch operators for ALL THREE statistics — PSI, binned-ECDF
+    KS, and Pearson chi-square (VERDICT r3 item 5) — computed over the same
+    window slices, each against its own threshold."""
+    from jsonschema_valid_spark.operators.drift import (
+        chi2_value_df,
+        histogram,
+        ks,
+        psi,
+    )
     from jsonschema_valid_spark.streaming.checks import stream_windowed_drift
 
     path, batch_df = stream_dir
     baseline = {0: 30, 1: 40, 2: 30, 3: 10}
+    taus = {"psi": 0.1, "ks": 0.15, "chi2": 0.5}
     sdf = spark.readStream.schema(batch_df.schema).parquet(path)
     drift = stream_windowed_drift(sdf, "v", "ts", baseline, bucket_width=25.0,
-                                  psi_max=0.1, window_duration="1 minute",
+                                  psi_max=taus["psi"], ks_max=taus["ks"],
+                                  chi2_max=taus["chi2"],
+                                  window_duration="1 minute",
                                   watermark="0 seconds")
     assert drift.isStreaming
     _run_to_memory(drift, "drift_sink")
     got = spark.sql("select * from drift_sink").collect()
-    assert len(got) >= 8  # the final window may stay open at watermark 0
+    assert len(got) >= 24  # ≥8 closed windows × 3 statistics
+    seen_stats = {r["check_id"].rsplit("/", 1)[-1] for r in got}
+    assert seen_stats == {"psi", "ks", "chi2"}
 
+    def batch_chi2(hist):
+        return float(chi2_value_df(hist, baseline, spark).first()["value"])
+
+    fns = {"psi": lambda h: psi(h, baseline, spark),
+           "ks": lambda h: ks(h, baseline, spark),
+           "chi2": batch_chi2}
     for r in got:
+        stat = r["check_id"].rsplit("/", 1)[-1]
         sliced = batch_df.where(
             (F.col("ts") >= r["window_start"]) & (F.col("ts") < r["window_end"]))
-        expected = psi(histogram(sliced, "v", 25.0), baseline, spark)
+        expected = fns[stat](histogram(sliced, "v", 25.0))
         assert abs(r["metric_value"] - expected) < 1e-9, (
-            r["window_start"], r["metric_value"], expected)
-        assert r["passed"] == (expected <= 0.1)
-        assert r["check_id"] == "x-drift/v/psi"
+            stat, r["window_start"], r["metric_value"], expected)
+        assert r["passed"] == (expected <= taus[stat])
+        assert r["threshold"] == taus[stat]
 
 
 def test_quarantine_router_matches_batch_split(spark, stream_dir, tmp_path):
