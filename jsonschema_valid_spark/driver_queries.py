@@ -1971,3 +1971,39 @@ def skew_heavy_keys(spark, sf_dir):
     return heavy_keys(li, "l_orderkey", top=10)
 
 
+
+
+@register_extended(
+    "text_lm_scores",
+    # EXTENDED (mirror-only): the driver gate is capped at 50 entries (all
+    # taken); this keeps the op fully value-hash oracled via
+    # tests/test_oracle_parity.py. vocab_size=200 deliberately smaller
+    # than the corpus vocabulary so the OOV smoothing path is exercised.
+    """
+WITH w AS (SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+    FROM documents),
+cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+vocab AS (SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT 200),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t,
+               CAST(count(*) AS DOUBLE) AS v FROM vocab)
+SELECT doc_id,
+       round(avg(ln((coalesce(vocab.c, 0) + 1.0) / (t + 1.0 * (v + 1)))), 6)
+           AS lm_score,
+       CAST(count(*) AS BIGINT) AS n_words
+FROM w LEFT JOIN vocab USING (word) CROSS JOIN tot
+GROUP BY doc_id
+""",
+)
+def text_lm_scores(spark, sf_dir):
+    """Unigram-LM quality scoring (functions/text.py unigram_model +
+    unigram_logprob_scores) — the CCNet/KenLM-style 'score documents
+    against a reference language model' filter stage, here with the corpus
+    self-scoring and a 200-word vocab so OOV smoothing is on the path.
+    Train = one count aggregate to a broadcastable dimension; score =
+    explode → broadcast join → per-doc avg (map-side combine)."""
+    from jsonschema_valid_spark.functions.text import unigram_logprob_scores
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_logprob_scores(docs, "doc_id", "text", vocab_size=200)

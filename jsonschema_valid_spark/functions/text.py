@@ -241,3 +241,66 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
         t = F.col(f"pii_{name}")
         total = t if total is None else total + t
     return df.select("*", *cols).withColumn("pii_total", total)
+
+
+def _words(df: DataFrame, text_col: str) -> DataFrame:
+    """One row per whitespace word (lowercased, empties dropped) — the
+    shared tokenization of the unigram model and scorer; identical to the
+    DuckDB oracle's regexp_split_to_array + list_filter."""
+    return df.select(
+        "*",
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+        .alias("__word"),
+    ).where(F.char_length("__word") > 0)
+
+
+def unigram_model(df: DataFrame, text_col: str = "text",
+                  vocab_size: int = 50_000) -> DataFrame:
+    """Corpus unigram counts, top ``vocab_size`` words by frequency —
+    the 'train' half of LM-based quality filtering (the CCNet/KenLM
+    pattern: score candidate documents against a reference corpus' language
+    model; a unigram model is its embarrassingly-parallel core). ONE
+    partial+final count aggregate + TakeOrderedAndProject; the result is a
+    dimension table (≤ vocab_size rows) that broadcasts at any corpus
+    scale. Deterministic: ties break on the word itself."""
+    return (
+        _words(df, text_col)
+        .groupBy(F.col("__word").alias("word"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .orderBy(F.desc("count"), F.col("word"))
+        .limit(vocab_size)
+    )
+
+
+def unigram_logprob_scores(df: DataFrame, key: str, text_col: str = "text",
+                           model: DataFrame | None = None,
+                           vocab_size: int = 50_000,
+                           alpha: float = 1.0) -> DataFrame:
+    """Per-document mean unigram log-probability — the 'score' half of
+    LM-based quality filtering: low scores mark gibberish/boilerplate,
+    high scores mark reference-like text. Laplace-smoothed:
+    ``lp(w) = ln((count_w + α) / (T + α(V+1)))`` with OOV words at
+    ``count_w = 0`` (T = in-vocab token mass, V = vocab size).
+
+    Train ``model`` on a REFERENCE corpus (``unigram_model``) and score
+    candidates against it; with ``model=None`` the corpus self-scores
+    (fixture mode). Plan shape at 100 TB: explode → BROADCAST hash join
+    against the ≤vocab_size dimension → partial+final avg keyed by the
+    document — the per-word rows never shuffle (map-side combine collapses
+    them to one partial row per (doc, partition) before the exchange)."""
+    if model is None:
+        model = unigram_model(df, text_col, vocab_size)
+    totals = model.agg(F.sum("count").alias("__t"),
+                       F.count(F.lit(1)).alias("__v"))
+    words = _words(df, text_col).select(F.col(key), F.col("__word").alias("word"))
+    lp = F.log(
+        (F.coalesce(F.col("count"), F.lit(0)).cast("double") + F.lit(float(alpha)))
+        / (F.col("__t").cast("double")
+           + F.lit(float(alpha)) * (F.col("__v").cast("double") + 1.0)))
+    return (
+        words.join(F.broadcast(model), on="word", how="left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(key)
+        .agg(F.round(F.avg(lp), 6).alias("lm_score"),
+             F.count(F.lit(1)).cast("long").alias("n_words"))
+    )

@@ -330,3 +330,35 @@ def test_embedding_dim_survives_parquet_roundtrip(spark, tmp_path):
     with_embedding_dim(emb, "embedding", 64).write.parquet(p)
     back = spark.read.parquet(p)
     assert embedding_dim(back, "embedding") == 64
+
+
+def test_trained_index_roundtrip_matches_inline(spark, tmp_path):
+    """write_ivf_pq_index with TRAINED quantizers serves the same answers
+    as the inline trained pipeline — training changes the constants, not
+    the layout contract."""
+    from jsonschema_valid_spark.functions.similarity import (
+        ivf_pq_rerank_topk,
+        train_ivf_centroids,
+        train_pq_codebooks,
+    )
+    from jsonschema_valid_spark.sources.ann_index import (
+        ivf_pq_rerank_from_index,
+        write_ivf_pq_index,
+    )
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    q = [float(x) for x in
+         emb.where(F.col("vec_id") == 0).first()["embedding"]]
+    cents = train_ivf_centroids(emb, "embedding", dim=64, n_cells=8, iters=3)
+    books = train_pq_codebooks(emb, "embedding", dim=64, m=8, n_codes=16,
+                               iters=3)
+    path = str(tmp_path / "trained_index")
+    write_ivf_pq_index(emb, path, "vec_id", "embedding", dim=64, n_cells=8,
+                       centroids=cents, books=books)
+    served = [tuple(r) for r in ivf_pq_rerank_from_index(
+        spark, path, "vec_id", "embedding", q, k=10, n_cells=8, n_probe=8,
+        rerank=256, centroids=cents, books=books).collect()]
+    inline = [tuple(r) for r in ivf_pq_rerank_topk(
+        emb, "vec_id", "embedding", q, k=10, rerank=256,
+        books=books).collect()]
+    assert served == inline
