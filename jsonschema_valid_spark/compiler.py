@@ -1140,6 +1140,12 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
     elif kw == "x-decontamination":
         plan.dataset_checks.append(
             DatasetCheck(cid, "decontamination", colname, dict(v)))
+    elif kw == "x-lmScore":
+        # unigram-LM quality gate (functions/text.py lm_score_violations):
+        # dataset scope because the score joins against a trained vocab
+        # dimension (context "@model" or self-trained at vocabSize)
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "lm_score", colname, dict(v)))
     elif kw == "x-blocklist":
         # ROW-scope safety filter: rides the fused row projection (zero
         # extra scans/shuffles), null-tolerant like every value check

@@ -2007,3 +2007,42 @@ def text_lm_scores(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return unigram_logprob_scores(docs, "doc_id", "text", vocab_size=200)
+
+
+@register_extended(
+    "engine_lm_violations",
+    """
+WITH w AS (SELECT doc_id,
+    unnest(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'),
+                       x -> length(x) > 0)) AS word
+    FROM documents),
+cnt AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+vocab AS (SELECT word, c FROM cnt ORDER BY c DESC, word LIMIT 200),
+tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t,
+               CAST(count(*) AS DOUBLE) AS v FROM vocab),
+scores AS (SELECT doc_id,
+       round(avg(ln((coalesce(vocab.c, 0) + 1.0) / (t + 1.0 * (v + 1)))), 6)
+           AS lm_score
+    FROM w LEFT JOIN vocab USING (word) CROSS JOIN tot
+    GROUP BY doc_id)
+SELECT doc_id, 'properties/text/x-lmScore' AS check_id, lm_score
+FROM scores WHERE lm_score < -3.43
+""",
+)
+def engine_lm_violations(spark, sf_dir):
+    """x-lmScore as a DECLARATIVE suite keyword through the engine
+    (violations carry the mean unigram log-prob as observed; a reference
+    model arrives via @context exactly like x-parity references —
+    self-trained at vocabSize here). EXTENDED mirror entry (driver slots
+    full); full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suite = CheckSuite({"properties": {"text": {
+        "x-lmScore": {"minScore": -3.43, "vocabSize": 200}}}})
+    res = suite.run(docs, key="doc_id")
+    return res.violations.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "check_id",
+        F.col("observed").cast("double").alias("lm_score"),
+    )

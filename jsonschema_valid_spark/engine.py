@@ -345,6 +345,20 @@ def run_suite_summarized(
                 n=int(dc.params.get("n", 8)),
                 max_ratio=float(dc.params.get("maxRatio", 0.0)),
                 bench_text_col=dc.params.get("benchTextColumn"))
+        elif dc.kind == "lm_score":
+            from jsonschema_valid_spark.functions.text import (
+                lm_score_violations,
+            )
+
+            model = dc.params.get("model")
+            if isinstance(model, str) and model.startswith("@"):
+                model = context[model[1:]]
+            vdf = lm_score_violations(
+                df, dc.column, dc.check_id, key=key,
+                min_score=float(dc.params["minScore"]),
+                model=model,
+                vocab_size=int(dc.params.get("vocabSize", 50_000)),
+                alpha=float(dc.params.get("alpha", 1.0)))
         else:
             continue
         ds_viols.append(dc.check_id)
@@ -584,6 +598,30 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nc") == 0).alias("passed"),
                     F.col("nc").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "lm_score":
+            from jsonschema_valid_spark.functions.text import (
+                lm_score_violations,
+            )
+
+            model = dc.params.get("model")
+            if isinstance(model, str) and model.startswith("@"):
+                model = context[model[1:]]
+            lv = lm_score_violations(
+                df, dc.column, dc.check_id, key=key,
+                min_score=float(dc.params["minScore"]),
+                model=model,
+                vocab_size=int(dc.params.get("vocabSize", 50_000)),
+                alpha=float(dc.params.get("alpha", 1.0)))
+            violation_dfs.append(_with_ipath(lv))
+            verdict_dfs.append(
+                lv.agg(F.count(F.lit(1)).alias("nl")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nl") == 0).alias("passed"),
+                    F.col("nl").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

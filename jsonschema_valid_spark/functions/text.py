@@ -304,3 +304,27 @@ def unigram_logprob_scores(df: DataFrame, key: str, text_col: str = "text",
         .agg(F.round(F.avg(lp), 6).alias("lm_score"),
              F.count(F.lit(1)).cast("long").alias("n_words"))
     )
+
+
+def lm_score_violations(df: DataFrame, text_col: str, check_id: str,
+                        key: str = "doc_id", min_score: float = -10.0,
+                        model: DataFrame | None = None,
+                        vocab_size: int = 50_000,
+                        alpha: float = 1.0) -> DataFrame:
+    """Violation rows ``(doc_id, check_id, observed, expected)`` for the
+    ``x-lmScore`` dataset keyword: one row per document whose mean unigram
+    log-probability (:func:`unigram_logprob_scores`) falls below
+    ``min_score`` — the declarative form of the LM quality filter. Pass the
+    reference model through suite context (``model: "@name"``); with none,
+    the corpus self-scores at ``vocabSize``."""
+    scores = unigram_logprob_scores(df, key, text_col, model=model,
+                                    vocab_size=vocab_size, alpha=alpha)
+    return (
+        scores.where(F.col("lm_score") < min_score)
+        .select(
+            F.col(key).cast("string").alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.col("lm_score").cast("string").alias("observed"),
+            F.lit(f"lm_score >= {min_score}").alias("expected"),
+        )
+    )

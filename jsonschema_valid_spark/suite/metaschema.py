@@ -282,6 +282,10 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "terms"}},
         }}),
+        _kw("x-lmScore", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "minScore"}},
+        }}),
         _kw("<blocklist-terms>", {"properties": {
             "value_type": {"const": "array"},
             "list_len": {"minimum": 1},

@@ -223,6 +223,13 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                     and all(isinstance(t, str) for t in v["terms"])):
                 raise _err(p, "x-blocklist must be {'terms': [str, ...], "
                               "'maxHits'?: int}")
+        elif kw == "x-lmScore":
+            if not (isinstance(v, dict)
+                    and isinstance(v.get("minScore"), (int, float))
+                    and not isinstance(v.get("minScore"), bool)):
+                raise _err(p, "x-lmScore must be {'minScore': number, "
+                              "'model'?: '@name', 'vocabSize'?: int, "
+                              "'alpha'?: number}")
         # unknown keywords: ignored (validators.rs:75-78)
 
 

@@ -71,6 +71,7 @@ INVALID_SUITES = [
     ("x-drift-no-baseline",
      {"properties": {"x": {"x-drift": {"psiMax": 0.2}}}}),
     ("x-parity-no-reference", {"properties": {"x": {"x-parity": {}}}}),
+    ("x-lmScore-no-min", {"properties": {"x": {"x-lmScore": {"alpha": 1.0}}}}),
     ("nonstring-rowexpr", {"x-rowExpr": 42}),
     ("scalar-schema-node", {"properties": {"x": 42}}),
     ("dependency-nonstring-list", {"dependencies": {"a": [1]}}),

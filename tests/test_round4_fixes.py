@@ -362,3 +362,57 @@ def test_trained_index_roundtrip_matches_inline(spark, tmp_path):
         emb, "vec_id", "embedding", q, k=10, rerank=256,
         books=books).collect()]
     assert served == inline
+
+
+# ---------------------------------------------------------------------------
+# x-lmScore declarative keyword
+# ---------------------------------------------------------------------------
+
+def test_x_lmscore_keyword_matches_function(spark):
+    """The declarative x-lmScore gate must flag exactly the documents the
+    unigram_logprob_scores function scores below the threshold, and carry
+    the score as `observed`; a context-supplied reference model must be
+    honored."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.functions.text import (
+        unigram_logprob_scores,
+        unigram_model,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tau = -3.43
+    res = CheckSuite({"properties": {"text": {
+        "x-lmScore": {"minScore": tau, "vocabSize": 200}}}}).run(
+        docs, key="doc_id")
+    got = {(r["doc_id"], float(r["observed"])) for r in
+           res.violations.collect()}
+    scores = unigram_logprob_scores(docs, "doc_id", "text", vocab_size=200)
+    want = {(str(r["doc_id"]), r["lm_score"]) for r in
+            scores.where(F.col("lm_score") < tau).collect()}
+    assert got == want and got  # non-vacuous
+    verd = {r["check_id"]: r for r in res.verdicts.collect()}
+    v = verd["properties/text/x-lmScore"]
+    assert v["passed"] is False and v["metric_value"] == len(got)
+
+    # context-supplied reference model (the CCNet shape): train on the
+    # high-quality half, score everything against it
+    ref_model = unigram_model(docs.where(F.col("doc_id") % 2 == 0), "text",
+                              vocab_size=200)
+    res2 = CheckSuite({"properties": {"text": {
+        "x-lmScore": {"minScore": tau, "model": "@ref"}}}}).run(
+        docs, key="doc_id", context={"ref": ref_model})
+    want2 = unigram_logprob_scores(docs, "doc_id", "text", model=ref_model
+                                   ).where(F.col("lm_score") < tau).count()
+    assert res2.violations.count() == want2
+
+
+def test_x_lmscore_spec_validation(spark):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.suite.spec import SuiteError
+
+    with pytest.raises(SuiteError):
+        CheckSuite({"properties": {"text": {"x-lmScore": {}}}})
+    with pytest.raises(SuiteError):
+        CheckSuite({"properties": {"text": {"x-lmScore": {"minScore": "x"}}}})
+    CheckSuite({"properties": {"text": {
+        "x-lmScore": {"minScore": -4.0, "vocabSize": 100, "alpha": 0.5}}}})
