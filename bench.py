@@ -181,12 +181,28 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     probe_after = control_probe()
     timings["flagship_full"] = min(flagship_runs)
 
-    # components
-    res = suite.run(seq, key="doc_id", partition_by="source")
-    timed("row_pass_violations", lambda: res.violations
-          .where(F.col("check_id") != "properties/doc_id/x-unique").count())
-    timed("agg_pass_verdicts", lambda: res.verdicts
+    # components — each run rebuilds its ValidationResult and unpersists it:
+    # suite.run PERSISTS the violations pass, so reusing one result across
+    # timed repetitions would measure cache reads, not the compute (the
+    # warm-up call would materialize the cache and every timed run would
+    # read it back)
+    def row_pass():
+        r = suite.run(seq, key="doc_id", partition_by="source")
+        n = (r.violations
+             .where(F.col("check_id") != "properties/doc_id/x-unique").count())
+        r.unpersist()
+        return n
+
+    timed("row_pass_violations", row_pass)
+
+    # agg component: the SLIM second pass in isolation — violations are
+    # materialized once untimed so the row-verdict counters read from cache
+    # and the timing covers the pruned agg scan + verdict assembly
+    res_shared = suite.run(seq, key="doc_id", partition_by="source")
+    res_shared.violations.count()
+    timed("agg_pass_verdicts", lambda: res_shared.verdicts
           .where(~F.col("check_id").contains("x-unique")).collect())
+    res_shared.unpersist()
     timed("unique_salted", lambda: duplicate_keys(seq, "doc_id").count())
     dom_df = spark.createDataFrame([(s,) for s in domain], "source string")
     timed("referential_anti", lambda: non_members(seq, "source", dom_df).count())
