@@ -137,7 +137,13 @@ def main() -> None:
     spark.stop()
 
     rounds = []
-    for rnd in range(ROUNDS):
+    # keep adding rounds (bounded) until at least one is probe-matched —
+    # during volatile host phases a fixed round count can end with zero
+    # matched rounds, silently degrading the reported evidence (r4 fix)
+    max_rounds = int(os.environ.get("SPARK_GRAFT_MAX_ROUNDS", ROUNDS + 3))
+    rnd = 0
+    while rnd < ROUNDS or (
+            not any(r["matched"] for r in rounds) and rnd < max_rounds):
         pn = capacity_probe()
         bn = bandwidth_probe()
         rn = run_leg(LEG_N, path)
@@ -157,8 +163,11 @@ def main() -> None:
                        "violations_4n": r4["violations"],
                        "verdicts_n": rn["verdicts"],
                        "verdicts_4n": r4["verdicts"]})
+        rnd += 1
 
-    usable = [r for r in rounds if r["matched"]] or rounds
+    matched_rounds = [r for r in rounds if r["matched"]]
+    fallback = not matched_rounds
+    usable = matched_rounds or rounds
     usable.sort(key=lambda r: r["eff"])
     pick = usable[len(usable) // 2]  # median over probe-matched rounds
     wn, w4 = pick["wall_n"], pick["wall_4n"]
@@ -194,6 +203,10 @@ a round counts only when its two 8-process CAPACITY probes agree within 25%
 (the host's phases hit multi-core capacity — a single-thread probe can look
 nominal while 8-thread capacity is halved; straddling a phase biases the
 ratio either direction). Reported = MEDIAN efficiency over matched rounds.
+{("**NOTE: no round satisfied the probe-match gate (volatile host phase"
+  " throughout the run) — the reported number is the median over ALL"
+  " rounds and carries lower confidence.**") if fallback else
+ f"Matched rounds: {len(matched_rounds)}/{len(rounds)}."}
 Input is sized ({ROWS / 1e6:.0f}M rows) so the job's constant serial part
 (driver scheduling + final tiny verdict joins, ≈3 s) is a small fraction of
 even the 4N wall — the Amdahl term that UNDERSTATES deploy-scale efficiency
