@@ -2046,3 +2046,33 @@ def engine_lm_violations(spark, sf_dir):
         "check_id",
         F.col("observed").cast("double").alias("lm_score"),
     )
+
+
+def _semdedup_oracle():
+    from jsonschema_valid_spark.oracle_gen import semdedup_pairs_sql
+
+    return semdedup_pairs_sql(dim=64, n_cells=16, n_assign=4, seed=11,
+                              threshold=0.45)
+
+
+@register_extended("emb_semdedup_pairs", _semdedup_oracle())
+def emb_semdedup_pairs(spark, sf_dir):
+    """SemDeDup near-dup pairs (cluster-bucketed candidates + exact-cosine
+    verify; functions/similarity.py semantic_neardup_pairs, Abbas et al.
+    2023): the data-aware third scale path beside signature-LSH and
+    MinHash. Registered with the deterministic SEEDED centroids so the
+    ENTIRE pipeline — soft n_assign=4 cell assignment, shared-cell
+    candidate join, verify — replays in DuckDB
+    (oracle_gen.semdedup_pairs_sql); production uses train_ivf_centroids,
+    whose capture recall (14/14 fixture pairs vs 9/14 seeded) is
+    pytest-asserted in tests/test_semdedup.py. EXTENDED mirror entry
+    (driver slots full); full value-hash oracle."""
+    from jsonschema_valid_spark.functions.similarity import (
+        semantic_neardup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semantic_neardup_pairs(
+        emb, "vec_id", "embedding", dim=64, threshold=0.45,
+        n_cells=16, n_assign=4, seed=11,
+    ).select("a", "b", F.round("cos", 6).alias("cos"))

