@@ -1096,6 +1096,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
             metric=lambda alias=alias: F.col(alias),
             threshold=float(hi if hi is not None else (lo or 0.0)),
         ))
+    elif kw == "x-quantile" and v.get("backend") == "tdigest":
+        # opt-in mergeable t-digest backend (operators/tdigest.py): a
+        # dataset check because phase 1 is its own mapInPandas pass over
+        # the value column; the default percentile_approx stays the fast
+        # path inside the fused aggregate
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "tdigest_quantile", colname, dict(v)))
     elif kw == "x-quantile":
         alias = a + "_q"
         q = float(v["q"])
@@ -1159,4 +1166,49 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
             F.coalesce(hits <= max_hits, F.lit(True)),
             hits.cast("string"),
             f"at most {max_hits} blocklist term(s) of {sorted(terms)}",
+        ))
+    elif kw == "x-vector":
+        # ROW-scope embedding-column validation: width, finiteness
+        # (NaN/±Inf), unit-L2-norm within tolerance — the checks a
+        # training pipeline needs before embeddings feed ANN/dedup
+        # (functions/similarity.py assumes finite fixed-width vectors).
+        # Rides the fused row projection: all three are native HOF
+        # predicates over ONE cast of the array column, zero extra scans.
+        vv = col.cast("array<double>")
+        dim = v.get("dim")
+        finite = bool(v.get("finite", True))
+        unit = bool(v.get("unit", False))
+        tol = float(v.get("tol", 1e-3))
+        nonfinite = F.exists(
+            vv, lambda x: F.isnan(x) | (F.abs(x) == F.lit(float("inf"))))
+        nrm = F.sqrt(F.aggregate(vv, F.lit(0.0),
+                                 lambda acc, x: acc + x * x))
+        conds, desc, witness = [], [], []
+        if dim is not None:
+            conds.append(F.size(vv) == int(dim))
+            desc.append(f"dim={int(dim)}")
+            witness.append(F.when(F.size(vv) != int(dim),
+                                  F.concat(F.lit("dim="),
+                                           F.size(vv).cast("string"))))
+        if finite:
+            conds.append(~nonfinite)
+            desc.append("finite")
+            witness.append(F.when(nonfinite, F.lit("nonfinite")))
+        if unit:
+            conds.append(F.abs(nrm - 1.0) <= tol)
+            desc.append(f"|l2norm-1|<={tol}")
+            # norm witness only for FINITE vectors: NaN float→string
+            # rendering differs across engines, and 'nonfinite' already
+            # names the root cause on those rows
+            witness.append(F.when(
+                (~nonfinite) & (F.abs(nrm - 1.0) > tol),
+                F.concat(F.lit("norm="), F.round(nrm, 4).cast("string"))))
+        pred = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            pred = pred & c
+        plan.row_checks.append(RowCheck(
+            cid,
+            F.coalesce(pred, F.lit(True)),
+            F.concat_ws(",", *witness) if witness else F.lit(""),
+            "vector: " + ", ".join(desc),
         ))

@@ -2076,3 +2076,89 @@ def emb_semdedup_pairs(spark, sf_dir):
         emb, "vec_id", "embedding", dim=64, threshold=0.45,
         n_cells=16, n_assign=4, seed=11,
     ).select("a", "b", F.round("cos", 6).alias("cos"))
+
+
+@register_extended(
+    "engine_vector_violations",
+    """
+WITH e AS (SELECT vec_id,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+c1 AS (SELECT vec_id, CASE WHEN vec_id % 7 = 0
+                           THEN list_transform(v, x -> x * 1.5) ELSE v END AS v
+       FROM e),
+c2 AS (SELECT vec_id, CASE WHEN vec_id % 11 = 0 THEN v[1:63] ELSE v END AS v
+       FROM c1),
+c3 AS (SELECT vec_id, CASE WHEN vec_id % 13 = 0
+                           THEN list_concat(['NaN'::DOUBLE], v[2:])
+                           ELSE v END AS v
+       FROM c2),
+m AS (SELECT vec_id, len(v) AS d,
+             len(list_filter(v, x -> isnan(x) OR isinf(x))) > 0 AS nonf,
+             sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+      FROM c3)
+SELECT vec_id, 'properties/embedding/x-vector' AS check_id,
+       concat_ws(',',
+         CASE WHEN d != 64 THEN 'dim=' || d END,
+         CASE WHEN nonf THEN 'nonfinite' END,
+         CASE WHEN (NOT nonf) AND abs(nrm - 1.0) > 0.001
+              THEN 'norm=' || CAST(round(nrm, 4) AS VARCHAR) END) AS observed
+FROM m
+WHERE d != 64 OR nonf OR abs(nrm - 1.0) > 0.001
+""",
+)
+def engine_vector_violations(spark, sf_dir):
+    """x-vector as a DECLARATIVE suite keyword: embedding width, finiteness
+    (NaN/±Inf) and unit-L2-norm validation riding the fused row pass — the
+    gate a pipeline runs before vectors feed ANN/semantic-dedup. The clean
+    fixture is deterministically corrupted (vec_id%7 scaled 1.5×, %11
+    truncated to 63 dims, %13 NaN-injected at element 1 — same derivation
+    replayed in the oracle) so every sub-check fires. EXTENDED mirror
+    entry (driver slots full); full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    v = F.when(F.col("vec_id") % 7 == 0,
+               F.transform(v, lambda x: x * 1.5)).otherwise(v)
+    v = F.when(F.col("vec_id") % 11 == 0, F.slice(v, 1, 63)).otherwise(v)
+    v = F.when(F.col("vec_id") % 13 == 0,
+               F.concat(F.array(F.lit(float("nan"))),
+                        F.slice(v, 2, 63))).otherwise(v)
+    corrupted = emb.withColumn("embedding", v)
+    suite = CheckSuite({"properties": {"embedding": {
+        "x-vector": {"dim": 64, "unit": True, "tol": 0.001}}}})
+    res = suite.run(corrupted, key="vec_id")
+    return res.violations.select(
+        F.col("doc_id").cast("long").alias("vec_id"),
+        "check_id", "observed")
+
+
+@register_extended(
+    "agg_tdigest_quantile",
+    oracle_with_sequences(
+        "SELECT source, round(quantile_cont(n_tok, 0.5), 6) AS p50, "
+        "round(quantile_cont(n_tok, 0.9), 6) AS p90 "
+        "FROM sequences GROUP BY source"),
+)
+def agg_tdigest_quantile(spark, sf_dir):
+    """Per-source n_tok quantiles through the MERGEABLE t-digest sketch
+    (operators/tdigest.py: phase-1 mapInPandas digests per Spark
+    partition, phase-2 digest-only shuffle + merge). Registered in the
+    EXACT (singleton) regime — every source group holds ≤ 26 sequences,
+    far under delta=400, so each digest is the sorted sample and the
+    quantile rule is quantile_cont bit-for-bit: DuckDB replays the values
+    directly. The compressed regime's error bound is pytest-asserted
+    (tests/test_tdigest.py). EXTENDED mirror entry; full value-hash
+    oracle."""
+    from jsonschema_valid_spark.operators.tdigest import tdigest_quantiles
+    from jsonschema_valid_spark.sources.sequences import load_sequences
+
+    seq = load_sequences(spark, sf_dir)
+    td = tdigest_quantiles(seq, "n_tok", [0.5, 0.9], group_col="source",
+                           delta=400)
+    return (td.groupBy(F.col("grp").alias("source"))
+            .pivot("q", [0.5, 0.9]).agg(F.first("value"))
+            .select("source",
+                    F.round(F.col("`0.5`"), 6).alias("p50"),
+                    F.round(F.col("`0.9`"), 6).alias("p90")))

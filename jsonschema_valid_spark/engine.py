@@ -437,6 +437,14 @@ def run_suite_summarized(
             verdict_dfs.extend(drift_op.drift_verdict_dfs(
                 df, dc.column, dc.check_id,
                 _resolve_drift_baseline(dc.params, context), spark))
+        elif dc.kind == "tdigest_quantile":
+            from jsonschema_valid_spark.operators.tdigest import (
+                tdigest_quantile_verdicts,
+            )
+
+            verdict_dfs.append(tdigest_quantile_verdicts(
+                df, dc.column, dc.check_id, dc.params,
+                partition_by=partition_by))
 
     verdicts = (_union(verdict_dfs) if verdict_dfs
                 else spark.createDataFrame([], VERDICT_SCHEMA))
@@ -551,6 +559,14 @@ def run_suite(
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )
+        elif dc.kind == "tdigest_quantile":
+            from jsonschema_valid_spark.operators.tdigest import (
+                tdigest_quantile_verdicts,
+            )
+
+            verdict_dfs.append(tdigest_quantile_verdicts(
+                df, dc.column, dc.check_id, dc.params,
+                partition_by=partition_by))
         elif dc.kind == "drift":
             verdict_dfs.extend(
                 drift_op.drift_verdict_dfs(

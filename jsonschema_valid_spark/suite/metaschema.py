@@ -286,6 +286,11 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "minScore"}},
         }}),
+        _kw("x-vector", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"minItems": 1, "items": {
+                "enum": ["dim", "unit", "tol", "finite"]}},
+        }}),
         _kw("<blocklist-terms>", {"properties": {
             "value_type": {"const": "array"},
             "list_len": {"minimum": 1},

@@ -183,6 +183,13 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
         elif kw == "x-quantile":
             if not isinstance(v, dict) or "q" not in v:
                 raise _err(p, "x-quantile must be {'q': p, 'min'|'max': bound}")
+            if "backend" in v and v["backend"] != "tdigest":
+                raise _err(p, "x-quantile backend must be 'tdigest' "
+                              "(omit for the fused percentile_approx path)")
+            if "delta" in v and not (isinstance(v["delta"], int)
+                                     and not isinstance(v["delta"], bool)
+                                     and v["delta"] >= 10):
+                raise _err(p, "x-quantile delta must be an int ≥ 10")
         elif kw == "x-drift":
             if not isinstance(v, dict) or "baseline" not in v:
                 raise _err(p, "x-drift must be {'baseline': hist, 'psiMax'|'ksMax': τ, ...}")
@@ -230,6 +237,21 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-lmScore must be {'minScore': number, "
                               "'model'?: '@name', 'vocabSize'?: int, "
                               "'alpha'?: number}")
+        elif kw == "x-vector":
+            ok = (isinstance(v, dict) and v
+                  and set(v) <= {"dim", "unit", "tol", "finite"}
+                  and ("dim" not in v
+                       or (isinstance(v["dim"], int)
+                           and not isinstance(v["dim"], bool)
+                           and v["dim"] > 0))
+                  and ("tol" not in v
+                       or (isinstance(v["tol"], (int, float))
+                           and not isinstance(v["tol"], bool)
+                           and v["tol"] > 0)))
+            if not ok:
+                raise _err(p, "x-vector must be a non-empty object of "
+                              "{'dim'?: int>0, 'unit'?: bool, "
+                              "'tol'?: number>0, 'finite'?: bool}")
         # unknown keywords: ignored (validators.rs:75-78)
 
 
