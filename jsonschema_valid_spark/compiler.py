@@ -1147,6 +1147,12 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
     elif kw == "x-decontamination":
         plan.dataset_checks.append(
             DatasetCheck(cid, "decontamination", colname, dict(v)))
+    elif kw == "x-nearDup":
+        # near-duplicate membership as a first-class check (lift of
+        # x-unique beyond exact equality): dataset scope because every
+        # method needs a candidate join + connected components
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "neardup", colname, dict(v)))
     elif kw == "x-lmScore":
         # unigram-LM quality gate (functions/text.py lm_score_violations):
         # dataset scope because the score joins against a trained vocab

@@ -2162,3 +2162,52 @@ def agg_tdigest_quantile(spark, sf_dir):
             .select("source",
                     F.round(F.col("`0.5`"), 6).alias("p50"),
                     F.round(F.col("`0.9`"), 6).alias("p90")))
+
+
+@register_extended(
+    "engine_neardup_violations",
+    """
+WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+           FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(wl)),
+           i -> wl[i] || ' ' || wl[i+1])) AS shl FROM w),
+sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+p0 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+          FROM inv x JOIN inv y USING (s) WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT a, b FROM p0
+        JOIN sizes sa ON p0.a = sa.doc_id
+        JOIN sizes sb ON p0.b = sb.doc_id
+        WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.2),
+nodes AS (SELECT a AS id FROM prs UNION SELECT b FROM prs),
+edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b AS u, a AS v FROM prs),
+reach(id, lbl) AS (
+    SELECT id, id FROM nodes
+  UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+)
+SELECT CAST(id AS VARCHAR) AS doc_id,
+       'properties/text/x-nearDup' AS check_id,
+       'duplicate of ' || CAST(min(lbl) AS VARCHAR) AS observed
+FROM reach GROUP BY id HAVING id != min(lbl)
+""",
+)
+def engine_neardup_violations(spark, sf_dir):
+    """x-nearDup as a DECLARATIVE suite keyword (functions/dedup.py
+    neardup_violations): near-duplicate membership validated like
+    x-unique — every non-survivor of the connected near-dup components
+    becomes a violation row naming its cluster survivor. Registered with
+    method=jaccard (word-bigram, threshold 0.2 — the corpus' designed
+    near-dup band) so the ENTIRE pipeline (inverted-index pairs →
+    recursive connected components → min-key survivors) replays in the
+    DuckDB oracle. MinHash/SimHash/semantic methods share the same
+    adapter and are pytest-covered. EXTENDED mirror entry; full
+    value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suite = CheckSuite({"properties": {"text": {
+        "x-nearDup": {"method": "jaccard", "n": 2, "threshold": 0.2}}}})
+    res = suite.run(docs, key="doc_id")
+    return res.violations.select("doc_id", "check_id", "observed")

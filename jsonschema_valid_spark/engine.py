@@ -359,6 +359,13 @@ def run_suite_summarized(
                 model=model,
                 vocab_size=int(dc.params.get("vocabSize", 50_000)),
                 alpha=float(dc.params.get("alpha", 1.0)))
+        elif dc.kind == "neardup":
+            from jsonschema_valid_spark.functions.dedup import (
+                neardup_violations,
+            )
+
+            vdf = neardup_violations(df, dc.column, dc.check_id, key=key,
+                                     params=dc.params)
         else:
             continue
         ds_viols.append(dc.check_id)
@@ -638,6 +645,23 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nl") == 0).alias("passed"),
                     F.col("nl").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "neardup":
+            from jsonschema_valid_spark.functions.dedup import (
+                neardup_violations,
+            )
+
+            nv = neardup_violations(df, dc.column, dc.check_id, key=key,
+                                    params=dc.params)
+            violation_dfs.append(_with_ipath(nv))
+            verdict_dfs.append(
+                nv.agg(F.count(F.lit(1)).alias("nn")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nn") == 0).alias("passed"),
+                    F.col("nn").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

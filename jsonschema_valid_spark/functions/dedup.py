@@ -441,3 +441,73 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str,
         )
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def neardup_violations(df: DataFrame, column: str, check_id: str,
+                       key: str = "doc_id",
+                       params: dict | None = None) -> DataFrame:
+    """``x-nearDup`` engine adapter: near-duplicate membership as a
+    first-class VALIDATION check — every non-survivor row becomes a
+    violation (doc_id, check_id, observed="duplicate of <survivor>",
+    expected), mirroring how ``x-unique`` reports exact duplicates.
+
+    ``method`` selects the candidate generator, all three scale paths
+    shared with the standalone operators (never all-pairs):
+
+    * ``minhash``  — :func:`minhash_lsh_pairs` over a text column
+      (threshold = Jaccard; numPerm/bands/n/seed knobs);
+    * ``simhash``  — :func:`simhash_pairs` over a text column
+      (maxHamming knob);
+    * ``semantic`` — ``similarity.semantic_neardup_pairs`` over an
+      embedding column (threshold = cosine; dim/nCells/nAssign/seed
+      knobs, dim falling back to schema metadata).
+
+    Survivors follow the engine's deterministic min-key rule
+    (:func:`neardup_survivors`), so the violation set is exactly the rows
+    ``semdedup``/dedup pipelines would drop."""
+    p = params or {}
+    method = p.get("method", "minhash")
+    portable = bool(p.get("portable", False))
+    if method == "jaccard":
+        thr = float(p.get("threshold", 0.8))
+        pairs = jaccard_pairs(
+            df, key, column, n=int(p.get("n", 3)), threshold=thr,
+            max_doc_freq=p.get("maxDocFreq"))
+        expected = f"no near-duplicate (ngram-jaccard >= {thr})"
+    elif method == "minhash":
+        thr = float(p.get("threshold", 0.7))
+        pairs = minhash_lsh_pairs(
+            df, key, column, num_perm=int(p.get("numPerm", 64)),
+            bands=int(p.get("bands", 16)), n=int(p.get("n", 3)),
+            threshold=thr, seed=int(p.get("seed", 42)), portable=portable)
+        expected = f"no near-duplicate (MinHash-LSH, jaccard >= {thr})"
+    elif method == "simhash":
+        mh = int(p.get("maxHamming", 3))
+        pairs = simhash_pairs(df, key, column, max_hamming=mh,
+                              portable=portable)
+        expected = f"no near-duplicate (SimHash, hamming <= {mh})"
+    elif method == "semantic":
+        from jsonschema_valid_spark.functions.similarity import (
+            semantic_neardup_pairs,
+        )
+
+        thr = float(p.get("threshold", 0.45))
+        pairs = semantic_neardup_pairs(
+            df, key, column, dim=p.get("dim"), threshold=thr,
+            n_cells=int(p.get("nCells", 16)),
+            n_assign=int(p.get("nAssign", 1)),
+            seed=int(p.get("seed", 11)),
+            centroids=p.get("centroids"))
+        expected = f"no near-duplicate (semantic clusters, cosine >= {thr})"
+    else:
+        raise ValueError(
+            f"x-nearDup method must be 'jaccard', 'minhash', 'simhash' or "
+            f"'semantic', got {method!r}")
+    marked = neardup_survivors(df, key, pairs.select("a", "b"))
+    return marked.where(~F.col("is_survivor")).select(
+        F.col(key).cast("string").alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(F.lit("duplicate of "),
+                 F.col("cluster_id").cast("string")).alias("observed"),
+        F.lit(expected).alias("expected"),
+    )

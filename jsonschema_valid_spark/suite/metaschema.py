@@ -286,6 +286,10 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "minScore"}},
         }}),
+        _kw("x-nearDup", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "method"}},
+        }}),
         _kw("x-vector", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"minItems": 1, "items": {

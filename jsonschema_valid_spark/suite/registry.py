@@ -84,6 +84,7 @@ DATASET_KEYWORDS = frozenset(
         "x-blocklist",      # whole-word safety blocklist (row-scope filter)
         "x-lmScore",        # unigram-LM quality gate (CCNet/KenLM-style filter)
         "x-vector",         # embedding column: width/finite/unit-norm (row-scope)
+        "x-nearDup",        # near-duplicate membership (MinHash/SimHash/semantic)
         "x-rowExpr",        # escape hatch: arbitrary SQL boolean over the row
         "x-parity",         # per-row equality vs a reference table (BASELINE.json:15)
     }

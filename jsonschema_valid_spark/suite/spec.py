@@ -237,6 +237,13 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-lmScore must be {'minScore': number, "
                               "'model'?: '@name', 'vocabSize'?: int, "
                               "'alpha'?: number}")
+        elif kw == "x-nearDup":
+            if not (isinstance(v, dict)
+                    and v.get("method") in ("jaccard", "minhash", "simhash",
+                                            "semantic")):
+                raise _err(p, "x-nearDup must be {'method': 'jaccard'|"
+                              "'minhash'|'simhash'|'semantic', "
+                              "...method knobs}")
         elif kw == "x-vector":
             ok = (isinstance(v, dict) and v
                   and set(v) <= {"dim", "unit", "tol", "finite"}
