@@ -2211,3 +2211,57 @@ def engine_neardup_violations(spark, sf_dir):
         "x-nearDup": {"method": "jaccard", "n": 2, "threshold": 0.2}}}})
     res = suite.run(docs, key="doc_id")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+@register_extended(
+    "dedup_span_pairs",
+    """
+WITH h AS (SELECT doc_id, text,
+    list_transform(range(1, greatest(length(text) - 7, 1) + 1),
+        i -> CAST(('0x' || substr(md5(substr(text, i, 8)), 1, 15)) AS BIGINT)) AS hl
+    FROM documents),
+fpl AS (SELECT doc_id,
+    list_transform(range(1, greatest(len(hl) - 7, 1) + 1),
+        j -> {'h': list_min(hl[j:j+7]),
+              'pos': j - 1 + list_position(hl[j:j+7], list_min(hl[j:j+7]))}) AS fps
+    FROM h),
+-- array_distinct happens per-row in Spark; DISTINCT after unnest is the
+-- same (h, pos) set per doc (DuckDB cannot list_distinct struct lists)
+e AS (SELECT DISTINCT doc_id AS id, unnest(fps, recursive := true) FROM fpl),
+dfq AS (SELECT h FROM (SELECT h, count(DISTINCT id) AS df FROM e GROUP BY h)
+        WHERE df > 20),
+kept AS (SELECT * FROM e WHERE h NOT IN (SELECT h FROM dfq)),
+cand AS (SELECT x.id AS a, y.id AS b, x.h AS h,
+                min(x.pos) AS pos_a, min(y.pos) AS pos_b
+         FROM kept x JOIN kept y USING (h) WHERE x.id < y.id
+         GROUP BY 1, 2, 3),
+v AS (SELECT cand.a, cand.b, cand.h, cand.pos_a, cand.pos_b
+      FROM cand
+      JOIN documents ta ON cand.a = ta.doc_id
+      JOIN documents tb ON cand.b = tb.doc_id
+      WHERE substr(ta.text, cand.pos_a, 8) = substr(tb.text, cand.pos_b, 8))
+SELECT a, b, count(DISTINCT h) AS shared,
+       CAST(min(pos_a) AS BIGINT) AS pos_a, CAST(min(pos_b) AS BIGINT) AS pos_b
+FROM v GROUP BY a, b HAVING count(DISTINCT h) >= 10
+""",
+)
+def dedup_span_pairs(spark, sf_dir):
+    """Substring-level exact dedup via winnowing fingerprints
+    (functions/dedup.py kgram_hashes/winnow_from_hashes/
+    duplicate_span_pairs — the relational lift of Lee et al. 2022's
+    suffix-array dedup): every common substring of length >= w+k-1 = 15
+    chars shares a fingerprint (MOSS guarantee), detection is a bucketed
+    equi-join on the fingerprint hash with a doc-frequency cap (20) for
+    boilerplate, each match verified by exact k-gram equality. Registered
+    in portable-hash mode so DuckDB replays the ENTIRE pipeline —
+    hashing, windows, winnow argmin positions, cap, verify. EXTENDED
+    mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.functions.dedup import duplicate_span_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = duplicate_span_pairs(docs, "doc_id", "text", k=8, w=8,
+                               min_shared=10, max_doc_freq=20,
+                               portable=True)
+    return out.select("a", "b", "shared",
+                      F.col("pos_a").cast("long").alias("pos_a"),
+                      F.col("pos_b").cast("long").alias("pos_b"))

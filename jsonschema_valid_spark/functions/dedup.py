@@ -511,3 +511,116 @@ def neardup_violations(df: DataFrame, column: str, check_id: str,
                  F.col("cluster_id").cast("string")).alias("observed"),
         F.lit(expected).alias("expected"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Substring-level exact dedup: winnowing fingerprints (Schleimer et al.,
+# SIGMOD'03 — the MOSS algorithm) + cross-document duplicated-span pairs,
+# the relational lift of suffix-array substring dedup (Lee et al. 2022,
+# "Deduplicating Training Data Makes Language Models Better",
+# arXiv:2107.06499): instead of a global suffix array (which needs the
+# whole corpus in one address space), each document emits a bounded
+# fingerprint set with the winnowing GUARANTEE — any substring of length
+# >= w + k - 1 shared by two documents produces at least one shared
+# (hash, window-min) fingerprint — and detection becomes a bucketed
+# equi-join on the fingerprint hash. Never all-pairs, never a global sort.
+# ---------------------------------------------------------------------------
+
+def kgram_hashes(col, k: int = 8, portable: bool = False):
+    """array<long> of the text's k-char-gram hashes (one per 1-based start
+    position). STAGE THIS AS ITS OWN COLUMN before windowing over it:
+    Catalyst re-evaluates invariant sub-expressions inside higher-order-
+    function lambdas per element, so referencing this O(n) expression from
+    an O(n)-window transform in the same projection costs O(n²) hashing
+    per row (measured: sf0.01 documents went from minutes to seconds once
+    staged)."""
+    hfn = (lambda s: portable_hash60(s)) if portable else (
+        lambda s: F.xxhash64(s))
+    n_h = F.greatest(F.length(col) - (k - 1), F.lit(1))
+    return F.transform(F.sequence(F.lit(1), n_h),
+                       lambda i: hfn(F.substr(col, i, F.lit(k))))
+
+
+def winnow_from_hashes(hl, w: int = 8):
+    """array<struct<h: long, pos: int>> winnowing fingerprints from a
+    STAGED k-gram hash array column (``hl`` should be a column reference,
+    see :func:`kgram_hashes`): slide a w-hash window, keep each window's
+    minimum with its 1-based gram position, distinct. Fingerprint density
+    is ~2/(w+1) of the k-gram count (the winnowing bound), so the exploded
+    index stays a small multiple of the corpus row count."""
+    n_w = F.greatest(F.size(hl) - (w - 1), F.lit(1))
+
+    def _fp(j):
+        win = F.slice(hl, j, w)
+        mn = F.array_min(win)
+        return F.struct(
+            mn.alias("h"),
+            (j - 1 + F.array_position(win, mn)).cast("int").alias("pos"))
+
+    return F.array_distinct(F.transform(F.sequence(F.lit(1), n_w), _fp))
+
+
+def winnow_fingerprints(col, k: int = 8, w: int = 8,
+                        portable: bool = False):
+    """Convenience composition of :func:`kgram_hashes` +
+    :func:`winnow_from_hashes` as ONE expression — fine for tests and
+    small fixtures, but quadratic inside a single projection (see the
+    staging note on kgram_hashes); pipelines should stage the hash array
+    like :func:`duplicate_span_pairs` does."""
+    return winnow_from_hashes(kgram_hashes(col, k, portable), w)
+
+
+def duplicate_span_pairs(df: DataFrame, key: str, text_col: str,
+                         k: int = 8, w: int = 8, min_shared: int = 1,
+                         max_doc_freq: int | None = None,
+                         portable: bool = False) -> DataFrame:
+    """Cross-document duplicated-substring pairs: documents sharing
+    ``min_shared`` or more distinct winnowed fingerprint hashes, each
+    match VERIFIED by exact k-gram equality at the recorded positions
+    (hash collisions cannot fabricate a span). Returns
+    (a, b, shared, pos_a, pos_b) with a < b — shared = distinct verified
+    hashes, pos_* = the earliest matching span's 1-based char offset.
+
+    Guarantee (winnowing): every common substring of length >= w + k - 1
+    yields at least one shared fingerprint, so min_shared=1 detects all
+    such spans; raise min_shared (or lower w) to demand longer/denser
+    overlap. ``max_doc_freq`` drops boilerplate fingerprints appearing in
+    more than that many documents (broadcast anti-join — the same
+    posting-list skew cap as :func:`jaccard_pairs`)."""
+    staged = df.select(
+        F.col(key).alias("id"),
+        kgram_hashes(F.col(text_col), k, portable).alias("__hl"))
+    fps = staged.select(
+        "id",
+        F.explode(winnow_from_hashes(F.col("__hl"), w)).alias("fp"),
+    ).select("id", F.col("fp.h").alias("h"), F.col("fp.pos").alias("pos"))
+    if max_doc_freq is not None:
+        hot = (fps.select("id", "h").distinct()
+               .groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+               .where(F.col("__df") > max_doc_freq).select("h"))
+        fps = fps.join(F.broadcast(hot), on="h", how="left_anti")
+    # one witness per (a, b, h) BEFORE the text fetch: a hash occurring
+    # m× in a and n× in b would otherwise join into m·n rows each dragging
+    # both full texts; min(pos) on either side still addresses a k-gram
+    # hashing to h, so the verify below is unaffected
+    cand = (
+        fps.alias("x").join(fps.alias("y"), on="h")
+        .where(F.col("x.id") < F.col("y.id"))
+        .groupBy(F.col("x.id").alias("a"), F.col("y.id").alias("b"), F.col("h"))
+        .agg(F.min(F.col("x.pos")).alias("pos_a"),
+             F.min(F.col("y.pos")).alias("pos_b"))
+    )
+    ta = df.select(F.col(key).alias("a"), F.col(text_col).alias("__ta"))
+    tb = df.select(F.col(key).alias("b"), F.col(text_col).alias("__tb"))
+    verified = (
+        cand.join(ta, on="a").join(tb, on="b")
+        .where(F.substr(F.col("__ta"), F.col("pos_a"), F.lit(k))
+               == F.substr(F.col("__tb"), F.col("pos_b"), F.lit(k)))
+    )
+    return (
+        verified.groupBy("a", "b")
+        .agg(F.countDistinct("h").alias("shared"),
+             F.min("pos_a").alias("pos_a"),
+             F.min("pos_b").alias("pos_b"))
+        .where(F.col("shared") >= min_shared)
+    )
