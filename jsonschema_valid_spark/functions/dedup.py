@@ -458,6 +458,8 @@ def neardup_violations(df: DataFrame, column: str, check_id: str,
       (threshold = Jaccard; numPerm/bands/n/seed knobs);
     * ``simhash``  — :func:`simhash_pairs` over a text column
       (maxHamming knob);
+    * ``spans``    — :func:`duplicate_span_pairs` over a text column
+      (substring-level: k/w/minShared/maxDocFreq knobs);
     * ``semantic`` — ``similarity.semantic_neardup_pairs`` over an
       embedding column (threshold = cosine; dim/nCells/nAssign/seed
       knobs, dim falling back to schema metadata).
@@ -486,6 +488,14 @@ def neardup_violations(df: DataFrame, column: str, check_id: str,
         pairs = simhash_pairs(df, key, column, max_hamming=mh,
                               portable=portable)
         expected = f"no near-duplicate (SimHash, hamming <= {mh})"
+    elif method == "spans":
+        ms = int(p.get("minShared", 1))
+        pairs = duplicate_span_pairs(
+            df, key, column, k=int(p.get("k", 8)), w=int(p.get("w", 8)),
+            min_shared=ms, max_doc_freq=p.get("maxDocFreq"),
+            portable=portable)
+        expected = (f"no near-duplicate (winnowed spans, >= {ms} shared "
+                    "fingerprints)")
     elif method == "semantic":
         from jsonschema_valid_spark.functions.similarity import (
             semantic_neardup_pairs,
@@ -501,8 +511,8 @@ def neardup_violations(df: DataFrame, column: str, check_id: str,
         expected = f"no near-duplicate (semantic clusters, cosine >= {thr})"
     else:
         raise ValueError(
-            f"x-nearDup method must be 'jaccard', 'minhash', 'simhash' or "
-            f"'semantic', got {method!r}")
+            f"x-nearDup method must be 'jaccard', 'minhash', 'simhash', "
+            f"'spans' or 'semantic', got {method!r}")
     marked = neardup_survivors(df, key, pairs.select("a", "b"))
     return marked.where(~F.col("is_survivor")).select(
         F.col(key).cast("string").alias("doc_id"),

@@ -240,9 +240,9 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
         elif kw == "x-nearDup":
             if not (isinstance(v, dict)
                     and v.get("method") in ("jaccard", "minhash", "simhash",
-                                            "semantic")):
+                                            "spans", "semantic")):
                 raise _err(p, "x-nearDup must be {'method': 'jaccard'|"
-                              "'minhash'|'simhash'|'semantic', "
+                              "'minhash'|'simhash'|'spans'|'semantic', "
                               "...method knobs}")
         elif kw == "x-vector":
             ok = (isinstance(v, dict) and v

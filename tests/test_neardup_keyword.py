@@ -110,3 +110,19 @@ def test_metaschema_accepts_and_rejects(spark):
     assert validate_suite_with_engine(spark, good).ok()
     bad = {"properties": {"text": {"x-nearDup": {"threshold": 0.5}}}}
     assert not validate_suite_with_engine(spark, bad).ok()
+
+
+def test_spans_method(spark):
+    boiler = "zqxwvutsrqponmlkj"  # 17 chars >= winnow guarantee (w+k-1=15)
+    df = spark.createDataFrame(
+        [(1, "first document body " + boiler + " trailing words"),
+         (2, "other opening then " + boiler + " and more"),
+         (3, "nothing in common with anybody here at all")],
+        "doc_id: long, text: string")
+    suite = CheckSuite({"properties": {"text": {
+        "x-nearDup": {"method": "spans", "k": 8, "w": 8,
+                      "minShared": 1}}}})
+    res = suite.run(df, key="doc_id")
+    viol = {r["doc_id"]: r for r in res.violations.collect()}
+    assert set(viol) == {"2"}
+    assert viol["2"]["observed"] == "duplicate of 1"

@@ -106,3 +106,28 @@ def test_rides_fused_row_pass_no_exchange(spark):
     res = suite.run(_df(spark), key="id")
     plan = res.violations._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_x_vector_rides_streaming_row_pass(spark, tmp_path):
+    """Row-scope keywords flow into stream_row_violations unchanged —
+    x-vector included."""
+    import math
+
+    from jsonschema_valid_spark.streaming.checks import stream_row_violations
+
+    inv = 1.0 / math.sqrt(2.0)
+    df = spark.createDataFrame(
+        [(1, [inv, inv]), (2, [1.0, 1.0]), (3, [1.0])],
+        "id: long, v: array<double>")
+    path = str(tmp_path / "vecs")
+    df.write.parquet(path)
+    sdf = spark.readStream.schema(df.schema).parquet(path)
+    suite = CheckSuite({"properties": {"v": {
+        "x-vector": {"dim": 2, "unit": True, "tol": 0.001}}}})
+    viol = stream_row_violations(suite, sdf, key="id")
+    q = (viol.writeStream.format("memory").queryName("xvec_sink")
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    rows = {r["doc_id"]: r["observed"]
+            for r in spark.sql("SELECT * FROM xvec_sink").collect()}
+    assert rows == {"2": "norm=1.4142", "3": "dim=1"}
