@@ -2265,3 +2265,51 @@ def dedup_span_pairs(spark, sf_dir):
     return out.select("a", "b", "shared",
                       F.col("pos_a").cast("long").alias("pos_a"),
                       F.col("pos_b").cast("long").alias("pos_b"))
+
+
+@register_extended(
+    "drift_emd_ntok",
+    oracle_with_sequences(
+        """
+, obs AS (SELECT CAST(floor(n_tok / 16.0) AS BIGINT) AS bucket,
+                 CAST(count(*) AS DOUBLE) AS c FROM sequences GROUP BY 1),
+base AS (SELECT CAST(floor(((doc_id * 37) % 120 + 8) / 16.0) AS BIGINT) AS bucket,
+                CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1),
+j AS (SELECT coalesce(obs.bucket, base.bucket) AS bucket,
+             coalesce(obs.c, 0) AS oc, coalesce(base.c, 0) AS bc
+      FROM obs FULL OUTER JOIN base ON obs.bucket = base.bucket),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j),
+c AS (SELECT bucket,
+             abs(sum(oc / so - bc / sb) OVER (ORDER BY bucket)) AS cd,
+             coalesce(lead(bucket) OVER (ORDER BY bucket), bucket) - bucket
+                 AS gap
+      FROM j CROSS JOIN t)
+SELECT round(sum(cd * gap * 16.0), 6) AS emd FROM c
+"""
+    ),
+)
+def drift_emd_ntok(spark, sf_dir):
+    """Binned Wasserstein-1 (Earth Mover's) drift of n_tok vs the
+    uncorrupted baseline — the fourth drift statistic
+    (operators/drift.py emd_value_df; x-drift accepts emdMax and the
+    streaming form carries emd_max): measures how FAR the mass moved in
+    n_tok units, which per-bucket PSI/chi2 and worst-gap KS miss. The
+    gap factor integrates the piecewise-constant CDF difference across
+    empty buckets. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.drift import (
+        emd_value_df,
+        histogram,
+    )
+
+    seq = load_sequences(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_hist = {
+        int(r["bucket"]): int(r["count"])
+        for r in docs.groupBy(
+            F.floor(((F.col("doc_id") * 37) % 120 + 8) / 16.0)
+            .cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count")).collect()
+    }
+    obs = histogram(seq, "n_tok", 16.0)
+    return emd_value_df(obs, base_hist, spark, bucket_width=16.0).select(
+        F.round("value", 6).alias("emd"))

@@ -108,6 +108,36 @@ def chi2_value_df(observed_hist: DataFrame, baseline: dict[int, int],
     )
 
 
+def emd_value_df(observed_hist: DataFrame, baseline: dict[int, int],
+                 spark, bucket_width: float = 1.0) -> DataFrame:
+    """Binned Wasserstein-1 (Earth Mover's) distance — the fourth drift
+    statistic: ∫|CDF_obs − CDF_base| dx over the bucketed domain. It
+    measures HOW FAR mass moved (in the column's units), which PSI/chi2
+    (per-bucket, location-blind) and KS (worst single gap) all miss: a
+    whole-distribution shift by 10 buckets and by 1 bucket give the same
+    KS=1 but 10× different EMD.
+
+    Computed as Σ_b |cumΔ(b)| · gap(b) · bucket_width where gap(b) is the
+    distance to the NEXT occupied bucket — the cumulative difference
+    persists across empty buckets, so the gap factor integrates the
+    piecewise-constant CDF gap exactly (a plain per-row sum would
+    undercount sparse histograms). Same #buckets-row plan as KS."""
+    n = _normalized_join(observed_hist, baseline, spark)
+    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    nxt = F.lead("bucket").over(Window.orderBy("bucket"))
+    return (
+        n.select(
+            F.abs(F.sum(F.col("p_obs") - F.col("p_base")).over(cum))
+            .alias("cd"),
+            (F.coalesce(nxt, F.col("bucket")) - F.col("bucket"))
+            .cast("double").alias("gap"),
+        )
+        .agg(F.coalesce(F.sum(F.col("cd") * F.col("gap")
+                              * F.lit(float(bucket_width))),
+                        F.lit(0.0)).alias("value"))
+    )
+
+
 def psi(observed_hist: DataFrame, baseline: dict[int, int], spark) -> float:
     return float(psi_value_df(observed_hist, baseline, spark).first()["value"])
 
@@ -125,10 +155,13 @@ def drift_verdict_dfs(df: DataFrame, column: str, check_id: str, params: dict,
     hist = histogram(df, column, width)
     out = []
     for name, fn in (("psiMax", psi_value_df), ("ksMax", ks_value_df),
-                     ("chi2Max", chi2_value_df)):
+                     ("chi2Max", chi2_value_df),
+                     ("emdMax", lambda h, b, sp: emd_value_df(
+                         h, b, sp, bucket_width=width))):
         if name in params:
             tau = float(params[name])
-            stat = {"psiMax": "psi", "ksMax": "ks", "chi2Max": "chi2"}[name]
+            stat = {"psiMax": "psi", "ksMax": "ks", "chi2Max": "chi2",
+                    "emdMax": "emd"}[name]
             out.append(
                 fn(hist, baseline, spark).select(
                     F.lit("<global>").alias("partition_id"),

@@ -92,3 +92,45 @@ def test_x_drift_chi2_keyword(spark):
         "baseline": skewed, "bucketWidth": 1.0, "chi2Max": 0.01}}}}).run(
         docs, key="id")
     assert bad.ok() is False
+
+
+def test_emd_exact_values(spark):
+    """Binned Wasserstein-1: hand-computable cases including empty-bucket
+    gaps (the gap factor integrates the persistent CDF difference)."""
+    from jsonschema_valid_spark.operators.drift import emd_value_df
+
+    def emd(obs_rows, base, width=1.0):
+        h = spark.createDataFrame(obs_rows, "bucket long, count long")
+        return float(emd_value_df(h, base, spark,
+                                  bucket_width=width).first()["value"])
+
+    # all mass moves from bucket 0 to bucket 3: distance 3
+    assert emd([(3, 10)], {0: 10}) == pytest.approx(3.0)
+    # same, with bucket_width scaling
+    assert emd([(3, 10)], {0: 10}, width=16.0) == pytest.approx(48.0)
+    # identical distributions: zero
+    assert emd([(0, 5), (1, 5)], {0: 5, 1: 5}) == pytest.approx(0.0)
+    # half the mass moves one bucket: 0.5
+    assert emd([(0, 5), (1, 5)], {0: 10}) == pytest.approx(0.5)
+    # shift by one bucket vs by three: KS is 1 for both, EMD separates
+    assert emd([(1, 10)], {0: 10}) == pytest.approx(1.0)
+    assert emd([(9, 10)], {0: 10}) == pytest.approx(9.0)
+
+
+def test_x_drift_emd_keyword(spark, baseline):
+    suite_pass = CheckSuite({"properties": {"n_tok": {
+        "x-drift": {"baseline": baseline, "bucketWidth": BUCKET,
+                    "emdMax": 1.0}}}})
+    res = suite_pass.run(_gen(spark, 20000), key="doc_id")
+    rows = {r["check_id"]: r for r in res.verdicts.collect()}
+    cid = "properties/n_tok/x-drift/emd"
+    assert rows[cid]["passed"] and rows[cid]["threshold"] == 1.0
+
+    suite_fail = CheckSuite({"properties": {"n_tok": {
+        "x-drift": {"baseline": baseline, "bucketWidth": BUCKET,
+                    "emdMax": 1.0}}}})
+    res2 = suite_fail.run(_gen(spark, 20000, shift=40), key="doc_id")
+    rows2 = {r["check_id"]: r for r in res2.verdicts.collect()}
+    assert not rows2[cid]["passed"]
+    # a 40-unit mean shift ≈ 5 buckets of width 8 → EMD ≈ 5·8 = 40 units
+    assert rows2[cid]["metric_value"] == pytest.approx(40.0, rel=0.15)

@@ -93,6 +93,7 @@ def test_stream_windowed_drift_matches_batch(spark, stream_dir):
     window slices, each against its own threshold."""
     from jsonschema_valid_spark.operators.drift import (
         chi2_value_df,
+        emd_value_df,
         histogram,
         ks,
         psi,
@@ -101,26 +102,32 @@ def test_stream_windowed_drift_matches_batch(spark, stream_dir):
 
     path, batch_df = stream_dir
     baseline = {0: 30, 1: 40, 2: 30, 3: 10}
-    taus = {"psi": 0.1, "ks": 0.15, "chi2": 0.5}
+    taus = {"psi": 0.1, "ks": 0.15, "chi2": 0.5, "emd": 20.0}
     sdf = spark.readStream.schema(batch_df.schema).parquet(path)
     drift = stream_windowed_drift(sdf, "v", "ts", baseline, bucket_width=25.0,
                                   psi_max=taus["psi"], ks_max=taus["ks"],
                                   chi2_max=taus["chi2"],
+                                  emd_max=taus["emd"],
                                   window_duration="1 minute",
                                   watermark="0 seconds")
     assert drift.isStreaming
     _run_to_memory(drift, "drift_sink")
     got = spark.sql("select * from drift_sink").collect()
-    assert len(got) >= 24  # ≥8 closed windows × 3 statistics
+    assert len(got) >= 32  # ≥8 closed windows × 4 statistics
     seen_stats = {r["check_id"].rsplit("/", 1)[-1] for r in got}
-    assert seen_stats == {"psi", "ks", "chi2"}
+    assert seen_stats == {"psi", "ks", "chi2", "emd"}
 
     def batch_chi2(hist):
         return float(chi2_value_df(hist, baseline, spark).first()["value"])
 
+    def batch_emd(hist):
+        return float(emd_value_df(hist, baseline, spark,
+                                  bucket_width=25.0).first()["value"])
+
     fns = {"psi": lambda h: psi(h, baseline, spark),
            "ks": lambda h: ks(h, baseline, spark),
-           "chi2": batch_chi2}
+           "chi2": batch_chi2,
+           "emd": batch_emd}
     for r in got:
         stat = r["check_id"].rsplit("/", 1)[-1]
         sliced = batch_df.where(
