@@ -171,3 +171,42 @@ def test_spec_validation():
     with pytest.raises(SuiteError, match="delta"):
         validate_suite_spec({"properties": {"n": {
             "x-quantile": {"q": 0.5, "backend": "tdigest", "delta": 2}}}})
+
+
+# ---------------------------------------------------------------------------
+# property-based invariants (hypothesis; pure numpy — no Spark)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+_vals = st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                           allow_nan=False, allow_infinity=False),
+                 min_size=1, max_size=300)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_vals)
+def test_prop_singleton_regime_equals_numpy(vals):
+    m, w = _digest_of(vals, delta=2000)
+    if not np.all(w == 1.0):
+        return  # duplicates merged by value-sort ties: skip, regime left
+    for q in (0.0, 0.3, 0.77, 1.0):
+        assert tdigest_quantile_value(m, w, q) == pytest.approx(
+            np.quantile(np.asarray(vals), q, method="linear"),
+            rel=1e-9, abs=1e-9)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_vals, st.integers(min_value=2, max_value=8))
+def test_prop_merge_preserves_weight_and_bounds(vals, parts):
+    arr = np.asarray(vals, dtype=float)
+    chunks = np.array_split(arr, parts)
+    partials = [_digest_of(c, 50) for c in chunks if c.size]
+    m, w = _merge(np.concatenate([pm for pm, _ in partials]),
+                  np.concatenate([pw for _, pw in partials]), 50)
+    assert w.sum() == pytest.approx(arr.size)
+    # quantiles stay inside the data range and monotone in q
+    qs = [0.0, 0.25, 0.5, 0.75, 1.0]
+    est = [tdigest_quantile_value(m, w, q) for q in qs]
+    assert est == sorted(est)
+    assert arr.min() - 1e-9 <= est[0] and est[-1] <= arr.max() + 1e-9
