@@ -162,6 +162,19 @@ def _approx_unique_verdict_df(df: DataFrame, dc) -> DataFrame:
     )
 
 
+def _resolve_neardup(params: dict, context: dict) -> dict:
+    """x-nearDup params pass through verbatim except ``centroids`` —
+    "@name" resolves from the run context (the same indirection as
+    x-lmScore's @model / x-drift's @baseline), so a suite can reference
+    ``train_ivf_centroids`` output without embedding the matrix in JSON."""
+    c = params.get("centroids")
+    if isinstance(c, str) and c.startswith("@"):
+        out = dict(params)
+        out["centroids"] = context[c[1:]]
+        return out
+    return params
+
+
 def _resolve_drift_baseline(params: dict, context: dict) -> dict:
     """x-drift baseline may be a literal {bucket: count} dict or "@name" —
     a context DataFrame of (bucket, count) rows (e.g. a histogram captured
@@ -365,7 +378,8 @@ def run_suite_summarized(
             )
 
             vdf = neardup_violations(df, dc.column, dc.check_id, key=key,
-                                     params=dc.params)
+                                     params=_resolve_neardup(dc.params,
+                                                             context))
         else:
             continue
         ds_viols.append(dc.check_id)
@@ -654,7 +668,8 @@ def run_suite(
             )
 
             nv = neardup_violations(df, dc.column, dc.check_id, key=key,
-                                    params=dc.params)
+                                    params=_resolve_neardup(dc.params,
+                                                            context))
             violation_dfs.append(_with_ipath(nv))
             verdict_dfs.append(
                 nv.agg(F.count(F.lit(1)).alias("nn")).select(

@@ -126,3 +126,17 @@ def test_spans_method(spark):
     viol = {r["doc_id"]: r for r in res.violations.collect()}
     assert set(viol) == {"2"}
     assert viol["2"]["observed"] == "duplicate of 1"
+
+
+def test_semantic_centroids_from_context(spark):
+    """Trained centroids reach x-nearDup via '@name' context indirection
+    (same pattern as x-lmScore's @model)."""
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.999, 0.04]), (3, [-1.0, 0.0])],
+        "vec_id: long, v: array<double>")
+    cents = [[1.0, 0.0], [-1.0, 0.0]]
+    suite = CheckSuite({"properties": {"v": {
+        "x-nearDup": {"method": "semantic", "dim": 2, "threshold": 0.9,
+                      "centroids": "@cents"}}}})
+    res = suite.run(emb, key="vec_id", context={"cents": cents})
+    assert {r["doc_id"] for r in res.violations.collect()} == {"2"}
