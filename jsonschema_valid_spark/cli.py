@@ -42,6 +42,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validate ONLY the suite spec (walker + the "
                         "engine-hosted self-metaschema) and exit — the "
                         "analog of the reference's Config::validate_schema")
+    p.add_argument("--explain", action="store_true",
+                   help="print the formatted physical plans for the "
+                        "violations and verdicts passes WITHOUT running "
+                        "them — the pre-deploy shuffle/pushdown audit "
+                        "(PLANS.md is this output, reviewed)")
     return p
 
 
@@ -108,6 +113,12 @@ def main(argv=None) -> int:
         return 1 if failed else 0
 
     result = suite.run(df, key=args.key, partition_by=args.partition_by)
+    if args.explain:
+        print("== violations plan ==")
+        result.violations.explain("formatted")
+        print("== verdicts plan ==")
+        result.verdicts.explain("formatted")
+        return 0
     if args.fail_fast:
         ok = result.ok()
         print(json.dumps({"ok": ok}))

@@ -105,3 +105,26 @@ def test_validate_documents_helper(spark):
     assert got == {("1", "properties/name/minLength"),
                    ("1", "properties/age/minimum"),
                    ("2", "required/name")}
+
+
+def test_cli_explain_prints_plans_without_running(spark, tmp_path, capsys):
+    import json
+
+    from jsonschema_valid_spark.cli import main
+
+    p = tmp_path / "clean.parquet"
+    spark.createDataFrame([(1, 5), (2, 6)], "doc_id: long, n: long") \
+        .write.parquet(str(p))
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps(
+        {"properties": {"n": {"minimum": 0, "x-stats": {"avg": {"max": 10}}}}}))
+    rc = main(["--suite", str(suite_path), "--input", str(p),
+               "--format", "parquet", "--key", "doc_id",
+               "--output", str(tmp_path / "out"), "--explain"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "== violations plan ==" in out and "== verdicts plan ==" in out
+    assert "Physical Plan" in out
+    # nothing was written: explain must not execute the job
+    import os
+    assert not os.path.exists(tmp_path / "out")
