@@ -158,15 +158,49 @@ def partition_digests(df: DataFrame, value_col: str,
         build, "grp string, means array<double>, weights array<double>")
 
 
+def tree_merge_digests(digests: DataFrame, delta: int = 100,
+                       fanin: int = 64) -> DataFrame:
+    """Intermediate digest-of-digests merge keyed (grp, salt): caps any
+    single merge group at ~#partitions/fanin rows. At 10^6 input
+    partitions the flat phase-2 would funnel 10^6 digest rows (~GBs) of a
+    hot group into ONE pandas group; one tree level bounds every group to
+    fanin rows at the final merge. Associativity is exact for digests
+    built in the singleton regime and within the documented rank-error
+    bound otherwise (tests/test_tdigest.py merge properties)."""
+    _ensure_worker_pickling()
+    salted = digests.withColumn(
+        "__salt", F.pmod(F.xxhash64(F.col("means").cast("string")),
+                         F.lit(int(fanin))))
+
+    def merge_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        m, w = _merge(
+            np.concatenate([np.asarray(x) for x in pdf["means"]]),
+            np.concatenate([np.asarray(x) for x in pdf["weights"]]), delta)
+        return pd.DataFrame({"grp": [pdf["grp"].iloc[0]],
+                             "means": [m.tolist()],
+                             "weights": [w.tolist()]})
+
+    return salted.groupBy("grp", "__salt").applyInPandas(
+        merge_group,
+        "grp string, means array<double>, weights array<double>")
+
+
 def tdigest_quantiles(df: DataFrame, value_col: str, qs: list[float],
                       group_col: str | None = None,
-                      delta: int = 100) -> DataFrame:
+                      delta: int = 100,
+                      tree_fanin: int | None = None) -> DataFrame:
     """Two-phase t-digest quantiles per group: (grp, q, value) rows.
     Only digests cross the wire in phase 2 (#partitions × delta centroids
-    per group); NULL/NaN values are dropped like every aggregate check."""
+    per group); NULL/NaN values are dropped like every aggregate check.
+    ``tree_fanin``: insert a :func:`tree_merge_digests` level when the
+    input partition count is large enough that a hot group's digest rows
+    would overwhelm one final merge group (rule of thumb: partitions >
+    ~10·fanin)."""
     _ensure_worker_pickling()
     qs = [float(q) for q in qs]
     digests = partition_digests(df, value_col, group_col, delta)
+    if tree_fanin:
+        digests = tree_merge_digests(digests, delta, tree_fanin)
 
     def finish(pdf: pd.DataFrame) -> pd.DataFrame:
         means = np.concatenate([np.asarray(m) for m in pdf["means"]])
@@ -193,8 +227,10 @@ def tdigest_quantile_verdicts(df: DataFrame, column: str, check_id: str,
     q = float(params["q"])
     delta = int(params.get("delta", 100))
     lo, hi = params.get("min"), params.get("max")
+    fanin = params.get("treeFanin")
     td = tdigest_quantiles(df, column, [q], group_col=partition_by,
-                           delta=delta)
+                           delta=delta,
+                           tree_fanin=int(fanin) if fanin else None)
     passed = F.lit(True)
     if lo is not None:
         passed = passed & (F.col("value") >= float(lo))

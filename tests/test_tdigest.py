@@ -210,3 +210,42 @@ def test_prop_merge_preserves_weight_and_bounds(vals, parts):
     est = [tdigest_quantile_value(m, w, q) for q in qs]
     assert est == sorted(est)
     assert arr.min() - 1e-9 <= est[0] and est[-1] <= arr.max() + 1e-9
+
+
+def test_tree_merge_equals_flat_in_exact_regime(spark):
+    rows = [("g", float(i)) for i in range(80)]
+    df = spark.createDataFrame(rows, "g: string, x: double").repartition(11)
+    flat = {r["q"]: r["value"] for r in tdigest_quantiles(
+        df, "x", [0.1, 0.5, 0.9], group_col="g", delta=400).collect()}
+    tree = {r["q"]: r["value"] for r in tdigest_quantiles(
+        df, "x", [0.1, 0.5, 0.9], group_col="g", delta=400,
+        tree_fanin=4).collect()}
+    assert flat == tree
+
+
+def test_tree_merge_preserves_weight_compressed(spark):
+    df = (spark.range(30_000)
+          .select((F.col("id") % 997).cast("double").alias("x"),
+                  F.lit("g").alias("g"))
+          .repartition(16))
+    from jsonschema_valid_spark.operators.tdigest import (
+        partition_digests,
+        tree_merge_digests,
+    )
+
+    merged = tree_merge_digests(
+        partition_digests(df, "x", "g", delta=100), delta=100, fanin=4)
+    rows = merged.collect()
+    assert 1 <= len(rows) <= 4
+    total = sum(sum(r["weights"]) for r in rows)
+    assert total == 30_000
+
+
+def test_engine_tree_fanin_knob(spark):
+    suite = CheckSuite({"properties": {"n": {
+        "x-quantile": {"q": 0.5, "max": 100.0, "backend": "tdigest",
+                       "treeFanin": 4}}}})
+    res = suite.run(_seq_df(spark), key="id", partition_by="src")
+    rows = {r["partition_id"]: r["passed"] for r in res.verdicts.collect()
+            if r["check_id"] == "properties/n/x-quantile"}
+    assert rows == {"s1": True, "s2": False}
