@@ -134,3 +134,64 @@ def ivf_pq_rerank_from_index(spark: SparkSession, path: str, key: str,
         .orderBy(F.desc("cos"), F.col(key))
         .limit(k)
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup write-time layout: the soft cell-assignment table bucketed by
+# cell, so the candidate self-join — the operator's only large shuffle —
+# reads its clustering from the file layout (zero Exchange on either join
+# side, same mechanism as sources/bucketing.py uniqueness).
+# ---------------------------------------------------------------------------
+
+def write_semdedup_assignments(df: DataFrame, table: str, key: str,
+                               vec_col: str, dim: int | None = None,
+                               n_cells: int = 16, n_assign: int = 1,
+                               seed: int = 11,
+                               centroids: list | None = None,
+                               buckets: int = 32) -> None:
+    """Materialize the exploded (cell, id, v) soft-assignment table
+    bucketed by ``cell``: one pass computing assignments (a pure
+    projection — centroids live in the plan) plus the one-time write
+    shuffle. Every subsequent :func:`semdedup_pairs_from_assignments`
+    candidate join is then exchange-free. Pass ``train_ivf_centroids``
+    output for production recall; the same constants must be used at
+    query time only if cells are recomputed — here they are STORED, so
+    the pair query needs no centroid constants at all."""
+    from jsonschema_valid_spark.functions.similarity import (
+        _require_dim,
+        ivf_centroids,
+        soft_cell_assign,
+    )
+    from jsonschema_valid_spark.sources.bucketing import write_bucketed
+
+    dim = _require_dim(df, vec_col, dim)
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_cells, seed)
+    v = F.col(vec_col).cast("array<double>")
+    assigned = df.select(
+        F.col(key).alias("id"), v.alias("v"),
+        F.explode(soft_cell_assign(v, cents, n_assign)).alias("cell"))
+    write_bucketed(assigned, table, "cell", buckets=buckets)
+
+
+def semdedup_pairs_from_assignments(spark: SparkSession, table: str,
+                                    threshold: float = 0.45) -> DataFrame:
+    """SemDeDup pairs over a written assignment table: bucketed self-join
+    on ``cell`` (no Exchange on either side — plan-asserted in
+    tests/test_plans.py), exact cosine on the carried vectors (no
+    separate vector-fetch joins: each assignment row brought its vector),
+    then one distinct over the (a, b, cos) candidates — the only shuffle,
+    keyed by the (small) verified-pair set."""
+    from jsonschema_valid_spark.functions.similarity import cosine
+    from jsonschema_valid_spark.sources.bucketing import read_bucketed
+
+    t = read_bucketed(spark, table)
+    x, y = t.alias("x"), t.alias("y")
+    joined = (x.join(y, on="cell")
+              .where(F.col("x.id") < F.col("y.id")))
+    cos = cosine(F.col("x.v"), F.col("y.v"))
+    return (joined.select(F.col("x.id").alias("a"),
+                          F.col("y.id").alias("b"),
+                          cos.alias("cos"))
+            .where(F.col("cos") >= threshold)
+            .distinct())

@@ -173,3 +173,41 @@ def test_candidate_join_is_equi_join_not_cartesian(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_written_assignments_candidate_join_exchange_free(spark):
+    """The bucketed assignment layout runs the candidate self-join with
+    ZERO Exchange before the join (the write-time shuffle replaces it);
+    pair results equal the inline operator at the same parameters."""
+    from jsonschema_valid_spark.sources.ann_index import (
+        semdedup_pairs_from_assignments,
+        write_semdedup_assignments,
+    )
+
+    emb = spark.read.parquet(f"{SF01}/embeddings.parquet")
+    write_semdedup_assignments(emb, "semdedup_asgn_test", "vec_id",
+                               "embedding", dim=64, n_cells=16,
+                               n_assign=4, buckets=4)
+    prev_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # the fixture is tiny enough that AQE would broadcast one side
+        # (hiding the layout); disable broadcast so the plan shows the
+        # at-scale SortMergeJoin shape the bucketing serves
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        pairs = semdedup_pairs_from_assignments(
+            spark, "semdedup_asgn_test", threshold=0.45)
+        plan = pairs._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan, plan
+        join_part = plan.split("SortMergeJoin")[-1]
+        # no Exchange below the join (the tail of the plan string holds
+        # the join's children); the only Exchange allowed is the final
+        # distinct over verified pairs, which sits ABOVE the join
+        assert "Exchange" not in join_part, plan
+        got = {(r["a"], r["b"]) for r in pairs.collect()}
+        inline = {(r["a"], r["b"]) for r in semantic_neardup_pairs(
+            emb, "vec_id", "embedding", dim=64, threshold=0.45,
+            n_cells=16, n_assign=4).collect()}
+        assert got == inline and got
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thr)
+        spark.sql("DROP TABLE IF EXISTS semdedup_asgn_test")
