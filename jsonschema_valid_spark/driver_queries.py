@@ -2313,3 +2313,23 @@ def drift_emd_ntok(spark, sf_dir):
     obs = histogram(seq, "n_tok", 16.0)
     return emd_value_df(obs, base_hist, spark, bucket_width=16.0).select(
         F.round("value", 6).alias("emd"))
+
+
+@register_extended(
+    "text_token_histogram",
+    oracle_with_sequences(
+        "SELECT token, count(*) AS count FROM "
+        "(SELECT unnest(tokens) AS token FROM sequences) "
+        "GROUP BY token ORDER BY count DESC, token LIMIT 50"),
+)
+def text_token_histogram(spark, sf_dir):
+    """Top-50 token-id frequencies over the tokenized sequences
+    (functions/text.py token_histogram): vocabulary coverage profile —
+    partial-combine count aggregate + TakeOrderedAndProject, the same
+    plan family as text_top_ngrams. EXTENDED mirror entry; full
+    value-hash oracle."""
+    from jsonschema_valid_spark.functions.text import token_histogram
+    from jsonschema_valid_spark.sources.sequences import load_sequences
+
+    seq = load_sequences(spark, sf_dir)
+    return token_histogram(seq, "tokens", top_n=50)

@@ -139,3 +139,15 @@ def mix_to_budget(df: DataFrame, key: str, stratum: str, weight: str,
         _hash_gate(F.col(key), seed, portable)
         < int(null_rate * _GATE_M))
     return sampled.unionByName(nulls)
+
+
+def deterministic_shuffle(df: DataFrame, key: str, seed: int = 0) -> DataFrame:
+    """Global deterministic permutation of the corpus — the
+    training-order shuffle: sort by a seeded hash of the key. One
+    range-partitioned sort (the standard total-order exchange); identical
+    order on every rerun/resume for a given seed, independent of input
+    partitioning — so a restarted job feeds batches in the same order.
+    Compose AFTER packing/splitting; at 100 TB prefer writing the sorted
+    layout once over re-sorting per epoch (epoch e = seed+e)."""
+    return df.orderBy(F.xxhash64(F.col(key).cast("string"),
+                                 F.lit(int(seed))))

@@ -328,3 +328,19 @@ def lm_score_violations(df: DataFrame, text_col: str, check_id: str,
             F.lit(f"lm_score >= {min_score}").alias("expected"),
         )
     )
+
+
+def token_histogram(df: DataFrame, tokens_col: str = "tokens",
+                    top_n: int | None = None) -> DataFrame:
+    """Corpus token-id frequency table (token, count) — the vocabulary
+    coverage / distribution profile over pre-tokenized sequences (feeds
+    unused-vocab checks, frequency-based filtering, and drift baselines
+    on token space). One explode + count with map-side partial
+    aggregation: the shuffle carries at most |vocab| rows per map task,
+    not the token stream. ``top_n`` adds a TakeOrderedAndProject (count
+    desc, token asc tie-break) instead of returning the full vocab."""
+    hist = (df.select(F.explode(F.col(tokens_col)).alias("token"))
+            .groupBy("token").agg(F.count(F.lit(1)).alias("count")))
+    if top_n is not None:
+        return hist.orderBy(F.desc("count"), F.asc("token")).limit(top_n)
+    return hist

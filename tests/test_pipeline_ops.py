@@ -513,3 +513,35 @@ def test_pii_scan(spark):
     assert rows[2]["pii_ipv4"] == 1 and rows[2]["pii_url"] == 1
     assert rows[3]["pii_total"] == 0
     assert rows[1]["pii_total"] >= 2
+
+
+def test_deterministic_shuffle_stable_and_complete(spark):
+    from jsonschema_valid_spark.functions.sampling import (
+        deterministic_shuffle,
+    )
+
+    df = spark.createDataFrame([(f"d{i}",) for i in range(200)],
+                               "doc_id: string")
+    a = [r["doc_id"] for r in
+         deterministic_shuffle(df, "doc_id", seed=7).collect()]
+    b = [r["doc_id"] for r in
+         deterministic_shuffle(df.repartition(13), "doc_id",
+                               seed=7).collect()]
+    c = [r["doc_id"] for r in
+         deterministic_shuffle(df, "doc_id", seed=8).collect()]
+    assert a == b                      # partitioning-invariant
+    assert sorted(a) == sorted(c)      # permutation, nothing lost
+    assert a != c                      # seed changes the order
+    assert a != sorted(a)              # actually shuffled
+
+
+def test_token_histogram_counts(spark):
+    from jsonschema_valid_spark.functions.text import token_histogram
+
+    df = spark.createDataFrame(
+        [([1, 2, 2],), ([2, 3],), ([],)], "tokens: array<int>")
+    rows = {r["token"]: r["count"]
+            for r in token_histogram(df, "tokens").collect()}
+    assert rows == {1: 1, 2: 3, 3: 1}
+    top = token_histogram(df, "tokens", top_n=1).collect()
+    assert [(r["token"], r["count"]) for r in top] == [(2, 3)]
