@@ -2333,3 +2333,45 @@ def text_token_histogram(spark, sf_dir):
 
     seq = load_sequences(spark, sf_dir)
     return token_histogram(seq, "tokens", top_n=50)
+
+
+def _emb_drift_oracle():
+    from jsonschema_valid_spark.oracle_gen import embedding_drift_sql
+
+    return embedding_drift_sql(dim=64, n_cells=16, seed=11)
+
+
+@register_extended("drift_embedding_cells", _emb_drift_oracle())
+def drift_embedding_cells(spark, sf_dir):
+    """SEMANTIC drift: PSI + chi-square over coarse-centroid cell
+    histograms (operators/drift.py embedding_cell_histogram — the same
+    cells as SemDeDup/IVF), observed = the corpus with every vec_id%3
+    vector deterministically negated (a topic-shift stand-in), baseline =
+    the unperturbed corpus. KS/EMD are rejected in this mode (cell ids
+    are unordered). Oracle interpolates the seeded centroids and replays
+    assignment + both statistics. EXTENDED mirror entry; full value-hash
+    oracle."""
+    from jsonschema_valid_spark.operators.drift import (
+        chi2_value_df,
+        embedding_cell_histogram,
+        psi_value_df,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.col("embedding").cast("array<double>")
+    observed = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") % 3 == 0,
+               F.transform(v, lambda x: -x)).otherwise(v))
+    base_hist = {
+        int(r["bucket"]): int(r["count"])
+        for r in embedding_cell_histogram(
+            emb, "embedding", dim=64, n_cells=16, seed=11).collect()
+    }
+    obs = embedding_cell_histogram(observed, "embedding", dim=64,
+                                   n_cells=16, seed=11)
+    psi = psi_value_df(obs, base_hist, spark).select(
+        F.round("value", 6).alias("psi"))
+    chi2 = chi2_value_df(obs, base_hist, spark).select(
+        F.round("value", 6).alias("chi2"))
+    return psi.crossJoin(chi2)

@@ -185,6 +185,14 @@ def _resolve_drift_baseline(params: dict, context: dict) -> dict:
         bdf = context[b[1:]]
         params = dict(params)
         params["baseline"] = {int(r[0]): int(r[1]) for r in bdf.collect()}
+    cells = params.get("cells")
+    if isinstance(cells, dict) and isinstance(cells.get("centroids"), str) \
+            and cells["centroids"].startswith("@"):
+        # embedding-cell drift with TRAINED centroids via "@name" — the
+        # same indirection as x-nearDup's centroids
+        params = dict(params)
+        params["cells"] = dict(cells)
+        params["cells"]["centroids"] = context[cells["centroids"][1:]]
     return params
 
 

@@ -146,29 +146,89 @@ def ks(observed_hist: DataFrame, baseline: dict[int, int], spark) -> float:
     return float(ks_value_df(observed_hist, baseline, spark).first()["value"])
 
 
-def drift_verdict_dfs(df: DataFrame, column: str, check_id: str, params: dict,
-                      spark) -> list[DataFrame]:
-    """Lazy verdict DFs ``(partition_id, check_id, passed, metric_value,
-    threshold)`` for PSI and/or KS vs thresholds."""
-    width = float(params.get("bucketWidth", 1.0))
-    baseline = {int(k): int(v) for k, v in params["baseline"].items()}
-    hist = histogram(df, column, width)
+def _stat_verdict_dfs(hist: DataFrame, baseline: dict[int, int],
+                      check_id: str, params: dict, spark,
+                      width: float = 1.0,
+                      stats: tuple = ("psiMax", "ksMax", "chi2Max",
+                                      "emdMax")) -> list[DataFrame]:
+    """Shared statistic loop: one verdict DF per enabled threshold over a
+    (bucket, count) histogram vs the baseline dict."""
+    fns = {"psiMax": psi_value_df, "ksMax": ks_value_df,
+           "chi2Max": chi2_value_df,
+           "emdMax": lambda h, b, sp: emd_value_df(
+               h, b, sp, bucket_width=width)}
+    names = {"psiMax": "psi", "ksMax": "ks", "chi2Max": "chi2",
+             "emdMax": "emd"}
     out = []
-    for name, fn in (("psiMax", psi_value_df), ("ksMax", ks_value_df),
-                     ("chi2Max", chi2_value_df),
-                     ("emdMax", lambda h, b, sp: emd_value_df(
-                         h, b, sp, bucket_width=width))):
+    for name in stats:
         if name in params:
             tau = float(params[name])
-            stat = {"psiMax": "psi", "ksMax": "ks", "chi2Max": "chi2",
-                    "emdMax": "emd"}[name]
             out.append(
-                fn(hist, baseline, spark).select(
+                fns[name](hist, baseline, spark).select(
                     F.lit("<global>").alias("partition_id"),
-                    F.lit(f"{check_id}/{stat}").alias("check_id"),
+                    F.lit(f"{check_id}/{names[name]}").alias("check_id"),
                     (F.col("value") <= tau).alias("passed"),
                     F.col("value").cast("double").alias("metric_value"),
                     F.lit(tau).cast("double").alias("threshold"),
                 )
             )
     return out
+
+
+def drift_verdict_dfs(df: DataFrame, column: str, check_id: str, params: dict,
+                      spark) -> list[DataFrame]:
+    """Lazy verdict DFs ``(partition_id, check_id, passed, metric_value,
+    threshold)``. Numeric mode (default): fixed-bin histogram of the
+    column, any of psiMax/ksMax/chi2Max/emdMax. Embedding mode
+    (``params["cells"]`` present): the column is an embedding array and
+    the histogram is over COARSE-CENTROID cell assignments
+    (:func:`embedding_cell_histogram`) — semantic drift detection, the
+    same cells as SemDeDup/IVF. Only PSI/chi2 apply there: cell ids have
+    no metric order, so CDF-based KS/EMD are meaningless (rejected)."""
+    if "cells" in params:
+        baseline = {int(k): int(v) for k, v in params["baseline"].items()}
+        bad = [k for k in ("ksMax", "emdMax") if k in params]
+        if bad:
+            raise ValueError(
+                f"{check_id}: {bad} not valid for embedding-cell drift — "
+                "cell ids are unordered (use psiMax/chi2Max)")
+        cells = params["cells"]
+        hist = embedding_cell_histogram(
+            df, column, centroids=cells.get("centroids"),
+            dim=cells.get("dim"), n_cells=int(cells.get("nCells", 16)),
+            seed=int(cells.get("seed", 11)))
+        return _stat_verdict_dfs(hist, baseline, check_id, params, spark,
+                                 stats=("psiMax", "chi2Max"))
+    width = float(params.get("bucketWidth", 1.0))
+    baseline = {int(k): int(v) for k, v in params["baseline"].items()}
+    hist = histogram(df, column, width)
+    return _stat_verdict_dfs(hist, baseline, check_id, params, spark,
+                             width=width)
+
+
+def embedding_cell_histogram(df: DataFrame, vec_col: str,
+                             centroids: list | None = None,
+                             dim: int | None = None, n_cells: int = 16,
+                             seed: int = 11) -> DataFrame:
+    """(bucket, count) histogram of hard coarse-centroid assignments —
+    the embedding-space analog of :func:`histogram`: one pure projection
+    (centroids are plan literals) + one #cells-row aggregate. Feeds the
+    PSI/chi2 statistics for SEMANTIC drift: a topic/domain shift moves
+    mass between cells even when every scalar column looks stationary.
+    Pass ``train_ivf_centroids`` output for production cells; the seeded
+    default keeps the check fully deterministic (and oracle-replayable).
+    The SAME centroids must be used for the baseline and observed sides."""
+    from jsonschema_valid_spark.functions.similarity import (
+        _nearest_cell1,
+        _require_dim,
+        ivf_centroids,
+    )
+
+    if centroids is None:
+        dim = _require_dim(df, vec_col, dim)
+        centroids = ivf_centroids(dim, n_cells, seed)
+    v = F.col(vec_col).cast("array<double>")
+    return (df.where(v.isNotNull())
+            .groupBy(_nearest_cell1(v, centroids).cast("long")
+                     .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("count")))

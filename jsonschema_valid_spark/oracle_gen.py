@@ -265,3 +265,40 @@ SELECT a, b, round({cos}, 6) AS cos
 FROM cand JOIN e xa ON cand.a = xa.vec_id JOIN e xb ON cand.b = xb.vec_id
 WHERE {cos} >= {threshold!r}
 """
+
+
+def embedding_drift_sql(dim: int = 64, n_cells: int = 16,
+                        seed: int = 11) -> str:
+    """Oracle for embedding-cell drift (operators/drift.py
+    embedding_cell_histogram + PSI/chi2): the observed side
+    deterministically negates every vec_id%3==0 vector (flipping its
+    cell), the baseline is the unperturbed corpus, both assigned with the
+    SAME interpolated seeded centroids; PSI and chi-square replayed with
+    the engine's ε-smoothing."""
+    from jsonschema_valid_spark.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells, seed)
+    dots = ", ".join(_dot_sql("v", c, dim) for c in cents)
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+p AS (SELECT vec_id, CASE WHEN vec_id % 3 = 0
+                          THEN list_transform(v, x -> -x) ELSE v END AS v
+      FROM e),
+ob AS (SELECT list_position(dl, list_max(dl)) AS bucket,
+              CAST(count(*) AS DOUBLE) AS c
+       FROM (SELECT [{dots}] AS dl FROM p) GROUP BY 1),
+bb AS (SELECT list_position(dl, list_max(dl)) AS bucket,
+              CAST(count(*) AS DOUBLE) AS c
+       FROM (SELECT [{dots}] AS dl FROM e) GROUP BY 1),
+j AS (SELECT coalesce(ob.bucket, bb.bucket) AS bucket,
+             coalesce(ob.c, 0) AS oc, coalesce(bb.c, 0) AS bc
+      FROM ob FULL OUTER JOIN bb ON ob.bucket = bb.bucket),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j)
+SELECT
+  (SELECT round(sum((oc / so - bc / sb)
+        * ln((oc / so + 0.000000001) / (bc / sb + 0.000000001))), 6)
+   FROM j CROSS JOIN t) AS psi,
+  (SELECT round(sum((oc / so - bc / sb) * (oc / so - bc / sb)
+        / (bc / sb + 0.000000001)), 6) FROM j CROSS JOIN t) AS chi2
+"""

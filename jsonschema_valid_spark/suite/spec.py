@@ -193,6 +193,9 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
         elif kw == "x-drift":
             if not isinstance(v, dict) or "baseline" not in v:
                 raise _err(p, "x-drift must be {'baseline': hist, 'psiMax'|'ksMax': τ, ...}")
+            if "cells" in v and not isinstance(v["cells"], dict):
+                raise _err(p, "x-drift cells must be an object "
+                              "({'nCells'?, 'seed'?, 'dim'?, 'centroids'?})")
         elif kw == "x-rowExpr":
             if not isinstance(v, str):
                 raise _err(p, "x-rowExpr must be a SQL boolean expression string")

@@ -134,3 +134,63 @@ def test_x_drift_emd_keyword(spark, baseline):
     assert not rows2[cid]["passed"]
     # a 40-unit mean shift ≈ 5 buckets of width 8 → EMD ≈ 5·8 = 40 units
     assert rows2[cid]["metric_value"] == pytest.approx(40.0, rel=0.15)
+
+
+def test_embedding_cell_drift_through_suite(spark):
+    """x-drift embedding mode: unshifted corpus passes vs its own cell
+    baseline; a deterministic topic-shift (negated vectors) fails; KS/EMD
+    rejected (cell ids unordered)."""
+    from jsonschema_valid_spark.operators.drift import (
+        embedding_cell_histogram,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    base = {int(r["bucket"]): int(r["count"])
+            for r in embedding_cell_histogram(
+                emb, "embedding", dim=64, n_cells=16).collect()}
+    # the negation shift measures PSI/chi2 ≈ 0.022 on the fixture, the
+    # unshifted corpus exactly 0.0 — 0.01 separates them with margin
+    spec = {"properties": {"embedding": {"x-drift": {
+        "baseline": base, "cells": {"dim": 64, "nCells": 16},
+        "psiMax": 0.01, "chi2Max": 0.01}}}}
+    res = CheckSuite(spec).run(emb, key="vec_id")
+    rows = {r["check_id"]: r for r in res.verdicts.collect()}
+    assert rows["properties/embedding/x-drift/psi"]["passed"]
+    assert rows["properties/embedding/x-drift/chi2"]["passed"]
+
+    v = F.col("embedding").cast("array<double>")
+    shifted = emb.withColumn(
+        "embedding", F.when(F.col("vec_id") % 3 == 0,
+                            F.transform(v, lambda x: -x)).otherwise(v))
+    res2 = CheckSuite(spec).run(shifted, key="vec_id")
+    rows2 = {r["check_id"]: r for r in res2.verdicts.collect()}
+    assert not rows2["properties/embedding/x-drift/psi"]["passed"]
+    assert not rows2["properties/embedding/x-drift/chi2"]["passed"]
+
+    bad = CheckSuite({"properties": {"embedding": {"x-drift": {
+        "baseline": base, "cells": {"dim": 64}, "ksMax": 0.1}}}})
+    with pytest.raises(Exception, match="unordered"):
+        bad.run(emb, key="vec_id").verdicts.collect()
+
+
+def test_embedding_drift_trained_centroids_via_context(spark):
+    from jsonschema_valid_spark.functions.similarity import (
+        train_ivf_centroids,
+    )
+    from jsonschema_valid_spark.operators.drift import (
+        embedding_cell_histogram,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    cents = train_ivf_centroids(emb, "embedding", 64, n_cells=8, iters=2)
+    base = {int(r["bucket"]): int(r["count"])
+            for r in embedding_cell_histogram(
+                emb, "embedding", centroids=cents).collect()}
+    spec = {"properties": {"embedding": {"x-drift": {
+        "baseline": base, "cells": {"centroids": "@cents"},
+        "psiMax": 0.01}}}}
+    res = CheckSuite(spec).run(emb, key="vec_id",
+                               context={"cents": cents})
+    rows = {r["check_id"]: r for r in res.verdicts.collect()}
+    assert rows["properties/embedding/x-drift/psi"]["passed"]
+    assert rows["properties/embedding/x-drift/psi"]["metric_value"] == 0.0
