@@ -463,9 +463,13 @@ def run_suite_summarized(
 
     for dc in plan.dataset_checks:
         if dc.kind == "drift":
-            verdict_dfs.extend(drift_op.drift_verdict_dfs(
-                df, dc.column, dc.check_id,
-                _resolve_drift_baseline(dc.params, context), spark))
+            prm = _resolve_drift_baseline(dc.params, context)
+            if prm.get("perPartition"):
+                verdict_dfs.append(drift_op.drift_verdicts_per_partition(
+                    df, dc.column, dc.check_id, prm, pk))
+            else:
+                verdict_dfs.extend(drift_op.drift_verdict_dfs(
+                    df, dc.column, dc.check_id, prm, spark))
         elif dc.kind == "tdigest_quantile":
             from jsonschema_valid_spark.operators.tdigest import (
                 tdigest_quantile_verdicts,
@@ -597,11 +601,13 @@ def run_suite(
                 df, dc.column, dc.check_id, dc.params,
                 partition_by=partition_by))
         elif dc.kind == "drift":
-            verdict_dfs.extend(
-                drift_op.drift_verdict_dfs(
-                    df, dc.column, dc.check_id,
-                    _resolve_drift_baseline(dc.params, context), spark)
-            )
+            prm = _resolve_drift_baseline(dc.params, context)
+            if prm.get("perPartition"):
+                verdict_dfs.append(drift_op.drift_verdicts_per_partition(
+                    df, dc.column, dc.check_id, prm, pk))
+            else:
+                verdict_dfs.extend(drift_op.drift_verdict_dfs(
+                    df, dc.column, dc.check_id, prm, spark))
         elif dc.kind == "parity":
             ref_df = dc.params["reference"]
             if isinstance(ref_df, str) and ref_df.startswith("@"):

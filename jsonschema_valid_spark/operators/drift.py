@@ -232,3 +232,97 @@ def embedding_cell_histogram(df: DataFrame, vec_col: str,
             .groupBy(_nearest_cell1(v, centroids).cast("long")
                      .alias("bucket"))
             .agg(F.count(F.lit(1)).alias("count")))
+
+
+def drift_verdicts_per_partition(df: DataFrame, column: str, check_id: str,
+                                 params: dict, pk: "F.Column"
+                                 ) -> DataFrame:
+    """Per-PARTITION drift verdicts (numeric mode) — the north-star's
+    "per-partition pass/fail" granularity for x-drift
+    (``{"perPartition": true}``): each partition group's histogram is
+    tested against the SAME baseline, so a drifted source is named
+    instead of diluted into the global mixture.
+
+    Plan: ONE groupBy(partition, bucket).count() (map-side combine) →
+    collect_list of the ≤#buckets entries per partition → all four
+    statistics as native array-HOF math per row (the same expressions as
+    streaming/checks.py stream_windowed_drift, which this mirrors —
+    #buckets is a compile-time constant, so the O(#buckets²) KS prefix
+    re-aggregation is per-row constant work). The baseline rides as a
+    literal map; nothing shuffles but (partition, bucket) counts."""
+    eps = EPS
+    width = float(params.get("bucketWidth", 1.0))
+    baseline = {int(k): int(v) for k, v in params["baseline"].items()}
+    btotal = float(sum(baseline.values())) or 1.0
+    bmap = F.create_map(*[F.lit(v).cast("long")
+                          for kv in sorted(baseline.items())
+                          for v in (int(kv[0]), int(kv[1]))])
+    bbuckets = F.array(*[F.lit(int(b)).cast("long") for b in sorted(baseline)])
+
+    hist = (df.where(F.col(column).isNotNull())
+            .groupBy(pk.alias("partition_id"),
+                     F.floor(F.col(column) / F.lit(width)).cast("long")
+                     .alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+    per_p = (hist.groupBy("partition_id")
+             .agg(F.collect_list(F.struct("bucket", "cnt")).alias("h")))
+
+    obs_total = F.aggregate(
+        "h", F.lit(0).cast("long"), lambda a, e: a + e["cnt"]).cast("double")
+    obs_buckets = F.transform("h", lambda e: e["bucket"])
+    obs_map = F.map_from_entries(
+        F.transform("h", lambda e: F.struct(e["bucket"].alias("key"),
+                                            e["cnt"].alias("value"))))
+    stage = per_p.select(
+        "partition_id",
+        obs_total.alias("__ot"), obs_map.alias("__om"),
+        F.array_sort(F.array_union(obs_buckets, bbuckets)).alias("__ub"))
+
+    def p_obs(b):
+        return (F.coalesce(F.try_element_at(F.col("__om"), b), F.lit(0))
+                .cast("double") / F.col("__ot"))
+
+    def p_base(b):
+        return (F.coalesce(F.try_element_at(bmap, b), F.lit(0))
+                .cast("double") / F.lit(btotal))
+
+    psi_val = F.aggregate(
+        F.col("__ub"), F.lit(0.0),
+        lambda a, b: a + (p_obs(b) - p_base(b))
+        * F.log((p_obs(b) + F.lit(eps)) / (p_base(b) + F.lit(eps))))
+    chi2_val = F.aggregate(
+        F.col("__ub"), F.lit(0.0),
+        lambda a, b: a + (p_obs(b) - p_base(b)) * (p_obs(b) - p_base(b))
+        / (p_base(b) + F.lit(eps)))
+    cum_gaps = F.transform(
+        F.col("__ub"),
+        lambda b, i: F.abs(F.aggregate(
+            F.slice(F.col("__ub"), F.lit(1), i + 1), F.lit(0.0),
+            lambda a, x: a + (p_obs(x) - p_base(x)))))
+    ks_val = F.coalesce(F.array_max(cum_gaps), F.lit(0.0))
+    emd_terms = F.transform(
+        F.col("__ub"),
+        lambda b, i: F.abs(F.aggregate(
+            F.slice(F.col("__ub"), F.lit(1), i + 1), F.lit(0.0),
+            lambda a, x: a + (p_obs(x) - p_base(x))))
+        * (F.coalesce(F.try_element_at(F.col("__ub"), (i + 2).cast("int")),
+                      b) - b).cast("double")
+        * F.lit(width))
+    emd_val = F.coalesce(
+        F.aggregate(emd_terms, F.lit(0.0), lambda a, t: a + t), F.lit(0.0))
+
+    vals = {"psiMax": ("psi", psi_val), "ksMax": ("ks", ks_val),
+            "chi2Max": ("chi2", chi2_val), "emdMax": ("emd", emd_val)}
+    verdicts = []
+    for name, (stat, val) in vals.items():
+        if name in params:
+            tau = float(params[name])
+            verdicts.append(F.struct(
+                F.lit(f"{check_id}/{stat}").alias("check_id"),
+                (val <= F.lit(tau)).alias("passed"),
+                val.cast("double").alias("metric_value"),
+                F.lit(tau).cast("double").alias("threshold")))
+    return (stage.select(F.col("partition_id").cast("string")
+                         .alias("partition_id"),
+                         F.explode(F.array(*verdicts)).alias("v"))
+            .select("partition_id", "v.*"))

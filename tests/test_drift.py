@@ -194,3 +194,50 @@ def test_embedding_drift_trained_centroids_via_context(spark):
     rows = {r["check_id"]: r for r in res.verdicts.collect()}
     assert rows["properties/embedding/x-drift/psi"]["passed"]
     assert rows["properties/embedding/x-drift/psi"]["metric_value"] == 0.0
+
+
+def test_per_partition_drift_matches_global_per_slice(spark, baseline):
+    """x-drift {"perPartition": true}: each partition group's statistics
+    equal the global operators run on that slice alone — the same
+    HOF-math-vs-operator parity contract as the streaming windows — and
+    a drifted source is NAMED while clean sources still pass."""
+    from jsonschema_valid_spark.operators.drift import (
+        chi2_value_df,
+        emd_value_df,
+        histogram,
+        ks,
+        psi,
+    )
+
+    clean = _gen(spark, 6000).withColumn("src", F.lit("clean"))
+    drifted = (_gen(spark, 6000, shift=40)
+               .withColumn("doc_id", F.col("doc_id") + 100000)
+               .withColumn("src", F.lit("drifted")))
+    df = clean.unionByName(drifted)
+    taus = {"psi": 0.05, "ks": 0.05, "chi2": 0.05, "emd": 5.0}
+    spec = {"properties": {"n_tok": {"x-drift": {
+        "baseline": baseline, "bucketWidth": BUCKET, "perPartition": True,
+        "psiMax": taus["psi"], "ksMax": taus["ks"],
+        "chi2Max": taus["chi2"], "emdMax": taus["emd"]}}}}
+    res = CheckSuite(spec).run(df, key="doc_id", partition_by="src")
+    rows = {(r["partition_id"], r["check_id"].rsplit("/", 1)[-1]): r
+            for r in res.verdicts.collect()
+            if "/x-drift/" in r["check_id"]}
+    assert {p for p, _ in rows} == {"clean", "drifted"}
+    for stat in taus:
+        assert rows[("clean", stat)]["passed"], stat
+        assert not rows[("drifted", stat)]["passed"], stat
+
+    fns = {"psi": lambda h: psi(h, baseline, spark),
+           "ks": lambda h: ks(h, baseline, spark),
+           "chi2": lambda h: float(chi2_value_df(
+               h, baseline, spark).first()["value"]),
+           "emd": lambda h: float(emd_value_df(
+               h, baseline, spark, bucket_width=BUCKET).first()["value"])}
+    for src, sl in (("clean", clean), ("drifted", drifted)):
+        h = histogram(sl, "n_tok", BUCKET)
+        for stat, fn in fns.items():
+            # summation order differs between the HOF fold and the window
+            # aggregate: equality to the last few ulps, not bit-exact
+            assert rows[(src, stat)]["metric_value"] == pytest.approx(
+                fn(h), rel=1e-12, abs=1e-9), (src, stat)
