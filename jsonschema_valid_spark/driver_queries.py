@@ -2375,3 +2375,107 @@ def drift_embedding_cells(spark, sf_dir):
     chi2 = chi2_value_df(obs, base_hist, spark).select(
         F.round("value", 6).alias("chi2"))
     return psi.crossJoin(chi2)
+
+
+# ---------------------------------------------------------------------------
+# Profiling + constraint suggestion (operators/profile.py)
+# ---------------------------------------------------------------------------
+
+_DOC_PROFILE_COLS = [
+    # (name, dtype literal, numeric?, string?)
+    ("doc_id", "bigint", True, False),
+    ("text", "string", False, True),
+    ("lang", "string", False, True),
+    ("source", "string", False, True),
+    ("n_chars", "bigint", True, False),
+]
+
+
+def _profile_documents_sql() -> str:
+    parts = []
+    for name, dtype, num, s in _DOC_PROFILE_COLS:
+        mean = f"round(avg({name}), 6)" if num else "CAST(NULL AS DOUBLE)"
+        std = f"round(stddev_samp({name}), 6)" if num else "CAST(NULL AS DOUBLE)"
+        avg_len = f"round(avg(length({name})), 6)" if s else "CAST(NULL AS DOUBLE)"
+        max_len = f"CAST(max(length({name})) AS BIGINT)" if s else "CAST(NULL AS BIGINT)"
+        parts.append(
+            f"SELECT '{name}' AS col_name, '{dtype}' AS dtype, "
+            f"count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"round(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_rate, "
+            f"CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({name}) AS VARCHAR) AS min_str, "
+            f"CAST(max({name}) AS VARCHAR) AS max_str, "
+            f"{mean} AS mean, {std} AS stddev, "
+            f"{avg_len} AS avg_len, {max_len} AS max_len "
+            f"FROM documents"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register_extended("profile_documents", _profile_documents_sql())
+def profile_documents(spark, sf_dir):
+    """One-pass column profile of the documents table
+    (operators/profile.py profile_columns, exact-distinct mode so the
+    oracle can replay it): counts, null rate, distinct cardinality,
+    min/max, mean/stddev, length stats — ONE df.agg scan (the exact
+    COUNT DISTINCTs expand map-side; the approx mode is the single-pass
+    production default). The bootstrap step before authoring a
+    CheckSuite. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.profile import profile_columns
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_columns(df, distinct="exact")
+
+
+def _suggest_documents_sql() -> str:
+    prof = _profile_documents_sql()
+    jt = ("CASE WHEN dtype IN ('tinyint','smallint','int','bigint') THEN 'integer' "
+          "WHEN dtype IN ('float','double') OR dtype LIKE 'decimal%' THEN 'number' "
+          "WHEN dtype = 'string' THEN 'string' "
+          "WHEN dtype = 'boolean' THEN 'boolean' "
+          "WHEN dtype LIKE 'array%' THEN 'array' END")
+    return f"""
+WITH prof AS ({prof}),
+p AS (SELECT *, {jt} AS jtype FROM prof)
+SELECT col_name, 'type' AS keyword, CAST(NULL AS DOUBLE) AS param_num, jtype AS param_txt
+  FROM p WHERE jtype IS NOT NULL
+UNION ALL
+SELECT col_name, 'required', NULL, NULL FROM p WHERE n_null = 0 AND n_rows > 0
+UNION ALL
+SELECT col_name, 'x-nullRate', round(ceil(null_rate * 100) / 100.0, 6), NULL
+  FROM p WHERE n_null > 0
+UNION ALL
+SELECT col_name, 'x-unique', NULL, NULL
+  FROM p WHERE n_distinct = n_rows AND n_rows > 0 AND n_null = 0
+              AND dtype NOT LIKE 'array%'
+UNION ALL
+SELECT col_name, 'minimum', round(CAST(min_str AS DOUBLE), 6), NULL
+  FROM p WHERE jtype IN ('integer','number') AND min_str IS NOT NULL
+UNION ALL
+SELECT col_name, 'maximum', round(CAST(max_str AS DOUBLE), 6), NULL
+  FROM p WHERE jtype IN ('integer','number') AND max_str IS NOT NULL
+UNION ALL
+SELECT col_name, 'maxLength', round(CAST(max_len AS DOUBLE), 6), NULL
+  FROM p WHERE jtype = 'string' AND max_len IS NOT NULL
+UNION ALL
+SELECT col_name, 'enum', round(CAST(n_distinct AS DOUBLE), 6), NULL
+  FROM p WHERE jtype = 'string' AND n_distinct > 1 AND n_distinct <= 20
+              AND n_distinct < n_rows
+"""
+
+
+@register_extended("profile_suggest_documents", _suggest_documents_sql())
+def profile_suggest_documents(spark, sf_dir):
+    """Constraint-suggestion rule ladder over the documents profile
+    (operators/profile.py suggest_constraints): type / required /
+    x-nullRate / x-unique / range / maxLength / enum suggestions as
+    (col_name, keyword, param) rows — the oracle replays the profile AND
+    the ladder. suite_from_profile materializes these into a runnable
+    CheckSuite that validates the profiled table with zero violations
+    (pytest-asserted). EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.profile import (
+        profile_columns, suggest_constraints)
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return suggest_constraints(profile_columns(df, distinct="exact"))

@@ -1,0 +1,284 @@
+"""One-pass column profiling and constraint suggestion.
+
+A validation engine needs a bootstrap path: before anyone writes a
+CheckSuite by hand, profile the table once and SUGGEST the suite
+(the reference has no analog — its suites are hand-authored JSON,
+config.rs:12-16; this is the dataset-scope lift a 10^12-row table needs,
+in the spirit of Deequ's ConstraintSuggestion).
+
+Scale design:
+
+* :func:`profile_columns` computes EVERY per-column statistic in ONE
+  ``df.agg(...)`` — a single scan with map-side partial aggregation and a
+  one-row result; the per-column unpivot happens on that single row
+  (``inline`` of a literal-built struct array), never a second scan.
+  ``distinct="exact"`` uses ``count(DISTINCT col)`` — Spark plans multiple
+  distinct aggregates via an Expand (row multiplication × #profiled
+  columns), which is the honest cost of exactness and what the DuckDB
+  oracle can replay. ``distinct="approx"`` (production default at scale)
+  is HLL++ ``approx_count_distinct``: truly one pass, no Expand.
+* :func:`suggest_constraints` is a pure projection over the (tiny)
+  profile — deterministic rule ladder, SQL-replayable.
+* :func:`suite_from_profile` materializes a runnable :class:`CheckSuite`
+  dict. Only the ``enum`` rule needs actual values; they are collected
+  with a hard ``enum_max`` bound (driver-sized by construction).
+
+The suggested suite is self-consistent: running it over the profiled
+DataFrame yields zero violations (pytest-asserted).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType, BooleanType, DateType, DoubleType, FloatType, IntegralType,
+    NumericType, StringType, TimestampType,
+)
+
+_PROFILE_FIELDS = (
+    "col_name", "dtype", "n_rows", "n_null", "null_rate", "n_distinct",
+    "min_str", "max_str", "mean", "stddev", "avg_len", "max_len",
+)
+
+
+def _is_numeric(dt) -> bool:
+    return isinstance(dt, NumericType)
+
+
+def _len_expr(name: str, dt):
+    if isinstance(dt, StringType):
+        return F.length(F.col(name))
+    if isinstance(dt, ArrayType):
+        return F.size(F.col(name))
+    return None
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    distinct: str = "approx",
+) -> DataFrame:
+    """One row per column: counts, null rate, distinct, min/max (as
+    strings), mean/stddev (numeric), value length stats (string/array).
+
+    ``distinct``: ``"approx"`` (HLL++, single pass — the 100 TB default)
+    or ``"exact"`` (COUNT DISTINCT via Expand — oracle-replayable).
+    """
+    if distinct not in ("approx", "exact"):
+        raise ValueError(f"distinct must be 'approx' or 'exact', got {distinct!r}")
+    names = cols if cols is not None else df.columns
+    schema = {f.name: f.dataType for f in df.schema.fields}
+    missing = [n for n in names if n not in schema]
+    if missing:
+        raise ValueError(f"profile_columns: columns {missing} not in DataFrame")
+
+    aggs = [F.count(F.lit(1)).alias("__n_rows")]
+    for i, n in enumerate(names):
+        dt = schema[n]
+        c = F.col(n)
+        aggs.append(F.sum(F.when(c.isNull(), 1).otherwise(0)).cast("long").alias(f"__null_{i}"))
+        if distinct == "exact":
+            aggs.append(F.count_distinct(c).alias(f"__dist_{i}"))
+        else:
+            aggs.append(F.approx_count_distinct(c).alias(f"__dist_{i}"))
+        if isinstance(dt, (ArrayType,)):
+            # min/max of arrays is not portable across engines — skip.
+            aggs.append(F.lit(None).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.lit(None).cast("string").alias(f"__max_{i}"))
+        elif isinstance(dt, (FloatType, DoubleType)):
+            aggs.append(F.round(F.min(c), 6).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.round(F.max(c), 6).cast("string").alias(f"__max_{i}"))
+        else:
+            aggs.append(F.min(c).cast("string").alias(f"__min_{i}"))
+            aggs.append(F.max(c).cast("string").alias(f"__max_{i}"))
+        if _is_numeric(dt):
+            aggs.append(F.round(F.avg(c), 6).alias(f"__mean_{i}"))
+            aggs.append(F.round(F.stddev_samp(c), 6).alias(f"__std_{i}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__mean_{i}"))
+            aggs.append(F.lit(None).cast("double").alias(f"__std_{i}"))
+        le = _len_expr(n, dt)
+        if le is not None:
+            aggs.append(F.round(F.avg(le), 6).alias(f"__avglen_{i}"))
+            aggs.append(F.max(le).cast("long").alias(f"__maxlen_{i}"))
+        else:
+            aggs.append(F.lit(None).cast("double").alias(f"__avglen_{i}"))
+            aggs.append(F.lit(None).cast("long").alias(f"__maxlen_{i}"))
+
+    wide = df.agg(*aggs)
+
+    structs = []
+    for i, n in enumerate(names):
+        dt = schema[n]
+        structs.append(F.struct(
+            F.lit(n).alias("col_name"),
+            F.lit(dt.simpleString()).alias("dtype"),
+            F.col("__n_rows").alias("n_rows"),
+            F.col(f"__null_{i}").alias("n_null"),
+            F.when(F.col("__n_rows") > 0,
+                   F.round(F.col(f"__null_{i}") / F.col("__n_rows"), 6))
+             .otherwise(F.lit(0.0)).alias("null_rate"),
+            F.col(f"__dist_{i}").cast("long").alias("n_distinct"),
+            F.col(f"__min_{i}").alias("min_str"),
+            F.col(f"__max_{i}").alias("max_str"),
+            F.col(f"__mean_{i}").alias("mean"),
+            F.col(f"__std_{i}").alias("stddev"),
+            F.col(f"__avglen_{i}").alias("avg_len"),
+            F.col(f"__maxlen_{i}").alias("max_len"),
+        ))
+    return wide.select(F.inline(F.array(*structs))).select(*_PROFILE_FIELDS)
+
+
+# ---------------------------------------------------------------------------
+# Constraint suggestion: deterministic rule ladder over the profile rows
+# ---------------------------------------------------------------------------
+
+_JSON_TYPE = {
+    "integer": ("tinyint", "smallint", "int", "bigint"),
+    "number": ("float", "double", "decimal"),
+    "string": ("string",),
+    "boolean": ("boolean",),
+    "array": ("array",),
+}
+
+
+def _json_type_expr():
+    dt = F.col("dtype")
+    e = F.lit(None).cast("string")
+    e = F.when(dt.isin("tinyint", "smallint", "int", "bigint"), "integer") \
+         .when(dt.isin("float", "double") | dt.startswith("decimal"), "number") \
+         .when(dt == "string", "string") \
+         .when(dt == "boolean", "boolean") \
+         .when(dt.startswith("array"), "array") \
+         .otherwise(e)
+    return e
+
+
+def suggest_constraints(profile: DataFrame, enum_max: int = 20) -> DataFrame:
+    """Rule ladder → one row per suggested keyword:
+    ``(col_name, keyword, param_num, param_txt)``.
+
+    Rules (each a pure expression over the profile row — the DuckDB oracle
+    replays them verbatim):
+
+    * known dtype         → ``type`` (param_txt = JSON-schema type)
+    * n_null = 0, n_rows>0→ ``required``
+    * n_null > 0          → ``x-nullRate`` max, observed rate rounded UP
+      to 2 decimals (headroom so the suite passes on the profiled data)
+    * n_distinct = n_rows, scalar dtype → ``x-unique``
+    * numeric             → ``minimum`` / ``maximum`` = observed range
+    * string              → ``maxLength`` = observed max length
+    * string, 1 < n_distinct ≤ enum_max < n_rows → ``enum``
+      (param_num = cardinality; values fetched by :func:`suite_from_profile`)
+
+    ``x-unique`` intentionally requires exact-distinct profiles: with
+    ``distinct="approx"`` HLL error makes ``n_distinct = n_rows`` untrustworthy,
+    so the rule also demands ``n_null = 0`` and is documented as advisory.
+    """
+    p = profile
+    jt = _json_type_expr()
+    scalar = ~F.col("dtype").startswith("array")
+
+    rules = [
+        F.when(jt.isNotNull(),
+               F.struct(F.lit("type").alias("keyword"),
+                        F.lit(None).cast("double").alias("param_num"),
+                        jt.alias("param_txt"))),
+        F.when((F.col("n_null") == 0) & (F.col("n_rows") > 0),
+               F.struct(F.lit("required").alias("keyword"),
+                        F.lit(None).cast("double").alias("param_num"),
+                        F.lit(None).cast("string").alias("param_txt"))),
+        F.when(F.col("n_null") > 0,
+               F.struct(F.lit("x-nullRate").alias("keyword"),
+                        (F.ceil(F.col("null_rate") * 100) / F.lit(100.0)).alias("param_num"),
+                        F.lit(None).cast("string").alias("param_txt"))),
+        F.when((F.col("n_distinct") == F.col("n_rows")) & (F.col("n_rows") > 0)
+               & (F.col("n_null") == 0) & scalar,
+               F.struct(F.lit("x-unique").alias("keyword"),
+                        F.lit(None).cast("double").alias("param_num"),
+                        F.lit(None).cast("string").alias("param_txt"))),
+        F.when(jt.isin("integer", "number") & F.col("min_str").isNotNull(),
+               F.struct(F.lit("minimum").alias("keyword"),
+                        F.col("min_str").cast("double").alias("param_num"),
+                        F.lit(None).cast("string").alias("param_txt"))),
+        F.when(jt.isin("integer", "number") & F.col("max_str").isNotNull(),
+               F.struct(F.lit("maximum").alias("keyword"),
+                        F.col("max_str").cast("double").alias("param_num"),
+                        F.lit(None).cast("string").alias("param_txt"))),
+        F.when((jt == "string") & F.col("max_len").isNotNull(),
+               F.struct(F.lit("maxLength").alias("keyword"),
+                        F.col("max_len").cast("double").alias("param_num"),
+                        F.lit(None).cast("string").alias("param_txt"))),
+        F.when((jt == "string") & (F.col("n_distinct") > 1)
+               & (F.col("n_distinct") <= enum_max)
+               & (F.col("n_distinct") < F.col("n_rows")),
+               F.struct(F.lit("enum").alias("keyword"),
+                        F.col("n_distinct").cast("double").alias("param_num"),
+                        F.lit(None).cast("string").alias("param_txt"))),
+    ]
+    exploded = p.select(
+        "col_name",
+        F.explode(F.filter(F.array(*rules), lambda x: x.isNotNull())).alias("s"),
+    )
+    return exploded.select(
+        "col_name",
+        F.col("s.keyword").alias("keyword"),
+        F.round(F.col("s.param_num"), 6).alias("param_num"),
+        F.col("s.param_txt").alias("param_txt"),
+    )
+
+
+def suite_from_profile(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    enum_max: int = 20,
+    key: str | None = None,
+) -> dict:
+    """Profile ``df`` (exact distincts — the suggestion rules need them)
+    and materialize the suggested suite as a runnable CheckSuite spec.
+
+    ``enum`` values are collected only for columns the ladder flagged,
+    bounded by ``enum_max`` per column (driver-sized). ``key`` (if given)
+    is excluded from ``x-unique`` duplication with itself — it simply keeps
+    its suggested uniqueness check; the arg exists so callers can assert
+    the key column got one.
+    """
+    prof = profile_columns(df, cols=cols, distinct="exact")
+    sugg = suggest_constraints(prof, enum_max=enum_max).collect()
+
+    by_col: dict[str, dict] = {}
+    required: list[str] = []
+    enum_cols: list[str] = []
+    for r in sugg:
+        node = by_col.setdefault(r["col_name"], {})
+        kw = r["keyword"]
+        if kw == "type":
+            node["type"] = r["param_txt"]
+        elif kw == "required":
+            required.append(r["col_name"])
+        elif kw == "x-nullRate":
+            node["x-nullRate"] = {"max": r["param_num"]}
+        elif kw == "x-unique":
+            node["x-unique"] = True
+        elif kw == "minimum":
+            v = r["param_num"]
+            node["minimum"] = int(v) if node.get("type") == "integer" else v
+        elif kw == "maximum":
+            v = r["param_num"]
+            node["maximum"] = int(v) if node.get("type") == "integer" else v
+        elif kw == "maxLength":
+            node["maxLength"] = int(r["param_num"])
+        elif kw == "enum":
+            enum_cols.append(r["col_name"])
+
+    for c in enum_cols:
+        vals = [row[0] for row in
+                df.select(c).where(F.col(c).isNotNull())
+                  .distinct().orderBy(c).limit(enum_max + 1).collect()]
+        if len(vals) <= enum_max:  # re-check: profile and fetch race on appends
+            by_col[c]["enum"] = vals
+
+    spec: dict = {"type": "object", "properties": by_col}
+    if required:
+        spec["required"] = sorted(required)
+    return spec

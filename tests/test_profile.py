@@ -1,0 +1,149 @@
+"""Profiling + constraint suggestion (operators/profile.py)."""
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from jsonschema_valid_spark.operators.profile import (
+    profile_columns,
+    suggest_constraints,
+    suite_from_profile,
+)
+from jsonschema_valid_spark.suite.spec import CheckSuite
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_profile_shape_and_basics(spark, docs):
+    prof = profile_columns(docs, distinct="exact")
+    rows = {r["col_name"]: r for r in prof.collect()}
+    assert set(rows) == {"doc_id", "text", "lang", "source", "n_chars"}
+    n = docs.count()
+    did = rows["doc_id"]
+    assert did["n_rows"] == n
+    assert did["n_null"] == 0 and did["null_rate"] == 0.0
+    assert did["n_distinct"] == n          # doc_id unique in documents
+    assert did["dtype"] == "bigint"
+    assert did["mean"] is not None and did["stddev"] is not None
+    assert did["avg_len"] is None and did["max_len"] is None
+    txt = rows["text"]
+    assert txt["mean"] is None and txt["avg_len"] is not None
+    assert txt["max_len"] >= 1
+    assert txt["min_str"] is not None      # lexicographic min of the text
+
+
+def test_profile_nulls_and_arrays(spark):
+    df = spark.createDataFrame(
+        [Row(a=1, s="x", arr=[1, 2]),
+         Row(a=None, s="yy", arr=[3]),
+         Row(a=3, s=None, arr=None),
+         Row(a=3, s="x", arr=[])],
+        "a int, s string, arr array<int>")
+    rows = {r["col_name"]: r
+            for r in profile_columns(df, distinct="exact").collect()}
+    assert rows["a"]["n_null"] == 1 and rows["a"]["null_rate"] == 0.25
+    assert rows["a"]["n_distinct"] == 2    # 1, 3 (nulls excluded)
+    assert rows["arr"]["min_str"] is None  # arrays: no portable min/max
+    assert rows["arr"]["avg_len"] == round((2 + 1 + 0) / 3, 6)
+    assert rows["arr"]["max_len"] == 2
+    assert rows["s"]["max_len"] == 2
+
+
+def test_profile_approx_mode_close(spark, docs):
+    exact = {r["col_name"]: r["n_distinct"]
+             for r in profile_columns(docs, distinct="exact").collect()}
+    approx = {r["col_name"]: r["n_distinct"]
+              for r in profile_columns(docs, distinct="approx").collect()}
+    for c, e in exact.items():
+        assert approx[c] == pytest.approx(e, rel=0.1)
+
+
+def test_profile_cols_subset_and_errors(spark, docs):
+    prof = profile_columns(docs, cols=["doc_id"]).collect()
+    assert len(prof) == 1 and prof[0]["col_name"] == "doc_id"
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        profile_columns(docs, cols=["nope"])
+    with pytest.raises(ValueError, match="distinct"):
+        profile_columns(docs, distinct="maybe")
+
+
+def test_profile_single_scan_plan(spark, docs):
+    """The whole profile is ONE aggregation job over ONE scan — the
+    physical plan reads the parquet relation exactly once (exact mode
+    pays an Expand for the multi-distinct, but never a second scan)."""
+    plan = (profile_columns(spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+                            distinct="exact")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
+    approx_plan = (profile_columns(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+        distinct="approx")._jdf.queryExecution().executedPlan().toString())
+    assert approx_plan.count("Scan parquet") == 1
+    assert "Expand" not in approx_plan   # HLL mode: no row multiplication
+
+
+def test_suggestions_ladder(spark):
+    df = spark.createDataFrame(
+        [Row(id=i, cat="c%d" % (i % 3), score=float(i),
+             free="t" * (i % 7 + 1)) for i in range(100)]
+        + [Row(id=100, cat=None, score=None, free="x")],
+        "id bigint, cat string, score double, free string")
+    sugg = suggest_constraints(profile_columns(df, distinct="exact"))
+    got = {(r["col_name"], r["keyword"]): r for r in sugg.collect()}
+
+    assert got[("id", "type")]["param_txt"] == "integer"
+    assert ("id", "x-unique") in got
+    assert got[("id", "minimum")]["param_num"] == 0.0
+    assert got[("id", "maximum")]["param_num"] == 100.0
+    assert ("id", "required") in got
+
+    # cat: 3 distinct + a null -> enum + x-nullRate (ceil to 1/101 -> 0.01)
+    assert got[("cat", "enum")]["param_num"] == 3.0
+    assert got[("cat", "x-nullRate")]["param_num"] == 0.01
+    assert ("cat", "required") not in got
+    assert ("cat", "x-unique") not in got
+
+    assert got[("score", "type")]["param_txt"] == "number"
+    assert ("score", "x-nullRate") in got
+
+    # free: 7 distinct lengths -> maxLength 7; enum (7 <= 20)
+    assert got[("free", "maxLength")]["param_num"] == 7.0
+    assert ("free", "enum") in got
+
+
+def test_suggested_suite_self_consistent(spark, docs):
+    spec = suite_from_profile(docs, key="doc_id")
+    assert spec["properties"]["doc_id"].get("x-unique") is True
+    assert "enum" in spec["properties"]["source"]
+    res = CheckSuite(spec).run(docs, key="doc_id")
+    assert res.violations.isEmpty()
+    assert res.verdicts.where("passed = false").isEmpty()
+
+
+def test_suggested_suite_catches_corruption(spark, docs):
+    spec = suite_from_profile(docs, key="doc_id")
+    bad = docs.withColumn(
+        "n_chars",
+        F.when(F.col("doc_id") % 50 == 0, F.lit(10 ** 9)).otherwise(F.col("n_chars")),
+    ).withColumn(
+        "source",
+        F.when(F.col("doc_id") % 70 == 0, F.lit("NOT_A_SOURCE"))
+         .otherwise(F.col("source")),
+    )
+    res = CheckSuite(spec).run(bad, key="doc_id")
+    kinds = {r["check_id"].rsplit("/", 1)[-1]
+             for r in res.violations.select("check_id").distinct().collect()}
+    assert "maximum" in kinds and "enum" in kinds
+
+
+def test_enum_bound_respected(spark):
+    df = spark.createDataFrame(
+        [Row(k=i, v="v%03d" % (i % 30)) for i in range(300)],
+        "k bigint, v string")
+    spec = suite_from_profile(df, key="k", enum_max=20)
+    assert "enum" not in spec["properties"]["v"]          # 30 > enum_max
+    spec2 = suite_from_profile(df, key="k", enum_max=40)
+    assert len(spec2["properties"]["v"]["enum"]) == 30
