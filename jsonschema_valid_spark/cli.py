@@ -22,13 +22,13 @@ import sys
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="jsonschema-valid-spark")
-    p.add_argument("--suite", required=True, help="path to the CheckSuite JSON")
-    p.add_argument("--input", required=True, help="input table path")
+    p.add_argument("--suite", help="path to the CheckSuite JSON")
+    p.add_argument("--input", help="input table path")
     p.add_argument("--format", default="parquet",
                    choices=["parquet", "jsonl", "iceberg"])
     p.add_argument("--key", default="doc_id")
     p.add_argument("--partition-by", default=None)
-    p.add_argument("--output", required=True, help="output dir for results")
+    p.add_argument("--output", help="output dir for results")
     p.add_argument("--resume", action="store_true",
                    help="checkpointed per-partition run with lineage")
     p.add_argument("--commit-protocol", default="overwrite",
@@ -42,6 +42,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="validate ONLY the suite spec (walker + the "
                         "engine-hosted self-metaschema) and exit — the "
                         "analog of the reference's Config::validate_schema")
+    p.add_argument("--package", metavar="ZIP", default=None,
+                   help="build the reproducible --py-files archive of this "
+                        "package at ZIP and exit (no Spark session)")
     p.add_argument("--explain", action="store_true",
                    help="print the formatted physical plans for the "
                         "violations and verdicts passes WITHOUT running "
@@ -52,6 +55,22 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.package:
+        from jsonschema_valid_spark.deploy import build_pyfiles_zip
+
+        path = build_pyfiles_zip(args.package)
+        print(json.dumps({"py_files": path,
+                          "size": __import__("os").path.getsize(path)}))
+        return 0
+
+    missing = [n for n in ("suite", "input", "output")
+               if getattr(args, n) is None]
+    if missing:
+        print(f"missing required arguments: {', '.join('--' + m for m in missing)}",
+              file=sys.stderr)
+        return 2
+
     from pyspark.sql import SparkSession
 
     from jsonschema_valid_spark import CheckSuite

@@ -2479,3 +2479,172 @@ def profile_suggest_documents(spark, sf_dir):
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return suggest_constraints(profile_columns(df, distinct="exact"))
+
+
+# ---------------------------------------------------------------------------
+# Table reconciliation (operators/reconcile.py)
+# ---------------------------------------------------------------------------
+
+_RECON_COLS = ["doc_id", "text", "lang", "source", "n_chars"]
+
+# deterministic "bad rewrite" twin of documents: src3 loses every doc_id%7
+# row; src5 gets n_chars bumped on doc_id%11 rows. Same SQL text parses in
+# Spark and DuckDB.
+_RECON_CORRUPT_CTE = (
+    "corrupt AS (SELECT doc_id, text, lang, source, "
+    "CASE WHEN source = 'src5' AND doc_id % 11 = 0 THEN n_chars + 1 "
+    "ELSE n_chars END AS n_chars "
+    "FROM documents WHERE NOT (source = 'src3' AND doc_id % 7 = 0))"
+)
+
+_RECON_MOD = 2 ** 60
+
+
+def _recon_corrupt_df(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        docs.where(~((F.col("source") == "src3") & (F.col("doc_id") % 7 == 0)))
+        .withColumn(
+            "n_chars",
+            F.when((F.col("source") == "src5") & (F.col("doc_id") % 11 == 0),
+                   F.col("n_chars") + 1).otherwise(F.col("n_chars")))
+    )
+
+
+def _recon_summary_sql() -> str:
+    from jsonschema_valid_spark.operators.reconcile import oracle_row_fingerprint
+
+    fp = oracle_row_fingerprint(_RECON_COLS)
+    side = (
+        "SELECT source AS grp, count(*) AS {s}_rows, "
+        f"CAST(sum(fp) % {_RECON_MOD} AS BIGINT) AS {{s}}_hash "
+        f"FROM (SELECT source, {fp} AS fp FROM {{tbl}}) GROUP BY source"
+    )
+    return f"""
+WITH {_RECON_CORRUPT_CTE},
+ls AS ({side.format(s='left', tbl='documents')}),
+rs AS ({side.format(s='right', tbl='corrupt')})
+SELECT coalesce(ls.grp, rs.grp) AS grp,
+       coalesce(left_rows, 0) AS left_rows,
+       coalesce(right_rows, 0) AS right_rows,
+       left_hash, right_hash,
+       CASE WHEN left_rows IS NULL THEN 'missing_left'
+            WHEN right_rows IS NULL THEN 'missing_right'
+            WHEN left_rows != right_rows THEN 'count_mismatch'
+            WHEN left_hash != right_hash THEN 'hash_mismatch'
+            ELSE 'ok' END AS status
+FROM ls FULL OUTER JOIN rs ON ls.grp = rs.grp
+"""
+
+
+@register_extended("reconcile_summary_documents", _recon_summary_sql())
+def reconcile_summary_documents(spark, sf_dir):
+    """Group-level reconciliation of documents vs its deterministically
+    corrupted rewrite twin (operators/reconcile.py reconcile_summary):
+    per-group (count, mod-2^60 fingerprint sum) computed independently on
+    each side — the join touches only #groups rows, never row-level data.
+    src3 must flag count_mismatch, src5 hash_mismatch, the rest ok.
+    EXTENDED mirror entry; full value-hash oracle (portable md5
+    fingerprints replayed in SQL)."""
+    from jsonschema_valid_spark.operators.reconcile import reconcile_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return reconcile_summary(docs, _recon_corrupt_df(spark, sf_dir),
+                             "source", _RECON_COLS)
+
+
+def _recon_diff_sql() -> str:
+    from jsonschema_valid_spark.operators.reconcile import oracle_row_fingerprint
+
+    fp = oracle_row_fingerprint(_RECON_COLS)
+    return f"""
+WITH {_RECON_CORRUPT_CTE},
+l AS (SELECT CAST(doc_id AS VARCHAR) AS k, {fp} AS left_fp
+      FROM documents WHERE source IN ('src3', 'src5')),
+r AS (SELECT CAST(doc_id AS VARCHAR) AS k, {fp} AS right_fp
+      FROM corrupt WHERE source IN ('src3', 'src5')),
+j AS (SELECT coalesce(l.k, r.k) AS doc_id, left_fp, right_fp
+      FROM l FULL OUTER JOIN r ON l.k = r.k)
+SELECT doc_id,
+       CASE WHEN left_fp IS NULL THEN 'missing_left'
+            WHEN right_fp IS NULL THEN 'missing_right'
+            WHEN left_fp != right_fp THEN 'value_mismatch' END AS diff_kind,
+       left_fp, right_fp
+FROM j
+WHERE left_fp IS NULL OR right_fp IS NULL OR left_fp != right_fp
+"""
+
+
+@register_extended("reconcile_diff_documents", _recon_diff_sql())
+def reconcile_diff_documents(spark, sf_dir):
+    """Row-level reconciliation drill-down restricted to the two groups the
+    summary flags (operators/reconcile.py table_diff, groups= pushdown —
+    the In-filter reaches the parquet scan, plan-asserted in
+    tests/test_reconcile.py): emits (doc_id, diff_kind, fingerprints) for
+    exactly the dropped src3 rows (missing_right) and mutated src5 rows
+    (value_mismatch). EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.reconcile import table_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return table_diff(docs, _recon_corrupt_df(spark, sf_dir),
+                      "doc_id", _RECON_COLS, groups=("source", ["src3", "src5"]))
+
+
+# ---------------------------------------------------------------------------
+# Metric anomaly detection (operators/anomaly.py)
+# ---------------------------------------------------------------------------
+
+def _anomaly_events_sql() -> str:
+    # daily event volume per event_type, with a deterministic ×6 spike on
+    # the 15th of each month; zscore vs a trailing 7-day window, k=3,
+    # min_history=3 — the exact anomaly_flags(zscore) ladder.
+    return """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day,
+         CAST(count(*) *
+              CASE WHEN date_part('day', CAST(ts AS DATE)) = 15 THEN 6
+                   ELSE 1 END AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+win AS (
+  SELECT event_type, day, v,
+         count(v)  OVER w AS n_hist,
+         avg(v)    OVER w AS mu,
+         stddev_samp(v) OVER w AS sd
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, day, v AS value,
+       round(CASE WHEN sd > 0 THEN (v - mu) / sd END, 6) AS stat,
+       CASE WHEN n_hist < 3 THEN 'insufficient_history'
+            WHEN sd IS NULL OR sd = 0 THEN
+                 CASE WHEN v = mu THEN 'ok' ELSE 'anomaly' END
+            WHEN abs((v - mu) / sd) > 3.0 THEN 'anomaly'
+            ELSE 'ok' END AS status
+FROM win
+"""
+
+
+@register_extended("anomaly_event_volume", _anomaly_events_sql())
+def anomaly_event_volume(spark, sf_dir):
+    """Run-over-run metric anomaly detection (operators/anomaly.py
+    anomaly_flags, zscore mode): daily event volume per event_type — with
+    a deterministic ×6 spike injected on every month's 15th — scored
+    against its own trailing 7-day window (mean ± 3σ, ≥3 points of
+    history). One window shuffle on the series key over an already-tiny
+    aggregate; the same math MetricsHistory.check runs over recorded
+    verdict metrics. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.anomaly import anomaly_flags
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "event_type", "day",
+            (F.col("n") * F.when(F.dayofmonth("day") == 15, 6).otherwise(1))
+            .cast("double").alias("v"))
+    )
+    return anomaly_flags(daily, ["event_type"], "day", "v",
+                         method="zscore", window=7, min_history=3, k=3.0)
