@@ -2648,3 +2648,37 @@ def anomaly_event_volume(spark, sf_dir):
     )
     return anomaly_flags(daily, ["event_type"], "day", "v",
                          method="zscore", window=7, min_history=3, k=3.0)
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter referential (operators/bloom.py)
+# ---------------------------------------------------------------------------
+
+def _bloom_ref_sql() -> str:
+    from jsonschema_valid_spark.operators.bloom import oracle_bloom_sql
+
+    ctes = oracle_bloom_sql(
+        domain_select="SELECT DISTINCT source AS val FROM documents",
+        probe_select="SELECT doc_id, source FROM sequences",
+        column="source", m_bits=4096, k=3, seed=7)
+    return oracle_with_sequences(
+        "," + ctes + "\nSELECT doc_id, source FROM bloom_miss")
+
+
+@register_extended("seq_referential_bloom", _bloom_ref_sql())
+def seq_referential_bloom(spark, sf_dir):
+    """x-referential {'mode': 'bloom'}: shuffle-free approximate
+    membership for domains too big to broadcast (operators/bloom.py) —
+    build = one domain scan into an m-bit array (per-word bit_or, map-side
+    combined); probe = pure-codegen k-hash bit tests on a one-row
+    broadcast, ZERO fact-side shuffle. Every reported violation is real
+    (Bloom misses are certain); the oracle replays build AND probe with
+    the portable md5 hash so even false-positive suppression agrees
+    bit-for-bit. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.bloom import bloom_non_members
+    from jsonschema_valid_spark.sources.sequences import source_domain
+
+    seq = load_sequences(spark, sf_dir)
+    return bloom_non_members(seq, "source", source_domain(spark, sf_dir),
+                             m_bits=4096, k=3, seed=7).select(
+        "doc_id", "source")

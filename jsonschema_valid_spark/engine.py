@@ -143,6 +143,19 @@ def _inline_referential(plan: BoundPlan, context: dict) -> None:
     plan.dataset_checks = keep
 
 
+def _bloom_opts(params: dict) -> dict:
+    """x-referential mode passthrough: {'mode': 'bloom', 'mBits', 'k',
+    'seed'} → referential_violations kwargs (exact mode: empty)."""
+    if params.get("mode", "exact") == "exact":
+        return {}
+    return {
+        "mode": params.get("mode"),
+        "m_bits": int(params.get("mBits", 1 << 20)),
+        "k": int(params.get("k", 5)),
+        "seed": int(params.get("seed", 7)),
+    }
+
+
 def _approx_unique_verdict_df(df: DataFrame, dc) -> DataFrame:
     """x-unique {"approx": true}: HLL++ sketch verdict — one aggregation
     pass, no key shuffle. metric = estimated duplicate count; passed when
@@ -344,7 +357,8 @@ def run_suite_summarized(
                 dom = context[dom[1:]]
             vdf = ref_op.referential_violations(
                 df, dc.column, dom, dc.check_id, key=key,
-                domain_column=dc.params.get("domainColumn"))
+                domain_column=dc.params.get("domainColumn"),
+                **_bloom_opts(dc.params))
         elif dc.kind == "parity":
             ref_df = dc.params["reference"]
             if isinstance(ref_df, str) and ref_df.startswith("@"):
@@ -581,6 +595,7 @@ def run_suite(
             bad = ref_op.referential_violations(
                 df, dc.column, dom, dc.check_id, key=key,
                 domain_column=dc.params.get("domainColumn"),
+                **_bloom_opts(dc.params),
             )
             violation_dfs.append(_with_ipath(bad))
             verdict_dfs.append(

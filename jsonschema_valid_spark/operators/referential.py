@@ -34,11 +34,34 @@ def non_members(df: DataFrame, column: str, domain: DataFrame | Iterable,
 
 def referential_violations(df: DataFrame, column: str, domain,
                            check_id: str, key: str = "doc_id",
-                           domain_column: str | None = None) -> DataFrame:
-    bad = non_members(df, column, domain, domain_column)
+                           domain_column: str | None = None,
+                           mode: str = "exact",
+                           m_bits: int = 1 << 20, k: int = 5,
+                           seed: int = 7) -> DataFrame:
+    """``mode="exact"`` (default): broadcast anti-join / isin.
+    ``mode="bloom"``: the shuffle-free approximate path for domains too
+    big to broadcast (operators/bloom.py) — every reported violation is
+    real; ~FPR of true violations goes unreported (documented there)."""
+    if mode == "bloom":
+        from jsonschema_valid_spark.operators.bloom import bloom_non_members
+
+        dom = domain
+        if not isinstance(dom, DataFrame):
+            dom = df.sparkSession.createDataFrame(
+                [(v,) for v in domain], f"{column} string")
+        bad = bloom_non_members(df, column, dom,
+                                domain_column=domain_column,
+                                m_bits=m_bits, k=k, seed=seed)
+    elif mode == "exact":
+        bad = non_members(df, column, domain, domain_column)
+    else:
+        raise ValueError(f"x-referential mode must be 'exact' or 'bloom', "
+                         f"got {mode!r}")
+    expected = (f"{column} in domain"
+                if mode == "exact" else f"{column} in domain (bloom)")
     return bad.select(
         F.col(key).cast("string").alias("doc_id"),
         F.lit(check_id).alias("check_id"),
         F.col(column).cast("string").alias("observed"),
-        F.lit(f"{column} in domain").alias("expected"),
+        F.lit(expected).alias("expected"),
     )
