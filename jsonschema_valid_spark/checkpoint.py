@@ -162,6 +162,9 @@ class RunSummary:
     total_rows: int = 0
     total_violations: int = 0
     wall_ms: int = 0
+    # (partition_id, check_id, value, stat) rows flagged 'anomaly' when the
+    # run was given a MetricsHistory — empty otherwise
+    anomalies: list[tuple] = field(default_factory=list)
 
 
 class CheckpointRunner:
@@ -256,8 +259,16 @@ class CheckpointRunner:
         fail_after: int | None = None,
         max_concurrency: int = 1,
         stage_partitioned: bool = False,
+        metrics_history=None,
+        run_seq: int | None = None,
     ) -> RunSummary:
         """Validate ``df`` partition-by-partition, skipping completed ones.
+
+        ``metrics_history``: an :class:`operators.anomaly.MetricsHistory`;
+        with ``run_seq`` set, the run's committed verdict metrics are
+        recorded after completion and ``summary.anomalies`` carries the
+        zscore flags of THIS run vs the recorded history (run-over-run
+        drift the absolute thresholds can't see).
 
         ``fail_after``: test hook — raise after N partitions to simulate an
         interrupted run (resume tests).
@@ -357,6 +368,20 @@ class CheckpointRunner:
             with ThreadPoolExecutor(max_concurrency) as pool:
                 for result in pool.map(process, todo):
                     record(result)
+
+        if metrics_history is not None:
+            if run_seq is None:
+                raise ValueError("metrics_history requires run_seq")
+            # committed verdicts of ALL partitions of this run (processed +
+            # previously-completed) — a tiny read; flags BEFORE recording so
+            # the current run can't dilute its own baseline
+            verdicts = self.verdicts(spark)
+            flags = metrics_history.check(verdicts, run_seq=run_seq)
+            summary.anomalies = [
+                (r["partition_id"], r["check_id"], r["value"], r["stat"])
+                for r in flags.where(F.col("status") == "anomaly").collect()
+            ]
+            metrics_history.record(verdicts, run_seq=run_seq)
         return summary
 
     # -- results ----------------------------------------------------------

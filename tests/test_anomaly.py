@@ -114,3 +114,33 @@ def test_metrics_history_empty_store(spark, tmp_path):
     verdicts = suite.run(seq, key="doc_id", partition_by="source").verdicts
     flags = MetricsHistory(str(tmp_path / "none")).check(verdicts, run_seq=1)
     assert set(r["status"] for r in flags.collect()) == {"insufficient_history"}
+
+
+def test_checkpoint_runner_metrics_integration(spark, tmp_path):
+    """CheckpointRunner + MetricsHistory: healthy runs record baselines;
+    a degraded run's committed verdicts are flagged vs that history."""
+    from jsonschema_valid_spark.checkpoint import CheckpointRunner
+    from jsonschema_valid_spark.sources.sequences import load_sequences
+
+    seq = load_sequences(spark, SF_DIR).cache()
+    suite = CheckSuite(SUITE)
+    hist = MetricsHistory(str(tmp_path / "metrics"))
+
+    for run in range(1, 5):
+        runner = CheckpointRunner(suite, str(tmp_path / f"run{run}"))
+        s = runner.run(seq, partition_by="source", key="doc_id",
+                       metrics_history=hist, run_seq=run)
+        assert s.anomalies == []    # first runs: insufficient history / ok
+
+    degraded = seq.withColumn(
+        "n_tok",
+        F.when(F.col("source") == "src3", F.lit(-9)).otherwise(F.col("n_tok")))
+    runner = CheckpointRunner(suite, str(tmp_path / "run5"))
+    s = runner.run(degraded, partition_by="source", key="doc_id",
+                   metrics_history=hist, run_seq=5)
+    assert any(p == "src3" and "minimum" in c for p, c, _, _ in s.anomalies)
+    assert not any(p == "src1" for p, _, _, _ in s.anomalies)
+
+    with pytest.raises(ValueError, match="run_seq"):
+        CheckpointRunner(suite, str(tmp_path / "runx")).run(
+            seq, partition_by="source", key="doc_id", metrics_history=hist)
