@@ -2682,3 +2682,40 @@ def seq_referential_bloom(spark, sf_dir):
     return bloom_non_members(seq, "source", source_domain(spark, sf_dir),
                              m_bits=4096, k=3, seed=7).select(
         "doc_id", "source")
+
+
+def _profile_by_source_sql() -> str:
+    parts = []
+    for name, dtype, num, s in _DOC_PROFILE_COLS:
+        if name == "source":
+            continue
+        mean = f"round(avg({name}), 6)" if num else "CAST(NULL AS DOUBLE)"
+        std = f"round(stddev_samp({name}), 6)" if num else "CAST(NULL AS DOUBLE)"
+        avg_len = f"round(avg(length({name})), 6)" if s else "CAST(NULL AS DOUBLE)"
+        max_len = f"CAST(max(length({name})) AS BIGINT)" if s else "CAST(NULL AS BIGINT)"
+        parts.append(
+            f"SELECT source AS grp, '{name}' AS col_name, '{dtype}' AS dtype, "
+            f"count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"round(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) * 1.0 / count(*), 6) AS null_rate, "
+            f"CAST(count(DISTINCT {name}) AS BIGINT) AS n_distinct, "
+            f"CAST(min({name}) AS VARCHAR) AS min_str, "
+            f"CAST(max({name}) AS VARCHAR) AS max_str, "
+            f"{mean} AS mean, {std} AS stddev, "
+            f"{avg_len} AS avg_len, {max_len} AS max_len "
+            f"FROM documents GROUP BY source"
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register_extended("profile_documents_by_source", _profile_by_source_sql())
+def profile_documents_by_source(spark, sf_dir):
+    """Per-group column profiling (operators/profile.py profile_columns
+    by='source'): the north-star "per-partition column stats via
+    groupBy().agg" as ONE scan — every aggregate for every column rides
+    one groupBy with map-side partial combine; output = #groups × #cols
+    rows. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.profile import profile_columns
+
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return profile_columns(df, distinct="exact", by="source")

@@ -57,16 +57,22 @@ def profile_columns(
     df: DataFrame,
     cols: list[str] | None = None,
     distinct: str = "approx",
+    by: str | None = None,
 ) -> DataFrame:
     """One row per column: counts, null rate, distinct, min/max (as
     strings), mean/stddev (numeric), value length stats (string/array).
 
     ``distinct``: ``"approx"`` (HLL++, single pass — the 100 TB default)
     or ``"exact"`` (COUNT DISTINCT via Expand — oracle-replayable).
+
+    ``by``: per-group profiling — the north-star "per-partition column
+    stats via groupBy().agg" in one pass: output gains a leading ``grp``
+    column, still one scan (the groupBy carries every aggregate with
+    map-side partial combine; result size = #groups × #columns).
     """
     if distinct not in ("approx", "exact"):
         raise ValueError(f"distinct must be 'approx' or 'exact', got {distinct!r}")
-    names = cols if cols is not None else df.columns
+    names = cols if cols is not None else [c for c in df.columns if c != by]
     schema = {f.name: f.dataType for f in df.schema.fields}
     missing = [n for n in names if n not in schema]
     if missing:
@@ -105,7 +111,10 @@ def profile_columns(
             aggs.append(F.lit(None).cast("double").alias(f"__avglen_{i}"))
             aggs.append(F.lit(None).cast("long").alias(f"__maxlen_{i}"))
 
-    wide = df.agg(*aggs)
+    if by is not None:
+        wide = df.groupBy(F.col(by).cast("string").alias("grp")).agg(*aggs)
+    else:
+        wide = df.agg(*aggs)
 
     structs = []
     for i, n in enumerate(names):
@@ -126,6 +135,9 @@ def profile_columns(
             F.col(f"__avglen_{i}").alias("avg_len"),
             F.col(f"__maxlen_{i}").alias("max_len"),
         ))
+    if by is not None:
+        return wide.select("grp", F.inline(F.array(*structs))).select(
+            "grp", *_PROFILE_FIELDS)
     return wide.select(F.inline(F.array(*structs))).select(*_PROFILE_FIELDS)
 
 

@@ -147,3 +147,20 @@ def test_enum_bound_respected(spark):
     assert "enum" not in spec["properties"]["v"]          # 30 > enum_max
     spec2 = suite_from_profile(df, key="k", enum_max=40)
     assert len(spec2["properties"]["v"]["enum"]) == 30
+
+
+def test_profile_by_group(spark, docs):
+    prof = profile_columns(docs, distinct="exact", by="source")
+    assert prof.columns[0] == "grp"
+    n_groups = docs.select("source").distinct().count()
+    # 4 profiled columns (source excluded) × groups
+    assert prof.count() == 4 * n_groups
+    one = {r["col_name"]: r for r in prof.where("grp = 'src1'").collect()}
+    grp_n = docs.where("source = 'src1'").count()
+    assert one["doc_id"]["n_rows"] == grp_n
+    assert one["doc_id"]["n_distinct"] == grp_n
+    # single scan even in grouped exact mode
+    plan = (profile_columns(spark.read.parquet(f"{SF_DIR}/documents.parquet"),
+                            distinct="exact", by="source")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert plan.count("Scan parquet") == 1
