@@ -49,3 +49,33 @@ def test_training_prep_pipeline(spark, tmp_path):
     bad = written.where((F.col("bin_offset") < 0)
                         | (F.col("bin_offset") >= 2048)).count()
     assert bad == 0
+
+
+def test_ops_pipeline(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ops_pipeline import nightly, prove_rewrite
+
+    work = str(tmp_path / "ops")
+    out = nightly(spark, SF_DIR, work, run_seq=1)
+    assert out["summary"].processed            # every source partition ran
+    assert out["violations"].isEmpty()         # suggested suite fits the data
+    assert out["summary"].anomalies == []      # no history yet
+
+    # a second healthy run only skips (checkpoint) but still records metrics
+    out2 = nightly(spark, SF_DIR, work, run_seq=2)
+    assert out2["summary"].processed           # fresh run dir → re-validated
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    faithful = prove_rewrite(spark, docs, docs.repartition(3), "source",
+                             ["doc_id", "text", "lang", "source", "n_chars"])
+    assert faithful["flagged"] == [] and faithful["diff"] is None
+
+    broken = docs.withColumn(
+        "n_chars", F.when((F.col("source") == "src4") & (F.col("doc_id") % 13 == 0),
+                          F.lit(-1)).otherwise(F.col("n_chars")))
+    rec = prove_rewrite(spark, docs, broken, "source",
+                        ["doc_id", "text", "lang", "source", "n_chars"])
+    assert rec["flagged"] == ["src4"]
+    kinds = {r["diff_kind"] for r in rec["diff"].collect()}
+    assert kinds == {"value_mismatch"}
