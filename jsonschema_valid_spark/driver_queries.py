@@ -2719,3 +2719,31 @@ def profile_documents_by_source(spark, sf_dir):
 
     df = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return profile_columns(df, distinct="exact", by="source")
+
+
+def _fixed_k_sql() -> str:
+    # portable gate hash (sampling._hash_gate): hash60(key || \x1f || seed)
+    # pmod 1e6 — same tag format as the sample_stratified oracle
+    h = ("CAST(('0x' || substr(md5(doc_id || chr(31) || '11'), 1, 15)) "
+         "AS BIGINT) % 1000000")
+    return oracle_with_sequences(f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY {h}, doc_id) AS rn
+  FROM sequences
+) WHERE rn <= 5
+""")
+
+
+@register_extended("sample_fixed_k_per_group", _fixed_k_sql())
+def sample_fixed_k_per_group(spark, sf_dir):
+    """Deterministic exact-k-per-group sampling (functions/sampling.py
+    fixed_k_per_group, portable-hash mode): seeded-hash ranking within
+    each source, keep 5 — eval-set construction with partition-invariant
+    output. One window shuffle on the group key. EXTENDED mirror entry;
+    full value-hash oracle."""
+    from jsonschema_valid_spark.functions.sampling import fixed_k_per_group
+
+    seq = load_sequences(spark, sf_dir)
+    return fixed_k_per_group(seq, "doc_id", "source", k=5, seed=11,
+                             portable=True).select("doc_id", "source")

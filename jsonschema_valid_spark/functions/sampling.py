@@ -151,3 +151,25 @@ def deterministic_shuffle(df: DataFrame, key: str, seed: int = 0) -> DataFrame:
     layout once over re-sorting per epoch (epoch e = seed+e)."""
     return df.orderBy(F.xxhash64(F.col(key).cast("string"),
                                  F.lit(int(seed))))
+
+
+def fixed_k_per_group(df: DataFrame, key: str, group: str, k: int,
+                      seed: int = 0, portable: bool = False) -> DataFrame:
+    """Deterministic EXACT-k sample per group (eval/holdout set
+    construction: "500 docs from every source"): rank rows within each
+    group by a seeded hash of the key (ties on the key itself — total
+    order, partitioning-invariant) and keep rank ≤ k.
+
+    One window shuffle on ``group``; within-group sort is the honest cost
+    of exact-k (a rate gate can't hit k exactly). Skewed groups sort
+    locally per partition; for rate-based needs use
+    :func:`stratified_sample` instead. NULL groups form their own group
+    (they rank like any other)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    h = _hash_gate(F.col(key), seed, portable)
+    w = Window.partitionBy(group).orderBy(h, F.col(key))
+    return (df.withColumn("__rank", F.row_number().over(w))
+            .where(F.col("__rank") <= k).drop("__rank"))

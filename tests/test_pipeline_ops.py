@@ -545,3 +545,31 @@ def test_token_histogram_counts(spark):
     assert rows == {1: 1, 2: 3, 3: 1}
     top = token_histogram(df, "tokens", top_n=1).collect()
     assert [(r["token"], r["count"]) for r in top] == [(2, 3)]
+
+
+def test_fixed_k_per_group(spark):
+    from jsonschema_valid_spark.functions.sampling import fixed_k_per_group
+    from jsonschema_valid_spark.sources.sequences import load_sequences
+    from tests.conftest import SF_DIR as _SF
+
+    seq = load_sequences(spark, _SF).where("source IS NOT NULL")
+    out = fixed_k_per_group(seq, "doc_id", "source", k=5, seed=3).cache()
+    per = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    avail = {r["source"]: r["n"] for r in
+             seq.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for src, n in per.items():
+        assert n == min(5, avail[src])
+    # partitioning-invariant: same keys out after a repartition
+    out2 = fixed_k_per_group(seq.repartition(13), "doc_id", "source",
+                             k=5, seed=3)
+    a = sorted((r["source"], r["doc_id"]) for r in out.collect())
+    b = sorted((r["source"], r["doc_id"]) for r in out2.collect())
+    assert a == b
+    # different seed -> (almost surely) different selection
+    out3 = fixed_k_per_group(seq, "doc_id", "source", k=5, seed=4)
+    c = sorted((r["source"], r["doc_id"]) for r in out3.collect())
+    assert c != a
+    import pytest as _pt
+    with _pt.raises(ValueError, match="k must"):
+        fixed_k_per_group(seq, "doc_id", "source", k=0)
