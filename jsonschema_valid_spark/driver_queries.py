@@ -2747,3 +2747,98 @@ def sample_fixed_k_per_group(spark, sf_dir):
     seq = load_sequences(spark, sf_dir)
     return fixed_k_per_group(seq, "doc_id", "source", k=5, seed=11,
                              portable=True).select("doc_id", "source")
+
+
+_CONSISTENCY_CHILD_AGG = (
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* CAST(1 - l_discount AS DECIMAL(8,2)) "
+    "* CAST(1 + l_tax AS DECIMAL(8,2))) AS DECIMAL(18,2))"
+)
+
+_CONSISTENCY_SQL = f"""
+WITH c AS (
+  SELECT l_orderkey AS key, {_CONSISTENCY_CHILD_AGG} AS child_value
+  FROM lineitem GROUP BY l_orderkey
+), p AS (
+  SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS parent_value
+  FROM orders
+), j AS (
+  SELECT coalesce(p.key, c.key) AS key, parent_value, child_value,
+         abs(parent_value - child_value) AS abs_diff,
+         CASE WHEN parent_value IS NULL THEN 'child_only'
+              WHEN child_value IS NULL THEN 'parent_only'
+              WHEN abs(parent_value - child_value) <= 0.01 THEN 'match'
+              ELSE 'mismatch' END AS status
+  FROM p FULL OUTER JOIN c ON p.key = c.key
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(max(abs_diff) AS DOUBLE) AS max_abs_diff
+FROM j GROUP BY status
+"""
+
+
+@register_extended("consistency_orders_lineitem", _CONSISTENCY_SQL)
+def consistency_orders_lineitem(spark, sf_dir):
+    """Cross-table aggregate consistency (operators/consistency.py
+    aggregate_consistency, summary mode): orders.o_totalprice vs
+    SUM(l_extendedprice*(1-disc)*(1+tax)) per order key — the derived-column
+    integrity check. Decimal-cast arithmetic so the sum is exact and
+    partitioning-invariant on both engines; child collapses to one row per
+    key (map-side partial agg) BEFORE the key-partitioned join; summary
+    output is <=4 status rows. EXTENDED mirror entry; full value-hash
+    oracle."""
+    from jsonschema_valid_spark.operators.consistency import (
+        aggregate_consistency,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = aggregate_consistency(
+        orders, lineitem,
+        parent_key="o_orderkey", child_key="l_orderkey",
+        parent_expr="CAST(o_totalprice AS DECIMAL(18,2))",
+        child_agg_expr=_CONSISTENCY_CHILD_AGG,
+        tol=0.01, mode="summary",
+    )
+    return out.select(
+        "status", "n_keys", F.col("max_abs_diff").cast("double").alias("max_abs_diff")
+    )
+
+
+_COMPLETENESS_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type
+), expected AS (
+  SELECT * FROM (VALUES ('click'), ('view'), ('purchase'), ('signup'),
+                        ('error'), ('refund')) AS t(event_type)
+)
+SELECT coalesce(e.event_type, c.event_type) AS event_type,
+       coalesce(c.n_rows, 0) AS n_rows,
+       CASE WHEN c.event_type IS NULL THEN 'missing'
+            WHEN e.event_type IS NULL THEN 'unexpected'
+            WHEN c.n_rows < 50 THEN 'under'
+            ELSE 'ok' END AS status
+FROM expected e FULL OUTER JOIN counts c ON e.event_type = c.event_type
+"""
+
+
+@register_extended("completeness_event_types", _COMPLETENESS_SQL)
+def completeness_event_types(spark, sf_dir):
+    """Partition completeness (operators/consistency.py
+    partition_completeness): every declared event_type partition must be
+    present with >=50 rows — 'refund' is declared but absent in the
+    synthetic feed, so the check reports exactly the missing-partition
+    failure row-scope validators cannot see. One map-side-combined count
+    over the facts; the domain join touches #partitions rows. EXTENDED
+    mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.consistency import (
+        partition_completeness,
+    )
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return partition_completeness(
+        events, ["event_type"],
+        expected=["click", "view", "purchase", "signup", "error", "refund"],
+        min_rows=50,
+    )
