@@ -1138,6 +1138,11 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
                 {"approx": True, "rsd": float(v.get("rsd", 0.01))}))
     elif kw == "x-referential":
         plan.dataset_checks.append(DatasetCheck(cid, "referential", colname, dict(v)))
+    elif kw == "x-partitionComplete":
+        # dataset scope: a missing partition has NO rows for a row check to
+        # see — the lift of `required` from object keys to table partitions
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "partition_complete", colname, dict(v)))
     elif kw == "x-drift":
         plan.dataset_checks.append(DatasetCheck(cid, "drift", colname, dict(v)))
     elif kw == "x-parity":

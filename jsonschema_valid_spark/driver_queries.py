@@ -2842,3 +2842,49 @@ def completeness_event_types(spark, sf_dir):
         expected=["click", "view", "purchase", "signup", "error", "refund"],
         min_rows=50,
     )
+
+
+_COMPLETENESS_KW_SQL = """
+WITH counts AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows
+  FROM events GROUP BY event_type
+), expected AS (
+  SELECT * FROM (VALUES ('click'), ('view'), ('purchase'), ('signup'),
+                        ('error'), ('refund')) AS t(event_type)
+), j AS (
+  SELECT coalesce(e.event_type, c.event_type) AS event_type,
+         coalesce(c.n_rows, 0) AS n_rows,
+         CASE WHEN c.event_type IS NULL THEN 'missing'
+              WHEN e.event_type IS NULL THEN 'unexpected'
+              WHEN c.n_rows < 50 THEN 'under'
+              ELSE 'ok' END AS status
+  FROM expected e FULL OUTER JOIN counts c ON e.event_type = c.event_type
+)
+SELECT event_type AS doc_id,
+       'properties/event_type/x-partitionComplete' AS check_id,
+       status || ':' || CAST(n_rows AS VARCHAR) AS observed
+FROM j WHERE status IN ('missing', 'under', 'unexpected')
+"""
+
+
+@register_extended("engine_completeness_violations", _COMPLETENESS_KW_SQL)
+def engine_completeness_violations(spark, sf_dir):
+    """x-partitionComplete as a DECLARATIVE suite keyword: the dataset lift
+    of `required` from object keys to table partitions (validators.rs
+    `required` reports the absent name; here the violating "document" IS
+    the absent partition value — a missing partition has no rows for any
+    row-scope check to see). Same fixture as completeness_event_types but
+    run through CheckSuite/engine wiring: violations carry
+    (doc_id=partition value, check_id, observed="<status>:<n_rows>").
+    EXTENDED mirror entry; full value-hash oracle replays the count
+    aggregate + domain join + status derivation."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"event_type": {
+        "x-partitionComplete": {
+            "expected": ["click", "view", "purchase", "signup",
+                         "error", "refund"],
+            "minRows": 50}}}})
+    res = suite.run(events, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")

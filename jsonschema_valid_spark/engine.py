@@ -402,6 +402,19 @@ def run_suite_summarized(
             vdf = neardup_violations(df, dc.column, dc.check_id, key=key,
                                      params=_resolve_neardup(dc.params,
                                                              context))
+        elif dc.kind == "partition_complete":
+            from jsonschema_valid_spark.operators.consistency import (
+                completeness_violations,
+            )
+
+            exp = dc.params["expected"]
+            if isinstance(exp, str) and exp.startswith("@"):
+                exp = context[exp[1:]]
+            vdf = completeness_violations(
+                df, dc.column, dc.check_id, expected=exp,
+                min_rows=int(dc.params.get("minRows", 1)),
+                allow_unexpected=bool(dc.params.get("allowUnexpected",
+                                                    False)))
         else:
             continue
         ds_viols.append(dc.check_id)
@@ -706,6 +719,29 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nn") == 0).alias("passed"),
                     F.col("nn").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "partition_complete":
+            from jsonschema_valid_spark.operators.consistency import (
+                completeness_violations,
+            )
+
+            exp = dc.params["expected"]
+            if isinstance(exp, str) and exp.startswith("@"):
+                exp = context[exp[1:]]
+            pv = completeness_violations(
+                df, dc.column, dc.check_id, expected=exp,
+                min_rows=int(dc.params.get("minRows", 1)),
+                allow_unexpected=bool(dc.params.get("allowUnexpected",
+                                                    False)))
+            violation_dfs.append(_with_ipath(pv))
+            verdict_dfs.append(
+                pv.agg(F.count(F.lit(1)).alias("npc")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("npc") == 0).alias("passed"),
+                    F.col("npc").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -129,3 +129,36 @@ def partition_completeness(
         F.coalesce(F.col("n_rows"), F.lit(0)).alias("n_rows"),
         status.alias("status"),
     )
+
+
+def completeness_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    expected: Sequence,
+    min_rows: int = 1,
+    allow_unexpected: bool = False,
+) -> DataFrame:
+    """``x-partitionComplete`` execution: failing partitions as engine
+    violation rows (doc_id, check_id, observed, expected).
+
+    The violating "document" is the partition value itself — a missing
+    partition has no rows to point at, which is exactly why this check is
+    dataset-scope (≙ the reference's `required` lifted from object keys to
+    table partitions — validators.rs `required` reports the absent name).
+    observed = "<status>:<n_rows>"; ``allow_unexpected=True`` downgrades
+    undeclared-partition rows to non-violations (enum already polices the
+    value domain at row scope when that is what's wanted).
+    """
+    out = partition_completeness(df, [column], expected, min_rows=min_rows)
+    bad = ("missing", "under") if allow_unexpected else (
+        "missing", "under", "unexpected")
+    exp_msg = (f"declared {column} partition with >= {min_rows} row(s)"
+               + ("" if allow_unexpected else "; no undeclared partitions"))
+    return out.where(F.col("status").isin(*bad)).select(
+        F.col(column).cast("string").alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat_ws(":", "status", F.col("n_rows").cast("string"))
+        .alias("observed"),
+        F.lit(exp_msg).alias("expected"),
+    )

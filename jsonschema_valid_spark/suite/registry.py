@@ -85,6 +85,7 @@ DATASET_KEYWORDS = frozenset(
         "x-lmScore",        # unigram-LM quality gate (CCNet/KenLM-style filter)
         "x-vector",         # embedding column: width/finite/unit-norm (row-scope)
         "x-nearDup",        # near-duplicate membership (MinHash/SimHash/semantic)
+        "x-partitionComplete",  # declared partitions present (lift of `required`)
         "x-rowExpr",        # escape hatch: arbitrary SQL boolean over the row
         "x-parity",         # per-row equality vs a reference table (BASELINE.json:15)
     }

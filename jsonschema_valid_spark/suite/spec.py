@@ -240,6 +240,14 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-lmScore must be {'minScore': number, "
                               "'model'?: '@name', 'vocabSize'?: int, "
                               "'alpha'?: number}")
+        elif kw == "x-partitionComplete":
+            exp = v.get("expected") if isinstance(v, dict) else None
+            ok = (isinstance(exp, list) and exp) or (
+                isinstance(exp, str) and exp.startswith("@"))
+            if not ok:
+                raise _err(p, "x-partitionComplete must be {'expected': "
+                              "[values, ...] | '@name', 'minRows'?: int, "
+                              "'allowUnexpected'?: bool}")
         elif kw == "x-nearDup":
             if not (isinstance(v, dict)
                     and v.get("method") in ("jaccard", "minhash", "simhash",
