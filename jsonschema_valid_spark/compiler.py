@@ -1138,6 +1138,12 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
                 {"approx": True, "rsd": float(v.get("rsd", 0.01))}))
     elif kw == "x-referential":
         plan.dataset_checks.append(DatasetCheck(cid, "referential", colname, dict(v)))
+    elif kw == "x-aggConsistency":
+        # dataset scope: the expected value is an aggregate over ANOTHER
+        # table — the lift of `const` from a literal to a per-key child
+        # aggregate (orders.o_totalprice vs SUM over lineitem)
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "agg_consistency", colname, dict(v)))
     elif kw == "x-partitionComplete":
         # dataset scope: a missing partition has NO rows for a row check to
         # see — the lift of `required` from object keys to table partitions

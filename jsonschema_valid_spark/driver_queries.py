@@ -2805,6 +2805,70 @@ def consistency_orders_lineitem(spark, sf_dir):
     )
 
 
+# NO outer cast back to DECIMAL(18,2): the sum is EXACT at scale 6 (products
+# of scale-2 casts), and a final cent-rounding would tie on x.xx5000 values —
+# Spark rounds HALF_UP, DuckDB half-to-even, so the witness strings would
+# diverge on exactly those keys. Rendering the exact scale-6 value sidesteps
+# rounding entirely (and is the better witness anyway).
+_AGGCONSISTENCY_CHILD_AGG = (
+    "sum(CAST(l_extendedprice AS DECIMAL(18,2)) "
+    "* CAST(1 - l_discount AS DECIMAL(8,2)) "
+    "* CAST(1 + l_tax AS DECIMAL(8,2)))"
+)
+
+_AGGCONSISTENCY_KW_SQL = f"""
+WITH c AS (
+  SELECT l_orderkey AS key, {_AGGCONSISTENCY_CHILD_AGG} AS cv
+  FROM lineitem GROUP BY l_orderkey
+), p AS (
+  SELECT o_orderkey AS key, CAST(o_totalprice AS DECIMAL(18,2)) AS pv
+  FROM orders
+), j AS (
+  SELECT coalesce(p.key, c.key) AS key, pv, cv,
+         CASE WHEN pv IS NULL THEN 'child_only'
+              WHEN cv IS NULL THEN 'parent_only'
+              WHEN abs(pv - cv) <= 0.01 THEN 'match'
+              ELSE 'mismatch' END AS status
+  FROM p FULL OUTER JOIN c ON p.key = c.key
+)
+SELECT CAST(key AS VARCHAR) AS doc_id,
+       'properties/o_totalprice/x-aggConsistency' AS check_id,
+       concat_ws(':', status,
+                 concat_ws('!=', CAST(pv AS VARCHAR),
+                           CAST(cv AS VARCHAR))) AS observed
+FROM j WHERE status != 'match'
+"""
+
+
+@register_extended("engine_aggconsistency_violations", _AGGCONSISTENCY_KW_SQL)
+def engine_aggconsistency_violations(spark, sf_dir):
+    """x-aggConsistency as a DECLARATIVE suite keyword: the dataset lift of
+    `const` from a literal to a per-key child-table aggregate
+    (validators.rs `const` compares instance == expected; here expected is
+    COMPUTED per o_orderkey from lineitem). The synthetic o_totalprice is
+    NOT derived from lineitem, so every order is a mismatch witness and
+    257 orders have no lineitems at all (parent_only) — the check reports
+    both with cross-engine-stable decimal witness strings. Child collapses
+    to one row per key BEFORE the join (partial-combine groupBy; row data
+    never joins at row grain — plan-asserted in
+    tests/test_aggconsistency_keyword.py). EXTENDED mirror entry; full
+    value-hash oracle replays aggregate + join + status + witness."""
+    from jsonschema_valid_spark import CheckSuite
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    suite = CheckSuite({"properties": {"o_totalprice": {
+        "x-aggConsistency": {
+            "child": "@lineitem", "key": "o_orderkey",
+            "childKey": "l_orderkey",
+            "childAgg": _AGGCONSISTENCY_CHILD_AGG,
+            "parentExpr": "CAST(o_totalprice AS DECIMAL(18,2))",
+            "tol": 0.01}}}})
+    res = suite.run(orders, key="o_orderkey",
+                    context={"lineitem": lineitem})
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
 _COMPLETENESS_SQL = """
 WITH counts AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows

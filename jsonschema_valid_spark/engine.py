@@ -188,6 +188,29 @@ def _resolve_neardup(params: dict, context: dict) -> dict:
     return params
 
 
+def _agg_consistency_violations(dc, df: DataFrame, context: dict) -> DataFrame:
+    """Shared x-aggConsistency execution for both run paths: resolve the
+    child table ("@name" context indirection or an inline DataFrame) and
+    emit violation rows keyed by the parent key."""
+    from jsonschema_valid_spark.operators.consistency import (
+        aggregate_violations,
+    )
+
+    child = dc.params["child"]
+    if isinstance(child, str) and child.startswith("@"):
+        child = context[child[1:]]
+    return aggregate_violations(
+        df, child, dc.column, dc.check_id,
+        parent_key=dc.params["key"],
+        child_key=dc.params["childKey"],
+        child_agg_expr=dc.params["childAgg"],
+        parent_expr=dc.params.get("parentExpr"),
+        tol=float(dc.params.get("tol", 0.0)),
+        allow_parent_only=bool(dc.params.get("allowParentOnly", False)),
+        allow_child_only=bool(dc.params.get("allowChildOnly", False)),
+    )
+
+
 def _resolve_drift_baseline(params: dict, context: dict) -> dict:
     """x-drift baseline may be a literal {bucket: count} dict or "@name" —
     a context DataFrame of (bucket, count) rows (e.g. a histogram captured
@@ -415,6 +438,8 @@ def run_suite_summarized(
                 min_rows=int(dc.params.get("minRows", 1)),
                 allow_unexpected=bool(dc.params.get("allowUnexpected",
                                                     False)))
+        elif dc.kind == "agg_consistency":
+            vdf = _agg_consistency_violations(dc, df, context)
         else:
             continue
         ds_viols.append(dc.check_id)
@@ -742,6 +767,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("npc") == 0).alias("passed"),
                     F.col("npc").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "agg_consistency":
+            av = _agg_consistency_violations(dc, df, context)
+            violation_dfs.append(_with_ipath(av))
+            verdict_dfs.append(
+                av.agg(F.count(F.lit(1)).alias("nac")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nac") == 0).alias("passed"),
+                    F.col("nac").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -131,6 +131,59 @@ def partition_completeness(
     )
 
 
+def aggregate_violations(
+    parent: DataFrame,
+    child: DataFrame,
+    column: str,
+    check_id: str,
+    parent_key: str,
+    child_key: str,
+    child_agg_expr: str,
+    parent_expr: str | None = None,
+    tol: float = 0.0,
+    allow_parent_only: bool = False,
+    allow_child_only: bool = False,
+) -> DataFrame:
+    """``x-aggConsistency`` execution: inconsistent keys as engine violation
+    rows (doc_id, check_id, observed, expected).
+
+    The violating "document" is the parent KEY — the unit a derived column
+    disagrees with its source-of-truth aggregation over (≙ the reference's
+    `const` lifted from a literal to a per-key child aggregate —
+    validators.rs `const` compares instance == expected; here expected is
+    computed per key from the child table). observed =
+    ``<status>:<parent>!=<child>`` (values rendered via CAST AS STRING —
+    pass decimal-cast expressions for cross-engine-stable witnesses and
+    partitioning-invariant sums; double addition is order-dependent).
+    ``allow_parent_only`` tolerates parent keys with no child rows (e.g. a
+    header table that legitimately leads its detail feed);
+    ``allow_child_only`` tolerates orphaned child keys (x-referential
+    already polices membership when that is what's wanted).
+    """
+    out = aggregate_consistency(
+        parent, child, parent_key, child_key,
+        parent_expr=parent_expr or column,
+        child_agg_expr=child_agg_expr, tol=tol, mode="rows",
+    )
+    bad = ["mismatch"]
+    if not allow_parent_only:
+        bad.append("parent_only")
+    if not allow_child_only:
+        bad.append("child_only")
+    exp_msg = (f"{parent_expr or column} == {child_agg_expr} "
+               f"per {child_key} (tol={tol})")
+    return out.where(F.col("status").isin(*bad)).select(
+        F.col("key").cast("string").alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat_ws(
+            ":", "status",
+            F.concat_ws("!=", F.col("parent_value").cast("string"),
+                        F.col("child_value").cast("string")),
+        ).alias("observed"),
+        F.lit(exp_msg).alias("expected"),
+    )
+
+
 def completeness_violations(
     df: DataFrame,
     column: str,

@@ -86,6 +86,7 @@ DATASET_KEYWORDS = frozenset(
         "x-vector",         # embedding column: width/finite/unit-norm (row-scope)
         "x-nearDup",        # near-duplicate membership (MinHash/SimHash/semantic)
         "x-partitionComplete",  # declared partitions present (lift of `required`)
+        "x-aggConsistency",  # column == child-table aggregate (lift of `const`)
         "x-rowExpr",        # escape hatch: arbitrary SQL boolean over the row
         "x-parity",         # per-row equality vs a reference table (BASELINE.json:15)
     }

@@ -240,6 +240,18 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-lmScore must be {'minScore': number, "
                               "'model'?: '@name', 'vocabSize'?: int, "
                               "'alpha'?: number}")
+        elif kw == "x-aggConsistency":
+            ok = (isinstance(v, dict)
+                  and all(isinstance(v.get(k), str) and v[k]
+                          for k in ("child", "key", "childKey", "childAgg"))
+                  and (not isinstance(v.get("child"), str)
+                       or v["child"].startswith("@")))
+            if not ok:
+                raise _err(p, "x-aggConsistency must be {'child': '@name', "
+                              "'key': col, 'childKey': col, 'childAgg': "
+                              "agg-expr, 'parentExpr'?: expr, 'tol'?: "
+                              "number, 'allowParentOnly'?: bool, "
+                              "'allowChildOnly'?: bool}")
         elif kw == "x-partitionComplete":
             exp = v.get("expected") if isinstance(v, dict) else None
             ok = (isinstance(exp, list) and exp) or (
