@@ -1138,6 +1138,12 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
                 {"approx": True, "rsd": float(v.get("rsd", 0.01))}))
     elif kw == "x-referential":
         plan.dataset_checks.append(DatasetCheck(cid, "referential", colname, dict(v)))
+    elif kw == "x-freshness":
+        # dataset scope: staleness is the ABSENCE of recent rows — no
+        # row-scope check can see it (the bound is on a per-group
+        # aggregate of the timestamp column, not on any single row)
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "freshness", colname, dict(v)))
     elif kw == "x-aggConsistency":
         # dataset scope: the expected value is an aggregate over ANOTHER
         # table — the lift of `const` from a literal to a per-key child

@@ -2869,6 +2869,43 @@ def engine_aggconsistency_violations(spark, sf_dir):
     return res.violations.select("doc_id", "check_id", "observed")
 
 
+_FRESHNESS_KW_SQL = """
+WITH m AS (
+  SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type
+)
+SELECT event_type AS doc_id,
+       'properties/ts/x-freshness' AS check_id,
+       concat_ws(':', 'stale',
+                 strftime(max_ts, '%Y-%m-%d %H:%M:%S')) AS observed
+FROM m
+WHERE max_ts IS NULL OR max_ts < TIMESTAMP '2024-01-30 23:30:00'
+"""
+
+
+@register_extended("engine_freshness_violations", _FRESHNESS_KW_SQL)
+def engine_freshness_violations(spark, sf_dir):
+    """x-freshness as a DECLARATIVE suite keyword: per-event_type
+    max-timestamp recency against a DECLARED as-of instant (never the wall
+    clock — the same suite on the same table always yields the same
+    verdict, which is also what lets DuckDB replay it). Staleness is the
+    ABSENCE of recent rows: every individual event here is valid; the
+    failure is that some event types stopped arriving before the 30-minute
+    window ending at the declared 2024-01-31 00:00 run instant. One
+    map-side-combined max() aggregate over the facts; everything after is
+    #groups rows (plan-asserted join-free in
+    tests/test_freshness_keyword.py). EXTENDED mirror entry; full
+    value-hash oracle (second-truncated witness timestamps match
+    strftime)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"ts": {"x-freshness": {
+        "asOf": "2024-01-31 00:00:00", "maxAgeHours": 0.5,
+        "by": "event_type"}}}})
+    res = suite.run(events, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
 _COMPLETENESS_SQL = """
 WITH counts AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows

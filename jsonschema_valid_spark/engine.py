@@ -211,6 +211,22 @@ def _agg_consistency_violations(dc, df: DataFrame, context: dict) -> DataFrame:
     )
 
 
+def _freshness_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-freshness execution for both run paths."""
+    from jsonschema_valid_spark.operators.freshness import (
+        freshness_violations,
+    )
+
+    mf = dc.params.get("maxFutureHours")
+    return freshness_violations(
+        df, dc.column, dc.check_id,
+        as_of=dc.params["asOf"],
+        max_age_hours=float(dc.params["maxAgeHours"]),
+        by=dc.params.get("by"),
+        max_future_hours=None if mf is None else float(mf),
+    )
+
+
 def _resolve_drift_baseline(params: dict, context: dict) -> dict:
     """x-drift baseline may be a literal {bucket: count} dict or "@name" —
     a context DataFrame of (bucket, count) rows (e.g. a histogram captured
@@ -440,6 +456,8 @@ def run_suite_summarized(
                                                     False)))
         elif dc.kind == "agg_consistency":
             vdf = _agg_consistency_violations(dc, df, context)
+        elif dc.kind == "freshness":
+            vdf = _freshness_violations(dc, df)
         else:
             continue
         ds_viols.append(dc.check_id)
@@ -767,6 +785,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("npc") == 0).alias("passed"),
                     F.col("npc").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "freshness":
+            fv = _freshness_violations(dc, df)
+            violation_dfs.append(_with_ipath(fv))
+            verdict_dfs.append(
+                fv.agg(F.count(F.lit(1)).alias("nfr")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nfr") == 0).alias("passed"),
+                    F.col("nfr").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

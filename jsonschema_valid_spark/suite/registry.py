@@ -87,6 +87,7 @@ DATASET_KEYWORDS = frozenset(
         "x-nearDup",        # near-duplicate membership (MinHash/SimHash/semantic)
         "x-partitionComplete",  # declared partitions present (lift of `required`)
         "x-aggConsistency",  # column == child-table aggregate (lift of `const`)
+        "x-freshness",      # per-group max-timestamp recency vs declared as-of
         "x-rowExpr",        # escape hatch: arbitrary SQL boolean over the row
         "x-parity",         # per-row equality vs a reference table (BASELINE.json:15)
     }

@@ -240,6 +240,23 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-lmScore must be {'minScore': number, "
                               "'model'?: '@name', 'vocabSize'?: int, "
                               "'alpha'?: number}")
+        elif kw == "x-freshness":
+            ok = isinstance(v, dict) and isinstance(v.get("asOf"), str) \
+                and isinstance(v.get("maxAgeHours"), (int, float)) \
+                and not isinstance(v.get("maxAgeHours"), bool)
+            if ok:
+                try:
+                    from datetime import datetime
+
+                    datetime.fromisoformat(v["asOf"])
+                except ValueError:
+                    ok = False
+            if not ok:
+                raise _err(p, "x-freshness must be {'asOf': ISO-datetime, "
+                              "'maxAgeHours': number, 'by'?: col, "
+                              "'maxFutureHours'?: number} — asOf is a "
+                              "DECLARED instant (never the wall clock) so "
+                              "runs are reproducible")
         elif kw == "x-aggConsistency":
             ok = (isinstance(v, dict)
                   and all(isinstance(v.get(k), str) and v[k]
