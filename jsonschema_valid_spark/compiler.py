@@ -1138,6 +1138,12 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
                 {"approx": True, "rsd": float(v.get("rsd", 0.01))}))
     elif kw == "x-referential":
         plan.dataset_checks.append(DatasetCheck(cid, "referential", colname, dict(v)))
+    elif kw == "x-monotonic":
+        # dataset scope: each row is bounded by its PREDECESSOR in a
+        # declared ordering — inherently relational (window), unlike the
+        # literal bounds of minimum/maximum
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "monotonic", colname, dict(v)))
     elif kw == "x-freshness":
         # dataset scope: staleness is the ABSENCE of recent rows — no
         # row-scope check can see it (the bound is on a per-group

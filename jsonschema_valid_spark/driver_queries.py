@@ -2869,6 +2869,51 @@ def engine_aggconsistency_violations(spark, sf_dir):
     return res.violations.select("doc_id", "check_id", "observed")
 
 
+_MONOTONIC_KW_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(10,2)) AS v
+  FROM events
+), w AS (
+  SELECT event_id, v,
+         lag(v) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev
+  FROM e
+)
+SELECT CAST(event_id AS VARCHAR) AS doc_id,
+       'properties/value/x-monotonic' AS check_id,
+       'prev=' || CAST(prev AS VARCHAR)
+         || ',cur=' || CAST(v AS VARCHAR) AS observed
+FROM w WHERE prev IS NOT NULL AND v < prev
+"""
+
+
+@register_extended("engine_monotonic_violations", _MONOTONIC_KW_SQL)
+def engine_monotonic_violations(spark, sf_dir):
+    """x-monotonic as a DECLARATIVE suite keyword: treating `value` as a
+    per-user cumulative metric, it must never run backwards along the
+    user's (ts, event_id) timeline — each row bounded by its PREDECESSOR
+    in a declared ordering, the sequential check no per-row keyword can
+    express (`minimum` bounds against a literal; this bounds against a
+    window lag). The feed assigns values independently of time, so
+    out-of-order values are plentiful witnesses (~4,900 at sf0.01).
+    `value` is cast to decimal(10,2) (lossless: the generator rounds to
+    2 places) so the observed prev/cur witness strings render identically
+    in Spark and DuckDB. One Exchange on user_id + per-partition sort —
+    the same shuffle shape as a groupBy on the key, row data moves once,
+    never a self-join (plan-asserted in tests/test_monotonic_keyword.py).
+    EXTENDED mirror entry; full value-hash oracle replays the window."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("value", F.col("value").cast("decimal(10,2)"))
+    )
+    suite = CheckSuite({"properties": {"value": {"x-monotonic": {
+        "orderBy": "ts", "by": "user_id"}}}})
+    res = suite.run(events, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
 _FRESHNESS_KW_SQL = """
 WITH m AS (
   SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type

@@ -227,6 +227,20 @@ def _freshness_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _monotonic_violations(dc, df: DataFrame, key: str) -> DataFrame:
+    """Shared x-monotonic execution for both run paths."""
+    from jsonschema_valid_spark.operators.ordering import (
+        monotonic_violations,
+    )
+
+    return monotonic_violations(
+        df, dc.column, dc.check_id, key=key,
+        order_by=dc.params["orderBy"],
+        by=dc.params.get("by"),
+        direction=dc.params.get("direction", "nonDecreasing"),
+    )
+
+
 def _resolve_drift_baseline(params: dict, context: dict) -> dict:
     """x-drift baseline may be a literal {bucket: count} dict or "@name" —
     a context DataFrame of (bucket, count) rows (e.g. a histogram captured
@@ -458,6 +472,8 @@ def run_suite_summarized(
             vdf = _agg_consistency_violations(dc, df, context)
         elif dc.kind == "freshness":
             vdf = _freshness_violations(dc, df)
+        elif dc.kind == "monotonic":
+            vdf = _monotonic_violations(dc, df, key)
         else:
             continue
         ds_viols.append(dc.check_id)
@@ -785,6 +801,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("npc") == 0).alias("passed"),
                     F.col("npc").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "monotonic":
+            mv = _monotonic_violations(dc, df, key)
+            violation_dfs.append(_with_ipath(mv))
+            verdict_dfs.append(
+                mv.agg(F.count(F.lit(1)).alias("nmo")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nmo") == 0).alias("passed"),
+                    F.col("nmo").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -1,0 +1,89 @@
+"""Ordering validation: a column must be monotonic within a group when rows
+are sequenced by an order column (``x-monotonic``).
+
+The sequential integrity check none of the per-row keywords can express —
+`minimum`/`maximum` (validators.rs numeric bounds) bound a value against a
+LITERAL; here each row is bounded against its PREDECESSOR in a declared
+ordering, so the check is inherently relational: append-only version
+counters, event timestamps that must not run backwards per session,
+cumulative totals, retry counters.
+
+Scale contract (10^12 rows): one window = one hash-partitioned Exchange on
+the group key + per-partition sort — identical shuffle shape to any
+groupBy on the same key (AQE handles skewed groups). Row data shuffles
+ONCE; no joins, no self-join (the naive pairs formulation is a row-grain
+self-join — strictly worse). The order column + run key form the total
+order, so lag() is deterministic even under order-column ties.
+
+``by=None`` (whole-table ordering) funnels every row through ONE partition
+for the global sort — correct, but fixtures/small-table only; declare a
+group column at scale (same caveat as functions/packing.py's global
+window, documented there).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+_DIRECTIONS = {
+    "nonDecreasing": "<",   # violation when cur <  prev
+    "increasing": "<=",     # violation when cur <= prev
+    "nonIncreasing": ">",   # violation when cur >  prev
+    "decreasing": ">=",     # violation when cur >= prev
+}
+
+
+def monotonic_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    key: str,
+    order_by: str,
+    by: str | None = None,
+    direction: str = "nonDecreasing",
+) -> DataFrame:
+    """``x-monotonic`` execution: rows that break the declared monotonic
+    run as engine violation rows (doc_id, check_id, observed, expected).
+
+    ``order_by`` defines the sequence (tie-broken by ``key`` for a total
+    order); ``by`` scopes independent runs (session, device, partition).
+    A row violates when ``column`` compared to its predecessor's value
+    fails ``direction``. Strict lag(1) semantics: each row is compared to
+    its IMMEDIATE predecessor only, and pairs where either side is NULL
+    never violate (`type`/`required`/x-nullRate police nulls — a NULL
+    simply breaks the chain for one comparison). observed =
+    ``prev=<v>,cur=<v>`` (CAST AS STRING rendering — use integer /
+    decimal / timestamp columns for cross-engine-stable witnesses).
+    """
+    if direction not in _DIRECTIONS:
+        raise ValueError(
+            f"direction must be one of {sorted(_DIRECTIONS)}, "
+            f"got {direction!r}")
+    part = [by] if by is not None else [F.lit(1)]
+    w = Window.partitionBy(*part).orderBy(F.col(order_by), F.col(key))
+    prev = F.lag(column).over(w)
+    cur = F.col(column)
+    op = _DIRECTIONS[direction]
+    viol = F.expr(f"cur_v {op} prev_v")
+    scope = f" per {by}" if by else ""
+    exp_msg = f"{column} {direction} over {order_by}{scope}"
+    return (
+        df.select(
+            F.col(key).alias("__key"),
+            cur.alias("cur_v"),
+            prev.alias("prev_v"),
+        )
+        .where(F.col("cur_v").isNotNull() & F.col("prev_v").isNotNull()
+               & viol)
+        .select(
+            F.col("__key").cast("string").alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.concat_ws(
+                ",",
+                F.concat(F.lit("prev="),
+                         F.col("prev_v").cast("string")),
+                F.concat(F.lit("cur="), F.col("cur_v").cast("string")),
+            ).alias("observed"),
+            F.lit(exp_msg).alias("expected"),
+        )
+    )

@@ -290,6 +290,10 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "method"}},
         }}),
+        _kw("x-monotonic", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "orderBy"}},
+        }}),
         _kw("x-freshness", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "asOf"}},

@@ -88,6 +88,7 @@ DATASET_KEYWORDS = frozenset(
         "x-partitionComplete",  # declared partitions present (lift of `required`)
         "x-aggConsistency",  # column == child-table aggregate (lift of `const`)
         "x-freshness",      # per-group max-timestamp recency vs declared as-of
+        "x-monotonic",      # value monotonic over a declared ordering per group
         "x-rowExpr",        # escape hatch: arbitrary SQL boolean over the row
         "x-parity",         # per-row equality vs a reference table (BASELINE.json:15)
     }

@@ -240,6 +240,17 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-lmScore must be {'minScore': number, "
                               "'model'?: '@name', 'vocabSize'?: int, "
                               "'alpha'?: number}")
+        elif kw == "x-monotonic":
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("orderBy"), str) and v["orderBy"]
+                  and v.get("direction", "nonDecreasing") in (
+                      "nonDecreasing", "increasing",
+                      "nonIncreasing", "decreasing"))
+            if not ok:
+                raise _err(p, "x-monotonic must be {'orderBy': col, "
+                              "'by'?: col, 'direction'?: 'nonDecreasing' | "
+                              "'increasing' | 'nonIncreasing' | "
+                              "'decreasing'}")
         elif kw == "x-freshness":
             ok = isinstance(v, dict) and isinstance(v.get("asOf"), str) \
                 and isinstance(v.get("maxAgeHours"), (int, float)) \

@@ -1,0 +1,110 @@
+"""x-monotonic: per-group monotonicity over a declared ordering
+(operators/ordering.py monotonic_violations + engine wiring in both paths).
+
+The sequential integrity check per-row keywords can't express — each row is
+bounded by its PREDECESSOR (window lag), not a literal.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark import CheckSuite
+from jsonschema_valid_spark.engine import run_suite_summarized
+from jsonschema_valid_spark.operators.ordering import monotonic_violations
+from jsonschema_valid_spark.suite.metaschema import validate_suite_with_engine
+from jsonschema_valid_spark.suite.spec import SuiteError, validate_suite_spec
+
+
+def _df(spark):
+    # group 'a': 10, 20, 15 (row 3 breaks nonDecreasing), then 15 again
+    # (ties OK for nonDecreasing, break increasing)
+    # group 'b': NULL in the middle — pairs with NULL never violate
+    rows = [
+        (1, "a", 1, 10), (2, "a", 2, 20), (3, "a", 3, 15), (4, "a", 4, 15),
+        (5, "b", 1, 5), (6, "b", 2, None), (7, "b", 3, 1),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id: long, grp: string, seq: long, v: int")
+
+
+_SPEC = {"properties": {"v": {"x-monotonic": {
+    "orderBy": "seq", "by": "grp"}}}}
+
+
+def test_non_decreasing_violations_and_verdict(spark):
+    res = CheckSuite(_SPEC).run(_df(spark), key="doc_id")
+    viol = {r["doc_id"]: r for r in res.violations.collect()}
+    assert set(viol) == {"3"}
+    assert viol["3"]["observed"] == "prev=20,cur=15"
+    cid = "properties/v/x-monotonic"
+    verd = [r for r in res.verdicts.collect() if r["check_id"] == cid]
+    assert len(verd) == 1 and verd[0]["partition_id"] == "<global>"
+    assert not verd[0]["passed"] and verd[0]["metric_value"] == 1.0
+
+
+def test_strict_increasing_flags_ties(spark):
+    spec = {"properties": {"v": {"x-monotonic": {
+        "orderBy": "seq", "by": "grp", "direction": "increasing"}}}}
+    res = CheckSuite(spec).run(_df(spark), key="doc_id")
+    assert ({r["doc_id"] for r in res.violations.collect()}
+            == {"3", "4"})  # 15 after 20, then the 15==15 tie
+
+
+def test_decreasing_directions(spark):
+    rows = [(1, 1, 30), (2, 2, 20), (3, 3, 25), (4, 4, 25)]
+    df = spark.createDataFrame(rows, "doc_id: long, seq: long, v: int")
+    spec = {"properties": {"v": {"x-monotonic": {
+        "orderBy": "seq", "direction": "nonIncreasing"}}}}
+    res = CheckSuite(spec).run(df, key="doc_id")
+    assert {r["doc_id"] for r in res.violations.collect()} == {"3"}
+    spec = {"properties": {"v": {"x-monotonic": {
+        "orderBy": "seq", "direction": "decreasing"}}}}
+    res = CheckSuite(spec).run(df, key="doc_id")
+    assert {r["doc_id"] for r in res.violations.collect()} == {"3", "4"}
+
+
+def test_order_ties_broken_by_key(spark):
+    """Two rows with the same orderBy value: the run key breaks the tie, so
+    lag() is deterministic regardless of physical partitioning."""
+    rows = [(1, 1, 10), (2, 1, 5), (3, 2, 7)]
+    df = spark.createDataFrame(rows, "doc_id: long, seq: long, v: int")
+    out = monotonic_violations(df.repartition(8), "v", "c", key="doc_id",
+                               order_by="seq")
+    got = {(r["doc_id"], r["observed"]) for r in out.collect()}
+    # order is (seq, doc_id): 10, 5, 7 → doc 2 breaks (5 < 10)
+    assert got == {("2", "prev=10,cur=5")}
+
+
+def test_summarized_parity(spark):
+    df = _df(spark)
+    lazy = CheckSuite(_SPEC).run(df, key="doc_id")
+    summ = run_suite_summarized(CheckSuite(_SPEC), df, key="doc_id")
+    cols = ["doc_id", "check_id", "observed", "expected"]
+    assert (sorted(map(tuple, lazy.violations.select(*cols).collect()))
+            == sorted(map(tuple, summ.violations.select(*cols).collect())))
+
+
+def test_single_shuffle_no_join(spark):
+    """Scale contract: one Exchange on the group key + sort — no join, no
+    self-join (the naive pairs formulation is a row-grain self-join)."""
+    out = monotonic_violations(_df(spark), "v", "c", key="doc_id",
+                               order_by="seq", by="grp")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert plan.count("Exchange") <= 1
+
+
+@pytest.mark.parametrize("bad", [
+    {"by": "grp"},                                   # orderBy absent
+    {"orderBy": "seq", "direction": "upwards"},      # bad direction
+    {"orderBy": ""},                                 # empty orderBy
+    "seq",                                           # not an object
+])
+def test_spec_validation_rejects(bad):
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-monotonic": bad}}})
+
+
+def test_spec_and_metaschema_accept(spark):
+    validate_suite_spec(_SPEC)  # walker
+    assert validate_suite_with_engine(spark, _SPEC).ok()  # self-hosted
