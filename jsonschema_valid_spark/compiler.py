@@ -1196,6 +1196,70 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
             hits.cast("string"),
             f"at most {max_hits} blocklist term(s) of {sorted(terms)}",
         ))
+    elif kw == "x-tokenShape":
+        # ROW-scope token-array structure: a pre-tokenized training
+        # sequence must carry its special tokens where the trainer
+        # expects them — BOS prefix, EOS suffix, no forbidden ids,
+        # padding only as a trailing run. `items` tuple form can pin a
+        # PREFIX but nothing anchored to the END of a variable-length
+        # array; this keyword closes that gap. Rides the fused row
+        # projection (zero extra scans/shuffles); every predicate is a
+        # native Catalyst array expression over ONE cast of the column.
+        arr = col.cast("array<bigint>")
+        prefix = [int(t) for t in v.get("startsWith", [])]
+        suffix = [int(t) for t in v.get("endsWith", [])]
+        forbidden = [int(t) for t in v.get("forbidden", [])]
+        pad = v.get("pad")
+        conds, desc, witness = [], [], []
+        if prefix:
+            want = F.array(*[F.lit(t).cast("bigint") for t in prefix])
+            okp = F.slice(arr, 1, len(prefix)) == want
+            conds.append(okp)
+            desc.append(f"startsWith={prefix}")
+            witness.append(F.when(~okp, F.lit("badPrefix")))
+        if suffix:
+            k = len(suffix)
+            want = F.array(*[F.lit(t).cast("bigint") for t in suffix])
+            # clamp start to 1 so short arrays yield a (mismatching)
+            # short slice instead of an ANSI slice error
+            start = F.greatest(F.size(arr) - F.lit(k - 1), F.lit(1))
+            oks = F.slice(arr, start, k) == want
+            conds.append(oks)
+            desc.append(f"endsWith={suffix}")
+            witness.append(F.when(~oks, F.lit("badSuffix")))
+        if forbidden:
+            bad = F.array(*[F.lit(t).cast("bigint") for t in forbidden])
+            hit = F.arrays_overlap(arr, bad)
+            first_bad = F.try_element_at(
+                F.filter(arr, lambda x: F.array_contains(bad, x)),
+                F.lit(1))
+            conds.append(~hit)
+            desc.append(f"no forbidden {sorted(forbidden)}")
+            witness.append(F.when(hit, F.concat(
+                F.lit("forbidden="), first_bad.cast("string"))))
+        if pad is not None:
+            padl = F.lit(int(pad)).cast("bigint")
+            pos = F.array_position(arr, padl).cast("int")
+            # CaseWhen evaluates lazily: the slice only runs when a pad
+            # exists (pos >= 1), so start/length stay ANSI-valid
+            tail_ok = F.when(
+                pos > 0,
+                F.forall(
+                    F.slice(arr, pos, F.size(arr) - pos + F.lit(1)),
+                    lambda x: x == padl),
+            ).otherwise(F.lit(True))
+            conds.append(tail_ok)
+            desc.append(f"pad {int(pad)} trailing-only")
+            witness.append(F.when(~tail_ok, F.lit("interiorPad")))
+        pred = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            pred = pred & c
+        plan.row_checks.append(RowCheck(
+            cid,
+            F.coalesce(pred, F.lit(True)),
+            F.concat_ws(",", *witness),
+            "tokenShape: " + ", ".join(desc),
+        ))
     elif kw == "x-vector":
         # ROW-scope embedding-column validation: width, finiteness
         # (NaN/±Inf), unit-L2-norm within tolerance — the checks a

@@ -2914,6 +2914,77 @@ def engine_monotonic_violations(spark, sf_dir):
     return res.violations.select("doc_id", "check_id", "observed")
 
 
+_SHAPED_CASE = """
+  CASE WHEN did % 91 = 0 THEN tokens
+       WHEN did % 95 = 0
+         THEN {arr}(50300) || tokens || {arr}(50301, 50299, 50301)
+       ELSE {arr}(50300) || tokens || {arr}(50301) END
+"""
+
+_TOKENSHAPE_KW_SQL = oracle_with_sequences("""
+, s AS (
+  SELECT doc_id, CAST(substr(doc_id, 5) AS BIGINT) AS did, tokens
+  FROM sequences
+), sh AS (
+  SELECT doc_id, """ + _SHAPED_CASE.format(arr="list_value") + """ AS t
+  FROM s
+), v AS (
+  SELECT doc_id, t,
+    (t[1:1] = [50300]) AS okp,
+    (t[greatest(len(t), 1):] = [50301]) AS oks,
+    NOT list_has_any(t, [-5]) AS okf,
+    CASE WHEN coalesce(list_position(t, 50301), 0) = 0 THEN TRUE
+         ELSE list_aggregate(list_transform(
+                t[list_position(t, 50301):], x -> x = 50301),
+              'bool_and') END AS okpad
+  FROM sh
+)
+SELECT doc_id, 'properties/tokens/x-tokenShape' AS check_id,
+  concat_ws(',',
+    CASE WHEN NOT okp THEN 'badPrefix' END,
+    CASE WHEN NOT oks THEN 'badSuffix' END,
+    CASE WHEN NOT okf THEN 'forbidden='
+      || CAST(list_filter(t, x -> x = -5)[1] AS VARCHAR) END,
+    CASE WHEN NOT okpad THEN 'interiorPad' END) AS observed
+FROM v
+WHERE NOT (okp AND oks AND okf AND okpad)
+""")
+
+
+@register_extended("engine_tokenshape_violations", _TOKENSHAPE_KW_SQL)
+def engine_tokenshape_violations(spark, sf_dir):
+    """x-tokenShape as a DECLARATIVE suite keyword over a BOS/EOS-framed
+    view of the derived `sequences` table: tokens must start with BOS
+    50300, end with EOS 50301, contain no forbidden -5, and carry pad
+    50301 only as a trailing run — the end-anchored structural checks
+    `items` tuple form cannot express. Witness arms are deterministic:
+    did%91 rows keep raw (unframed) tokens → badPrefix+badSuffix;
+    did%95 rows get an interrupted trailing run (EOS, 50299, EOS) →
+    interiorPad; the generator's did%101 corruption (tokens[0] = -5,
+    sources/sequences.py:15) → forbidden=-5. 50299-50301 sit above the
+    50257 vocab so framing never collides with data tokens. All four
+    predicates are native Catalyst array expressions riding the fused
+    row pass (zero extra scans/shuffles — plan-asserted in
+    tests/test_tokenshape_keyword.py). EXTENDED mirror entry; full
+    value-hash oracle replays the framing and every predicate in DuckDB
+    list algebra."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.sources.sequences import load_sequences
+
+    seq = load_sequences(spark, sf_dir)
+    shaped = F.expr(
+        "CAST(substr(doc_id, 5) AS BIGINT)").alias("did")
+    framed = (
+        seq.withColumn("did", shaped)
+        .withColumn("tokens", F.expr(_SHAPED_CASE.format(arr="array")))
+    )
+    suite = CheckSuite({"properties": {"tokens": {"x-tokenShape": {
+        "startsWith": [50300], "endsWith": [50301], "forbidden": [-5],
+        "pad": 50301}}}})
+    res = suite.run(framed, key="doc_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
 _FRESHNESS_KW_SQL = """
 WITH m AS (
   SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type

@@ -306,6 +306,11 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "expected"}},
         }}),
+        _kw("x-tokenShape", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"minItems": 1, "items": {
+                "enum": ["startsWith", "endsWith", "forbidden", "pad"]}},
+        }}),
         _kw("x-vector", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"minItems": 1, "items": {

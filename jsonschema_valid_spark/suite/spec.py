@@ -295,6 +295,25 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-nearDup must be {'method': 'jaccard'|"
                               "'minhash'|'simhash'|'spans'|'semantic', "
                               "...method knobs}")
+        elif kw == "x-tokenShape":
+            def _ids(x):
+                return (isinstance(x, list) and x
+                        and all(isinstance(t, int)
+                                and not isinstance(t, bool) for t in x))
+            ok = (isinstance(v, dict) and v
+                  and set(v) <= {"startsWith", "endsWith", "forbidden",
+                                 "pad"}
+                  and all(_ids(v[kk])
+                          for kk in ("startsWith", "endsWith", "forbidden")
+                          if kk in v)
+                  and ("pad" not in v
+                       or (isinstance(v["pad"], int)
+                           and not isinstance(v["pad"], bool))))
+            if not ok:
+                raise _err(p, "x-tokenShape must be a non-empty object of "
+                              "{'startsWith'?: [int,...], "
+                              "'endsWith'?: [int,...], "
+                              "'forbidden'?: [int,...], 'pad'?: int}")
         elif kw == "x-vector":
             ok = (isinstance(v, dict) and v
                   and set(v) <= {"dim", "unit", "tol", "finite"}
