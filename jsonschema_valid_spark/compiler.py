@@ -1138,6 +1138,12 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
                 {"approx": True, "rsd": float(v.get("rsd", 0.01))}))
     elif kw == "x-referential":
         plan.dataset_checks.append(DatasetCheck(cid, "referential", colname, dict(v)))
+    elif kw == "x-rowCount":
+        # dataset scope: the lift of minItems/maxItems from one row's
+        # array length to table/group cardinality — "did the right
+        # AMOUNT of rows arrive" is invisible to every row check
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "row_count", colname, dict(v)))
     elif kw == "x-monotonic":
         # dataset scope: each row is bounded by its PREDECESSOR in a
         # declared ordering — inherently relational (window), unlike the

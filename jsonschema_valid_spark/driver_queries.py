@@ -2985,6 +2985,37 @@ def engine_tokenshape_violations(spark, sf_dir):
     return res.violations.select("doc_id", "check_id", "observed")
 
 
+_ROWCOUNT_KW_SQL = """
+SELECT coalesce(CAST(user_id AS VARCHAR), '<null>') AS doc_id,
+       'properties/user_id/x-rowCount' AS check_id,
+       'count=' || CAST(count(*) AS VARCHAR) AS observed
+FROM events
+GROUP BY user_id
+HAVING count(*) < 55 OR count(*) > 80
+"""
+
+
+@register_extended("engine_rowcount_violations", _ROWCOUNT_KW_SQL)
+def engine_rowcount_violations(spark, sf_dir):
+    """x-rowCount as a DECLARATIVE suite keyword: each user's event count
+    must land in [55, 80] — the dataset-scope lift of minItems/maxItems
+    from one row's array length to group cardinality ("did the right
+    AMOUNT arrive per key"), invisible to every row check. The synthetic
+    feed's per-user volume is SF-stable (~50-90 events/user at every SF)
+    so the same literal bounds yield witnesses at sf0.001 (3) and sf0.01
+    (19). One map-side-combined count aggregate; everything downstream
+    rides #groups rows — no joins (plan-asserted in
+    tests/test_rowcount_keyword.py). EXTENDED mirror entry; full
+    value-hash oracle is the GROUP BY ... HAVING replay."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"user_id": {"x-rowCount": {
+        "min": 55, "max": 80}}}})
+    res = suite.run(events, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
 _FRESHNESS_KW_SQL = """
 WITH m AS (
   SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type

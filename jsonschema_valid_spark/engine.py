@@ -227,6 +227,21 @@ def _freshness_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _row_count_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-rowCount execution for both run paths."""
+    from jsonschema_valid_spark.operators.cardinality import (
+        row_count_violations,
+    )
+
+    mn, mx = dc.params.get("min"), dc.params.get("max")
+    return row_count_violations(
+        df, dc.column, dc.check_id,
+        min_count=None if mn is None else int(mn),
+        max_count=None if mx is None else int(mx),
+        scope=dc.params.get("scope", "group"),
+    )
+
+
 def _monotonic_violations(dc, df: DataFrame, key: str) -> DataFrame:
     """Shared x-monotonic execution for both run paths."""
     from jsonschema_valid_spark.operators.ordering import (
@@ -474,6 +489,8 @@ def run_suite_summarized(
             vdf = _freshness_violations(dc, df)
         elif dc.kind == "monotonic":
             vdf = _monotonic_violations(dc, df, key)
+        elif dc.kind == "row_count":
+            vdf = _row_count_violations(dc, df)
         else:
             continue
         ds_viols.append(dc.check_id)
@@ -801,6 +818,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("npc") == 0).alias("passed"),
                     F.col("npc").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "row_count":
+            rcv = _row_count_violations(dc, df)
+            violation_dfs.append(_with_ipath(rcv))
+            verdict_dfs.append(
+                rcv.agg(F.count(F.lit(1)).alias("nrc")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nrc") == 0).alias("passed"),
+                    F.col("nrc").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

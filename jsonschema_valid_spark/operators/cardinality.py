@@ -1,0 +1,74 @@
+"""Cardinality validation: row-count bounds per group or for the whole
+table (``x-rowCount``).
+
+≙ the reference's ``minItems``/``maxItems`` (validators.rs array-length
+bounds) lifted from the length of one row's array to the cardinality of a
+TABLE or its groups — the dataset-scope question "did roughly the right
+number of rows arrive for each key" that no row-scope check can ask (every
+individual row of a half-loaded feed is valid; the failure is how many
+there are). Complements its siblings: ``x-partitionComplete`` asks "is the
+group present at all", ``x-freshness`` asks "did it keep arriving", this
+asks "did the RIGHT AMOUNT arrive".
+
+Caveat shared with x-partitionComplete: a group with ZERO rows is invisible
+to a groupBy — a `min` bound only polices groups that have at least one
+row. Declare x-partitionComplete alongside when absence itself must fail.
+
+Scale contract (10^12 rows): one map-side-combined count() aggregate;
+everything downstream operates on #groups rows. No joins, no row data past
+the partial aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def row_count_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    min_count: int | None = None,
+    max_count: int | None = None,
+    scope: str = "group",
+) -> DataFrame:
+    """``x-rowCount`` execution: out-of-bounds groups as engine violation
+    rows (doc_id, check_id, observed, expected).
+
+    ``scope="group"`` counts rows per distinct value of ``column`` (NULL
+    is its own group, doc_id "<null>"); ``scope="table"`` counts the whole
+    table as one group (doc_id "<global>" — ``column`` merely anchors the
+    check's schema path). observed = ``count=<n>``.
+    """
+    if scope not in ("group", "table"):
+        raise ValueError(f"scope must be 'group' or 'table', got {scope!r}")
+    if min_count is None and max_count is None:
+        raise ValueError("x-rowCount needs at least one of min/max")
+    if scope == "group":
+        agg = df.groupBy(column).agg(F.count(F.lit(1)).alias("n"))
+        doc = F.coalesce(F.col(column).cast("string"), F.lit("<null>"))
+    else:
+        agg = df.agg(F.count(F.lit(1)).alias("n"))
+        doc = F.lit("<global>")
+    conds = []
+    exp_parts = []
+    if min_count is not None:
+        conds.append(F.col("n") < int(min_count))
+        exp_parts.append(f"count >= {int(min_count)}")
+    if max_count is not None:
+        conds.append(F.col("n") > int(max_count))
+        exp_parts.append(f"count <= {int(max_count)}")
+    viol = conds[0]
+    for c in conds[1:]:
+        viol = viol | c
+    scope_msg = f" per {column}" if scope == "group" else " for table"
+    return (
+        agg.where(viol)
+        .select(
+            doc.alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.concat(F.lit("count="),
+                     F.col("n").cast("string")).alias("observed"),
+            F.lit(" and ".join(exp_parts) + scope_msg).alias("expected"),
+        )
+    )

@@ -290,6 +290,11 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "method"}},
         }}),
+        _kw("x-rowCount", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"minItems": 1, "items": {
+                "enum": ["min", "max", "scope"]}},
+        }}),
         _kw("x-monotonic", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "orderBy"}},

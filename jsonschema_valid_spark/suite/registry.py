@@ -90,6 +90,7 @@ DATASET_KEYWORDS = frozenset(
         "x-aggConsistency",  # column == child-table aggregate (lift of `const`)
         "x-freshness",      # per-group max-timestamp recency vs declared as-of
         "x-monotonic",      # value monotonic over a declared ordering per group
+        "x-rowCount",       # table/group cardinality bounds (lift of min/maxItems)
         "x-rowExpr",        # escape hatch: arbitrary SQL boolean over the row
         "x-parity",         # per-row equality vs a reference table (BASELINE.json:15)
     }

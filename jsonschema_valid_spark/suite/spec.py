@@ -240,6 +240,19 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-lmScore must be {'minScore': number, "
                               "'model'?: '@name', 'vocabSize'?: int, "
                               "'alpha'?: number}")
+        elif kw == "x-rowCount":
+            def _cnt(x):
+                return (isinstance(x, int) and not isinstance(x, bool)
+                        and x >= 0)
+            ok = (isinstance(v, dict)
+                  and set(v) <= {"min", "max", "scope"}
+                  and ("min" in v or "max" in v)
+                  and all(_cnt(v[kk]) for kk in ("min", "max") if kk in v)
+                  and v.get("scope", "group") in ("group", "table"))
+            if not ok:
+                raise _err(p, "x-rowCount must be {'min'?: int>=0, "
+                              "'max'?: int>=0, 'scope'?: 'group' | "
+                              "'table'} with at least one bound")
         elif kw == "x-monotonic":
             ok = (isinstance(v, dict)
                   and isinstance(v.get("orderBy"), str) and v["orderBy"]
