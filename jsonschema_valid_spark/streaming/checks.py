@@ -134,6 +134,113 @@ def stream_running_null_rate(sdf: DataFrame, group_col: str, value_col: str,
     )
 
 
+def stream_monotonic_violations(
+    sdf: DataFrame,
+    column: str,
+    order_by: str,
+    by: str,
+    key: str,
+    ts_col: str,
+    direction: str = "nonDecreasing",
+    watermark: str = "10 minutes",
+    check_id: str | None = None,
+) -> DataFrame:
+    """Streaming ``x-monotonic`` (operators/ordering.py lifted to an
+    unbounded stream): per-group monotonicity where the chain must survive
+    MICRO-BATCH BOUNDARIES — state carries each group's last
+    (order, value) so the first row of batch N is compared against the
+    last row of batch N-1, which no stateless projection or windowed
+    aggregate can do. This is the ``applyInPandasWithState`` pattern from
+    BASELINE.json north_star ("custom stateful operators"); state is two
+    doubles + a bool per group, O(#groups) regardless of stream length.
+
+    Within a micro-batch rows are sorted by (``order_by``, ``key``) —
+    identical to the batch operator's window order. ACROSS batches the
+    comparison is in arrival order: a source that replays a group's rows
+    out of order across batches is itself a sequencing violation this
+    check is designed to surface (the batch operator re-sorts globally;
+    parity with it holds when batches arrive in order — asserted in
+    tests). NULL pairs never violate (same contract as batch: nulls are
+    policed by type/required/x-nullRate; a NULL breaks the chain for one
+    comparison). Numeric columns only: order/value ride the state store
+    as doubles (timestamps: cast or pass the epoch value).
+
+    Emits engine-shaped violation rows (doc_id, check_id, observed,
+    expected) — routable to the same quarantine sink as
+    :func:`stream_row_violations`.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    viol_ops = {
+        "nonDecreasing": lambda p, c: c < p,
+        "increasing": lambda p, c: c <= p,
+        "nonIncreasing": lambda p, c: c > p,
+        "decreasing": lambda p, c: c >= p,
+    }
+    if direction not in viol_ops:
+        raise ValueError(
+            f"direction must be one of {sorted(viol_ops)}, got {direction!r}")
+    breaks = viol_ops[direction]
+    cid = check_id or f"properties/{column}/x-monotonic"
+    exp_msg = f"{column} {direction} over {order_by} per {by} (stream)"
+
+    out_schema = ("doc_id string, check_id string, observed string, "
+                  "expected string")
+    state_schema = "last_ord double, last_val double, has_prev boolean"
+
+    def _fmt(x) -> str:
+        # integral doubles render like their int source ("20" not "20.0")
+        # so observed matches the batch operator's CAST AS STRING on ints
+        return "%g" % x
+
+    def update(key_tuple, pdfs, state: GroupState):
+        prev_ord, prev_val, has_prev = (
+            state.get if state.exists else (0.0, 0.0, False))
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+            .sort_values(["__ord", "__key"], kind="mergesort")
+        docs, obs = [], []
+        prev = prev_val if has_prev else None
+        for k, cur in zip(pdf["__key"].to_numpy(),
+                          pdf["__val"].to_numpy()):
+            cur = None if pd.isna(cur) else float(cur)
+            if prev is not None and cur is not None and breaks(prev, cur):
+                docs.append(str(k))
+                obs.append(f"prev={_fmt(prev)},cur={_fmt(cur)}")
+            prev = cur
+        last = pdf.iloc[-1]
+        state.update((
+            0.0 if pd.isna(last["__ord"]) else float(last["__ord"]),
+            0.0 if prev is None else prev,
+            prev is not None,
+        ))
+        if docs:
+            yield pd.DataFrame({
+                "doc_id": docs,
+                "check_id": cid,
+                "observed": obs,
+                "expected": exp_msg,
+            })
+
+    prepped = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.col(by).alias("__by"),
+            F.col(ts_col).alias(ts_col),
+            F.col(order_by).cast("double").alias("__ord"),
+            F.col(key).cast("string").alias("__key"),
+            F.col(column).cast("double").alias("__val"),
+        )
+    )
+    return prepped.groupBy("__by").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
                           baseline: dict, bucket_width: float = 1.0,
                           psi_max: float | None = 0.25,
