@@ -186,3 +186,109 @@ def test_random_combinator_suite_matches_python(spark, spec, xs):
                res.violations.select("doc_id").distinct().collect()}
     expected = {i for i, x in enumerate(xs) if not _py_eval(spec, x)}
     assert failing == expected, (spec, xs)
+
+
+# --- continuation-wave keywords: monotonic / rowCount / tokenShape ---------
+
+_mono_rows = st.lists(
+    st.tuples(st.integers(0, 3),                       # group
+              st.integers(0, 9),                       # order (ties likely)
+              st.one_of(st.none(), st.integers(-9, 9))),  # value
+    min_size=1, max_size=20)
+_dirs = st.sampled_from(
+    ["nonDecreasing", "increasing", "nonIncreasing", "decreasing"])
+
+
+def _py_monotonic(rows, direction):
+    """Reference semantics: per group, order by (order, doc_id); a row
+    violates vs its immediate predecessor; NULL pairs never violate."""
+    import operator
+    op = {"nonDecreasing": operator.lt, "increasing": operator.le,
+          "nonIncreasing": operator.gt, "decreasing": operator.ge}[direction]
+    bad = set()
+    by_grp = {}
+    for i, (g, o, v) in enumerate(rows):
+        by_grp.setdefault(g, []).append((o, i, v))
+    for g, rs in by_grp.items():
+        rs.sort()
+        for (_, _, pv), (_, i, cv) in zip(rs, rs[1:]):
+            if pv is not None and cv is not None and op(cv, pv):
+                bad.add(str(i))
+    return bad
+
+
+@SETTINGS
+@given(rows=_mono_rows, direction=_dirs)
+def test_monotonic_matches_python_oracle(spark, rows, direction):
+    df = spark.createDataFrame(
+        [(i, g, o, v) for i, (g, o, v) in enumerate(rows)],
+        "doc_id: long, grp: long, seq: long, v: long")
+    suite = CheckSuite({"properties": {"v": {"x-monotonic": {
+        "orderBy": "seq", "by": "grp", "direction": direction}}}})
+    res = suite.run(df.repartition(4), key="doc_id")
+    got = {r["doc_id"] for r in res.violations.collect()}
+    assert got == _py_monotonic(rows, direction)
+
+
+@SETTINGS
+@given(groups=st.lists(st.integers(0, 4), min_size=1, max_size=25),
+       lo=st.integers(0, 4), hi=st.integers(2, 8))
+def test_rowcount_matches_python_oracle(spark, groups, lo, hi):
+    from collections import Counter
+
+    df = spark.createDataFrame(
+        [(i, g) for i, g in enumerate(groups)], "doc_id: long, g: long")
+    suite = CheckSuite({"properties": {"g": {"x-rowCount": {
+        "min": lo, "max": hi}}}})
+    res = suite.run(df, key="doc_id")
+    got = {r["doc_id"]: r["observed"] for r in res.violations.collect()}
+    exp = {str(g): f"count={n}" for g, n in Counter(groups).items()
+           if n < lo or n > hi}
+    assert got == exp
+
+
+_tok_arrays = st.lists(
+    st.one_of(st.none(),
+              st.lists(st.integers(-2, 6), min_size=0, max_size=8)),
+    min_size=1, max_size=15)
+
+
+def _py_tokenshape(arrs, prefix, suffix, forbidden, pad):
+    bad = {}
+    for i, a in enumerate(arrs):
+        if a is None:
+            continue
+        parts = []
+        if a[:len(prefix)] != prefix:
+            parts.append("badPrefix")
+        if a[max(len(a) - len(suffix), 0):] != suffix:
+            parts.append("badSuffix")
+        hits = [t for t in a if t in forbidden]
+        if hits:
+            parts.append(f"forbidden={hits[0]}")
+        if pad in a:
+            p = a.index(pad)
+            if any(t != pad for t in a[p:]):
+                parts.append("interiorPad")
+        if parts:
+            bad[str(i)] = ",".join(parts)
+    return bad
+
+
+@SETTINGS
+@given(arrs=_tok_arrays,
+       prefix=st.lists(st.integers(0, 4), min_size=1, max_size=2),
+       suffix=st.lists(st.integers(0, 4), min_size=1, max_size=2),
+       forbidden=st.lists(st.integers(-2, 2), min_size=1, max_size=2,
+                          unique=True),
+       pad=st.integers(0, 4))
+def test_tokenshape_matches_python_oracle(spark, arrs, prefix, suffix,
+                                          forbidden, pad):
+    df = spark.createDataFrame(
+        list(enumerate(arrs)), "doc_id: long, tokens: array<long>")
+    suite = CheckSuite({"properties": {"tokens": {"x-tokenShape": {
+        "startsWith": prefix, "endsWith": suffix,
+        "forbidden": forbidden, "pad": pad}}}})
+    res = suite.run(df, key="doc_id")
+    got = {r["doc_id"]: r["observed"] for r in res.violations.collect()}
+    assert got == _py_tokenshape(arrs, prefix, suffix, forbidden, pad)
