@@ -152,7 +152,12 @@ __bloom_words AS (
   SELECT h // 63 AS word, bit_or(1::BIGINT << CAST(h % 63 AS INT)) AS mask
   FROM __bloom_pos GROUP BY 1
 ),
-__bloom_rows AS (
+__bloom_rows AS MATERIALIZED (
+  -- MATERIALIZED is load-bearing: this CTE is referenced twice
+  -- (__bloom_probes and bloom_miss) and DuckDB inlines CTEs by
+  -- default, so the bare row_number() OVER () would be evaluated
+  -- independently per reference with nondeterministic row order —
+  -- the __rid join-back then misattributes misses to the wrong rows
   SELECT p.*, row_number() OVER () AS __rid
   FROM ({probe_select}) p WHERE p.{column} IS NOT NULL
 ),
