@@ -241,6 +241,82 @@ def stream_monotonic_violations(
     )
 
 
+def stream_freshness_alerts(
+    sdf: DataFrame,
+    group_col: str,
+    ts_col: str,
+    max_age: str = "30 minutes",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-freshness`` (operators/freshness.py lifted to an
+    unbounded stream): alert when a group's events STOP ARRIVING — the
+    batch keyword compares max(ts) against a declared as-of; on a stream
+    the equivalent question is "has the watermark advanced past
+    last_seen + max_age with no new rows", which only an EVENT-TIME TIMER
+    can ask (no row exists to trigger on — staleness is the absence of
+    rows, so stateless projections and windowed aggregates are blind to
+    it). Uses ``GroupStateTimeout.EventTimeTimeout``: each batch re-arms
+    the group's timer at max(ts) + max_age; when the watermark (advanced
+    by OTHER groups' traffic) passes the timer with no new data, the
+    group times out and one alert row is emitted, then state is dropped
+    (a later arrival re-creates the group — and re-alerts if it stalls
+    again). State per group: one timestamp — O(#groups) forever.
+
+    Determinism contract: timers fire on watermark advance (event time),
+    never the wall clock — replaying the same batched input produces the
+    same alerts (pytest-asserted), keeping the engine's wall-clock-free
+    promise in streaming.
+
+    Emits (group, last_seen, status='stale') rows, routable to the same
+    alert sink as the windowed verdicts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    delta = F.expr(f"INTERVAL {max_age}")  # validate eagerly on the driver
+    max_age_ms = sdf.sparkSession.range(1).select(
+        (F.timestamp_millis(F.lit(0).cast("long")) + delta).cast("long")
+    ).first()[0] * 1000
+    out_schema = f"{group_col} string, last_seen timestamp, status string"
+    state_schema = "last_seen_ms long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            (last_ms,) = state.get
+            state.remove()
+            yield pd.DataFrame({
+                group_col: [key_tuple[0]],
+                "last_seen": [pd.Timestamp(last_ms, unit="ms")],
+                "status": ["stale"],
+            })
+            return
+        last_ms = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            mx = pdf[ts_col].max()
+            if not pd.isna(mx):
+                last_ms = max(last_ms, int(mx.value // 1_000_000))
+        state.update((last_ms,))
+        # a timer at-or-before the watermark is rejected by Spark; clamp
+        # to watermark+1ms — the group is ALREADY stale and fires next
+        # trigger instead of crashing the query
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(last_ms + max_age_ms, wm + 1))
+        return
+
+    prepped = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.col(group_col).cast("string").alias(group_col),
+            F.col(ts_col),
+        )
+    )
+    return prepped.groupBy(group_col).applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
                           baseline: dict, bucket_width: float = 1.0,
                           psi_max: float | None = 0.25,
