@@ -3016,6 +3016,56 @@ def engine_rowcount_violations(spark, sf_dir):
     return res.violations.select("doc_id", "check_id", "observed")
 
 
+_EXEMPLARS_SQL = oracle_with_sequences("""
+, v AS (
+  SELECT doc_id, 'properties/tokens/items' AS check_id FROM sequences
+    WHERE len(list_filter(tokens, t -> t < 0 OR t >= 50257)) > 0
+  UNION ALL
+  SELECT doc_id, 'x-rowExpr' AS check_id FROM sequences
+    WHERE n_tok != len(tokens)
+), h AS (
+  SELECT doc_id, check_id,
+         CAST(('0x' || substr(md5('7:' || doc_id), 1, 15)) AS BIGINT) AS hh
+  FROM v
+)
+SELECT doc_id, check_id, CAST(rn AS INT) AS exemplar_rank FROM (
+  SELECT doc_id, check_id,
+         row_number() OVER (PARTITION BY check_id
+                            ORDER BY hh, doc_id) AS rn
+  FROM h)
+WHERE rn <= 5
+""")
+
+
+@register_extended("engine_violation_exemplars", _EXEMPLARS_SQL)
+def engine_violation_exemplars(spark, sf_dir):
+    """Violation exemplar capping (operators/exemplars.py): at 10^12 rows
+    a failing check emits billions of violation rows — the scale-correct
+    sink is the full count (already in verdicts) plus k DETERMINISTIC
+    hash-ranked exemplars per check, partitioning-invariant so reruns
+    diff cleanly. Selection is a salted two-phase window (check_id has
+    few distinct values — the exact skew the uniqueness check salts
+    against; phase 2 moves <= salt*k rows per check, never the violation
+    set). The oracle replays the selection as the equivalent single
+    window over the portable md5 hash (two-phase == single-window is
+    pytest-proven in tests/test_exemplars.py). EXTENDED mirror entry;
+    full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.exemplars import (
+        exemplar_violations,
+    )
+
+    seq = load_sequences(spark, sf_dir)
+    suite = CheckSuite({
+        "properties": {"tokens": {
+            "items": {"minimum": 0, "exclusiveMaximum": 50257}}},
+        "x-rowExpr": "n_tok = size(tokens)",
+    })
+    res = suite.run(seq, key="doc_id")
+    return exemplar_violations(res.violations, k=5, seed=7).select(
+        "doc_id", "check_id", "exemplar_rank")
+
+
 _FRESHNESS_KW_SQL = """
 WITH m AS (
   SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type
