@@ -99,6 +99,18 @@ class ValidationResult:
             out.append("no violations")
         return "\n".join(out)
 
+    def exemplars(self, k: int = 10, seed: int = 7) -> DataFrame:
+        """At most ``k`` deterministic hash-ranked exemplar violations per
+        check (operators/exemplars.py) — the bounded sink shape for runs
+        whose failing checks would otherwise emit violation rows at data
+        scale; full counts stay in the verdicts. Partitioning-invariant:
+        the same input yields the same exemplars on every rerun."""
+        from jsonschema_valid_spark.operators.exemplars import (
+            exemplar_violations,
+        )
+
+        return exemplar_violations(self.violations, k=k, seed=seed)
+
 
 def _inline_referential(plan: BoundPlan, context: dict) -> None:
     """x-referential {"inline": true}: collect the (dimension-sized) domain

@@ -70,3 +70,16 @@ def test_rejects_bad_args(spark):
         exemplar_violations(df, k=0)
     with pytest.raises(ValueError):
         exemplar_violations(df, salt=0)
+
+
+def test_result_exemplars_method(spark):
+    from jsonschema_valid_spark import CheckSuite
+
+    df = spark.createDataFrame(
+        [(i, i % 7) for i in range(60)], "doc_id: long, v: long")
+    res = CheckSuite({"properties": {"v": {"maximum": 3}}}).run(
+        df, key="doc_id")
+    out = res.exemplars(k=4).collect()
+    assert len(out) == 4
+    assert sorted(r["exemplar_rank"] for r in out) == [1, 2, 3, 4]
+    assert all(r["check_id"] == "properties/v/maximum" for r in out)
