@@ -45,6 +45,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--package", metavar="ZIP", default=None,
                    help="build the reproducible --py-files archive of this "
                         "package at ZIP and exit (no Spark session)")
+    p.add_argument("--exemplars", type=int, default=None, metavar="K",
+                   help="cap the written violations at K deterministic "
+                        "hash-ranked exemplars per check (full counts stay "
+                        "in the verdicts) — the sink shape for runs whose "
+                        "failing checks would emit violations at data scale")
     p.add_argument("--explain", action="store_true",
                    help="print the formatted physical plans for the "
                         "violations and verdicts passes WITHOUT running "
@@ -143,12 +148,19 @@ def main(argv=None) -> int:
         print(json.dumps({"ok": ok}))
         return 0 if ok else 1
 
-    result.violations.write.mode("overwrite").parquet(f"{args.output}/violations")
+    viol_out = (result.exemplars(k=args.exemplars)
+                if args.exemplars else result.violations)
+    viol_out.write.mode("overwrite").parquet(f"{args.output}/violations")
     result.verdicts.write.mode("overwrite").parquet(f"{args.output}/verdicts")
     n_viol = spark.read.parquet(f"{args.output}/violations").count()
     n_fail = (spark.read.parquet(f"{args.output}/verdicts")
               .where("passed = false").count())
-    print(json.dumps({"violations": n_viol, "failed_verdicts": n_fail}))
+    out = {"violations": n_viol, "failed_verdicts": n_fail}
+    if args.exemplars:
+        # written count is the CAP, not the total — that lives in verdicts
+        out = {"violations_written": n_viol, "failed_verdicts": n_fail,
+               "exemplars_k": args.exemplars}
+    print(json.dumps(out))
     return 0 if (n_viol == 0 and n_fail == 0) else 1
 
 

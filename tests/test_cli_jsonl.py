@@ -128,3 +128,26 @@ def test_cli_explain_prints_plans_without_running(spark, tmp_path, capsys):
     # nothing was written: explain must not execute the job
     import os
     assert not os.path.exists(tmp_path / "out")
+
+
+def test_cli_exemplars_caps_written_violations(spark, tmp_path):
+    from jsonschema_valid_spark.cli import main
+
+    rows = [{"doc_id": f"d{i:03d}", "n_tok": 1, "tokens": [-1],
+             "source": "web"} for i in range(30)]  # 30 range violations
+    p = tmp_path / "bad.jsonl"
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps(SUITE))
+    out = tmp_path / "out_ex"
+
+    rc = main(["--suite", str(suite_path), "--input", str(p),
+               "--format", "jsonl", "--output", str(out),
+               "--exemplars", "5"])
+    assert rc == 1
+    viol = spark.read.parquet(f"{out}/violations")
+    per = {r["check_id"]: r["n"] for r in
+           viol.groupBy("check_id").count().withColumnRenamed(
+               "count", "n").collect()}
+    assert all(n <= 5 for n in per.values()) and per
+    assert "exemplar_rank" in viol.columns
