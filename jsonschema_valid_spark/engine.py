@@ -254,6 +254,35 @@ def _row_count_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
+    """``{"verdicts": "perGroup"}`` on x-monotonic / x-rowCount: one
+    verdict row per group (partition_id = group value) REPLACING the
+    <global> roll-up — the per-partition pass/fail shape, enumerating
+    passing groups too. None when not requested / not applicable."""
+    if dc.params.get("verdicts") != "perGroup":
+        return None
+    if dc.kind == "monotonic" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.ordering import (
+            monotonic_group_verdicts,
+        )
+
+        return monotonic_group_verdicts(
+            df, dc.column, dc.check_id, key=key,
+            order_by=dc.params["orderBy"], by=dc.params["by"],
+            direction=dc.params.get("direction", "nonDecreasing"))
+    if dc.kind == "row_count" and dc.params.get("scope", "group") == "group":
+        from jsonschema_valid_spark.operators.cardinality import (
+            row_count_group_verdicts,
+        )
+
+        mn, mx = dc.params.get("min"), dc.params.get("max")
+        return row_count_group_verdicts(
+            df, dc.column, dc.check_id,
+            min_count=None if mn is None else int(mn),
+            max_count=None if mx is None else int(mx))
+    return None
+
+
 def _monotonic_violations(dc, df: DataFrame, key: str) -> DataFrame:
     """Shared x-monotonic execution for both run paths."""
     from jsonschema_valid_spark.operators.ordering import (
@@ -424,6 +453,7 @@ def run_suite_summarized(
 
     ds_viols = []
     approx_unique_verdicts = []
+    pergroup_verdicts = []
     for dc in plan.dataset_checks:
         if dc.kind == "unique" and dc.params.get("approx"):
             approx_unique_verdicts.append(
@@ -505,7 +535,11 @@ def run_suite_summarized(
             vdf = _row_count_violations(dc, df)
         else:
             continue
-        ds_viols.append(dc.check_id)
+        gv = _per_group_verdicts(dc, df, key)
+        if gv is not None:
+            pergroup_verdicts.append(gv)  # replaces the <global> roll-up
+        else:
+            ds_viols.append(dc.check_id)
         viol_part = viol_part.unionByName(
             _with_ipath(vdf).withColumn("__part", F.lit("<global>")))
     viol_part = viol_part.persist()
@@ -573,6 +607,7 @@ def run_suite_summarized(
                     F.col("nb").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold")))
     verdict_dfs.extend(approx_unique_verdicts)
+    verdict_dfs.extend(pergroup_verdicts)
     # drift stays on its own histogram pass (slim: one numeric column)
     from jsonschema_valid_spark.operators import drift as drift_op
 
@@ -836,6 +871,10 @@ def run_suite(
         elif dc.kind == "row_count":
             rcv = _row_count_violations(dc, df)
             violation_dfs.append(_with_ipath(rcv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
             verdict_dfs.append(
                 rcv.agg(F.count(F.lit(1)).alias("nrc")).select(
                     F.lit("<global>").alias("partition_id"),
@@ -848,6 +887,10 @@ def run_suite(
         elif dc.kind == "monotonic":
             mv = _monotonic_violations(dc, df, key)
             violation_dfs.append(_with_ipath(mv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
             verdict_dfs.append(
                 mv.agg(F.count(F.lit(1)).alias("nmo")).select(
                     F.lit("<global>").alias("partition_id"),

@@ -44,6 +44,30 @@ def row_count_violations(
         raise ValueError(f"scope must be 'group' or 'table', got {scope!r}")
     if min_count is None and max_count is None:
         raise ValueError("x-rowCount needs at least one of min/max")
+    return _row_count_agg(df, column, check_id, min_count, max_count,
+                          scope, as_verdicts=False)
+
+
+def row_count_group_verdicts(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    min_count: int | None = None,
+    max_count: int | None = None,
+) -> DataFrame:
+    """``x-rowCount {"verdicts": "perGroup"}``: one verdict row per group
+    — (partition_id=group, check_id, passed, metric_value=count,
+    threshold=0). Enumerates EVERY group, in-bounds ones as passed=true
+    (the per-partition pass/fail contract); same single count aggregate
+    as the violations form."""
+    if min_count is None and max_count is None:
+        raise ValueError("x-rowCount needs at least one of min/max")
+    return _row_count_agg(df, column, check_id, min_count, max_count,
+                          "group", as_verdicts=True)
+
+
+def _row_count_agg(df, column, check_id, min_count, max_count, scope,
+                   as_verdicts):
     if scope == "group":
         agg = df.groupBy(column).agg(F.count(F.lit(1)).alias("n"))
         doc = F.coalesce(F.col(column).cast("string"), F.lit("<null>"))
@@ -61,6 +85,14 @@ def row_count_violations(
     viol = conds[0]
     for c in conds[1:]:
         viol = viol | c
+    if as_verdicts:
+        return agg.select(
+            doc.alias("partition_id"),
+            F.lit(check_id).alias("check_id"),
+            (~viol).alias("passed"),
+            F.col("n").cast("double").alias("metric_value"),
+            F.lit(0.0).cast("double").alias("threshold"),
+        )
     scope_msg = f" per {column}" if scope == "group" else " for table"
     return (
         agg.where(viol)

@@ -31,6 +31,60 @@ _DIRECTIONS = {
     "nonIncreasing": ">",   # violation when cur >  prev
     "decreasing": ">=",     # violation when cur >= prev
 }
+_COLUMN_OPS = {
+    "nonDecreasing": lambda c, p: c < p,
+    "increasing": lambda c, p: c <= p,
+    "nonIncreasing": lambda c, p: c > p,
+    "decreasing": lambda c, p: c >= p,
+}
+
+
+def monotonic_group_verdicts(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    key: str,
+    order_by: str,
+    by: str,
+    direction: str = "nonDecreasing",
+) -> DataFrame:
+    """``x-monotonic {"verdicts": "perGroup"}``: one verdict row per
+    ``by``-group — (partition_id=group, check_id, passed, metric_value=
+    #violations, threshold=0). Groups with an unbroken run report
+    passed=true, so the verdict set enumerates EVERY group, not just the
+    failing ones (the per-partition pass/fail contract).
+
+    Plan note: the groupBy(``by``) consumes the window's existing
+    hash-partitioning on ``by`` — verdicts cost ZERO extra Exchange over
+    the violations pass (plan-asserted in tests)."""
+    if direction not in _DIRECTIONS:
+        raise ValueError(
+            f"direction must be one of {sorted(_DIRECTIONS)}, "
+            f"got {direction!r}")
+    w = Window.partitionBy(by).orderBy(F.col(order_by), F.col(key))
+    prev = F.lag(column).over(w)
+    cur = F.col(column)
+    breaks = _COLUMN_OPS[direction](cur, prev)
+    # keep the ORIGINAL `by` attribute through window -> groupBy: aliasing
+    # it first would hide the window's hash-partitioning from the
+    # aggregate and buy a second Exchange
+    flagged = df.select(
+        F.col(by),
+        (cur.isNotNull() & prev.isNotNull() & breaks)
+        .cast("int").alias("__bad"),
+    )
+    return (
+        flagged.groupBy(by)
+        .agg(F.sum("__bad").alias("nmo"))
+        .select(
+            F.coalesce(F.col(by).cast("string"),
+                       F.lit("<null>")).alias("partition_id"),
+            F.lit(check_id).alias("check_id"),
+            (F.col("nmo") == 0).alias("passed"),
+            F.col("nmo").cast("double").alias("metric_value"),
+            F.lit(0.0).cast("double").alias("threshold"),
+        )
+    )
 
 
 def monotonic_violations(

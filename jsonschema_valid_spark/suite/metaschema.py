@@ -293,7 +293,7 @@ METASCHEMA_SUITE: dict = {
         _kw("x-rowCount", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"minItems": 1, "items": {
-                "enum": ["min", "max", "scope"]}},
+                "enum": ["min", "max", "scope", "verdicts"]}},
         }}),
         _kw("x-monotonic", {"properties": {
             "value_type": {"const": "object"},

@@ -245,25 +245,33 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 return (isinstance(x, int) and not isinstance(x, bool)
                         and x >= 0)
             ok = (isinstance(v, dict)
-                  and set(v) <= {"min", "max", "scope"}
+                  and set(v) <= {"min", "max", "scope", "verdicts"}
                   and ("min" in v or "max" in v)
                   and all(_cnt(v[kk]) for kk in ("min", "max") if kk in v)
-                  and v.get("scope", "group") in ("group", "table"))
+                  and v.get("scope", "group") in ("group", "table")
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and v.get("scope", "group") == "group")))
             if not ok:
                 raise _err(p, "x-rowCount must be {'min'?: int>=0, "
                               "'max'?: int>=0, 'scope'?: 'group' | "
-                              "'table'} with at least one bound")
+                              "'table', 'verdicts'?: 'perGroup' (group "
+                              "scope only)} with at least one bound")
         elif kw == "x-monotonic":
             ok = (isinstance(v, dict)
                   and isinstance(v.get("orderBy"), str) and v["orderBy"]
                   and v.get("direction", "nonDecreasing") in (
                       "nonDecreasing", "increasing",
-                      "nonIncreasing", "decreasing"))
+                      "nonIncreasing", "decreasing")
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and isinstance(v.get("by"), str))))
             if not ok:
                 raise _err(p, "x-monotonic must be {'orderBy': col, "
                               "'by'?: col, 'direction'?: 'nonDecreasing' | "
                               "'increasing' | 'nonIncreasing' | "
-                              "'decreasing'}")
+                              "'decreasing', 'verdicts'?: 'perGroup' "
+                              "(requires 'by')}")
         elif kw == "x-freshness":
             ok = isinstance(v, dict) and isinstance(v.get("asOf"), str) \
                 and isinstance(v.get("maxAgeHours"), (int, float)) \

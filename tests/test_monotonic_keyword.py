@@ -108,3 +108,38 @@ def test_spec_validation_rejects(bad):
 def test_spec_and_metaschema_accept(spark):
     validate_suite_spec(_SPEC)  # walker
     assert validate_suite_with_engine(spark, _SPEC).ok()  # self-hosted
+
+
+def test_pergroup_verdicts_enumerate_all_groups(spark):
+    spec = {"properties": {"v": {"x-monotonic": {
+        "orderBy": "seq", "by": "grp", "verdicts": "perGroup"}}}}
+    df = _df(spark)
+    res = CheckSuite(spec).run(df, key="doc_id")
+    verd = {r["partition_id"]: (r["passed"], r["metric_value"])
+            for r in res.verdicts.collect()}
+    # group a has the 20->15 break; group b's NULL pairs never violate
+    assert verd == {"a": (False, 1.0), "b": (True, 0.0)}
+    summ = run_suite_summarized(CheckSuite(spec), df, key="doc_id")
+    sv = {r["partition_id"]: (r["passed"], r["metric_value"])
+          for r in summ.verdicts.collect()
+          if r["check_id"] == "properties/v/x-monotonic"}
+    assert sv == verd
+
+
+def test_pergroup_verdicts_zero_extra_exchange(spark):
+    """Verdicts consume the window's existing hash-partitioning on the
+    group key — exactly one Exchange in the whole plan."""
+    from jsonschema_valid_spark.operators.ordering import (
+        monotonic_group_verdicts,
+    )
+
+    out = monotonic_group_verdicts(_df(spark), "v", "c", key="doc_id",
+                                   order_by="seq", by="grp")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1 and "Join" not in plan
+
+
+def test_pergroup_requires_by():
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-monotonic": {
+            "orderBy": "seq", "verdicts": "perGroup"}}}})

@@ -88,3 +88,28 @@ def test_spec_validation_rejects(bad):
 def test_spec_and_metaschema_accept(spark):
     validate_suite_spec(_SPEC)
     assert validate_suite_with_engine(spark, _SPEC).ok()
+
+
+def test_pergroup_verdicts_both_paths(spark):
+    spec = {"properties": {"src": {"x-rowCount": {
+        "min": 2, "max": 2, "verdicts": "perGroup"}}}}
+    df = _df(spark)
+    res = CheckSuite(spec).run(df, key="doc_id")
+    verd = {r["partition_id"]: (r["passed"], r["metric_value"])
+            for r in res.verdicts.collect()}
+    # every group enumerated, in-bounds ones passed=true; no <global> row
+    assert verd == {"a": (False, 3.0), "b": (False, 1.0),
+                    "<null>": (True, 2.0)}
+    # violations unchanged (the failing groups)
+    assert ({r["doc_id"] for r in res.violations.collect()} == {"a", "b"})
+    summ = run_suite_summarized(CheckSuite(spec), df, key="doc_id")
+    sv = {r["partition_id"]: (r["passed"], r["metric_value"])
+          for r in summ.verdicts.collect()
+          if r["check_id"] == "properties/src/x-rowCount"}
+    assert sv == verd
+
+
+def test_pergroup_requires_group_scope():
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"src": {"x-rowCount": {
+            "min": 1, "scope": "table", "verdicts": "perGroup"}}}})
