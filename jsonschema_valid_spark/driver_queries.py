@@ -3066,6 +3066,78 @@ def engine_violation_exemplars(spark, sf_dir):
         "doc_id", "check_id", "exemplar_rank")
 
 
+_ROWCOUNT_PERGROUP_SQL = """
+SELECT coalesce(CAST(user_id AS VARCHAR), '<null>') AS partition_id,
+       'properties/user_id/x-rowCount' AS check_id,
+       count(*) BETWEEN 55 AND 80 AS passed,
+       CAST(count(*) AS DOUBLE) AS metric_value
+FROM events
+GROUP BY user_id
+"""
+
+
+@register_extended("engine_rowcount_group_verdicts", _ROWCOUNT_PERGROUP_SQL)
+def engine_rowcount_group_verdicts(spark, sf_dir):
+    """x-rowCount {'verdicts': 'perGroup'}: the verdict set enumerates
+    EVERY group — in-bounds users as passed=true — instead of one
+    <global> roll-up; the per-partition pass/fail shape the north rule
+    demands, still one map-side-combined count aggregate. EXTENDED
+    mirror entry; full value-hash oracle is the GROUP BY replay with the
+    bounds as a boolean."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"user_id": {"x-rowCount": {
+        "min": 55, "max": 80, "verdicts": "perGroup"}}}})
+    res = suite.run(events, key="event_id")
+    return res.verdicts.select("partition_id", "check_id", "passed",
+                               "metric_value")
+
+
+_MONOTONIC_PERGROUP_SQL = """
+WITH e AS (
+  SELECT event_id, user_id, ts, CAST(value AS DECIMAL(10,2)) AS v
+  FROM events
+), w AS (
+  SELECT user_id, v,
+         lag(v) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) AS prev
+  FROM e
+)
+SELECT CAST(user_id AS VARCHAR) AS partition_id,
+       'properties/value/x-monotonic' AS check_id,
+       sum(CASE WHEN prev IS NOT NULL AND v < prev
+                THEN 1 ELSE 0 END) = 0 AS passed,
+       CAST(sum(CASE WHEN prev IS NOT NULL AND v < prev
+                     THEN 1 ELSE 0 END) AS DOUBLE) AS metric_value
+FROM w
+GROUP BY user_id
+"""
+
+
+@register_extended("engine_monotonic_group_verdicts",
+                   _MONOTONIC_PERGROUP_SQL)
+def engine_monotonic_group_verdicts(spark, sf_dir):
+    """x-monotonic {'verdicts': 'perGroup'}: per-user pass/fail over the
+    cumulative-value run (same declared check as
+    engine_monotonic_violations) — every user enumerated with their
+    violation count, consuming the window's existing hash-partitioning
+    so the verdict aggregate costs ZERO extra Exchange (plan-asserted in
+    tests/test_monotonic_keyword.py). EXTENDED mirror entry; full
+    value-hash oracle replays window + group roll-up."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("value", F.col("value").cast("decimal(10,2)"))
+    )
+    suite = CheckSuite({"properties": {"value": {"x-monotonic": {
+        "orderBy": "ts", "by": "user_id", "verdicts": "perGroup"}}}})
+    res = suite.run(events, key="event_id")
+    return res.verdicts.select("partition_id", "check_id", "passed",
+                               "metric_value")
+
+
 _FRESHNESS_KW_SQL = """
 WITH m AS (
   SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type
