@@ -209,6 +209,16 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     timed("hist_psi", lambda: psi(
         histogram(seq, "n_tok", 16.0),
         {b: 100 for b in range(0, 9)}, spark))
+    # r4 continuation: the window-lag family (x-monotonic) — one Exchange
+    # on the 20-value source key + per-partition sort, the worst-case
+    # group-skew shape for the operator
+    from jsonschema_valid_spark.operators.ordering import (
+        monotonic_violations,
+    )
+
+    timed("monotonic_window", lambda: monotonic_violations(
+        seq, "n_tok", "bench", key="doc_id", order_by="doc_id",
+        by="source").count())
 
     wall = timings["flagship_full"]
     totals = seq.agg(F.count(F.lit(1)).alias("n"),
