@@ -3138,6 +3138,41 @@ def engine_monotonic_group_verdicts(spark, sf_dir):
                                "metric_value")
 
 
+_FRESHNESS_PERGROUP_SQL = """
+WITH m AS (
+  SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type
+)
+SELECT event_type AS partition_id,
+       'properties/ts/x-freshness' AS check_id,
+       max_ts IS NOT NULL
+         AND max_ts >= TIMESTAMP '2024-01-30 23:30:00' AS passed,
+       round((epoch(TIMESTAMP '2024-01-31 00:00:00') - epoch(max_ts))
+             / 3600.0, 9) AS metric_value
+FROM m
+"""
+
+
+@register_extended("engine_freshness_group_verdicts",
+                   _FRESHNESS_PERGROUP_SQL)
+def engine_freshness_group_verdicts(spark, sf_dir):
+    """x-freshness {'verdicts': 'perGroup'}: one verdict row per
+    event_type — fresh types as passed=true with their age in hours at
+    the declared as-of (same check as engine_freshness_violations) —
+    the per-partition pass/fail enumeration, still one max() aggregate.
+    EXTENDED mirror entry; full value-hash oracle (epoch arithmetic
+    replayed; ages rounded to 9 dp on both sides)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"ts": {"x-freshness": {
+        "asOf": "2024-01-31 00:00:00", "maxAgeHours": 0.5,
+        "by": "event_type", "verdicts": "perGroup"}}}})
+    res = suite.run(events, key="event_id")
+    return res.verdicts.select(
+        "partition_id", "check_id", "passed",
+        F.round("metric_value", 9).alias("metric_value"))
+
+
 _FRESHNESS_KW_SQL = """
 WITH m AS (
   SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type

@@ -270,6 +270,18 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             df, dc.column, dc.check_id, key=key,
             order_by=dc.params["orderBy"], by=dc.params["by"],
             direction=dc.params.get("direction", "nonDecreasing"))
+    if dc.kind == "freshness" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.freshness import (
+            freshness_group_verdicts,
+        )
+
+        mf = dc.params.get("maxFutureHours")
+        return freshness_group_verdicts(
+            df, dc.column, dc.check_id,
+            as_of=dc.params["asOf"],
+            max_age_hours=float(dc.params["maxAgeHours"]),
+            by=dc.params["by"],
+            max_future_hours=None if mf is None else float(mf))
     if dc.kind == "row_count" and dc.params.get("scope", "group") == "group":
         from jsonschema_valid_spark.operators.cardinality import (
             row_count_group_verdicts,
@@ -903,6 +915,10 @@ def run_suite(
         elif dc.kind == "freshness":
             fv = _freshness_violations(dc, df)
             violation_dfs.append(_with_ipath(fv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
             verdict_dfs.append(
                 fv.agg(F.count(F.lit(1)).alias("nfr")).select(
                     F.lit("<global>").alias("partition_id"),

@@ -29,6 +29,44 @@ from pyspark.sql import DataFrame, functions as F
 _FMT = "yyyy-MM-dd HH:mm:ss"
 
 
+def freshness_group_verdicts(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    as_of: str,
+    max_age_hours: float,
+    by: str,
+    max_future_hours: float | None = None,
+) -> DataFrame:
+    """``x-freshness {"verdicts": "perGroup"}``: one verdict row per
+    ``by``-group — (partition_id=group, check_id, passed, metric_value=
+    age of max(ts) in hours at the declared as-of, threshold=
+    max_age_hours). Enumerates EVERY group, fresh ones as passed=true
+    (the per-partition pass/fail contract); same single max() aggregate
+    as the violations form. Groups with only NULL timestamps fail with a
+    NULL metric."""
+    asof = datetime.fromisoformat(as_of)
+    cutoff = asof - timedelta(hours=float(max_age_hours))
+    agg = df.groupBy(by).agg(F.max(column).alias("max_ts"))
+    bad = F.col("max_ts").isNull() | (F.col("max_ts") < F.lit(cutoff))
+    if max_future_hours is not None:
+        horizon = asof + timedelta(hours=float(max_future_hours))
+        bad = bad | (F.col("max_ts") > F.lit(horizon))
+    # NTZ columns refuse a direct double cast; the ts hop interprets both
+    # sides in the session tz, which cancels in the difference
+    age_h = (F.lit(asof).cast("timestamp").cast("double")
+             - F.col("max_ts").cast("timestamp").cast("double")) \
+        / F.lit(3600.0)
+    return agg.select(
+        F.coalesce(F.col(by).cast("string"),
+                   F.lit("<null>")).alias("partition_id"),
+        F.lit(check_id).alias("check_id"),
+        (~bad).alias("passed"),
+        age_h.alias("metric_value"),
+        F.lit(float(max_age_hours)).cast("double").alias("threshold"),
+    )
+
+
 def freshness_violations(
     df: DataFrame,
     column: str,

@@ -275,7 +275,10 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
         elif kw == "x-freshness":
             ok = isinstance(v, dict) and isinstance(v.get("asOf"), str) \
                 and isinstance(v.get("maxAgeHours"), (int, float)) \
-                and not isinstance(v.get("maxAgeHours"), bool)
+                and not isinstance(v.get("maxAgeHours"), bool) \
+                and ("verdicts" not in v
+                     or (v["verdicts"] == "perGroup"
+                         and isinstance(v.get("by"), str)))
             if ok:
                 try:
                     from datetime import datetime
@@ -286,7 +289,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if not ok:
                 raise _err(p, "x-freshness must be {'asOf': ISO-datetime, "
                               "'maxAgeHours': number, 'by'?: col, "
-                              "'maxFutureHours'?: number} — asOf is a "
+                              "'maxFutureHours'?: number, 'verdicts'?: "
+                              "'perGroup' (requires 'by')} — asOf is a "
                               "DECLARED instant (never the wall clock) so "
                               "runs are reproducible")
         elif kw == "x-aggConsistency":

@@ -99,3 +99,35 @@ def test_spec_validation_rejects(bad):
 def test_spec_and_metaschema_accept(spark):
     validate_suite_spec(_SPEC)  # walker
     assert validate_suite_with_engine(spark, _SPEC).ok()  # self-hosted
+
+
+def test_pergroup_verdicts_both_paths(spark):
+    spec = {"properties": {"ts": {"x-freshness": {
+        "asOf": "2024-01-31 00:00:00", "maxAgeHours": 2, "by": "source",
+        "maxFutureHours": 1, "verdicts": "perGroup"}}}}
+    df = _df(spark)
+    res = CheckSuite(spec).run(df, key="doc_id")
+    verd = {r["partition_id"]: r for r in res.verdicts.collect()}
+    # every group enumerated: fresh 'a' passes; stale 'b', all-NULL 'c',
+    # future 'd' fail; threshold carries the declared bound
+    assert set(verd) == {"a", "b", "c", "d"}
+    assert verd["a"]["passed"] and not verd["b"]["passed"]
+    assert not verd["c"]["passed"] and not verd["d"]["passed"]
+    assert abs(verd["a"]["metric_value"] - 0.5) < 1e-9   # 23:30 -> 00:00
+    assert abs(verd["b"]["metric_value"] - 14.0) < 1e-9
+    assert verd["c"]["metric_value"] is None
+    assert abs(verd["d"]["metric_value"] - (-2.0)) < 1e-9
+    assert all(r["threshold"] == 2.0 for r in verd.values())
+    summ = run_suite_summarized(CheckSuite(spec), df, key="doc_id")
+    sv = {r["partition_id"]: (r["passed"], r["metric_value"])
+          for r in summ.verdicts.collect()
+          if r["check_id"] == "properties/ts/x-freshness"}
+    assert sv == {k: (r["passed"], r["metric_value"])
+                  for k, r in verd.items()}
+
+
+def test_pergroup_requires_by():
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"ts": {"x-freshness": {
+            "asOf": "2024-01-31 00:00:00", "maxAgeHours": 2,
+            "verdicts": "perGroup"}}}})
