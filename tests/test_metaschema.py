@@ -72,6 +72,17 @@ INVALID_SUITES = [
      {"properties": {"x": {"x-drift": {"psiMax": 0.2}}}}),
     ("x-parity-no-reference", {"properties": {"x": {"x-parity": {}}}}),
     ("x-lmScore-no-min", {"properties": {"x": {"x-lmScore": {"alpha": 1.0}}}}),
+    ("x-monotonic-no-orderby", {"properties": {"x": {"x-monotonic": {
+        "by": "g"}}}}),
+    ("x-monotonic-scalar", {"properties": {"x": {"x-monotonic": "seq"}}}),
+    ("x-rowCount-empty", {"properties": {"x": {"x-rowCount": {}}}}),
+    ("x-rowCount-unknown-key", {"properties": {"x": {"x-rowCount": {
+        "limit": 2}}}}),
+    ("x-tokenShape-empty", {"properties": {"x": {"x-tokenShape": {}}}}),
+    ("x-tokenShape-unknown-key", {"properties": {"x": {"x-tokenShape": {
+        "prefix": [1]}}}}),
+    ("x-freshness-no-asof", {"properties": {"x": {"x-freshness": {
+        "maxAgeHours": 2}}}}),
     ("nonstring-rowexpr", {"x-rowExpr": 42}),
     ("scalar-schema-node", {"properties": {"x": 42}}),
     ("dependency-nonstring-list", {"dependencies": {"a": [1]}}),
