@@ -294,3 +294,29 @@ def suite_from_profile(
     if required:
         spec["required"] = sorted(required)
     return spec
+
+
+def suggest_row_count_bounds(df: DataFrame, column: str,
+                             headroom: float = 2.0) -> dict | None:
+    """Bootstrap an ``x-rowCount`` node from the observed per-group count
+    range, widened by ``headroom`` on both sides (observed min ÷ headroom,
+    observed max × headroom) — the suggested bounds pass on the profiled
+    table by construction and leave room for organic growth, the same
+    round-up-for-headroom contract as the x-nullRate suggestion.
+
+    One count aggregate; only the two-value (min, max) summary reaches
+    the driver. Returns None on an empty table. Standalone on purpose:
+    :func:`suggest_constraints` stays a pure per-column projection the
+    DuckDB oracle replays verbatim, while this needs a second (group-
+    cardinality) aggregate — callers attach the node to the group column
+    explicitly."""
+    if headroom < 1.0:
+        raise ValueError(f"headroom must be >= 1.0, got {headroom}")
+    r = (df.groupBy(column).agg(F.count(F.lit(1)).alias("n"))
+         .agg(F.min("n").alias("mn"), F.max("n").alias("mx")).first())
+    if r["mn"] is None:
+        return None
+    import math
+
+    return {"min": int(r["mn"] // headroom),
+            "max": int(math.ceil(r["mx"] * headroom))}

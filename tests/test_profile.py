@@ -164,3 +164,27 @@ def test_profile_by_group(spark, docs):
                             distinct="exact", by="source")
             ._jdf.queryExecution().executedPlan().toString())
     assert plan.count("Scan parquet") == 1
+
+
+def test_suggest_row_count_bounds(spark):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_row_count_bounds,
+    )
+
+    rows = [(i, "a" if i < 10 else "b") for i in range(16)]  # a:10, b:6
+    df = spark.createDataFrame(rows, "doc_id: long, src: string")
+    node = suggest_row_count_bounds(df, "src")
+    assert node == {"min": 3, "max": 20}
+    # self-consistent: the suggested node passes on the profiled table
+    spec = {"properties": {"src": {"x-rowCount": node}}}
+    assert CheckSuite(spec).run(df, key="doc_id").ok()
+    # and catches a group collapsing beyond the headroom
+    shrunk = df.where("src != 'b' or doc_id < 12")  # b: 6 -> 2 rows
+    res = CheckSuite(spec).run(shrunk, key="doc_id")
+    assert [r["doc_id"] for r in res.violations.collect()] == ["b"]
+    # empty table -> None; bad headroom refused
+    assert suggest_row_count_bounds(df.where("1=0"), "src") is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        suggest_row_count_bounds(df, "src", headroom=0.5)
