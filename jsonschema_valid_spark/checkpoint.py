@@ -261,8 +261,16 @@ class CheckpointRunner:
         stage_partitioned: bool = False,
         metrics_history=None,
         run_seq: int | None = None,
+        exemplars_k: int | None = None,
     ) -> RunSummary:
         """Validate ``df`` partition-by-partition, skipping completed ones.
+
+        ``exemplars_k``: commit at most k deterministic hash-ranked
+        violation exemplars per check per partition
+        (operators/exemplars.py) instead of the full violation set — the
+        sink shape for data-scale failures. Lineage and the summary still
+        record the TRUE per-partition violation count (read from the
+        engine's persisted violations, not the capped sink).
 
         ``metrics_history``: an :class:`operators.anomaly.MetricsHistory`;
         with ``run_seq`` set, the run's committed verdict metrics are
@@ -329,7 +337,9 @@ class CheckpointRunner:
             # snapshot-manifest swap (Iceberg semantics) — either way a
             # re-run replaces exactly this partition's files and CONCURRENT
             # writers never share a staging dir
-            self.protocol.commit(res.violations, "violations", p)
+            to_commit = (res.exemplars(k=exemplars_k) if exemplars_k
+                         else res.violations)
+            self.protocol.commit(to_commit, "violations", p)
             self.protocol.commit(res.verdicts, "verdicts", p)
 
             # metrics come from the COMMITTED outputs (tiny reads), not new
@@ -341,8 +351,11 @@ class CheckpointRunner:
                 .where(F.col("check_id") == "<rows>")
                 .agg(F.coalesce(F.sum("metric_value"), F.lit(0.0)))
                 .first()[0])
-            n_viol = self.protocol.read_partition(
-                spark, "violations", p).count()
+            # true count, NOT the capped sink: the engine's violations are
+            # persisted, so this is a cache read either way
+            n_viol = (res.violations.count() if exemplars_k
+                      else self.protocol.read_partition(
+                          spark, "violations", p).count())
             res.unpersist()
             wall_ms = int((time.perf_counter() - t0) * 1000)
             with lock:

@@ -93,3 +93,29 @@ def test_suite_change_invalidates_lineage(spark, seq, tmp_path):
     s = runner2.run(seq, partition_by="source", key="doc_id")
     assert s.skipped == []  # different suite_hash ⇒ nothing skippable
     assert len(s.processed) > 0
+
+
+def test_exemplars_k_caps_sink_keeps_true_counts(spark, tmp_path):
+    # dense failures: every row violates, 60 in p1 + 40 in p2 — the cap
+    # must bite (2 per partition-check) while lineage keeps true counts
+    rows = [(f"d{i:03d}", "p1" if i < 60 else "p2", -1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id: string, part: string, v: int")
+    suite = CheckSuite({"properties": {"v": {"minimum": 0}}})
+    base = str(tmp_path / "ckpt_ex")
+    runner = CheckpointRunner(suite, base)
+    summary = runner.run(df, partition_by="part", key="doc_id",
+                         exemplars_k=2)
+
+    viol = runner.violations(spark)
+    assert "exemplar_rank" in viol.columns
+    assert viol.count() == 4  # 2 exemplars x 2 partitions
+    for p in ("p1", "p2"):
+        got = (runner.protocol.read_partition(spark, "violations", p)
+               .groupBy("check_id").count().collect())
+        assert all(r["count"] <= 2 for r in got), p
+
+    # lineage + summary carry the TRUE counts, not the capped sink
+    assert summary.total_violations == 100
+    lin = {r["partition_id"]: r["n_violations"]
+           for r in runner.lineage(spark).collect()}
+    assert lin == {"p1": 60, "p2": 40}
