@@ -124,7 +124,8 @@ def main(argv=None) -> int:
         proto = (SnapshotManifestCommit(args.output.rstrip("/"))
                  if args.commit_protocol == "snapshot" else None)
         runner = CheckpointRunner(suite, args.output, commit_protocol=proto)
-        summary = runner.run(df, partition_by=args.partition_by, key=args.key)
+        summary = runner.run(df, partition_by=args.partition_by,
+                             key=args.key, exemplars_k=args.exemplars)
         # exit code covers ALL committed partitions — including ones
         # completed (and skipped) by previous interrupted runs — and failed
         # verdicts, not just this invocation's violation count
