@@ -1266,6 +1266,24 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
             F.concat_ws(",", *witness),
             "tokenShape: " + ", ".join(desc),
         ))
+    elif kw == "x-jsonWellFormed":
+        # ROW-scope JSON validity of a string metadata column (the
+        # `props` shape every event/doc pipeline drags along): a row
+        # fails when its non-NULL string does not parse as JSON. Rides
+        # the fused row projection via Catalyst's variant parser
+        # (try_parse_json — JVM-side, NULL on malformed). Known
+        # divergence vs DuckDB's json_valid oracle: non-standard NaN /
+        # Infinity literals (DuckDB permissive, Spark strict) — absent
+        # from the test corpus, documented here like the format:date
+        # checker deviations.
+        s = col.cast("string")
+        okj = s.isNull() | F.try_parse_json(s).isNotNull()
+        plan.row_checks.append(RowCheck(
+            cid,
+            F.coalesce(okj, F.lit(True)),
+            F.substring(s, 1, 40),
+            "well-formed JSON",
+        ))
     elif kw == "x-vector":
         # ROW-scope embedding-column validation: width, finiteness
         # (NaN/±Inf), unit-L2-norm within tolerance — the checks a

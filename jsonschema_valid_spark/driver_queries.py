@@ -3138,6 +3138,47 @@ def engine_monotonic_group_verdicts(spark, sf_dir):
                                "metric_value")
 
 
+_JSON_KW_SQL = """
+WITH e AS (
+  SELECT event_id,
+         CASE WHEN event_id % 37 = 0
+              THEN substr(props, 1, greatest(length(props) - 3, 1))
+              ELSE props END AS props
+  FROM events
+)
+SELECT CAST(event_id AS VARCHAR) AS doc_id,
+       'properties/props/x-jsonWellFormed' AS check_id,
+       substr(props, 1, 40) AS observed
+FROM e
+WHERE props IS NOT NULL AND NOT json_valid(props)
+"""
+
+
+@register_extended("engine_json_violations", _JSON_KW_SQL)
+def engine_json_violations(spark, sf_dir):
+    """x-jsonWellFormed as a DECLARATIVE suite keyword: the `props` JSON
+    metadata column must parse — Spark judges with Catalyst's variant
+    parser (try_parse_json, JVM-side on the fused row pass, shuffle-free
+    plan-asserted in tests/test_json_keyword.py), the oracle with
+    DuckDB's json_valid: two INDEPENDENT JSON parsers agreeing on every
+    row, stronger evidence than a replayed formula (divergence only on
+    non-standard NaN/Infinity literals, absent here). Witness arm:
+    event_id%37 rows get their props truncated by 3 chars ('{"k": 69}'
+    -> '{"k": 6') — deterministically invalid in both parsers. EXTENDED
+    mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "props",
+        F.expr("CASE WHEN event_id % 37 = 0 "
+               "THEN substr(props, 1, greatest(length(props) - 3, 1)) "
+               "ELSE props END"))
+    suite = CheckSuite({"properties": {"props": {
+        "x-jsonWellFormed": True}}})
+    res = suite.run(events, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
 _FRESHNESS_PERGROUP_SQL = """
 WITH m AS (
   SELECT event_type, max(ts) AS max_ts FROM events GROUP BY event_type

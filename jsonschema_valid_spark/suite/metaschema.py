@@ -311,6 +311,10 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "expected"}},
         }}),
+        _kw("x-jsonWellFormed", {"properties": {
+            "value_type": {"const": "boolean"},
+            "bool_value": {"const": True},
+        }}),
         _kw("x-tokenShape", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"minItems": 1, "items": {

@@ -85,6 +85,7 @@ DATASET_KEYWORDS = frozenset(
         "x-lmScore",        # unigram-LM quality gate (CCNet/KenLM-style filter)
         "x-vector",         # embedding column: width/finite/unit-norm (row-scope)
         "x-tokenShape",     # token-array structure: BOS/EOS/forbidden/pad (row-scope)
+        "x-jsonWellFormed", # string column parses as JSON (row-scope)
         "x-nearDup",        # near-duplicate membership (MinHash/SimHash/semantic)
         "x-partitionComplete",  # declared partitions present (lift of `required`)
         "x-aggConsistency",  # column == child-table aggregate (lift of `const`)

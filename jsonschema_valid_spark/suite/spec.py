@@ -320,6 +320,9 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-nearDup must be {'method': 'jaccard'|"
                               "'minhash'|'simhash'|'spans'|'semantic', "
                               "...method knobs}")
+        elif kw == "x-jsonWellFormed":
+            if v is not True:
+                raise _err(p, "x-jsonWellFormed must be true")
         elif kw == "x-tokenShape":
             def _ids(x):
                 return (isinstance(x, list) and x
