@@ -3138,6 +3138,51 @@ def engine_monotonic_group_verdicts(spark, sf_dir):
                                "metric_value")
 
 
+_GAP_KW_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+  FROM events
+), w AS (
+  SELECT event_id, ts_s,
+         lag(ts_s) OVER (PARTITION BY user_id
+                         ORDER BY ts_s, event_id) AS prev
+  FROM w_src
+), w_src AS (SELECT * FROM e)
+SELECT CAST(event_id AS VARCHAR) AS doc_id,
+       'properties/ts_s/x-monotonic' AS check_id,
+       'prev=' || CAST(prev AS VARCHAR)
+         || ',cur=' || CAST(ts_s AS VARCHAR) AS observed
+FROM w
+WHERE prev IS NOT NULL AND (ts_s < prev OR ts_s - prev > 172800)
+"""
+
+
+@register_extended("engine_gap_violations", _GAP_KW_SQL)
+def engine_gap_violations(spark, sf_dir):
+    """x-monotonic {'maxStep': ...} as the HEARTBEAT-GAP check: each
+    user's event timeline (epoch seconds) may never jump more than 48h
+    between consecutive events — a user who went silent for two days is
+    an outage window the end-of-feed x-freshness check cannot see (the
+    feed's END is fresh; the HOLE is in the middle). Same window, same
+    single shuffle as plain x-monotonic. Timestamps ride as
+    floor-truncated epoch BIGINTs so witness strings render identically
+    in Spark and DuckDB (double epoch rendering diverges:
+    1.7066...E9 vs 1706...). 16 witnesses at sf0.001, 105 at sf0.01.
+    EXTENDED mirror entry; full value-hash oracle replays the window +
+    step bound."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("ts_s", F.col("ts").cast("timestamp").cast("long"))
+    )
+    suite = CheckSuite({"properties": {"ts_s": {"x-monotonic": {
+        "orderBy": "ts_s", "by": "user_id", "maxStep": 172800}}}})
+    res = suite.run(events, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
 _JSON_KW_SQL = """
 WITH e AS (
   SELECT event_id,

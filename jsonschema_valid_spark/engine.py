@@ -266,10 +266,13 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             monotonic_group_verdicts,
         )
 
+        ms, ns = dc.params.get("maxStep"), dc.params.get("minStep")
         return monotonic_group_verdicts(
             df, dc.column, dc.check_id, key=key,
             order_by=dc.params["orderBy"], by=dc.params["by"],
-            direction=dc.params.get("direction", "nonDecreasing"))
+            direction=dc.params.get("direction", "nonDecreasing"),
+            max_step=None if ms is None else float(ms),
+            min_step=None if ns is None else float(ns))
     if dc.kind == "freshness" and dc.params.get("by") is not None:
         from jsonschema_valid_spark.operators.freshness import (
             freshness_group_verdicts,
@@ -301,11 +304,14 @@ def _monotonic_violations(dc, df: DataFrame, key: str) -> DataFrame:
         monotonic_violations,
     )
 
+    ms, ns = dc.params.get("maxStep"), dc.params.get("minStep")
     return monotonic_violations(
         df, dc.column, dc.check_id, key=key,
         order_by=dc.params["orderBy"],
         by=dc.params.get("by"),
         direction=dc.params.get("direction", "nonDecreasing"),
+        max_step=None if ms is None else float(ms),
+        min_step=None if ns is None else float(ns),
     )
 
 

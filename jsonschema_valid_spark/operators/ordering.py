@@ -47,6 +47,8 @@ def monotonic_group_verdicts(
     order_by: str,
     by: str,
     direction: str = "nonDecreasing",
+    max_step: float | None = None,
+    min_step: float | None = None,
 ) -> DataFrame:
     """``x-monotonic {"verdicts": "perGroup"}``: one verdict row per
     ``by``-group — (partition_id=group, check_id, passed, metric_value=
@@ -65,6 +67,12 @@ def monotonic_group_verdicts(
     prev = F.lag(column).over(w)
     cur = F.col(column)
     breaks = _COLUMN_OPS[direction](cur, prev)
+    if max_step is not None:
+        breaks = breaks | (cur.cast("double") - prev.cast("double")
+                           > float(max_step))
+    if min_step is not None:
+        breaks = breaks | (cur.cast("double") - prev.cast("double")
+                           < float(min_step))
     # keep the ORIGINAL `by` attribute through window -> groupBy: aliasing
     # it first would hide the window's hash-partitioning from the
     # aggregate and buy a second Exchange
@@ -95,6 +103,8 @@ def monotonic_violations(
     order_by: str,
     by: str | None = None,
     direction: str = "nonDecreasing",
+    max_step: float | None = None,
+    min_step: float | None = None,
 ) -> DataFrame:
     """``x-monotonic`` execution: rows that break the declared monotonic
     run as engine violation rows (doc_id, check_id, observed, expected).
@@ -108,6 +118,14 @@ def monotonic_violations(
     simply breaks the chain for one comparison). observed =
     ``prev=<v>,cur=<v>`` (CAST AS STRING rendering — use integer /
     decimal / timestamp columns for cross-engine-stable witnesses).
+
+    ``max_step`` / ``min_step`` additionally bound the consecutive DELTA
+    ``cur − prev`` (numeric columns; cast timestamps to epoch seconds at
+    the call site): ``max_step`` catches GAPS — a heartbeat that skipped
+    an hour is a silent outage x-freshness's end-of-feed check can't see
+    — and ``min_step`` catches bursts/duplicate readings. Same window,
+    same single shuffle; a row violates when EITHER the direction or a
+    step bound breaks.
     """
     if direction not in _DIRECTIONS:
         raise ValueError(
@@ -119,8 +137,20 @@ def monotonic_violations(
     cur = F.col(column)
     op = _DIRECTIONS[direction]
     viol = F.expr(f"cur_v {op} prev_v")
+    exp_extra = []
+    if max_step is not None:
+        viol = viol | (F.col("cur_v").cast("double")
+                       - F.col("prev_v").cast("double")
+                       > float(max_step))
+        exp_extra.append(f"step <= {max_step}")
+    if min_step is not None:
+        viol = viol | (F.col("cur_v").cast("double")
+                       - F.col("prev_v").cast("double")
+                       < float(min_step))
+        exp_extra.append(f"step >= {min_step}")
     scope = f" per {by}" if by else ""
-    exp_msg = f"{column} {direction} over {order_by}{scope}"
+    exp_msg = f"{column} {direction} over {order_by}{scope}" + (
+        " and " + " and ".join(exp_extra) if exp_extra else "")
     return (
         df.select(
             F.col(key).alias("__key"),

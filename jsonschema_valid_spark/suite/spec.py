@@ -258,11 +258,16 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                               "'table', 'verdicts'?: 'perGroup' (group "
                               "scope only)} with at least one bound")
         elif kw == "x-monotonic":
+            def _num(x):
+                return isinstance(x, (int, float)) \
+                    and not isinstance(x, bool)
             ok = (isinstance(v, dict)
                   and isinstance(v.get("orderBy"), str) and v["orderBy"]
                   and v.get("direction", "nonDecreasing") in (
                       "nonDecreasing", "increasing",
                       "nonIncreasing", "decreasing")
+                  and all(_num(v[kk])
+                          for kk in ("maxStep", "minStep") if kk in v)
                   and ("verdicts" not in v
                        or (v["verdicts"] == "perGroup"
                            and isinstance(v.get("by"), str))))
@@ -270,8 +275,9 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-monotonic must be {'orderBy': col, "
                               "'by'?: col, 'direction'?: 'nonDecreasing' | "
                               "'increasing' | 'nonIncreasing' | "
-                              "'decreasing', 'verdicts'?: 'perGroup' "
-                              "(requires 'by')}")
+                              "'decreasing', 'maxStep'?: number, "
+                              "'minStep'?: number, 'verdicts'?: "
+                              "'perGroup' (requires 'by')}")
         elif kw == "x-freshness":
             ok = isinstance(v, dict) and isinstance(v.get("asOf"), str) \
                 and isinstance(v.get("maxAgeHours"), (int, float)) \

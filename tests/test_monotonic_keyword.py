@@ -143,3 +143,51 @@ def test_pergroup_requires_by():
     with pytest.raises(SuiteError):
         validate_suite_spec({"properties": {"v": {"x-monotonic": {
             "orderBy": "seq", "verdicts": "perGroup"}}}})
+
+
+def test_max_step_gap_detection(spark):
+    """maxStep: the heartbeat-gap check — a feed that skipped readings is
+    a silent outage the end-of-feed freshness check can't see."""
+    rows = [(1, 1, 0), (2, 2, 100), (3, 3, 150), (4, 4, 1000),
+            (5, 5, 1001)]
+    df = spark.createDataFrame(rows, "doc_id: long, seq: long, v: int")
+    spec = {"properties": {"v": {"x-monotonic": {
+        "orderBy": "seq", "maxStep": 500}}}}
+    res = CheckSuite(spec).run(df, key="doc_id")
+    got = {r["doc_id"]: r["observed"] for r in res.violations.collect()}
+    assert got == {"4": "prev=150,cur=1000"}  # gap of 850
+    # expected message carries the bound
+    exp = res.violations.select("expected").first()[0]
+    assert "step <= 500" in exp
+
+
+def test_min_step_and_direction_compose(spark):
+    rows = [(1, 1, 0), (2, 2, 5), (3, 3, 6), (4, 4, 2)]
+    df = spark.createDataFrame(rows, "doc_id: long, seq: long, v: int")
+    spec = {"properties": {"v": {"x-monotonic": {
+        "orderBy": "seq", "minStep": 2}}}}
+    res = CheckSuite(spec).run(df, key="doc_id")
+    # doc 3: step 1 < 2; doc 4: direction break (2 < 6) AND step -4 < 2
+    assert ({r["doc_id"] for r in res.violations.collect()} == {"3", "4"})
+
+
+def test_step_pergroup_verdicts(spark):
+    rows = [(1, "a", 1, 0), (2, "a", 2, 900), (3, "b", 1, 0),
+            (4, "b", 2, 100)]
+    df = spark.createDataFrame(rows, "doc_id: long, grp: string, "
+                                     "seq: long, v: int")
+    spec = {"properties": {"v": {"x-monotonic": {
+        "orderBy": "seq", "by": "grp", "maxStep": 500,
+        "verdicts": "perGroup"}}}}
+    res = CheckSuite(spec).run(df, key="doc_id")
+    verd = {r["partition_id"]: r["passed"] for r in res.verdicts.collect()}
+    assert verd == {"a": False, "b": True}
+
+
+def test_step_spec_validation():
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-monotonic": {
+            "orderBy": "seq", "maxStep": "500"}}}})
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-monotonic": {
+            "orderBy": "seq", "minStep": True}}}})
