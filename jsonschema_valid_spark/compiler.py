@@ -1150,6 +1150,24 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # literal bounds of minimum/maximum
         plan.dataset_checks.append(
             DatasetCheck(cid, "monotonic", colname, dict(v)))
+    elif kw == "x-noOverlap":
+        # dataset scope: the two-column sibling of x-monotonic — interval
+        # disjointness is an invariant BETWEEN rows (each interval is
+        # individually fine; the failure is the pair)
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "no_overlap", colname, dict(v)))
+    elif kw == "x-outlier":
+        # dataset scope: the bound is LEARNED from the group's own
+        # mean/stddev — minimum/maximum with a data-aware envelope
+        # instead of a literal
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "outlier", colname, dict(v)))
+    elif kw == "x-functionalDependency":
+        # dataset scope: the lift of `dependencies` from keys within one
+        # row to values ACROSS rows — one determinant value must map to
+        # one dependent tuple table-wide
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "functional_dependency", colname, dict(v)))
     elif kw == "x-freshness":
         # dataset scope: staleness is the ABSENCE of recent rows — no
         # row-scope check can see it (the bound is on a per-group

@@ -3379,3 +3379,130 @@ def engine_completeness_violations(spark, sf_dir):
             "minRows": 50}}}})
     res = suite.run(events, key="event_id")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_OVERLAP_KW_SQL = """
+WITH e AS (
+  SELECT event_id, user_id,
+         CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           + CAST(floor(value * 60) AS BIGINT) AS e2
+  FROM events
+), w AS (
+  SELECT event_id, s, e2,
+         max(CASE WHEN s IS NOT NULL THEN e2 END)
+           OVER (PARTITION BY user_id ORDER BY s, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+  FROM e
+)
+SELECT CAST(event_id AS VARCHAR) AS doc_id,
+       'properties/s/x-noOverlap' AS check_id,
+       'start=' || CAST(s AS VARCHAR)
+         || ',prev_end=' || CAST(pe AS VARCHAR) AS observed
+FROM w
+WHERE s IS NOT NULL AND e2 IS NOT NULL AND pe IS NOT NULL AND s < pe
+"""
+
+
+@register_extended("engine_overlap_violations", _OVERLAP_KW_SQL)
+def engine_overlap_violations(spark, sf_dir):
+    """x-noOverlap as a DECLARATIVE suite keyword: each user's sessions —
+    [start, start + value minutes) carved from the events feed — must be
+    pairwise disjoint. The two-column sibling of x-monotonic: the check
+    compares each start to the RUNNING MAX of all earlier ends (not just
+    lag(end)), so an interval swallowed by an earlier longer one is
+    caught too (operators/intervals.py containment-chain note). One
+    window = one Exchange on user_id, never a self-join. Epoch-second
+    BIGINT endpoints keep witness strings cross-engine stable. 89
+    witnesses at sf0.001, 733 at sf0.01. EXTENDED mirror entry; full
+    value-hash oracle replays the running-max window."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .withColumn("s", F.col("ts").cast("timestamp").cast("long"))
+        .withColumn("e2", F.col("s")
+                    + F.floor(F.col("value") * 60).cast("long"))
+    )
+    suite = CheckSuite({"properties": {"s": {"x-noOverlap": {
+        "endColumn": "e2", "by": "user_id"}}}})
+    res = suite.run(events, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_OUTLIER_KW_SQL = """
+WITH st AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sg,
+         count(value) AS n
+  FROM events GROUP BY event_type
+)
+SELECT CAST(e.event_id AS VARCHAR) AS doc_id,
+       'properties/value/x-outlier' AS check_id,
+       'v=' || CAST(CAST(e.value AS DECIMAL(20,4)) AS VARCHAR)
+         || ',z=' || CAST(CAST(round((e.value - st.mu) / st.sg, 2)
+                               AS DECIMAL(10,2)) AS VARCHAR) AS observed
+FROM events e JOIN st ON e.event_type IS NOT DISTINCT FROM st.event_type
+WHERE e.value IS NOT NULL AND st.sg IS NOT NULL AND st.sg > 0
+  AND st.n >= 2 AND abs((e.value - st.mu) / st.sg) > 3.0
+"""
+
+
+@register_extended("engine_outlier_violations", _OUTLIER_KW_SQL)
+def engine_outlier_violations(spark, sf_dir):
+    """x-outlier as a DECLARATIVE suite keyword: event values more than 3
+    sample standard deviations from their event_type's mean — the
+    data-aware lift of minimum/maximum (validators.rs literal bounds)
+    where the envelope is LEARNED per group. Scale shape
+    (operators/outliers.py): a #groups-row stats aggregate broadcast
+    back onto the fact scan — the fact side is never hash-partitioned
+    (plan-asserted in tests). Witnesses render value and z as decimals
+    for cross-engine stability; the closest |z| to the 3.0 boundary at
+    sf0.01 is 0.0016 away, far above float-summation noise. 18
+    witnesses at sf0.001, 188 at sf0.01. EXTENDED mirror entry; full
+    value-hash oracle replays the group stats + z filter."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"value": {"x-outlier": {
+        "by": "event_type", "maxZ": 3.0}}}})
+    res = suite.run(events, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_FD_KW_SQL = """
+WITH a AS (
+  SELECT l_orderkey AS det,
+         count(DISTINCT coalesce(CAST(l_returnflag AS VARCHAR),
+                                 '<null>')) AS k,
+         min(coalesce(CAST(l_returnflag AS VARCHAR), '<null>')) AS lo,
+         max(coalesce(CAST(l_returnflag AS VARCHAR), '<null>')) AS hi
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT coalesce(CAST(det AS VARCHAR), '<null>') AS doc_id,
+       'properties/l_orderkey/x-functionalDependency' AS check_id,
+       'n_distinct=' || CAST(k AS VARCHAR)
+         || ',min=' || lo || ',max=' || hi AS observed
+FROM a WHERE k > 1
+"""
+
+
+@register_extended("engine_fd_violations", _FD_KW_SQL)
+def engine_fd_violations(spark, sf_dir):
+    """x-functionalDependency as a DECLARATIVE suite keyword: all
+    lineitems of an order must carry ONE return flag — the dataset lift
+    of the reference's `dependencies` keyword (validators.rs: presence
+    of a key constrains the same row; here a column's VALUE constrains
+    every other row sharing it). Violations name the determinant value
+    with a bounded witness (distinct count + lexicographic extremes of
+    the contradicting renderings) no matter the group size. One
+    map-side-combined aggregate, no joins (operators/dependencies.py).
+    1,236 violated orders at sf0.001, 12,386 at sf0.01. EXTENDED mirror
+    entry; full value-hash oracle replays the canonicalised
+    count-distinct."""
+    from jsonschema_valid_spark import CheckSuite
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    suite = CheckSuite({"properties": {"l_orderkey": {
+        "x-functionalDependency": {"determines": ["l_returnflag"]}}}})
+    res = suite.run(li, key="l_orderkey")
+    return res.violations.select("doc_id", "check_id", "observed")

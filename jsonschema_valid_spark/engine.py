@@ -295,6 +295,15 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             df, dc.column, dc.check_id,
             min_count=None if mn is None else int(mn),
             max_count=None if mx is None else int(mx))
+    if dc.kind == "no_overlap" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.intervals import (
+            overlap_group_verdicts,
+        )
+
+        return overlap_group_verdicts(
+            df, dc.column, dc.check_id, key=key,
+            end_column=dc.params["endColumn"], by=dc.params["by"],
+            allow_touch=bool(dc.params.get("allowTouch", True)))
     return None
 
 
@@ -313,6 +322,47 @@ def _monotonic_violations(dc, df: DataFrame, key: str) -> DataFrame:
         max_step=None if ms is None else float(ms),
         min_step=None if ns is None else float(ns),
     )
+
+
+def _overlap_violations(dc, df: DataFrame, key: str) -> DataFrame:
+    """Shared x-noOverlap execution for both run paths."""
+    from jsonschema_valid_spark.operators.intervals import (
+        overlap_violations,
+    )
+
+    return overlap_violations(
+        df, dc.column, dc.check_id, key=key,
+        end_column=dc.params["endColumn"],
+        by=dc.params.get("by"),
+        allow_touch=bool(dc.params.get("allowTouch", True)),
+    )
+
+
+def _outlier_violations(dc, df: DataFrame, key: str) -> DataFrame:
+    """Shared x-outlier execution for both run paths."""
+    from jsonschema_valid_spark.operators.outliers import (
+        outlier_violations,
+    )
+
+    return outlier_violations(
+        df, dc.column, dc.check_id, key=key,
+        by=dc.params.get("by"),
+        max_z=float(dc.params["maxZ"]),
+        min_count=int(dc.params.get("minCount", 2)),
+    )
+
+
+def _fd_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-functionalDependency execution for both run paths."""
+    from jsonschema_valid_spark.operators.dependencies import (
+        functional_dependency_violations,
+    )
+
+    det = dc.params["determines"]
+    if isinstance(det, str):
+        det = [det]
+    return functional_dependency_violations(
+        df, dc.column, dc.check_id, determines=list(det))
 
 
 def _resolve_drift_baseline(params: dict, context: dict) -> dict:
@@ -549,6 +599,12 @@ def run_suite_summarized(
             vdf = _freshness_violations(dc, df)
         elif dc.kind == "monotonic":
             vdf = _monotonic_violations(dc, df, key)
+        elif dc.kind == "no_overlap":
+            vdf = _overlap_violations(dc, df, key)
+        elif dc.kind == "outlier":
+            vdf = _outlier_violations(dc, df, key)
+        elif dc.kind == "functional_dependency":
+            vdf = _fd_violations(dc, df)
         elif dc.kind == "row_count":
             vdf = _row_count_violations(dc, df)
         else:
@@ -915,6 +971,46 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nmo") == 0).alias("passed"),
                     F.col("nmo").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "no_overlap":
+            ov = _overlap_violations(dc, df, key)
+            violation_dfs.append(_with_ipath(ov))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
+            verdict_dfs.append(
+                ov.agg(F.count(F.lit(1)).alias("nov")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nov") == 0).alias("passed"),
+                    F.col("nov").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "outlier":
+            zv = _outlier_violations(dc, df, key)
+            violation_dfs.append(_with_ipath(zv))
+            verdict_dfs.append(
+                zv.agg(F.count(F.lit(1)).alias("nzv")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nzv") == 0).alias("passed"),
+                    F.col("nzv").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "functional_dependency":
+            fdv = _fd_violations(dc, df)
+            violation_dfs.append(_with_ipath(fdv))
+            verdict_dfs.append(
+                fdv.agg(F.count(F.lit(1)).alias("nfd")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nfd") == 0).alias("passed"),
+                    F.col("nfd").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

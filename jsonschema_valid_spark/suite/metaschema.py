@@ -299,6 +299,18 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "orderBy"}},
         }}),
+        _kw("x-noOverlap", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "endColumn"}},
+        }}),
+        _kw("x-outlier", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "maxZ"}},
+        }}),
+        _kw("x-functionalDependency", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "determines"}},
+        }}),
         _kw("x-freshness", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "asOf"}},

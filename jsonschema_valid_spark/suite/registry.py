@@ -91,6 +91,9 @@ DATASET_KEYWORDS = frozenset(
         "x-aggConsistency",  # column == child-table aggregate (lift of `const`)
         "x-freshness",      # per-group max-timestamp recency vs declared as-of
         "x-monotonic",      # value monotonic over a declared ordering per group
+        "x-noOverlap",      # [start,end) intervals disjoint per group
+        "x-outlier",        # per-group z-score envelope (data-aware min/max lift)
+        "x-functionalDependency",  # determinant -> dependent tuple (FD, lift of `dependencies`)
         "x-rowCount",       # table/group cardinality bounds (lift of min/maxItems)
         "x-rowExpr",        # escape hatch: arbitrary SQL boolean over the row
         "x-parity",         # per-row equality vs a reference table (BASELINE.json:15)

@@ -278,6 +278,40 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                               "'decreasing', 'maxStep'?: number, "
                               "'minStep'?: number, 'verdicts'?: "
                               "'perGroup' (requires 'by')}")
+        elif kw == "x-noOverlap":
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("endColumn"), str) and v["endColumn"]
+                  and isinstance(v.get("allowTouch", True), bool)
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and isinstance(v.get("by"), str))))
+            if not ok:
+                raise _err(p, "x-noOverlap must be {'endColumn': col, "
+                              "'by'?: col, 'allowTouch'?: bool, "
+                              "'verdicts'?: 'perGroup' (requires 'by')}")
+        elif kw == "x-outlier":
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("maxZ"), (int, float))
+                  and not isinstance(v.get("maxZ"), bool)
+                  and v["maxZ"] > 0
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("minCount" not in v
+                       or (isinstance(v["minCount"], int)
+                           and not isinstance(v["minCount"], bool)
+                           and v["minCount"] >= 2)))
+            if not ok:
+                raise _err(p, "x-outlier must be {'maxZ': number>0, "
+                              "'by'?: col, 'minCount'?: int>=2}")
+        elif kw == "x-functionalDependency":
+            det = v.get("determines") if isinstance(v, dict) else None
+            if isinstance(det, str):
+                det = [det]
+            ok = (isinstance(det, list) and det
+                  and all(isinstance(c, str) and c for c in det))
+            if not ok:
+                raise _err(p, "x-functionalDependency must be "
+                              "{'determines': col | [col, ...]}")
         elif kw == "x-freshness":
             ok = isinstance(v, dict) and isinstance(v.get("asOf"), str) \
                 and isinstance(v.get("maxAgeHours"), (int, float)) \

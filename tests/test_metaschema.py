@@ -83,6 +83,12 @@ INVALID_SUITES = [
         "prefix": [1]}}}}),
     ("x-freshness-no-asof", {"properties": {"x": {"x-freshness": {
         "maxAgeHours": 2}}}}),
+    ("x-noOverlap-no-end", {"properties": {"x": {"x-noOverlap": {
+        "by": "g"}}}}),
+    ("x-outlier-no-maxz", {"properties": {"x": {"x-outlier": {
+        "by": "g"}}}}),
+    ("x-functionalDependency-empty",
+     {"properties": {"x": {"x-functionalDependency": {}}}}),
     ("nonstring-rowexpr", {"x-rowExpr": 42}),
     ("scalar-schema-node", {"properties": {"x": 42}}),
     ("dependency-nonstring-list", {"dependencies": {"a": [1]}}),
