@@ -241,6 +241,99 @@ def stream_monotonic_violations(
     )
 
 
+def stream_overlap_violations(
+    sdf: DataFrame,
+    column: str,
+    end_column: str,
+    by: str,
+    key: str,
+    ts_col: str,
+    allow_touch: bool = True,
+    watermark: str = "10 minutes",
+    check_id: str | None = None,
+) -> DataFrame:
+    """Streaming ``x-noOverlap`` (operators/intervals.py lifted to an
+    unbounded stream): per-group interval disjointness where the RUNNING
+    MAX of prior ends must survive micro-batch boundaries — state carries
+    each group's max end seen so far, so an interval arriving in batch N
+    is checked against every interval of batches 1..N-1 in O(1) state
+    (one double + bool per group), which no stateless projection can do.
+
+    Within a micro-batch rows are sorted by (``column``, ``key``) —
+    identical to the batch operator's window order — and compared to the
+    running max of earlier ends, so containment chains are caught exactly
+    like batch. ACROSS batches the state IS the running max, so batch
+    parity holds whenever each group's intervals arrive start-ordered
+    across batches (same arrival contract as stream_monotonic_violations,
+    asserted in tests). Rows with a NULL start or end never violate and
+    contribute nothing to the max (same contract as batch). Numeric
+    endpoints only (timestamps: pass epoch seconds).
+
+    Emits engine-shaped violation rows (doc_id, check_id, observed,
+    expected).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cid = check_id or f"properties/{column}/x-noOverlap"
+    cmp = "<" if allow_touch else "<="
+    exp_msg = (f"[{column},{end_column}) disjoint per {by} (stream; "
+               f"violation when {column} {cmp} max prior {end_column})")
+
+    out_schema = ("doc_id string, check_id string, observed string, "
+                  "expected string")
+    state_schema = "max_end double, has_prev boolean"
+
+    def _fmt(x) -> str:
+        # integral doubles render like their int source ("20" not "20.0")
+        return "%g" % x
+
+    def update(key_tuple, pdfs, state: GroupState):
+        max_end, has_prev = state.get if state.exists else (0.0, False)
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+            .sort_values(["__start", "__key"], kind="mergesort")
+        docs, obs = [], []
+        cur_max = max_end if has_prev else None
+        for k, s, e in zip(pdf["__key"].to_numpy(),
+                           pdf["__start"].to_numpy(),
+                           pdf["__end"].to_numpy()):
+            s = None if pd.isna(s) else float(s)
+            e = None if pd.isna(e) else float(e)
+            if s is not None and e is not None:
+                if cur_max is not None and (
+                        s < cur_max if allow_touch else s <= cur_max):
+                    docs.append(str(k))
+                    obs.append(f"start={_fmt(s)},prev_end={_fmt(cur_max)}")
+                cur_max = e if cur_max is None else max(cur_max, e)
+        state.update((0.0 if cur_max is None else cur_max,
+                      cur_max is not None))
+        if docs:
+            yield pd.DataFrame({
+                "doc_id": docs,
+                "check_id": cid,
+                "observed": obs,
+                "expected": exp_msg,
+            })
+
+    prepped = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.col(by).alias("__by"),
+            F.col(ts_col).alias(ts_col),
+            F.col(key).cast("string").alias("__key"),
+            F.col(column).cast("double").alias("__start"),
+            F.col(end_column).cast("double").alias("__end"),
+        )
+    )
+    return prepped.groupBy("__by").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_freshness_alerts(
     sdf: DataFrame,
     group_col: str,
