@@ -3506,3 +3506,47 @@ def engine_fd_violations(spark, sf_dir):
         "x-functionalDependency": {"determines": ["l_returnflag"]}}}})
     res = suite.run(li, key="l_orderkey")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_OUTLIER_MAD_KW_SQL = """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS m, count(value) AS n
+  FROM events GROUP BY event_type
+), st AS (
+  SELECT e.event_type, any_value(med.m) AS m, any_value(med.n) AS n,
+         quantile_cont(abs(e.value - med.m), 0.5) AS md
+  FROM events e JOIN med ON e.event_type IS NOT DISTINCT FROM med.event_type
+  GROUP BY e.event_type
+)
+SELECT CAST(e.event_id AS VARCHAR) AS doc_id,
+       'properties/value/x-outlier' AS check_id,
+       'v=' || CAST(CAST(e.value AS DECIMAL(20,4)) AS VARCHAR)
+         || ',z=' || CAST(CAST(round(0.6745 * (e.value - st.m) / st.md, 2)
+                               AS DECIMAL(10,2)) AS VARCHAR) AS observed
+FROM events e JOIN st ON e.event_type IS NOT DISTINCT FROM st.event_type
+WHERE e.value IS NOT NULL AND st.md IS NOT NULL AND st.md > 0
+  AND st.n >= 2 AND abs(0.6745 * (e.value - st.m) / st.md) > 3.5
+"""
+
+
+@register_extended("engine_outlier_mad_violations", _OUTLIER_MAD_KW_SQL)
+def engine_outlier_mad_violations(spark, sf_dir):
+    """x-outlier {'method': 'mad'}: the MODIFIED z-score
+    0.6745·(value − median)/MAD (Iglewicz & Hoaglin) — robust to the
+    masking failure of plain zscore, where an extreme value inflates its
+    own group's sigma enough to hide itself (median/MAD have a 50%
+    breakdown point; pytest demonstrates a masked-under-zscore value
+    caught by MAD). Plan (operators/outliers.py _mad_violations): two
+    broadcast-fed aggregates (median, then MAD carrying the
+    constant-per-group median via first()), fact side never
+    hash-partitioned. Spark's exact interpolating percentile ==
+    DuckDB's quantile_cont; closest |rz| to the 3.5 boundary at sf0.01
+    is 0.0035 away. 32 witnesses at sf0.001, 392 at sf0.01. EXTENDED
+    mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"value": {"x-outlier": {
+        "by": "event_type", "maxZ": 3.5, "method": "mad"}}}})
+    res = suite.run(events, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")

@@ -349,6 +349,7 @@ def _outlier_violations(dc, df: DataFrame, key: str) -> DataFrame:
         by=dc.params.get("by"),
         max_z=float(dc.params["maxZ"]),
         min_count=int(dc.params.get("minCount", 2)),
+        method=dc.params.get("method", "zscore"),
     )
 
 

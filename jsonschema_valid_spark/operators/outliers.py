@@ -40,19 +40,38 @@ def outlier_violations(
     by: str | None = None,
     max_z: float = 3.0,
     min_count: int = 2,
+    method: str = "zscore",
 ) -> DataFrame:
     """``x-outlier`` execution: rows whose ``column`` value deviates from
-    their ``by``-group mean by more than ``max_z`` sample standard
-    deviations, as engine violation rows (doc_id, check_id, observed,
-    expected).
+    their ``by``-group center by more than ``max_z`` spread units, as
+    engine violation rows (doc_id, check_id, observed, expected).
+
+    ``method="zscore"`` (default): |value − mean| / sample-stddev.
+    ``method="mad"``: the MODIFIED z-score 0.6745·(value − median)/MAD
+    (Iglewicz & Hoaglin) — robust to the masking failure of zscore,
+    where one extreme value inflates its own group's sigma enough to
+    hide itself; median/MAD have a 50% breakdown point, so even a
+    heavily polluted group keeps a sane envelope (conventional
+    threshold: maxZ=3.5). MAD mode costs a second aggregation pass
+    (median must exist before deviations can), and its exact
+    ``percentile`` buffers scale with distinct values per group — on
+    continuous doubles at 10^12 rows prefer zscore or pre-bucketed
+    values; for broadcast-sized group counts both modes keep the FACT
+    side unshuffled.
 
     ``by=None`` computes ONE global envelope (single-row aggregate,
     broadcast cross join). observed = ``v=<decimal(20,4)>,z=<decimal(10,
     2)>`` — decimal renderings so the witness strings are cross-engine
     stable regardless of double formatting.
     """
+    if method not in ("zscore", "mad"):
+        raise ValueError(
+            f"method must be 'zscore' or 'mad', got {method!r}")
     max_z = float(max_z)
     min_count = int(min_count)
+    if method == "mad":
+        return _mad_violations(df, column, check_id, key, by, max_z,
+                               min_count)
     val = F.col(column).cast("double")
     if by is not None:
         stats = df.groupBy(F.col(by).alias("__grp")).agg(
@@ -90,6 +109,73 @@ def outlier_violations(
                 val.cast("decimal(20,4)").cast("string"),
                 F.lit(",z="),
                 F.round(z, 2).cast("decimal(10,2)").cast("string"),
+            ).alias("observed"),
+            F.lit(exp_msg).alias("expected"),
+        )
+    )
+
+
+def _mad_violations(df, column, check_id, key, by, max_z, min_count):
+    """MAD-mode x-outlier: 0.6745·(v − median) / median(|v − median|).
+
+    Three-step plan, fact rows never hash-partitioned on the final
+    branch: (1) per-group exact median (one aggregate, #groups rows);
+    (2) per-group MAD — fact scan joined to the broadcast medians, then
+    aggregated on |v − med| (the one pass whose partial percentile
+    buffers carry value sketches; column-pruned to (group, deviation));
+    (3) medians ⋈ MADs (#groups × #groups, tiny) broadcast back onto the
+    fact scan as a codegen filter."""
+    val = F.col(column).cast("double")
+    if by is not None:
+        med = df.groupBy(F.col(by).alias("__grp0")).agg(
+            F.percentile(val, F.lit(0.5)).alias("__med0"),
+            F.count(val).alias("__n0"),
+        )
+        dev = df.join(F.broadcast(med),
+                      F.col(by).eqNullSafe(F.col("__grp0")))
+        # __med0/__n0 are constant within a group: carrying them with
+        # first() folds medians + MADs into ONE stats relation — no
+        # med⋈mad join, and the median aggregate runs once, not twice
+        stats = dev.groupBy(F.col("__grp0").alias("__grp")).agg(
+            F.percentile(F.abs(val - F.col("__med0")),
+                         F.lit(0.5)).alias("__mad"),
+            F.first("__med0").alias("__med"),
+            F.first("__n0").alias("__n"),
+        )
+        joined = df.join(F.broadcast(stats),
+                         F.col(by).eqNullSafe(F.col("__grp")))
+    else:
+        med = df.agg(
+            F.percentile(val, F.lit(0.5)).alias("__med0"),
+            F.count(val).alias("__n0"),
+        )
+        stats = (df.crossJoin(F.broadcast(med))
+                 .agg(F.percentile(F.abs(val - F.col("__med0")),
+                                   F.lit(0.5)).alias("__mad"),
+                      F.first("__med0").alias("__med"),
+                      F.first("__n0").alias("__n")))
+        joined = df.crossJoin(F.broadcast(stats))
+    rz = F.lit(0.6745) * (val - F.col("__med")) / F.col("__mad")
+    bad = (
+        val.isNotNull()
+        & F.col("__mad").isNotNull()
+        & (F.col("__mad") > 0)
+        & (F.col("__n") >= min_count)
+        & (F.abs(rz) > max_z)
+    )
+    scope = f" per {by}" if by else ""
+    exp_msg = (f"abs(0.6745*({column} - median) / mad) <= {max_z}{scope} "
+               f"(min_count={min_count})")
+    return (
+        joined.where(bad)
+        .select(
+            F.col(key).cast("string").alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.concat(
+                F.lit("v="),
+                val.cast("decimal(20,4)").cast("string"),
+                F.lit(",z="),
+                F.round(rz, 2).cast("decimal(10,2)").cast("string"),
             ).alias("observed"),
             F.lit(exp_msg).alias("expected"),
         )

@@ -296,13 +296,15 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                   and not isinstance(v.get("maxZ"), bool)
                   and v["maxZ"] > 0
                   and ("by" not in v or isinstance(v["by"], str))
+                  and v.get("method", "zscore") in ("zscore", "mad")
                   and ("minCount" not in v
                        or (isinstance(v["minCount"], int)
                            and not isinstance(v["minCount"], bool)
                            and v["minCount"] >= 2)))
             if not ok:
                 raise _err(p, "x-outlier must be {'maxZ': number>0, "
-                              "'by'?: col, 'minCount'?: int>=2}")
+                              "'by'?: col, 'method'?: 'zscore' | 'mad', "
+                              "'minCount'?: int>=2}")
         elif kw == "x-functionalDependency":
             det = v.get("determines") if isinstance(v, dict) else None
             if isinstance(det, str):

@@ -249,3 +249,69 @@ def test_fd_spec_validation(bad):
     with pytest.raises(SuiteError):
         validate_suite_spec(
             {"properties": {"okey": {"x-functionalDependency": bad}}})
+
+
+# ------------------------------------------------------------ x-outlier: mad
+
+def test_outlier_mad_resists_masking(spark):
+    """The masking case MAD exists for: a group where ONE wild value
+    inflates its own sigma enough that zscore misses it, while the
+    modified z-score (median/MAD, 50% breakdown) flags it."""
+    # 6 readings in [10.0, 10.5] + one at 30: the outlier drags mean to
+    # ~13.1 and inflates sample sigma to ~7.5, so z(30) ~ 2.3 (< 3 —
+    # masked); MAD stays 0.2, so the modified z ~ 66 flags it
+    rows = [(i, "m", 10.0 + i * 0.1) for i in range(6)] + [(99, "m", 30.0)]
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: double")
+    zs = CheckSuite({"properties": {"v": {"x-outlier": {
+        "by": "grp", "maxZ": 3.0}}}}).run(df, key="id")
+    assert zs.violations.count() == 0  # masked
+    mad = CheckSuite({"properties": {"v": {"x-outlier": {
+        "by": "grp", "maxZ": 3.5, "method": "mad"}}}}).run(df, key="id")
+    viol = mad.violations.collect()
+    assert [r["doc_id"] for r in viol] == ["99"]
+    assert viol[0]["observed"].startswith("v=30.0000,z=")
+    assert "median" in viol[0]["expected"]
+
+
+def test_outlier_mad_zero_mad_and_singletons_pass(spark):
+    """>=50% identical values -> MAD 0 -> never violates (enum/const
+    territory); singleton groups have no envelope."""
+    rows = ([(i, "c", 5.0) for i in range(6)] + [(10, "c", 9.0)]
+            + [(20, "s", 1.0)])
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: double")
+    res = CheckSuite({"properties": {"v": {"x-outlier": {
+        "by": "grp", "maxZ": 1.0, "method": "mad"}}}}).run(df, key="id")
+    assert res.violations.count() == 0
+
+
+def test_outlier_mad_global_and_summarized_parity(spark):
+    rows = [(i, "g", float(i % 5)) for i in range(40)] + [(99, "g", 60.0)]
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: double")
+    spec = {"properties": {"v": {"x-outlier": {
+        "maxZ": 3.5, "method": "mad"}}}}
+    lazy = CheckSuite(spec).run(df, key="id")
+    assert [r["doc_id"] for r in lazy.violations.collect()] == ["99"]
+    summ = run_suite_summarized(CheckSuite(spec), df, key="id")
+    cols = ["doc_id", "check_id", "observed", "expected"]
+    assert (sorted(map(tuple, lazy.violations.select(*cols).collect()))
+            == sorted(map(tuple, summ.violations.select(*cols).collect())))
+
+
+def test_outlier_mad_fact_side_never_shuffled(spark):
+    """MAD mode: medians + MADs ride broadcasts; the FINAL fact branch
+    is scan -> BroadcastHashJoin -> filter, never a SortMergeJoin. The
+    two stats aggregates are the only hash Exchanges."""
+    rows = [(i, "g%d" % (i % 3), float(i)) for i in range(30)]
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: double")
+    out = outlier_violations(df, "v", "c", key="id", by="grp",
+                             max_z=3.5, method="mad")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") <= 2
+
+
+def test_outlier_mad_spec_validation():
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-outlier": {
+            "maxZ": 3.5, "method": "iqr"}}}})
