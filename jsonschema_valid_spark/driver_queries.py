@@ -3550,3 +3550,112 @@ def engine_outlier_mad_violations(spark, sf_dir):
         "by": "event_type", "maxZ": 3.5, "method": "mad"}}}})
     res = suite.run(events, key="event_id")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+def _diff_profile_block(src: str, cols) -> str:
+    """Compact (col_name, dtype, n_rows, n_null, nd, mean, sd) profile
+    over ``src`` for the profile_diff oracle — same math as
+    _profile_documents_sql, restricted to the fields the diff reads."""
+    parts = []
+    for name, dtype, num in cols:
+        mean = f"round(avg({name}), 6)" if num else "CAST(NULL AS DOUBLE)"
+        std = (f"round(stddev_samp({name}), 6)" if num
+               else "CAST(NULL AS DOUBLE)")
+        parts.append(
+            f"SELECT '{name}' AS col_name, '{dtype}' AS dtype, "
+            f"count(*) AS n_rows, "
+            f"CAST(sum(CASE WHEN {name} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, "
+            f"CAST(count(DISTINCT {name}) AS BIGINT) AS nd, "
+            f"{mean} AS mean, {std} AS sd FROM {src}"
+        )
+    return " UNION ALL ".join(parts)
+
+
+def _profile_drift_sql() -> str:
+    ref_cols = [("doc_id", "bigint", True), ("text", "string", False),
+                ("lang", "string", False), ("source", "string", False),
+                ("n_chars", "bigint", True)]
+    cur_cols = [("doc_id", "bigint", True), ("text", "string", False),
+                ("source", "string", False), ("n_chars", "bigint", True),
+                ("v2_flag", "int", True)]
+    dec = "CAST(CAST({x} AS DECIMAL(20,4)) AS VARCHAR)"
+    nr = "round(c.n_null * 1.0 / c.n_rows, 6)"
+    rr = "round(r.n_null * 1.0 / r.n_rows, 6)"
+    return f"""
+WITH curt AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0 THEN NULL ELSE text END AS text,
+         source, n_chars * 10 AS n_chars, 1 AS v2_flag
+  FROM documents
+), refp AS ({_diff_profile_block('documents', ref_cols)}),
+curp AS ({_diff_profile_block('curt', cur_cols)}),
+j AS (
+  SELECT c.col_name AS c_name, r.col_name AS r_name,
+         c.dtype AS c_dtype, r.dtype AS r_dtype,
+         {nr} AS c_nr, {rr} AS r_nr,
+         c.nd AS c_nd, r.nd AS r_nd,
+         c.mean AS c_mean, r.mean AS r_mean, r.sd AS r_sd
+  FROM curp c FULL OUTER JOIN refp r ON c.col_name = r.col_name
+)
+SELECT c_name AS col_name, 'added' AS aspect,
+       c_dtype AS cur_v, '<absent>' AS ref_v
+FROM j WHERE r_name IS NULL
+UNION ALL
+SELECT r_name, 'removed', '<absent>', r_dtype FROM j WHERE c_name IS NULL
+UNION ALL
+SELECT c_name, 'dtype', c_dtype, r_dtype
+FROM j WHERE c_name IS NOT NULL AND r_name IS NOT NULL
+        AND c_dtype <> r_dtype
+UNION ALL
+SELECT c_name, 'null_rate',
+       coalesce({dec.format(x='c_nr')}, '<null>'),
+       coalesce({dec.format(x='r_nr')}, '<null>')
+FROM j WHERE c_name IS NOT NULL AND r_name IS NOT NULL
+        AND abs(c_nr - r_nr) > 0.05
+UNION ALL
+SELECT c_name, 'mean',
+       coalesce({dec.format(x='c_mean')}, '<null>'),
+       coalesce({dec.format(x='r_mean')}, '<null>')
+FROM j WHERE c_name IS NOT NULL AND r_name IS NOT NULL
+        AND c_mean IS NOT NULL AND r_mean IS NOT NULL
+        AND r_sd IS NOT NULL AND r_sd > 0
+        AND abs(c_mean - r_mean) > 3.0 * r_sd
+UNION ALL
+SELECT c_name, 'distinct', CAST(c_nd AS VARCHAR), CAST(r_nd AS VARCHAR)
+FROM j WHERE c_name IS NOT NULL AND r_name IS NOT NULL
+        AND c_nd > 0 AND r_nd > 0
+        AND (c_nd * 1.0 / r_nd > 2.0 OR c_nd * 1.0 / r_nd < 0.5)
+"""
+
+
+@register_extended("profile_drift_documents", _profile_drift_sql())
+def profile_drift_documents(spark, sf_dir):
+    """profile_diff (operators/profile.py): schema/distribution drift
+    between two profile snapshots — "does the new load still look like
+    the table we validated" asked at profile grain before any row check
+    runs. Fixture: documents vs a deterministically drifted twin (text
+    nulled for doc_id%5=0 → null_rate jump; n_chars×10 → mean shift
+    beyond 3 reference sigmas; lang dropped → removed; v2_flag added).
+    Both sides are #columns-row relations, so the diff join/projection
+    never touches row data — the cost is the two one-pass profile
+    scans. Complements operators/reconcile.py (value-level equality;
+    this flags STATISTICAL change where exact equality is not
+    expected). EXTENDED mirror entry; full value-hash oracle replays
+    both profiles and the whole rule ladder."""
+    from jsonschema_valid_spark.operators.profile import (
+        profile_columns,
+        profile_diff,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cur_tbl = (
+        docs.withColumn("text", F.when(F.col("doc_id") % 5 == 0,
+                                       F.lit(None))
+             .otherwise(F.col("text")))
+        .withColumn("n_chars", F.col("n_chars") * 10)
+        .drop("lang")
+        .withColumn("v2_flag", F.lit(1))
+    )
+    cur = profile_columns(cur_tbl, distinct="exact")
+    ref = profile_columns(docs, distinct="exact")
+    return profile_diff(cur, ref)

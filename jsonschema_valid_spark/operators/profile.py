@@ -320,3 +320,88 @@ def suggest_row_count_bounds(df: DataFrame, column: str,
 
     return {"min": int(r["mn"] // headroom),
             "max": int(math.ceil(r["mx"] * headroom))}
+
+
+def profile_diff(
+    cur: DataFrame,
+    ref: DataFrame,
+    null_rate_tol: float = 0.05,
+    mean_sigmas: float = 3.0,
+    distinct_ratio: float = 2.0,
+) -> DataFrame:
+    """Schema/distribution drift between two :func:`profile_columns`
+    snapshots — the rewrite-validation question "did the NEW load still
+    look like the table we validated last week" asked at profile grain,
+    before any row-level check runs.
+
+    ``cur``/``ref`` are plain (un-grouped) profiles. Emits ONE row per
+    drifted (column, aspect):
+
+    * ``added`` / ``removed`` — column present on one side only
+    * ``dtype`` — type string changed
+    * ``null_rate`` — |cur − ref| > ``null_rate_tol``
+    * ``mean`` — |cur − ref| > ``mean_sigmas`` · ref stddev (numeric
+      columns with a positive reference spread)
+    * ``distinct`` — cardinality ratio outside
+      [1/``distinct_ratio``, ``distinct_ratio``]
+
+    Output: (col_name, aspect, cur_v, ref_v) with decimal renderings so
+    the rows replay identically in any ANSI engine. Scale: both inputs
+    are #columns-row relations — the full-outer join and aspect
+    projection never touch row data (the expensive part was the two
+    one-pass profile scans, already done). Complements
+    :mod:`operators/reconcile <jsonschema_valid_spark.operators.reconcile>`:
+    reconcile proves value-level equality of two tables; this flags
+    STATISTICAL change between two points in time, where exact equality
+    is not even expected."""
+    c = cur.select([F.col(f).alias(f"c_{f}") for f in _PROFILE_FIELDS])
+    r = ref.select([F.col(f).alias(f"r_{f}") for f in _PROFILE_FIELDS])
+    j = c.join(r, c["c_col_name"].eqNullSafe(r["r_col_name"]), "full_outer")
+
+    def _dec(col, scale):
+        return F.coalesce(col.cast(f"decimal(20,{scale})").cast("string"),
+                          F.lit("<null>"))
+
+    both = F.col("c_col_name").isNotNull() & F.col("r_col_name").isNotNull()
+    name = F.coalesce(F.col("c_col_name"), F.col("r_col_name"))
+    dratio = (F.col("c_n_distinct").cast("double")
+              / F.col("r_n_distinct").cast("double"))
+    aspects = [
+        F.when(F.col("r_col_name").isNull(), F.struct(
+            F.lit("added").alias("aspect"),
+            F.col("c_dtype").alias("cur_v"),
+            F.lit("<absent>").alias("ref_v"))),
+        F.when(F.col("c_col_name").isNull(), F.struct(
+            F.lit("removed").alias("aspect"),
+            F.lit("<absent>").alias("cur_v"),
+            F.col("r_dtype").alias("ref_v"))),
+        F.when(both & (F.col("c_dtype") != F.col("r_dtype")), F.struct(
+            F.lit("dtype").alias("aspect"),
+            F.col("c_dtype").alias("cur_v"),
+            F.col("r_dtype").alias("ref_v"))),
+        F.when(both & (F.abs(F.col("c_null_rate") - F.col("r_null_rate"))
+                       > float(null_rate_tol)), F.struct(
+            F.lit("null_rate").alias("aspect"),
+            _dec(F.col("c_null_rate"), 4).alias("cur_v"),
+            _dec(F.col("r_null_rate"), 4).alias("ref_v"))),
+        F.when(both & F.col("c_mean").isNotNull()
+               & F.col("r_mean").isNotNull()
+               & F.col("r_stddev").isNotNull() & (F.col("r_stddev") > 0)
+               & (F.abs(F.col("c_mean") - F.col("r_mean"))
+                  > float(mean_sigmas) * F.col("r_stddev")), F.struct(
+            F.lit("mean").alias("aspect"),
+            _dec(F.col("c_mean"), 4).alias("cur_v"),
+            _dec(F.col("r_mean"), 4).alias("ref_v"))),
+        F.when(both & (F.col("c_n_distinct") > 0)
+               & (F.col("r_n_distinct") > 0)
+               & ((dratio > float(distinct_ratio))
+                  | (dratio < 1.0 / float(distinct_ratio))), F.struct(
+            F.lit("distinct").alias("aspect"),
+            F.col("c_n_distinct").cast("string").alias("cur_v"),
+            F.col("r_n_distinct").cast("string").alias("ref_v"))),
+    ]
+    return (
+        j.select(name.alias("col_name"),
+                 F.explode(F.array_compact(F.array(*aspects))).alias("a"))
+        .select("col_name", "a.aspect", "a.cur_v", "a.ref_v")
+    )

@@ -188,3 +188,49 @@ def test_suggest_row_count_bounds(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         suggest_row_count_bounds(df, "src", headroom=0.5)
+
+
+# ---------------------------------------------------------------- profile_diff
+
+def test_profile_diff_aspects(spark, docs):
+    from jsonschema_valid_spark.operators.profile import profile_diff
+
+    cur_tbl = (docs
+               .withColumn("text", F.when(F.col("doc_id") % 5 == 0,
+                                          F.lit(None)).otherwise(F.col("text")))
+               .withColumn("n_chars", F.col("n_chars") * 10)
+               .drop("lang")
+               .withColumn("v2_flag", F.lit(1)))
+    cur = profile_columns(cur_tbl, distinct="exact")
+    ref = profile_columns(docs, distinct="exact")
+    got = {(r["col_name"], r["aspect"]): (r["cur_v"], r["ref_v"])
+           for r in profile_diff(cur, ref).collect()}
+    assert set(got) == {("lang", "removed"), ("v2_flag", "added"),
+                        ("text", "null_rate"), ("n_chars", "mean")}
+    assert got[("lang", "removed")] == ("<absent>", "string")
+    assert got[("v2_flag", "added")] == ("int", "<absent>")
+    assert got[("text", "null_rate")][0] == "0.2000"
+    assert got[("text", "null_rate")][1] == "0.0000"
+
+
+def test_profile_diff_no_drift_is_empty(spark, docs):
+    from jsonschema_valid_spark.operators.profile import profile_diff
+
+    prof = profile_columns(docs, distinct="exact")
+    assert profile_diff(prof, prof).count() == 0
+
+
+def test_profile_diff_dtype_and_distinct(spark):
+    from jsonschema_valid_spark.operators.profile import profile_diff
+
+    a = spark.createDataFrame(
+        [(i, float(i % 3)) for i in range(100)], "k: long, v: double")
+    b = spark.createDataFrame(
+        [(i, i % 50) for i in range(100)], "k: long, v: int")
+    pa, pb = profile_columns(a, distinct="exact"), \
+        profile_columns(b, distinct="exact")
+    got = {(r["col_name"], r["aspect"]): (r["cur_v"], r["ref_v"])
+           for r in profile_diff(pa, pb).collect()}
+    assert got[("v", "dtype")] == ("double", "int")
+    # 3 distinct vs 50 distinct: ratio 0.06 < 1/2
+    assert got[("v", "distinct")] == ("3", "50")
