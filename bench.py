@@ -219,6 +219,16 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     timed("monotonic_window", lambda: monotonic_violations(
         seq, "n_tok", "bench", key="doc_id", order_by="doc_id",
         by="source").count())
+    # r4 wave 5: the broadcast-envelope family (x-outlier) — #groups-row
+    # stats aggregate broadcast back onto the fact scan; the fact side is
+    # never hash-partitioned, so this times two scans + one tiny shuffle
+    from jsonschema_valid_spark.operators.outliers import (
+        outlier_violations,
+    )
+
+    timed("outlier_broadcast", lambda: outlier_violations(
+        seq, "n_tok", "bench", key="doc_id", by="source",
+        max_z=6.0).count())
 
     wall = timings["flagship_full"]
     totals = seq.agg(F.count(F.lit(1)).alias("n"),
