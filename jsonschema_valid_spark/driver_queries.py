@@ -3659,3 +3659,166 @@ def profile_drift_documents(spark, sf_dir):
     cur = profile_columns(cur_tbl, distinct="exact")
     ref = profile_columns(docs, distinct="exact")
     return profile_diff(cur, ref)
+
+
+_ASOF_SQL = """
+WITH p AS (
+  SELECT user_id, epoch_us(ts) AS m, event_id FROM events
+  WHERE event_type = 'purchase' AND ts IS NOT NULL
+),
+u AS (
+  SELECT user_id, m AS ord, 0 AS side, event_id AS tb,
+         m AS rm, event_id AS r_eid,
+         CAST(NULL AS BIGINT) AS l_eid, CAST(NULL AS BIGINT) AS lm
+  FROM p
+  UNION ALL
+  SELECT user_id, epoch_us(ts), 1, 0, NULL, NULL, event_id, epoch_us(ts)
+  FROM events
+),
+wv AS (
+  SELECT user_id, side, l_eid, lm,
+         last_value(r_eid IGNORE NULLS) OVER w AS m_eid,
+         last_value(rm IGNORE NULLS) OVER w AS m_rm
+  FROM u
+  WINDOW w AS (PARTITION BY user_id ORDER BY ord, side, tb
+               ROWS UNBOUNDED PRECEDING)
+)
+SELECT l_eid AS event_id, user_id,
+       m_eid AS purchase_event_id,
+       lm - m_rm AS micros_since_purchase
+FROM wv WHERE side = 1
+"""
+
+
+@register_extended("events_asof_purchase", _ASOF_SQL)
+def events_asof_purchase(spark, sf_dir):
+    """AS-OF JOIN (operators/temporal.py asof_join): every event joined
+    to the user's most recent purchase at or before it — the
+    point-in-time feature join Spark's join zoo lacks (DuckDB grew ASOF
+    JOIN for exactly this; Flink calls it a temporal join). Plan: union
+    + ordered window — ONE Exchange on user_id for left+right together,
+    cost independent of match fan-out (the naive key-join + argmax
+    explodes on hot users). Equal-timestamp rights are visible
+    (inclusive backward); ties broken by largest event_id — all
+    tie-breaks explicit, so the DuckDB union+window replay is
+    bit-for-bit. Unmatched events keep NULL match columns (left join).
+    1,000 rows at sf0.001 / 10,000 at sf0.01. EXTENDED mirror entry;
+    full value-hash oracle."""
+    from jsonschema_valid_spark.operators.temporal import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    pur = (ev.where(F.col("event_type") == "purchase")
+           .select("user_id", "ts", "event_id"))
+    aj = asof_join(ev, pur, on="user_id", left_ts="ts",
+                   right_cols=["event_id"], right_tiebreak="event_id",
+                   prefix="p_")
+    lm = F.unix_micros(F.col("ts").cast("timestamp"))
+    pm = F.unix_micros(F.col("p_ts").cast("timestamp"))
+    return aj.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("p_event_id").alias("purchase_event_id"),
+        (lm - pm).alias("micros_since_purchase"),
+    )
+
+
+_ATTRIBUTION_SQL = """
+WITH p AS (
+  SELECT user_id, ts, epoch_us(ts) AS s,
+         epoch_us(ts) + CAST(21600 AS BIGINT) * 1000000 AS e,
+         event_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.event_id, c.user_id,
+       p.event_id AS purchase_event_id,
+       epoch_us(c.ts) - p.s AS micros_into_window
+FROM events c JOIN p
+  ON c.user_id = p.user_id
+ AND epoch_us(c.ts) >= p.s AND epoch_us(c.ts) < p.e
+WHERE c.event_type = 'click'
+"""
+
+
+@register_extended("events_click_attribution", _ATTRIBUTION_SQL)
+def events_click_attribution(spark, sf_dir):
+    """RANGE JOIN as a binned equi-join (operators/temporal.py
+    interval_point_join): clicks landing inside any purchase's 6-hour
+    attribution window [p.ts, p.ts + 6h), per user. The naive form is a
+    per-key theta-join (quadratic on hot users); binning explodes each
+    interval to the <= ceil(6h/1h)+1 = 7 hour-bins it touches, maps each
+    click to exactly ONE bin, and hash-joins on (user_id, bin) with an
+    exact residual filter — a pair can meet at most once, so no dedup.
+    Both sides carve from the SAME events scan (alias-isolated
+    self-join). 13 pairs at sf0.001, 235 at sf0.01. EXTENDED mirror
+    entry; the oracle is the PLAIN theta-join — any bin-edge bug
+    (boundary, off-by-one-bin) hash-mismatches."""
+    from jsonschema_valid_spark.operators.temporal import (
+        interval_point_join,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = F.unix_micros(F.col("ts").cast("timestamp"))
+    pur = (ev.where(F.col("event_type") == "purchase")
+           .select("user_id", "ts", "event_id")
+           .withColumn("w_end",
+                       F.timestamp_micros(m + 21600 * 1000000)))
+    clicks = ev.where(F.col("event_type") == "click")
+    ij = interval_point_join(
+        clicks, pur, point_col="ts", start_col="ts", end_col="w_end",
+        by="user_id", bin_width_seconds=3600.0,
+        interval_cols=["event_id"], closed="left", prefix="p_")
+    pm = F.unix_micros(F.col("p_start").cast("timestamp"))
+    return ij.select(
+        F.col("event_id"),
+        F.col("user_id"),
+        F.col("p_event_id").alias("purchase_event_id"),
+        (m - pm).alias("micros_into_window"),
+    )
+
+
+_SESSION_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS m FROM events
+),
+l AS (
+  SELECT *, lag(m) OVER (PARTITION BY user_id ORDER BY m, event_id)
+            AS pm
+  FROM e
+),
+s AS (
+  SELECT user_id,
+         sum(CASE WHEN pm IS NOT NULL
+                   AND m - pm > CAST(14400 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY m, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_idx,
+         m
+  FROM l
+)
+SELECT user_id, session_idx,
+       count(*) AS n_events,
+       min(m) AS start_micros,
+       max(m) AS end_micros,
+       max(m) - min(m) AS duration_micros
+FROM s GROUP BY user_id, session_idx
+"""
+
+
+@register_extended("events_session_stats", _SESSION_SQL)
+def events_session_stats(spark, sf_dir):
+    """GAP SESSIONIZATION (operators/temporal.py sessionize +
+    session_stats): events frame into sessions when the per-user gap
+    exceeds 4 hours; one roll-up row per session (n_events, start/end/
+    duration in exact integer micros). Plan: lag + running-sum share
+    ONE Window node (one Exchange on user_id) and the stats groupBy
+    consumes that same hash-partitioning — ZERO extra Exchange
+    (plan-asserted in tests/test_temporal.py). Gap boundary is
+    strictly-greater on integer micros, cross-engine exact. 691
+    sessions at sf0.001, 6,940 at sf0.01. EXTENDED mirror entry; full
+    value-hash oracle replays the window chain."""
+    from jsonschema_valid_spark.operators.temporal import session_stats
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_stats(ev, key="user_id", ts="ts",
+                         gap_seconds=14400.0,
+                         order_tiebreak="event_id")

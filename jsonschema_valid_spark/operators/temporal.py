@@ -1,0 +1,293 @@
+"""Temporal relational operators Spark's join zoo lacks: as-of join,
+point-in-interval range join, and gap sessionization.
+
+These are the time-aware companions to the validation engine — the same
+events/feature tables the suites police need point-in-time joins ("the
+user's most recent purchase at this event") and session framing before
+any invariant about them can be stated.  The reference engine validates
+one row at a time (validators.rs dispatch) and has no relational layer;
+these lift the dataset scope the same way x-unique lifts uniqueItems.
+
+Scale contracts (10^12 rows):
+
+* ``asof_join`` — the naive formulation is a range self-join (O(n·m) per
+  key) or ``df.join(right, key).where(r.ts <= l.ts)`` + argmax (a
+  per-key explosion on hot keys).  This implementation is the classic
+  union + ordered-window merge: tag both sides, union, ONE
+  hash-partition Exchange on the key, per-partition sort on (ts, side,
+  tiebreak), and ``last(right_struct, ignorenulls=True)`` carries the
+  most recent right row forward onto each left row.  Cost = one shuffle
+  of left+right, independent of match fan-out; a skewed key costs a
+  sort, never a quadratic join.
+* ``interval_point_join`` — the naive form is a theta-join (Cartesian
+  per key).  Binning makes it an EQUI-join Catalyst can hash: intervals
+  explode to the fixed-width bins they cover (bounded by
+  ``ceil(len/bin_width)+1`` rows), points map to exactly ONE bin, the
+  join key is (key?, bin), and an exact residual filter keeps true
+  containment.  Because a point lives in one bin, a (point, interval)
+  pair can meet at most once — no post-join dedup is needed.
+* ``sessionize`` — one window (lag + running count over the same
+  partition/order, fused into ONE Window node) = one Exchange on the
+  key; ``session_stats`` reuses the window's hash-partitioning for its
+  groupBy, so the stats aggregate costs ZERO extra Exchange (same
+  invariant as ordering.monotonic_group_verdicts, plan-asserted in
+  tests/test_temporal.py).
+
+Determinism: all tie-breaks are explicit (side tag + caller tiebreak
+column), so results are partitioning-invariant and replayable in ANSI
+SQL — the driver queries replay the union+window / bin-explosion plans
+in DuckDB bit-for-bit (exact integer epoch-micros arithmetic on both
+engines; Spark ``unix_micros`` == DuckDB ``epoch_us``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import types as T
+
+
+def _micros(col):
+    """Exact integer epoch-micros for timestamp arithmetic (unix_micros
+    keeps sub-second precision; DuckDB's epoch_us is the same integer)."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def _conj(conds):
+    out = conds[0]
+    for c in conds[1:]:
+        out = out & c
+    return out
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str,
+    right_ts: str | None = None,
+    right_cols: list[str] | None = None,
+    direction: str = "backward",
+    strict: bool = False,
+    tolerance_seconds: float | None = None,
+    right_tiebreak: str | None = None,
+    prefix: str = "asof_",
+    how: str = "left",
+) -> DataFrame:
+    """Point-in-time join: for every left row, attach the single right
+    row with the greatest ``right_ts`` <= ``left_ts`` (``backward``) or
+    smallest >= (``forward``) within the same ``on`` key.
+
+    ``strict=True`` excludes equal timestamps (``<`` / ``>``).
+    ``tolerance_seconds`` voids matches farther than the tolerance (the
+    match columns become NULL; with ``how="inner"`` the row drops).
+    ``right_cols`` picks the right payload (default: everything except
+    key + ts).  Matched columns come back as ``{prefix}{right_ts}`` and
+    ``{prefix}{col}``.  ``right_tiebreak`` names a right column whose
+    LARGEST value wins among rights sharing (key, ts) — make it unique
+    (an id) for fully deterministic output.
+
+    Implementation: union + ordered window (module docstring) — one
+    Exchange on the key, never a range join.  The right payload rides a
+    single non-null STRUCT so genuinely-NULL right payload values do not
+    break the ``last(..., ignorenulls)`` carry (the struct is the unit
+    of matching, not each column).  Right rows with a NULL timestamp
+    are dropped (they can never be "most recent").
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError("direction must be 'backward' or 'forward'")
+    if how not in ("left", "inner"):
+        raise ValueError("how must be 'left' or 'inner'")
+    keys = [on] if isinstance(on, str) else list(on)
+    rts = right_ts or left_ts
+    pay = (list(right_cols) if right_cols is not None
+           else [c for c in right.columns if c not in keys + [rts]])
+    for c in pay:
+        if c not in right.columns:
+            raise ValueError(f"right_cols entry {c!r} not in right")
+
+    # Right rows sort BEFORE left rows at equal ts for the inclusive
+    # variant (an equal-ts right is visible to the window), AFTER for
+    # strict (it is not).  ``forward`` reuses the ascending machinery
+    # by negating time: "smallest ts >= L" == backward on -ts.
+    r_side, l_side = (2, 1) if strict else (0, 1)
+    sign = -1 if direction == "forward" else 1
+    tb = (F.col(right_tiebreak).cast("long") if right_tiebreak
+          else F.lit(0).cast("long"))
+
+    r_struct = F.struct(
+        _micros(F.col(rts)).alias("__rm"),
+        F.col(rts).cast("timestamp").alias("__rts"),
+        *[F.col(c).alias(c) for c in pay],
+    )
+    r2 = (right
+          .where(F.col(rts).isNotNull())
+          .select(
+              *[F.col(k) for k in keys],
+              (F.lit(sign) * _micros(F.col(rts))).alias("__ord"),
+              F.lit(r_side).alias("__side"),
+              tb.alias("__tb"),
+              r_struct.alias("__r"),
+              F.lit(None).cast(
+                  T.StructType(
+                      [T.StructField(f"c{i}", f.dataType, True)
+                       for i, f in enumerate(left.schema.fields)])
+              ).alias("__l"),
+          ))
+    l_struct = F.struct(
+        *[F.col(c).alias(f"c{i}") for i, c in enumerate(left.columns)])
+    l2 = left.select(
+        *[F.col(k) for k in keys],
+        (F.lit(sign) * _micros(F.col(left_ts))).alias("__ord"),
+        F.lit(l_side).alias("__side"),
+        F.lit(0).cast("long").alias("__tb"),
+        F.lit(None).cast(r2.schema["__r"].dataType).alias("__r"),
+        l_struct.alias("__l"),
+    )
+    u = r2.unionByName(l2)
+    w = (Window.partitionBy(*[F.col(k) for k in keys])
+         .orderBy(F.col("__ord").asc_nulls_first(), F.col("__side"),
+                  F.col("__tb"))
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    out = (u.withColumn("__m", F.last("__r", ignorenulls=True).over(w))
+           .where(F.col("__l").isNotNull()))
+    if tolerance_seconds is not None:
+        tol_us = int(round(float(tolerance_seconds) * 1_000_000))
+        lm = _micros(F.col("__l").getField(
+            f"c{left.columns.index(left_ts)}"))
+        if direction == "backward":
+            ok = F.col("__m").getField("__rm") >= lm - F.lit(tol_us)
+        else:
+            ok = F.col("__m").getField("__rm") <= lm + F.lit(tol_us)
+        out = out.withColumn("__m", F.when(ok, F.col("__m")))
+    if how == "inner":
+        out = out.where(F.col("__m").isNotNull())
+    sel = [F.col("__l").getField(f"c{i}").alias(c)
+           for i, c in enumerate(left.columns)]
+    sel.append(F.col("__m").getField("__rts").alias(f"{prefix}{rts}"))
+    sel += [F.col("__m").getField(c).alias(f"{prefix}{c}") for c in pay]
+    return out.select(*sel)
+
+
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    start_col: str,
+    end_col: str,
+    by: str | list[str] | None = None,
+    bin_width_seconds: float = 600.0,
+    interval_cols: list[str] | None = None,
+    closed: str = "left",
+    prefix: str = "iv_",
+) -> DataFrame:
+    """Range join: every (point, interval) pair with the point inside
+    the interval, as an EQUI-join on fixed-width time bins.
+
+    ``closed``: "left" = [start, end) half-open (default), "both" =
+    [start, end].  ``by`` optionally co-keys the join (attribution per
+    user).  ``bin_width_seconds`` trades explosion for residual-filter
+    selectivity: an interval emits ``ceil(len/width)+1`` bin rows — set
+    it near the typical interval length.  Points map to ONE bin, so a
+    pair can meet at most once and no dedup is needed (module
+    docstring).  Output: all point columns + ``{prefix}start/end`` +
+    ``{prefix}{interval_cols}``.
+
+    Both sides may derive from the SAME source DataFrame (e.g. clicks
+    joined to purchase windows carved from one events scan) — the join
+    runs through explicit aliases to dodge ambiguous-self-join
+    resolution.
+    """
+    if closed not in ("left", "both"):
+        raise ValueError("closed must be 'left' or 'both'")
+    keys = ([by] if isinstance(by, str) else list(by or []))
+    w_us = int(round(float(bin_width_seconds) * 1_000_000))
+    if w_us <= 0:
+        raise ValueError("bin_width_seconds must be positive")
+    pay = (list(interval_cols) if interval_cols is not None
+           else [c for c in intervals.columns
+                 if c not in keys + [start_col, end_col]])
+
+    iv = intervals.select(
+        *[F.col(k).alias(f"__k{i}") for i, k in enumerate(keys)],
+        _micros(F.col(start_col)).alias("__s"),
+        _micros(F.col(end_col)).alias("__e"),
+        F.col(start_col).cast("timestamp").alias(f"{prefix}start"),
+        F.col(end_col).cast("timestamp").alias(f"{prefix}end"),
+        *[F.col(c).alias(f"{prefix}{c}") for c in pay],
+    ).where(F.col("__s").isNotNull() & F.col("__e").isNotNull()
+            & (F.col("__s") <= F.col("__e")))
+    sbin = F.floor(F.col("__s") / F.lit(w_us)).cast("long")
+    ebin = F.floor(F.col("__e") / F.lit(w_us)).cast("long")
+    iv = iv.withColumn("__bin", F.explode(F.sequence(sbin, ebin)))
+
+    pts = points.withColumn("__p", _micros(F.col(point_col)))
+    pts = pts.withColumn(
+        "__bin", F.floor(F.col("__p") / F.lit(w_us)).cast("long"))
+
+    pa, ia = pts.alias("__pt"), iv.alias("__iv")
+    cond = [F.col("__pt.__bin") == F.col("__iv.__bin")]
+    cond += [F.col(f"__pt.{k}").eqNullSafe(F.col(f"__iv.__k{i}"))
+             for i, k in enumerate(keys)]
+    upper = (F.col("__pt.__p") < F.col("__iv.__e") if closed == "left"
+             else F.col("__pt.__p") <= F.col("__iv.__e"))
+    cond += [F.col("__pt.__p") >= F.col("__iv.__s"), upper]
+    joined = pa.join(ia, _conj(cond), "inner")
+    out_cols = [F.col(f"__pt.{c}") for c in points.columns]
+    out_cols += [F.col(f"__iv.{prefix}start"), F.col(f"__iv.{prefix}end")]
+    out_cols += [F.col(f"__iv.{prefix}{c}") for c in pay]
+    return joined.select(*out_cols)
+
+
+def sessionize(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: float,
+    order_tiebreak: str | None = None,
+    session_col: str = "session_idx",
+) -> DataFrame:
+    """Gap-based session framing: a new session starts when the gap to
+    the key's previous event EXCEEDS ``gap_seconds``.  Adds
+    ``{session_col}`` (0-based per key, in time order).
+
+    One window (lag + running sum over identical partition/order — one
+    physical Window node) = one Exchange on the key.  Gap comparison is
+    exact integer micros, so ``gap == gap_seconds`` is NOT a break
+    (strictly-greater), stable across engines.  NULL timestamps sort
+    first and never break a session (they join the key's first
+    session).
+    """
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+    tb = [F.col(order_tiebreak)] if order_tiebreak else []
+    order = [_micros(F.col(ts)).asc_nulls_first(), *tb]
+    w = Window.partitionBy(key).orderBy(*order)
+    prev = F.lag(_micros(F.col(ts))).over(w)
+    brk = (prev.isNotNull()
+           & (_micros(F.col(ts)) - prev > F.lit(gap_us))).cast("long")
+    run = (Window.partitionBy(key).orderBy(*order)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(session_col, F.sum(brk).over(run))
+
+
+def session_stats(
+    df: DataFrame,
+    key: str,
+    ts: str,
+    gap_seconds: float,
+    order_tiebreak: str | None = None,
+) -> DataFrame:
+    """Per-session roll-up: (key, session_idx, n_events, start_micros,
+    end_micros, duration_micros).  The groupBy consumes the sessionize
+    window's hash-partitioning — zero extra Exchange (plan-asserted)."""
+    s = sessionize(df, key, ts, gap_seconds, order_tiebreak)
+    return (
+        s.groupBy(F.col(key), F.col("session_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(_micros(F.col(ts))).alias("start_micros"),
+            F.max(_micros(F.col(ts))).alias("end_micros"),
+        )
+        .withColumn(
+            "duration_micros",
+            F.col("end_micros") - F.col("start_micros"))
+    )
