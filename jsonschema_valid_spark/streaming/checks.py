@@ -567,3 +567,39 @@ def quarantine_router(suite, out_dir: str, context: dict | None = None):
             batch_df.unpersist()
 
     return route
+
+
+def stream_session_stats(sdf: DataFrame, key: str, ts_col: str,
+                         gap_seconds: float,
+                         watermark: str = "2 hours") -> DataFrame:
+    """Streaming gap sessionization on Spark's NATIVE ``session_window``
+    — the stateful twin of ``operators/temporal.py session_stats``. One
+    roll-up row per closed session: ``(key, n_events, start_micros,
+    end_micros, duration_micros)``.
+
+    Native session windows merge an event whose gap is AT MOST
+    ``gap_seconds`` (an event at exactly ``prev + gap`` still extends
+    the session — verified empirically, pinned by the boundary case in
+    tests/test_stream_sessions.py), which is the same strictly-greater
+    break as the batch operator: streaming(gap) == batch(gap) exactly,
+    session for session. State is one (start, end, counters) tuple per OPEN session
+    per key, closed and emitted (append mode) once the watermark passes
+    the session end + gap — bounded by key cardinality, not stream
+    volume, and Spark merges sessions across micro-batches natively
+    (no hand-rolled applyInPandasWithState needed when the engine
+    already ships the operator).
+    """
+    gap_us = int(round(float(gap_seconds) * 1_000_000))
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.col(key),
+                 F.session_window(F.col(ts_col), f"{gap_us} microseconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.min(m).alias("start_micros"),
+             F.max(m).alias("end_micros"))
+        .select(F.col(key), F.col("n_events"),
+                F.col("start_micros"), F.col("end_micros"),
+                (F.col("end_micros")
+                 - F.col("start_micros")).alias("duration_micros"))
+    )
