@@ -1156,6 +1156,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # individually fine; the failure is the pair)
         plan.dataset_checks.append(
             DatasetCheck(cid, "no_overlap", colname, dict(v)))
+    elif kw == "x-session":
+        # dataset scope: the subject is a GROUP of rows the engine
+        # itself derives (gap-framed sessions over the timestamp
+        # column) — bounds on session duration/size that no row check
+        # and no fixed-group aggregate can express
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "session", colname, dict(v)))
     elif kw == "x-outlier":
         # dataset scope: the bound is LEARNED from the group's own
         # mean/stddev — minimum/maximum with a data-aware envelope

@@ -3822,3 +3822,165 @@ def events_session_stats(spark, sf_dir):
     return session_stats(ev, key="user_id", ts="ts",
                          gap_seconds=14400.0,
                          order_tiebreak="event_id")
+
+
+_SESSION_KW_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(ts) AS m FROM events
+),
+l AS (
+  SELECT *, lag(m) OVER (PARTITION BY user_id
+                         ORDER BY m ASC NULLS FIRST, event_id) AS pm
+  FROM e
+),
+s AS (
+  SELECT user_id, m,
+         sum(CASE WHEN pm IS NOT NULL
+                   AND m - pm > CAST(14400 AS BIGINT) * 1000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id
+                 ORDER BY m ASC NULLS FIRST, event_id
+                 ROWS UNBOUNDED PRECEDING) AS sid
+  FROM l
+),
+g AS (
+  SELECT user_id, sid, count(*) AS n, max(m) - min(m) AS dur
+  FROM s GROUP BY user_id, sid
+)
+SELECT COALESCE(CAST(user_id AS VARCHAR), '<null>') || '/'
+         || CAST(sid AS VARCHAR) AS doc_id,
+       'properties/ts/x-session' AS check_id,
+       'n=' || CAST(n AS VARCHAR)
+         || ',dur_us=' || CAST(dur AS VARCHAR) AS observed
+FROM g
+WHERE n > 3 OR dur > CAST(28800 AS BIGINT) * 1000000
+"""
+
+
+@register_extended("engine_session_violations", _SESSION_KW_SQL)
+def engine_session_violations(spark, sf_dir):
+    """x-session as a DECLARATIVE suite keyword: per-user 4-hour-gap
+    sessions must hold <= 3 events and last <= 8 hours — bounds whose
+    SUBJECT is a group of rows the engine itself derives (gap framing),
+    which neither a row check nor a fixed-group aggregate can express.
+    The session lift of maxItems/maximum: runaway sessions (bot loops,
+    stuck clients) and marathon sessions become violations named by
+    their (user, session_idx). Plan (operators/temporal.py): sessionize
+    window + roll-up + bound filter over ONE shared hash-partitioning —
+    a single Exchange end-to-end. Witnesses carry exact-integer n and
+    dur_us. 17 violations at sf0.001, 212 at sf0.01. EXTENDED mirror
+    entry; full value-hash oracle replays the window chain + HAVING."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"ts": {"x-session": {
+        "by": "user_id", "gapSeconds": 14400, "maxEvents": 3,
+        "maxDurationSeconds": 28800}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_FUNNEL_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, epoch_us(ts) AS m FROM events
+),
+s0 AS (
+  SELECT *, min(CASE WHEN event_type = 'signup' AND m IS NOT NULL
+                     THEN m END)
+        OVER (PARTITION BY user_id ORDER BY m ASC NULLS FIRST
+              ROWS UNBOUNDED PRECEDING) AS r0
+  FROM e
+),
+s1 AS (
+  SELECT *, min(CASE WHEN event_type = 'view' AND m IS NOT NULL
+                      AND r0 IS NOT NULL AND m > r0
+                      AND m <= r0 + CAST(86400 AS BIGINT) * 1000000
+                     THEN m END)
+        OVER (PARTITION BY user_id ORDER BY m ASC NULLS FIRST
+              ROWS UNBOUNDED PRECEDING) AS r1
+  FROM s0
+),
+s2 AS (
+  SELECT *, min(CASE WHEN event_type = 'purchase' AND m IS NOT NULL
+                      AND r1 IS NOT NULL AND m > r1
+                      AND m <= r0 + CAST(86400 AS BIGINT) * 1000000
+                     THEN m END)
+        OVER (PARTITION BY user_id ORDER BY m ASC NULLS FIRST
+              ROWS UNBOUNDED PRECEDING) AS r2
+  FROM s1
+),
+pk AS (
+  SELECT user_id, max(r0 IS NOT NULL) AS a, max(r1 IS NOT NULL) AS b,
+         max(r2 IS NOT NULL) AS c
+  FROM s2 GROUP BY user_id
+)
+SELECT 0 AS step_idx, 'signup' AS step_name,
+       sum(CASE WHEN a THEN 1 ELSE 0 END) AS n_converted FROM pk
+UNION ALL
+SELECT 1, 'view', sum(CASE WHEN b THEN 1 ELSE 0 END) FROM pk
+UNION ALL
+SELECT 2, 'purchase', sum(CASE WHEN c THEN 1 ELSE 0 END) FROM pk
+"""
+
+
+@register_extended("events_funnel", _FUNNEL_SQL)
+def events_funnel(spark, sf_dir):
+    """ORDERED FUNNEL (operators/funnel.py): users progressing through
+    signup -> view -> purchase, each step strictly after the previous
+    and within 24 h of the signup (first-touch chain — the standard
+    product-analytics definition). The naive forms are k self-joins
+    per step (quadratic on hot users) or a per-user collect_list fold
+    (unbounded state); here each step is a RUNNING min-CASE window over
+    one shared (user, ts) ordering — k chained Window nodes over ONE
+    Exchange, per-key roll-up reusing the partitioning, state = k
+    timestamps per row regardless of per-user event counts.
+    15 -> 8 -> 1 converted at sf0.001; 150 -> 39 -> 10 at sf0.01.
+    EXTENDED mirror entry; full value-hash oracle replays the window
+    chain."""
+    from jsonschema_valid_spark.operators.funnel import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return funnel(
+        ev, key="user_id", ts="ts",
+        steps=[("signup", "event_type = 'signup'"),
+               ("view", "event_type = 'view'"),
+               ("purchase", "event_type = 'purchase'")],
+        within_seconds=86400.0)
+
+
+_RETENTION_SQL = """
+WITH e AS (
+  SELECT user_id,
+         epoch_us(ts) // (CAST(604800 AS BIGINT) * 1000000) AS p
+  FROM events WHERE ts IS NOT NULL
+),
+f AS (
+  SELECT *, min(p) OVER (PARTITION BY user_id) AS fp FROM e
+),
+d AS (
+  SELECT DISTINCT user_id, fp AS cohort_period,
+         p - fp AS periods_since
+  FROM f
+)
+SELECT cohort_period, periods_since, count(*) AS n_users
+FROM d GROUP BY cohort_period, periods_since
+"""
+
+
+@register_extended("events_retention", _RETENTION_SQL)
+def events_retention(spark, sf_dir):
+    """COHORT RETENTION (operators/funnel.py retention_cohorts): users
+    bucketed by the week of their FIRST event, counted per (cohort,
+    weeks-since) activity cell — the cohort matrix behind every
+    retention curve. First-touch is a running min over one per-user
+    hash-partitioning (single Exchange); the distinct-triple reduction
+    and cell count ride on strictly smaller data. Periods are exact
+    integer floor-division on epoch-micros, replayed identically in
+    DuckDB. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.funnel import (
+        retention_cohorts,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return retention_cohorts(ev, key="user_id", ts="ts",
+                             period_seconds=604800.0)

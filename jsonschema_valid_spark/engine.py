@@ -338,6 +338,25 @@ def _overlap_violations(dc, df: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _session_violations(dc, df: DataFrame, key: str) -> DataFrame:
+    """Shared x-session execution for both run paths."""
+    from jsonschema_valid_spark.operators.temporal import (
+        session_violations,
+    )
+
+    mds = dc.params.get("maxDurationSeconds")
+    mev = dc.params.get("maxEvents")
+    nev = dc.params.get("minEvents")
+    return session_violations(
+        df, dc.column, dc.check_id, key=key,
+        by=dc.params["by"],
+        gap_seconds=float(dc.params["gapSeconds"]),
+        max_duration_seconds=None if mds is None else float(mds),
+        max_events=None if mev is None else int(mev),
+        min_events=None if nev is None else int(nev),
+    )
+
+
 def _outlier_violations(dc, df: DataFrame, key: str) -> DataFrame:
     """Shared x-outlier execution for both run paths."""
     from jsonschema_valid_spark.operators.outliers import (
@@ -602,6 +621,8 @@ def run_suite_summarized(
             vdf = _monotonic_violations(dc, df, key)
         elif dc.kind == "no_overlap":
             vdf = _overlap_violations(dc, df, key)
+        elif dc.kind == "session":
+            vdf = _session_violations(dc, df, key)
         elif dc.kind == "outlier":
             vdf = _outlier_violations(dc, df, key)
         elif dc.kind == "functional_dependency":
@@ -988,6 +1009,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nov") == 0).alias("passed"),
                     F.col("nov").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "session":
+            sv = _session_violations(dc, df, key)
+            violation_dfs.append(_with_ipath(sv))
+            verdict_dfs.append(
+                sv.agg(F.count(F.lit(1)).alias("nsv")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nsv") == 0).alias("passed"),
+                    F.col("nsv").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -291,3 +291,72 @@ def session_stats(
             "duration_micros",
             F.col("end_micros") - F.col("start_micros"))
     )
+
+
+def session_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    key: str,
+    by: str,
+    gap_seconds: float,
+    max_duration_seconds: float | None = None,
+    max_events: int | None = None,
+    min_events: int | None = None,
+) -> DataFrame:
+    """``x-session`` execution: sessions (gap framing on ``column`` per
+    ``by``) violating declared bounds, as engine violation rows.
+
+    The session lift of the row-scope bounds: ``maxDurationSeconds`` /
+    ``maxEvents`` cap runaway sessions (bot loops, stuck clients),
+    ``minEvents`` flags fragments (a "session" of one heartbeat).  No
+    row-scope check can see any of these — the subject is a GROUP of
+    rows the engine itself derives.
+
+    doc_id = ``{by}/{session_idx}`` (the session is the violating
+    entity); observed carries exact-integer ``n`` and ``dur_us`` so the
+    witness replays byte-identically in the DuckDB oracle.  Plan: the
+    sessionize window + roll-up share one hash-partitioning (single
+    Exchange — see session_stats), the bound filter is a residual on
+    #sessions rows.
+    """
+    if max_duration_seconds is None and max_events is None \
+            and min_events is None:
+        raise ValueError("x-session needs at least one bound")
+    stats = session_stats(df, key=by, ts=column,
+                          gap_seconds=gap_seconds, order_tiebreak=key)
+    conds = []
+    exp_parts = [f"gap={gap_seconds:g}s sessions per {by}"]
+    if max_duration_seconds is not None:
+        dur_us = int(round(float(max_duration_seconds) * 1_000_000))
+        conds.append(F.col("duration_micros") > F.lit(dur_us))
+        exp_parts.append(f"duration<={max_duration_seconds:g}s")
+    if max_events is not None:
+        conds.append(F.col("n_events") > F.lit(int(max_events)))
+        exp_parts.append(f"events<={int(max_events)}")
+    if min_events is not None:
+        conds.append(F.col("n_events") < F.lit(int(min_events)))
+        exp_parts.append(f"events>={int(min_events)}")
+    bad = conds[0]
+    for c in conds[1:]:
+        bad = bad | c
+    exp_msg = ", ".join(exp_parts)
+    return (
+        stats.where(bad)
+        .select(
+            F.concat_ws(
+                "/",
+                F.coalesce(F.col(by).cast("string"), F.lit("<null>")),
+                F.col("session_idx").cast("string"),
+            ).alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.concat_ws(
+                ",",
+                F.concat(F.lit("n="),
+                         F.col("n_events").cast("string")),
+                F.concat(F.lit("dur_us="),
+                         F.col("duration_micros").cast("string")),
+            ).alias("observed"),
+            F.lit(exp_msg).alias("expected"),
+        )
+    )

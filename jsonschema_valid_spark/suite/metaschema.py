@@ -307,6 +307,15 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "maxZ"}},
         }}),
+        _kw("x-session", {"properties": {
+            "value_type": {"const": "object"},
+            # needs the gap AND at least one session bound
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "gapSeconds"}},
+                {"contains": {"enum": ["maxDurationSeconds",
+                                       "maxEvents", "minEvents"]}},
+            ]},
+        }}),
         _kw("x-functionalDependency", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "determines"}},

@@ -290,6 +290,34 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-noOverlap must be {'endColumn': col, "
                               "'by'?: col, 'allowTouch'?: bool, "
                               "'verdicts'?: 'perGroup' (requires 'by')}")
+        elif kw == "x-session":
+            def _num(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool))
+            bounds = [k for k in ("maxDurationSeconds", "maxEvents",
+                                  "minEvents") if k in (v or {})]
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("by"), str) and v["by"]
+                  and _num(v.get("gapSeconds"))
+                  and v["gapSeconds"] > 0
+                  and bounds
+                  and ("maxDurationSeconds" not in v
+                       or (_num(v["maxDurationSeconds"])
+                           and v["maxDurationSeconds"] > 0))
+                  and ("maxEvents" not in v
+                       or (isinstance(v["maxEvents"], int)
+                           and not isinstance(v["maxEvents"], bool)
+                           and v["maxEvents"] >= 1))
+                  and ("minEvents" not in v
+                       or (isinstance(v["minEvents"], int)
+                           and not isinstance(v["minEvents"], bool)
+                           and v["minEvents"] >= 1)))
+            if not ok:
+                raise _err(p, "x-session must be {'by': col, "
+                              "'gapSeconds': number>0, and >=1 of "
+                              "'maxDurationSeconds': number>0, "
+                              "'maxEvents': int>=1, 'minEvents': "
+                              "int>=1}")
         elif kw == "x-outlier":
             ok = (isinstance(v, dict)
                   and isinstance(v.get("maxZ"), (int, float))

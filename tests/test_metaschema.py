@@ -87,6 +87,10 @@ INVALID_SUITES = [
         "by": "g"}}}}),
     ("x-outlier-no-maxz", {"properties": {"x": {"x-outlier": {
         "by": "g"}}}}),
+    ("x-session-no-gap", {"properties": {"x": {"x-session": {
+        "by": "g", "maxEvents": 5}}}}),
+    ("x-session-no-bound", {"properties": {"x": {"x-session": {
+        "by": "g", "gapSeconds": 600}}}}),
     ("x-functionalDependency-empty",
      {"properties": {"x": {"x-functionalDependency": {}}}}),
     ("nonstring-rowexpr", {"x-rowExpr": 42}),
