@@ -1156,6 +1156,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # individually fine; the failure is the pair)
         plan.dataset_checks.append(
             DatasetCheck(cid, "no_overlap", colname, dict(v)))
+    elif kw == "x-eventOrder":
+        # dataset scope: causality between the MINIMA of two row
+        # subsets of a group ("no purchase before signup") — a relation
+        # between two conditional aggregates, invisible to row checks
+        # and to x-monotonic's single ordered series
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "event_order", colname, dict(v)))
     elif kw == "x-session":
         # dataset scope: the subject is a GROUP of rows the engine
         # itself derives (gap-framed sessions over the timestamp

@@ -3984,3 +3984,154 @@ def events_retention(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     return retention_cohorts(ev, key="user_id", ts="ts",
                              period_seconds=604800.0)
+
+
+_OUTLIER_IQR_KW_SQL = """
+WITH st AS (
+  SELECT event_type,
+         quantile_cont(value, 0.25) AS q1,
+         quantile_cont(value, 0.75) AS q3,
+         count(value) AS n
+  FROM events GROUP BY event_type
+)
+SELECT CAST(e.event_id AS VARCHAR) AS doc_id,
+       'properties/value/x-outlier' AS check_id,
+       'v=' || CAST(CAST(e.value AS DECIMAL(20,4)) AS VARCHAR)
+         || ',lo=' || CAST(CAST(round(st.q1 - 1.5 * (st.q3 - st.q1), 4)
+                                AS DECIMAL(20,4)) AS VARCHAR)
+         || ',hi=' || CAST(CAST(round(st.q3 + 1.5 * (st.q3 - st.q1), 4)
+                                AS DECIMAL(20,4)) AS VARCHAR) AS observed
+FROM events e JOIN st
+  ON e.event_type IS NOT DISTINCT FROM st.event_type
+WHERE e.value IS NOT NULL AND st.q3 - st.q1 > 0 AND st.n >= 2
+  AND (e.value < st.q1 - 1.5 * (st.q3 - st.q1)
+       OR e.value > st.q3 + 1.5 * (st.q3 - st.q1))
+"""
+
+
+@register_extended("engine_outlier_iqr_violations", _OUTLIER_IQR_KW_SQL)
+def engine_outlier_iqr_violations(spark, sf_dir):
+    """x-outlier method=iqr: Tukey box-plot fences [q1 − 1.5·IQR,
+    q3 + 1.5·IQR] per event_type — the third envelope beside zscore and
+    MAD: quartiles shrug off tail pollution (25% breakdown) AND the
+    fence is ASYMMETRIC, so a skewed group gets a skewed envelope
+    instead of a centered band. Same broadcast shape as the siblings
+    (operators/outliers.py): one exact-percentile aggregate (single
+    pass — cheaper than MAD's two) broadcast onto the fact scan, fact
+    side never hash-partitioned. Exact percentile == DuckDB
+    quantile_cont keeps the full value-hash oracle; closest value-to-
+    fence distance at sf0.01 is 0.075 — far above float noise. 35
+    witnesses at sf0.001, 471 at sf0.01. EXTENDED mirror entry."""
+    from jsonschema_valid_spark import CheckSuite
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"value": {"x-outlier": {
+        "by": "event_type", "method": "iqr", "iqrK": 1.5}}}})
+    res = suite.run(events, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_CAT_DRIFT_SQL = """
+WITH obs AS (
+  SELECT CASE event_type WHEN 'click' THEN 0 WHEN 'error' THEN 1
+              WHEN 'purchase' THEN 2 WHEN 'refund' THEN 3
+              WHEN 'signup' THEN 4 ELSE -1 END AS bucket,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+),
+base(bucket, c) AS (
+  VALUES (0, 200.0), (1, 200.0), (2, 200.0), (3, 50.0), (4, 200.0)
+),
+j AS (
+  SELECT coalesce(obs.bucket, base.bucket) AS bucket,
+         coalesce(obs.c, 0) AS oc, coalesce(base.c, 0) AS bc
+  FROM obs FULL OUTER JOIN base ON obs.bucket = base.bucket
+),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j)
+SELECT
+  (SELECT round(sum((oc / so - bc / sb)
+        * ln((oc / so + 0.000000001) / (bc / sb + 0.000000001))), 6)
+   FROM j CROSS JOIN t) AS psi,
+  (SELECT round(sum((oc / so - bc / sb) * (oc / so - bc / sb)
+        / (bc / sb + 0.000000001)), 6) FROM j CROSS JOIN t) AS chi2
+"""
+
+
+@register_extended("drift_categorical_event_type", _CAT_DRIFT_SQL)
+def drift_categorical_event_type(spark, sf_dir):
+    """CATEGORICAL drift (operators/drift.py categorical_histogram +
+    x-drift {"categorical": true}): PSI + chi-square of the event_type
+    FREQUENCY distribution vs a declared baseline keyed by category
+    STRING — the numeric bucket machinery cannot see a string column,
+    and category drift (a new event type appearing, a class vanishing)
+    is invisible to every numeric check. Buckets = indices into the
+    sorted declared categories via one literal array_position expression
+    (no join, no UDF); every UNDECLARED category collapses to bucket -1
+    ("other") so novel values register as drift mass instead of
+    vanishing — here 'view' is deliberately undeclared (lands in other)
+    and 'refund' is declared-but-absent (tests the empty declared
+    bucket). KS/EMD are REJECTED for categorical mode (categories are
+    unordered; spec + runtime both refuse). EXTENDED mirror entry; full
+    value-hash oracle replays the CASE ladder + ε-smoothed sums,
+    round-6 both sides."""
+    from jsonschema_valid_spark.operators.drift import (
+        categorical_histogram,
+        chi2_value_df,
+        psi_value_df,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cats = ["click", "error", "purchase", "signup", "refund"]
+    base_by_cat = {"click": 200, "error": 200, "purchase": 200,
+                   "signup": 200, "refund": 50}
+    idx = {c: i for i, c in enumerate(sorted(cats))}
+    baseline = {idx[c]: n for c, n in base_by_cat.items()}
+    hist = categorical_histogram(ev, "event_type", cats)
+    psi = psi_value_df(hist, baseline, spark).select(
+        F.round("value", 6).alias("psi"))
+    chi2 = chi2_value_df(hist, baseline, spark).select(
+        F.round("value", 6).alias("chi2"))
+    return psi.crossJoin(chi2)
+
+
+_EVENT_ORDER_KW_SQL = """
+WITH g AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup'
+                  THEN epoch_us(ts) END) AS f,
+         min(CASE WHEN event_type = 'purchase'
+                  THEN epoch_us(ts) END) AS t
+  FROM events GROUP BY user_id
+)
+SELECT COALESCE(CAST(user_id AS VARCHAR), '<null>') AS doc_id,
+       'properties/ts/x-eventOrder' AS check_id,
+       'first=' || COALESCE(CAST(f AS VARCHAR), 'none')
+         || ',then=' || CAST(t AS VARCHAR) AS observed
+FROM g
+WHERE t IS NOT NULL AND (f IS NULL OR t < f)
+"""
+
+
+@register_extended("engine_eventorder_violations", _EVENT_ORDER_KW_SQL)
+def engine_eventorder_violations(spark, sf_dir):
+    """x-eventOrder as a DECLARATIVE suite keyword: each user's first
+    purchase must not precede their first signup — the causality
+    invariant behind every lifecycle table ("no shipment before order",
+    "no refund before payment"). The relation is between the MINIMA of
+    two predicate-selected row subsets per group: invisible to row
+    checks (each row fine alone) and to x-monotonic (one ordered
+    series, not two predicates against each other). Plan
+    (operators/temporal.py event_order_violations): ONE conditional
+    aggregate — two min(CASE WHEN) columns, map-side combined, #groups
+    rows shuffled — plus a residual filter; never a self-join of the
+    event subsets. Witnesses are exact epoch-micros. 5 violating users
+    at sf0.001, 81 at sf0.01. EXTENDED mirror entry; full value-hash
+    oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"ts": {"x-eventOrder": {
+        "by": "user_id", "first": "event_type = 'signup'",
+        "then": "event_type = 'purchase'"}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")

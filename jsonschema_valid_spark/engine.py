@@ -338,6 +338,21 @@ def _overlap_violations(dc, df: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _event_order_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-eventOrder execution for both run paths."""
+    from jsonschema_valid_spark.operators.temporal import (
+        event_order_violations,
+    )
+
+    return event_order_violations(
+        df, dc.column, dc.check_id,
+        by=dc.params["by"],
+        first=dc.params["first"],
+        then=dc.params["then"],
+        require_first=bool(dc.params.get("requireFirst", True)),
+    )
+
+
 def _session_violations(dc, df: DataFrame, key: str) -> DataFrame:
     """Shared x-session execution for both run paths."""
     from jsonschema_valid_spark.operators.temporal import (
@@ -366,9 +381,10 @@ def _outlier_violations(dc, df: DataFrame, key: str) -> DataFrame:
     return outlier_violations(
         df, dc.column, dc.check_id, key=key,
         by=dc.params.get("by"),
-        max_z=float(dc.params["maxZ"]),
+        max_z=float(dc.params.get("maxZ", 3.0)),
         min_count=int(dc.params.get("minCount", 2)),
         method=dc.params.get("method", "zscore"),
+        iqr_k=float(dc.params.get("iqrK", 1.5)),
     )
 
 
@@ -623,6 +639,8 @@ def run_suite_summarized(
             vdf = _overlap_violations(dc, df, key)
         elif dc.kind == "session":
             vdf = _session_violations(dc, df, key)
+        elif dc.kind == "event_order":
+            vdf = _event_order_violations(dc, df)
         elif dc.kind == "outlier":
             vdf = _outlier_violations(dc, df, key)
         elif dc.kind == "functional_dependency":
@@ -1009,6 +1027,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nov") == 0).alias("passed"),
                     F.col("nov").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "event_order":
+            eov = _event_order_violations(dc, df)
+            violation_dfs.append(_with_ipath(eov))
+            verdict_dfs.append(
+                eov.agg(F.count(F.lit(1)).alias("nev")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nev") == 0).alias("passed"),
+                    F.col("nev").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

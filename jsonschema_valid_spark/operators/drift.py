@@ -33,6 +33,26 @@ def histogram(df: DataFrame, column: str, bucket_width: float) -> DataFrame:
     )
 
 
+def categorical_histogram(df: DataFrame, column: str,
+                          categories: list[str]) -> DataFrame:
+    """Frequency histogram of a CATEGORICAL (string) column as ``(bucket,
+    count)`` rows: bucket = index of the value in the sorted declared
+    category list, with every UNDECLARED category collapsing to bucket
+    -1 ("other") — so a brand-new category registers as drift mass
+    rather than silently vanishing. NULLs are excluded (x-nullRate
+    territory). Same one-shuffle #buckets-row shape as the numeric
+    histogram; the sorted-list mapping is a literal array expression
+    (no join, no UDF) and replays as a CASE ladder in the oracle."""
+    cats = sorted(str(c) for c in categories)
+    mapping = F.array(*[F.lit(c) for c in cats])
+    b = F.array_position(mapping, F.col(column).cast("string"))
+    return (
+        df.where(F.col(column).isNotNull())
+        .groupBy((b - 1).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
 def _normalized_join(observed_hist: DataFrame, baseline: dict[int, int],
                      spark) -> DataFrame:
     # union + re-aggregate instead of a full_outer join: Spark REJECTS a
@@ -185,6 +205,21 @@ def drift_verdict_dfs(df: DataFrame, column: str, check_id: str, params: dict,
     (:func:`embedding_cell_histogram`) — semantic drift detection, the
     same cells as SemDeDup/IVF. Only PSI/chi2 apply there: cell ids have
     no metric order, so CDF-based KS/EMD are meaningless (rejected)."""
+    if params.get("categorical"):
+        # categorical mode: baseline keyed by CATEGORY STRING; buckets
+        # are indices into the sorted declared categories, undeclared
+        # values collapse to -1 ("other"). Unordered → PSI/chi2 only.
+        bad = [k for k in ("ksMax", "emdMax") if k in params]
+        if bad:
+            raise ValueError(
+                f"{check_id}: {bad} not valid for categorical drift — "
+                "categories are unordered (use psiMax/chi2Max)")
+        cats = sorted(str(k) for k in params["baseline"])
+        baseline = {i: int(params["baseline"][c])
+                    for i, c in enumerate(cats)}
+        hist = categorical_histogram(df, column, cats)
+        return _stat_verdict_dfs(hist, baseline, check_id, params, spark,
+                                 stats=("psiMax", "chi2Max"))
     if "cells" in params:
         baseline = {int(k): int(v) for k, v in params["baseline"].items()}
         bad = [k for k in ("ksMax", "emdMax") if k in params]

@@ -41,6 +41,7 @@ def outlier_violations(
     max_z: float = 3.0,
     min_count: int = 2,
     method: str = "zscore",
+    iqr_k: float = 1.5,
 ) -> DataFrame:
     """``x-outlier`` execution: rows whose ``column`` value deviates from
     their ``by``-group center by more than ``max_z`` spread units, as
@@ -64,14 +65,17 @@ def outlier_violations(
     2)>`` — decimal renderings so the witness strings are cross-engine
     stable regardless of double formatting.
     """
-    if method not in ("zscore", "mad"):
+    if method not in ("zscore", "mad", "iqr"):
         raise ValueError(
-            f"method must be 'zscore' or 'mad', got {method!r}")
+            f"method must be 'zscore', 'mad' or 'iqr', got {method!r}")
     max_z = float(max_z)
     min_count = int(min_count)
     if method == "mad":
         return _mad_violations(df, column, check_id, key, by, max_z,
                                min_count)
+    if method == "iqr":
+        return _iqr_violations(df, column, check_id, key, by,
+                               float(iqr_k), min_count)
     val = F.col(column).cast("double")
     if by is not None:
         stats = df.groupBy(F.col(by).alias("__grp")).agg(
@@ -176,6 +180,68 @@ def _mad_violations(df, column, check_id, key, by, max_z, min_count):
                 val.cast("decimal(20,4)").cast("string"),
                 F.lit(",z="),
                 F.round(rz, 2).cast("decimal(10,2)").cast("string"),
+            ).alias("observed"),
+            F.lit(exp_msg).alias("expected"),
+        )
+    )
+
+
+def _iqr_violations(df, column, check_id, key, by, iqr_k, min_count):
+    """IQR-fence mode x-outlier (Tukey): violation when the value falls
+    outside [q1 − k·IQR, q3 + k·IQR] (k=1.5 conventional, 3.0 "far
+    out").  The box-plot envelope: like MAD it ignores tail pollution
+    (quartiles have a 25% breakdown point), unlike z/MAD it is
+    ASYMMETRIC — a skewed group gets a skewed fence instead of a
+    centered band, which is usually what "this latency is abnormally
+    high" means.
+
+    One exact-percentile aggregate (q1, q3, n in a single pass — cheaper
+    than MAD's two) broadcast back onto the fact scan as a codegen
+    filter; fact rows never hash-partitioned.  Exact ``percentile`` ==
+    DuckDB ``quantile_cont`` (both linear-interpolate), so the fences
+    replay in the oracle; the distinct-values buffer caveat from MAD
+    mode applies equally.  Zero-IQR groups never violate (constant
+    middle — `const`/`enum` territory), matching the zero-variance rule
+    of the other modes.
+    """
+    val = F.col(column).cast("double")
+    aggs = [
+        F.percentile(val, F.lit(0.25)).alias("__q1"),
+        F.percentile(val, F.lit(0.75)).alias("__q3"),
+        F.count(val).alias("__n"),
+    ]
+    if by is not None:
+        stats = df.groupBy(F.col(by).alias("__grp")).agg(*aggs)
+        joined = df.join(F.broadcast(stats),
+                         F.col(by).eqNullSafe(F.col("__grp")))
+    else:
+        stats = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(stats))
+    iqr = F.col("__q3") - F.col("__q1")
+    lo = F.col("__q1") - F.lit(iqr_k) * iqr
+    hi = F.col("__q3") + F.lit(iqr_k) * iqr
+    bad = (
+        val.isNotNull()
+        & iqr.isNotNull()
+        & (iqr > 0)
+        & (F.col("__n") >= min_count)
+        & ((val < lo) | (val > hi))
+    )
+    scope = f" per {by}" if by else ""
+    exp_msg = (f"{column} within [q1-{iqr_k:g}*iqr, q3+{iqr_k:g}*iqr]"
+               f"{scope} (min_count={min_count})")
+    return (
+        joined.where(bad)
+        .select(
+            F.col(key).cast("string").alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.concat(
+                F.lit("v="),
+                val.cast("decimal(20,4)").cast("string"),
+                F.lit(",lo="),
+                F.round(lo, 4).cast("decimal(20,4)").cast("string"),
+                F.lit(",hi="),
+                F.round(hi, 4).cast("decimal(20,4)").cast("string"),
             ).alias("observed"),
             F.lit(exp_msg).alias("expected"),
         )

@@ -360,3 +360,61 @@ def session_violations(
             F.lit(exp_msg).alias("expected"),
         )
     )
+
+
+def event_order_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    by: str,
+    first: str,
+    then: str,
+    require_first: bool = True,
+) -> DataFrame:
+    """``x-eventOrder`` execution: groups whose earliest ``then`` event
+    precedes their earliest ``first`` event (or has no ``first`` at all,
+    when ``require_first``), as engine violation rows.
+
+    The causality invariant behind every lifecycle table — "no purchase
+    before signup", "no shipment before order", "no refund before
+    payment" — is a relation between the MINIMA of two row subsets of a
+    group: invisible to row checks (each row is fine alone) and to
+    x-monotonic (which orders ONE series, not two predicates against
+    each other).  ``first``/``then`` are Spark SQL boolean expressions
+    over the row.
+
+    Plan: one conditional aggregate — groupBy(by) with two
+    min(CASE WHEN ...) columns (map-side combined, #groups rows out),
+    then a residual filter.  One Exchange of #groups rows total; never
+    a self-join of the two event subsets.  Groups with no ``then``
+    event pass vacuously.  Witnesses are exact epoch-micros.
+    """
+    m = _micros(F.col(column))
+    g = df.groupBy(F.col(by)).agg(
+        F.min(F.when(F.expr(first) & m.isNotNull(), m)).alias("__f"),
+        F.min(F.when(F.expr(then) & m.isNotNull(), m)).alias("__t"),
+    )
+    bad = F.col("__t").isNotNull() & (
+        (F.col("__f").isNotNull() & (F.col("__t") < F.col("__f")))
+        | (F.lit(bool(require_first)) & F.col("__f").isNull())
+    )
+    exp_msg = (f"first({first}) at-or-before first({then}) per {by}"
+               + (" (first required when then present)"
+                  if require_first else ""))
+    return (
+        g.where(bad)
+        .select(
+            F.coalesce(F.col(by).cast("string"),
+                       F.lit("<null>")).alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.concat_ws(
+                ",",
+                F.concat(F.lit("first="),
+                         F.coalesce(F.col("__f").cast("string"),
+                                    F.lit("none"))),
+                F.concat(F.lit("then="),
+                         F.col("__t").cast("string")),
+            ).alias("observed"),
+            F.lit(exp_msg).alias("expected"),
+        )
+    )

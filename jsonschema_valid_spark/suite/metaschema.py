@@ -305,7 +305,19 @@ METASCHEMA_SUITE: dict = {
         }}),
         _kw("x-outlier", {"properties": {
             "value_type": {"const": "object"},
-            "dict_keys": {"contains": {"const": "maxZ"}},
+            # zscore/mad declare maxZ; iqr declares iqrK
+            "dict_keys": {"anyOf": [
+                {"contains": {"const": "maxZ"}},
+                {"contains": {"const": "iqrK"}},
+            ]},
+        }}),
+        _kw("x-eventOrder", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "first"}},
+                {"contains": {"const": "then"}},
+                {"contains": {"const": "by"}},
+            ]},
         }}),
         _kw("x-session", {"properties": {
             "value_type": {"const": "object"},

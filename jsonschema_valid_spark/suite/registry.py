@@ -93,6 +93,7 @@ DATASET_KEYWORDS = frozenset(
         "x-monotonic",      # value monotonic over a declared ordering per group
         "x-noOverlap",      # [start,end) intervals disjoint per group
         "x-session",        # gap-framed session duration/size bounds per group
+        "x-eventOrder",     # first(A) must precede first(B) per group (causality)
         "x-outlier",        # per-group z-score envelope (data-aware min/max lift)
         "x-functionalDependency",  # determinant -> dependent tuple (FD, lift of `dependencies`)
         "x-rowCount",       # table/group cardinality bounds (lift of min/maxItems)

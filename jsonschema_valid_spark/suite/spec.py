@@ -196,6 +196,16 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if "cells" in v and not isinstance(v["cells"], dict):
                 raise _err(p, "x-drift cells must be an object "
                               "({'nCells'?, 'seed'?, 'dim'?, 'centroids'?})")
+            if "categorical" in v:
+                if not isinstance(v["categorical"], bool):
+                    raise _err(p, "x-drift categorical must be a bool")
+                if v["categorical"] and ("ksMax" in v or "emdMax" in v):
+                    raise _err(p, "x-drift categorical mode: categories "
+                                  "are unordered — ksMax/emdMax invalid "
+                                  "(use psiMax/chi2Max)")
+                if v["categorical"] and "cells" in v:
+                    raise _err(p, "x-drift: categorical and cells are "
+                                  "mutually exclusive")
         elif kw == "x-rowExpr":
             if not isinstance(v, str):
                 raise _err(p, "x-rowExpr must be a SQL boolean expression string")
@@ -290,6 +300,16 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-noOverlap must be {'endColumn': col, "
                               "'by'?: col, 'allowTouch'?: bool, "
                               "'verdicts'?: 'perGroup' (requires 'by')}")
+        elif kw == "x-eventOrder":
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("by"), str) and v["by"]
+                  and isinstance(v.get("first"), str) and v["first"]
+                  and isinstance(v.get("then"), str) and v["then"]
+                  and isinstance(v.get("requireFirst", True), bool))
+            if not ok:
+                raise _err(p, "x-eventOrder must be {'by': col, "
+                              "'first': sql-bool, 'then': sql-bool, "
+                              "'requireFirst'?: bool}")
         elif kw == "x-session":
             def _num(x):
                 return (isinstance(x, (int, float))
@@ -319,20 +339,28 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                               "'maxEvents': int>=1, 'minEvents': "
                               "int>=1}")
         elif kw == "x-outlier":
+            def _pos_num(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and x > 0)
+            meth = (v or {}).get("method", "zscore") \
+                if isinstance(v, dict) else None
             ok = (isinstance(v, dict)
-                  and isinstance(v.get("maxZ"), (int, float))
-                  and not isinstance(v.get("maxZ"), bool)
-                  and v["maxZ"] > 0
+                  and meth in ("zscore", "mad", "iqr")
+                  # zscore/mad take the envelope from maxZ; iqr from
+                  # iqrK (Tukey fence multiplier) — each required for
+                  # its own method so the declared form is explicit
+                  and (_pos_num(v.get("iqrK")) if meth == "iqr"
+                       else _pos_num(v.get("maxZ")))
                   and ("by" not in v or isinstance(v["by"], str))
-                  and v.get("method", "zscore") in ("zscore", "mad")
                   and ("minCount" not in v
                        or (isinstance(v["minCount"], int)
                            and not isinstance(v["minCount"], bool)
                            and v["minCount"] >= 2)))
             if not ok:
-                raise _err(p, "x-outlier must be {'maxZ': number>0, "
-                              "'by'?: col, 'method'?: 'zscore' | 'mad', "
-                              "'minCount'?: int>=2}")
+                raise _err(p, "x-outlier must be {'maxZ': number>0 "
+                              "(zscore/mad) | 'iqrK': number>0 (iqr), "
+                              "'by'?: col, 'method'?: 'zscore' | 'mad' "
+                              "| 'iqr', 'minCount'?: int>=2}")
         elif kw == "x-functionalDependency":
             det = v.get("determines") if isinstance(v, dict) else None
             if isinstance(det, str):

@@ -241,3 +241,61 @@ def test_per_partition_drift_matches_global_per_slice(spark, baseline):
             # aggregate: equality to the last few ulps, not bit-exact
             assert rows[(src, stat)]["metric_value"] == pytest.approx(
                 fn(h), rel=1e-12, abs=1e-9), (src, stat)
+
+
+def test_categorical_drift_keyword(spark):
+    from jsonschema_valid_spark.operators.drift import (
+        categorical_histogram,
+        psi_value_df,
+    )
+    from jsonschema_valid_spark.suite.spec import (
+        SuiteError,
+        validate_suite_spec,
+    )
+
+    rows = ([("a", "click")] * 50 + [("b", "view")] * 30
+            + [("c", "refund")] * 20 + [("d", None)] * 5)
+    df = spark.createDataFrame(
+        [(i, c) for i, (_, c) in enumerate(rows)], "id: long, et: string")
+    baseline = {"click": 50, "view": 30, "signup": 20}
+    res = CheckSuite({"properties": {"et": {"x-drift": {
+        "categorical": True, "baseline": baseline,
+        "psiMax": 0.01, "chi2Max": 0.01}}}}).run(df, key="id")
+    rowsv = {r["check_id"].rsplit("/", 1)[-1]: r
+             for r in res.verdicts.collect()
+             if "/x-drift/" in r["check_id"]}
+    # 'refund' is undeclared -> bucket -1 ("other"): 20% of observed
+    # mass sits where the baseline has none, and declared 'signup' is
+    # absent from the data -> both stats blow their tight thresholds.
+    assert not rowsv["psi"]["passed"]
+    assert not rowsv["chi2"]["passed"]
+
+    # metric equals the operator-level computation (NULLs excluded)
+    cats = sorted(baseline)
+    hist = categorical_histogram(df, "et", cats)
+    bl = {i: baseline[c] for i, c in enumerate(cats)}
+    expect = float(psi_value_df(hist, bl, spark).first()["value"])
+    assert rowsv["psi"]["metric_value"] == pytest.approx(expect,
+                                                        rel=1e-12)
+
+    # a distribution matching the baseline passes
+    match = df.where(F.col("et").isin("click", "view")) \
+        .unionByName(spark.createDataFrame(
+            [(1000 + i, "signup") for i in range(20)],
+            "id: long, et: string"))
+    ok = CheckSuite({"properties": {"et": {"x-drift": {
+        "categorical": True, "baseline": baseline,
+        "psiMax": 0.01, "chi2Max": 0.01}}}}).run(match, key="id")
+    assert all(r["passed"] for r in ok.verdicts.collect()
+               if "/x-drift/" in r["check_id"])
+
+    # unordered categories: ksMax/emdMax rejected at spec level
+    for bad_stat in ("ksMax", "emdMax"):
+        with pytest.raises(SuiteError):
+            validate_suite_spec({"properties": {"et": {"x-drift": {
+                "categorical": True, "baseline": baseline,
+                bad_stat: 0.1}}}})
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"et": {"x-drift": {
+            "categorical": True, "cells": {}, "baseline": baseline,
+            "psiMax": 1.0}}}})

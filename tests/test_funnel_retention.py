@@ -147,3 +147,72 @@ def test_session_keyword_engine_and_spec(spark):
         with pytest.raises(SuiteError):
             validate_suite_spec(
                 {"properties": {"ts": {"x-session": bad}}})
+
+
+# ------------------------------------------------------------- x-eventOrder
+
+def test_event_order_violations(spark):
+    rows = [
+        # u1: signup(0) then purchase(5) — fine
+        ("u1", "signup", _ts(0)), ("u1", "purchase", _ts(5)),
+        # u2: purchase(0) before signup(5) — violation
+        ("u2", "purchase", _ts(0)), ("u2", "signup", _ts(5)),
+        # u3: purchase with NO signup — violation (requireFirst)
+        ("u3", "purchase", _ts(0)),
+        # u4: signup only — vacuous pass
+        ("u4", "signup", _ts(0)),
+    ]
+    df = spark.createDataFrame(rows, "uid string, et string, ts timestamp")
+    suite = CheckSuite({"properties": {"ts": {"x-eventOrder": {
+        "by": "uid", "first": "et = 'signup'",
+        "then": "et = 'purchase'"}}}})
+    res = suite.run(df, key="uid")
+    got = {r["doc_id"]: r["observed"] for r in res.violations.collect()}
+    assert set(got) == {"u2", "u3"}
+    assert got["u3"].startswith("first=none,")
+    # requireFirst=False lets the missing-first user pass
+    lax = CheckSuite({"properties": {"ts": {"x-eventOrder": {
+        "by": "uid", "first": "et = 'signup'",
+        "then": "et = 'purchase'", "requireFirst": False}}}})
+    assert ({r["doc_id"] for r in lax.run(df, key="uid")
+             .violations.collect()} == {"u2"})
+
+
+def test_event_order_equal_ts_passes(spark):
+    # simultaneous first/then (same micro) is at-or-before: pass
+    df = spark.createDataFrame(
+        [("u", "signup", _ts(0)), ("u", "purchase", _ts(0))],
+        "uid string, et string, ts timestamp")
+    res = CheckSuite({"properties": {"ts": {"x-eventOrder": {
+        "by": "uid", "first": "et = 'signup'",
+        "then": "et = 'purchase'"}}}}).run(df, key="uid")
+    assert res.violations.count() == 0
+
+
+def test_event_order_single_aggregate_no_join(spark):
+    from jsonschema_valid_spark.operators.temporal import (
+        event_order_violations,
+    )
+
+    df = spark.range(100).select(
+        (F.col("id") % 5).alias("uid"),
+        F.timestamp_micros(F.col("id") * 1_000_000).alias("ts"),
+        (F.col("id") % 3).alias("k"))
+    v = event_order_violations(df, "ts", "c", by="uid",
+                               first="k = 0", then="k = 1")
+    plan = _plan(v)
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_event_order_spec_validation():
+    for bad in (
+        {"by": "g", "first": "a = 1"},             # then missing
+        {"first": "a = 1", "then": "b = 1"},       # by missing
+        {"by": "g", "first": "", "then": "b"},     # empty predicate
+        {"by": "g", "first": "a", "then": "b", "requireFirst": "yes"},
+        "a before b",
+    ):
+        with pytest.raises(SuiteError):
+            validate_suite_spec(
+                {"properties": {"ts": {"x-eventOrder": bad}}})

@@ -315,3 +315,55 @@ def test_outlier_mad_spec_validation():
     with pytest.raises(SuiteError):
         validate_suite_spec({"properties": {"v": {"x-outlier": {
             "maxZ": 3.5, "method": "iqr"}}}})
+
+
+# ------------------------------------------------------------ x-outlier: iqr
+
+def test_outlier_iqr_asymmetric_fence(spark):
+    # Right-skewed group: the high tail value breaches the upper fence
+    # while an equally-distant-from-median LOW value stays inside the
+    # (asymmetric) envelope a centered z-band would treat identically.
+    vals = [10.0, 11.0, 12.0, 13.0, 14.0, 15.0, 16.0, 40.0]
+    rows = [(i, "g", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: double")
+    res = CheckSuite({"properties": {"v": {"x-outlier": {
+        "by": "grp", "method": "iqr", "iqrK": 1.5}}}}).run(df, key="id")
+    viol = res.violations.collect()
+    assert [r["doc_id"] for r in viol] == ["7"]
+    assert viol[0]["observed"].startswith("v=40.0000,lo=")
+
+
+def test_outlier_iqr_zero_iqr_passes(spark):
+    # constant middle (IQR == 0) never violates, matching the
+    # zero-variance rule of zscore/mad
+    rows = [(i, "g", 5.0) for i in range(7)] + [(9, "g", 99.0)]
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: double")
+    res = CheckSuite({"properties": {"v": {"x-outlier": {
+        "by": "grp", "method": "iqr", "iqrK": 1.5}}}}).run(df, key="id")
+    assert res.violations.count() == 0
+
+
+def test_outlier_iqr_fact_side_never_shuffled(spark):
+    from jsonschema_valid_spark.operators.outliers import (
+        outlier_violations,
+    )
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id") * 1.0).alias("v"))
+    v = outlier_violations(df, "v", "c", key="id", by="grp",
+                           method="iqr", iqr_k=1.5)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    fact = plan.split("BroadcastExchange", 1)[0]
+    assert "Exchange hashpartitioning" not in fact, plan
+
+
+@pytest.mark.parametrize("bad", [
+    {"by": "g", "method": "iqr"},               # iqrK required for iqr
+    {"by": "g", "method": "iqr", "iqrK": 0},    # non-positive
+    {"by": "g", "method": "iqr", "maxZ": 3.0},  # wrong knob for iqr
+    {"by": "g", "method": "nope", "maxZ": 3.0},
+])
+def test_outlier_iqr_spec_validation(bad):
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-outlier": bad}}})

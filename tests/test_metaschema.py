@@ -91,6 +91,10 @@ INVALID_SUITES = [
         "by": "g", "maxEvents": 5}}}}),
     ("x-session-no-bound", {"properties": {"x": {"x-session": {
         "by": "g", "gapSeconds": 600}}}}),
+    ("x-eventOrder-no-then", {"properties": {"x": {"x-eventOrder": {
+        "by": "g", "first": "a = 1"}}}}),
+    ("x-eventOrder-no-by", {"properties": {"x": {"x-eventOrder": {
+        "first": "a = 1", "then": "b = 1"}}}}),
     ("x-functionalDependency-empty",
      {"properties": {"x": {"x-functionalDependency": {}}}}),
     ("nonstring-rowexpr", {"x-rowExpr": 42}),
