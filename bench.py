@@ -229,6 +229,24 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     timed("outlier_broadcast", lambda: outlier_violations(
         seq, "n_tok", "bench", key="doc_id", by="source",
         max_z=6.0).count())
+    # r4 wave 6: the union+window merge family (asof_join) — left = the
+    # full generated table, right = a ~1% slice, both shuffled ONCE
+    # together on the 20-value source key (worst-case key skew for the
+    # per-partition sort; fan-out-independent by construction)
+    from jsonschema_valid_spark.operators.temporal import asof_join
+
+    did = F.substring(F.col("doc_id"), 5, 12).cast("long")
+    asof_left = seq.select(
+        "source", F.timestamp_micros(did * 1000).alias("ts"),
+        did.alias("n"))
+    asof_right = (seq.where(did % 97 == 0)
+                  .select("source",
+                          F.timestamp_micros(did * 1000).alias("ts"),
+                          did.alias("rid")))
+    timed("asof_union_window", lambda: asof_join(
+        asof_left, asof_right, on="source", left_ts="ts",
+        right_cols=["rid"], right_tiebreak="rid")
+        .where(F.col("asof_rid").isNotNull()).count())
 
     wall = timings["flagship_full"]
     totals = seq.agg(F.count(F.lit(1)).alias("n"),

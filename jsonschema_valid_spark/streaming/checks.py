@@ -603,3 +603,100 @@ def stream_session_stats(sdf: DataFrame, key: str, ts_col: str,
                 (F.col("end_micros")
                  - F.col("start_micros")).alias("duration_micros"))
     )
+
+
+def stream_event_order_violations(
+    sdf: DataFrame,
+    column: str,
+    by: str,
+    first: str,
+    then: str,
+    require_first: bool = True,
+    watermark: str = "10 minutes",
+    check_id: str | None = None,
+) -> DataFrame:
+    """Streaming ``x-eventOrder`` (operators/temporal.py
+    event_order_violations lifted to an unbounded stream): causality
+    between two predicate-selected event subsets per group — "no
+    purchase before signup" — where the earliest-first/earliest-then
+    knowledge must survive micro-batch boundaries.  State per group is
+    (first_seen, first_min, then_seen, then_min, emitted): five scalars,
+    O(#groups) regardless of stream length; at most ONE violation row
+    per group ever (matching the batch operator's one-row-per-group
+    shape).
+
+    Emission logic in event-time order within a batch, arrival order
+    across batches (same contract as stream_monotonic_violations —
+    parity with the batch operator holds when batches arrive in event-
+    time order, asserted in tests): a ``then`` event with an earlier
+    ``first`` on record violates when it precedes it; a ``then`` with NO
+    ``first`` on record violates immediately iff ``require_first``,
+    otherwise the group waits — if a later (in-order ⇒ later-in-time)
+    ``first`` arrives, then_min < first_min proves the violation
+    retroactively and it emits then.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cid = check_id or f"properties/{column}/x-eventOrder"
+    exp_msg = (f"first({first}) at-or-before first({then}) per {by} "
+               f"(stream)")
+    out_schema = ("doc_id string, check_id string, observed string, "
+                  "expected string")
+    state_schema = ("first_seen boolean, first_min double, "
+                    "then_seen boolean, then_min double, "
+                    "emitted boolean")
+
+    def update(key_tuple, pdfs, state: GroupState):
+        fs, fm, ts_, tm, emitted = (
+            state.get if state.exists
+            else (False, 0.0, False, 0.0, False))
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+            .sort_values("__m", kind="mergesort")
+        hit = None
+        for m, is_f, is_t in zip(pdf["__m"].to_numpy(),
+                                 pdf["__is_f"].to_numpy(),
+                                 pdf["__is_t"].to_numpy()):
+            if pd.isna(m):
+                continue
+            m = float(m)
+            if bool(is_f) and not fs:
+                fs, fm = True, m
+                if ts_ and tm < fm and not emitted:
+                    emitted = True
+                    hit = (f"first={int(fm)},then={int(tm)}")
+            if bool(is_t) and not ts_:
+                ts_, tm = True, m
+                if not emitted and (
+                        (fs and tm < fm)
+                        or (not fs and require_first)):
+                    emitted = True
+                    hit = (f"first={int(fm) if fs else 0},"
+                           f"then={int(tm)}"
+                           if fs else f"first=none,then={int(tm)}")
+        state.update((fs, fm, ts_, tm, emitted))
+        if hit is not None:
+            yield pd.DataFrame({
+                "doc_id": [str(key_tuple[0])],
+                "check_id": cid,
+                "observed": [hit],
+                "expected": exp_msg,
+            })
+
+    m = F.unix_micros(F.col(column).cast("timestamp")).cast("double")
+    prepped = (
+        sdf.withWatermark(column, watermark)
+        .select(
+            F.col(by).alias("__by"),
+            m.alias("__m"),
+            F.expr(first).alias("__is_f"),
+            F.expr(then).alias("__is_t"),
+        )
+    )
+    return prepped.groupBy("__by").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
