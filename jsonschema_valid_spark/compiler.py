@@ -1156,6 +1156,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # individually fine; the failure is the pair)
         plan.dataset_checks.append(
             DatasetCheck(cid, "no_overlap", colname, dict(v)))
+    elif kw == "x-correlation":
+        # dataset scope: a relation BETWEEN columns — every other
+        # statistical check treats one column at a time; "these two
+        # must track" / "this feature must not correlate with time"
+        # is invisible to all of them
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "correlation", colname, dict(v)))
     elif kw == "x-eventOrder":
         # dataset scope: causality between the MINIMA of two row
         # subsets of a group ("no purchase before signup") — a relation

@@ -4135,3 +4135,93 @@ def engine_eventorder_violations(spark, sf_dir):
         "then": "event_type = 'purchase'"}}}})
     res = suite.run(ev, key="event_id")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_CORR_KW_SQL = """
+WITH g AS (
+  SELECT event_type,
+         corr(value, epoch_us(ts)) AS r,
+         count(CASE WHEN value IS NOT NULL AND ts IS NOT NULL
+                    THEN 1 END) AS n
+  FROM events GROUP BY event_type
+)
+SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS doc_id,
+       'properties/value/x-correlation' AS check_id,
+       'r=' || CAST(CAST(round(r, 4) AS DECIMAL(10,4)) AS VARCHAR)
+         || ',n=' || CAST(n AS VARCHAR) AS observed
+FROM g
+WHERE r IS NOT NULL AND n >= 3 AND r < 0.05
+"""
+
+
+@register_extended("engine_correlation_violations", _CORR_KW_SQL)
+def engine_correlation_violations(spark, sf_dir):
+    """x-correlation as a DECLARATIVE suite keyword: per-event_type
+    Pearson r between value and event time must be >= 0.05 — the
+    cross-COLUMN statistical family (every other statistical check
+    treats one column at a time; "these two must track" and the leakage
+    inverse "this feature must NOT correlate with time" are relations
+    BETWEEN columns none of them can see). Plan
+    (operators/correlation.py): Pearson r is a mergeable moment
+    statistic, so this is ONE map-side-combined conditional aggregate
+    (#groups rows shuffled) + residual filter — the x-eventOrder shape.
+    Spark corr == DuckDB corr (sample Pearson); witnesses are
+    decimal(10,4). 3 violating groups at sf0.001, 5 at sf0.01. EXTENDED
+    mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts_us",
+                      F.unix_micros(F.col("ts").cast("timestamp"))))
+    suite = CheckSuite({"properties": {"value": {"x-correlation": {
+        "with": "ts_us", "by": "event_type", "min": 0.05}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_CORR_MATRIX_SQL = """
+WITH m AS (
+  SELECT event_type, value, CAST(user_id AS DOUBLE) AS uid,
+         CAST(epoch_us(ts) AS DOUBLE) AS us
+  FROM events
+)
+SELECT event_type, 'uid' AS col_a, 'us' AS col_b,
+       round(corr(uid, us), 6) AS r,
+       count(CASE WHEN uid IS NOT NULL AND us IS NOT NULL
+                  THEN 1 END) AS n
+FROM m GROUP BY event_type
+UNION ALL
+SELECT event_type, 'uid', 'value', round(corr(uid, value), 6),
+       count(CASE WHEN uid IS NOT NULL AND value IS NOT NULL
+                  THEN 1 END)
+FROM m GROUP BY event_type
+UNION ALL
+SELECT event_type, 'us', 'value', round(corr(us, value), 6),
+       count(CASE WHEN us IS NOT NULL AND value IS NOT NULL
+                  THEN 1 END)
+FROM m GROUP BY event_type
+"""
+
+
+@register_extended("events_correlation_matrix", _CORR_MATRIX_SQL)
+def events_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson matrix (operators/correlation.py
+    correlation_matrix): all 3 pairs of (user_id, epoch-micros, value)
+    per event_type in ONE aggregate pass — k·(k−1)/2 corr + pair-count
+    expressions riding a single map-side-combined groupBy, never a
+    per-pair scan. The profiling face of x-correlation (feed the matrix
+    to suggest_constraints-style review, then pin the pairs that matter
+    as keywords). Rounded to 6 for cross-engine hash stability.
+    EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.correlation import (
+        correlation_matrix,
+    )
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("event_type", "value",
+                  F.col("user_id").cast("double").alias("uid"),
+                  F.unix_micros(F.col("ts").cast("timestamp"))
+                  .cast("double").alias("us")))
+    m = correlation_matrix(ev, ["uid", "us", "value"], by="event_type")
+    return m.select("event_type", "col_a", "col_b",
+                    F.round("corr", 6).alias("r"), "n")

