@@ -4225,3 +4225,66 @@ def events_correlation_matrix(spark, sf_dir):
     m = correlation_matrix(ev, ["uid", "us", "value"], by="event_type")
     return m.select("event_type", "col_a", "col_b",
                     F.round("corr", 6).alias("r"), "n")
+
+
+_ROLLING_SQL = """
+SELECT event_id, user_id,
+       round(avg(value) OVER wr, 6) AS v_avg_5r,
+       round(min(value) OVER wr, 6) AS v_min_5r,
+       count(value) OVER wr AS v_count_5r,
+       round(avg(value) OVER wg, 6) AS v_avg_3600s,
+       count(value) OVER wg AS v_count_3600s,
+       round(value - lag(value) OVER wo, 6) AS v_delta,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER wo AS gap_micros
+FROM events
+WINDOW
+  wr AS (PARTITION BY user_id
+         ORDER BY epoch_us(ts) ASC NULLS FIRST, event_id
+         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+  wg AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+         RANGE BETWEEN CAST(3600 AS BIGINT) * 1000000 PRECEDING
+               AND CURRENT ROW),
+  wo AS (PARTITION BY user_id
+         ORDER BY epoch_us(ts) ASC NULLS FIRST, event_id)
+"""
+
+
+@register_extended("events_rolling_features", _ROLLING_SQL)
+def events_rolling_features(spark, sf_dir):
+    """TRAILING-WINDOW feature engineering (operators/features.py):
+    per-user rolling avg/min/count over the previous 5 rows AND over
+    the trailing hour of event time, plus lag-1 delta and the
+    gap-since-previous micros — the "state of the world at this row"
+    columns a training pipeline derives before packing. Trailing frames
+    ONLY (a forward frame leaks the future — the design refuses it).
+    Plan: every feature shares ONE hash Exchange on user_id (row frames
+    sort (ts, id), the range frame sorts ts alone — same partitioning,
+    one extra in-partition Sort, plan-asserted). Floats rounded to 6
+    (intra-frame summation order differs by ulps across engines — the
+    drift-statistics convention). 1,000 rows at sf0.001, 10,000 at
+    sf0.01. EXTENDED mirror entry; full value-hash oracle replays all
+    three window frames."""
+    from jsonschema_valid_spark.operators.features import (
+        lag_features,
+        rolling_features,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    r = rolling_features(ev, key="user_id", ts="ts", value="value",
+                         rows_windows=[5],
+                         range_windows_seconds=[3600.0],
+                         stats=("avg", "min", "count"),
+                         order_tiebreak="event_id")
+    r = lag_features(r, key="user_id", ts="ts", value="value",
+                     lags=[1], with_delta=True,
+                     order_tiebreak="event_id")
+    return r.select(
+        "event_id", "user_id",
+        F.round("value_avg_5r", 6).alias("v_avg_5r"),
+        F.round("value_min_5r", 6).alias("v_min_5r"),
+        F.col("value_count_5r").alias("v_count_5r"),
+        F.round("value_avg_3600s", 6).alias("v_avg_3600s"),
+        F.col("value_count_3600s").alias("v_count_3600s"),
+        F.round("value_delta", 6).alias("v_delta"),
+        F.col("ts_gap_micros").alias("gap_micros"),
+    )
