@@ -1156,6 +1156,12 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # individually fine; the failure is the pair)
         plan.dataset_checks.append(
             DatasetCheck(cid, "no_overlap", colname, dict(v)))
+    elif kw == "x-levelShift":
+        # dataset scope: WHERE did the local mean jump — positional
+        # change detection that whole-distribution drift statistics
+        # dilute and single-row maxStep cannot see through noise
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "level_shift", colname, dict(v)))
     elif kw == "x-correlation":
         # dataset scope: a relation BETWEEN columns — every other
         # statistical check treats one column at a time; "these two

@@ -4288,3 +4288,71 @@ def events_rolling_features(spark, sf_dir):
         F.round("value_delta", 6).alias("v_delta"),
         F.col("ts_gap_micros").alias("gap_micros"),
     )
+
+
+_LEVELSHIFT_KW_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, value, epoch_us(ts) AS m FROM events
+),
+w AS (
+  SELECT user_id, m,
+         avg(value) OVER wr AS rec, count(value) OVER wr AS nr,
+         avg(value) OVER wp AS pri, count(value) OVER wp AS np
+  FROM e
+  WINDOW
+    wr AS (PARTITION BY user_id
+           ORDER BY m ASC NULLS FIRST, event_id
+           ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+    wp AS (PARTITION BY user_id
+           ORDER BY m ASC NULLS FIRST, event_id
+           ROWS BETWEEN 19 PRECEDING AND 10 PRECEDING)
+),
+s AS (
+  SELECT user_id, m,
+         CASE WHEN nr = 10 AND np = 10
+              THEN abs(rec - pri) END AS shift
+  FROM w
+),
+top AS (
+  SELECT user_id, m, shift,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY shift DESC NULLS LAST,
+                                     m DESC) AS rn
+  FROM s
+)
+SELECT COALESCE(CAST(user_id AS VARCHAR), '<null>') AS doc_id,
+       'properties/value/x-levelShift' AS check_id,
+       'shift=' || CAST(CAST(round(shift, 4) AS DECIMAL(20,4)) AS VARCHAR)
+         || ',at=' || CAST(m AS VARCHAR) AS observed
+FROM top
+WHERE rn = 1 AND shift IS NOT NULL AND shift > 40.0
+"""
+
+
+@register_extended("engine_levelshift_violations", _LEVELSHIFT_KW_SQL)
+def engine_levelshift_violations(spark, sf_dir):
+    """x-levelShift as a DECLARATIVE suite keyword: each user's value
+    series may not JUMP — the peak |mean(last 10) − mean(prior 10)|
+    must stay <= 40. The POSITIONAL complement of x-drift: a sensor
+    recalibration / unit switch / post-deploy step produces a level
+    shift at a specific position that whole-distribution statistics
+    dilute (half the mass at each level reads as a wide distribution,
+    not a step) and that x-monotonic's single-row maxStep cannot see
+    through noise. One violation row per offending group, found by a
+    rank-1 window — never a collect. Plan (operators/changepoint.py):
+    both mean windows + the rank window share ONE hash Exchange on
+    user_id. Ordered by exact epoch-micros (numeric) so the at= witness
+    is cross-engine stable; closest group-peak to the 40.0 threshold is
+    0.10 — far above float noise. 7 violating users at sf0.001, 100 at
+    sf0.01. EXTENDED mirror entry; full value-hash oracle replays the
+    window chain + rank."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts_us",
+                      F.unix_micros(F.col("ts").cast("timestamp"))))
+    suite = CheckSuite({"properties": {"value": {"x-levelShift": {
+        "orderBy": "ts_us", "by": "user_id", "window": 10,
+        "maxShift": 40.0}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")

@@ -338,6 +338,21 @@ def _overlap_violations(dc, df: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _level_shift_violations(dc, df: DataFrame, key: str) -> DataFrame:
+    """Shared x-levelShift execution for both run paths."""
+    from jsonschema_valid_spark.operators.changepoint import (
+        level_shift_violations,
+    )
+
+    return level_shift_violations(
+        df, dc.column, dc.check_id, key=key,
+        order_by=dc.params["orderBy"],
+        by=dc.params.get("by"),
+        window=int(dc.params.get("window", 20)),
+        max_shift=float(dc.params["maxShift"]),
+    )
+
+
 def _correlation_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-correlation execution for both run paths."""
     from jsonschema_valid_spark.operators.correlation import (
@@ -660,6 +675,8 @@ def run_suite_summarized(
             vdf = _event_order_violations(dc, df)
         elif dc.kind == "correlation":
             vdf = _correlation_violations(dc, df)
+        elif dc.kind == "level_shift":
+            vdf = _level_shift_violations(dc, df, key)
         elif dc.kind == "outlier":
             vdf = _outlier_violations(dc, df, key)
         elif dc.kind == "functional_dependency":
@@ -1046,6 +1063,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nov") == 0).alias("passed"),
                     F.col("nov").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "level_shift":
+            lsv = _level_shift_violations(dc, df, key)
+            violation_dfs.append(_with_ipath(lsv))
+            verdict_dfs.append(
+                lsv.agg(F.count(F.lit(1)).alias("nls")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nls") == 0).alias("passed"),
+                    F.col("nls").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

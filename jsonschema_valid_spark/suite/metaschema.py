@@ -311,6 +311,13 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"const": "iqrK"}},
             ]},
         }}),
+        _kw("x-levelShift", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "orderBy"}},
+                {"contains": {"const": "maxShift"}},
+            ]},
+        }}),
         _kw("x-correlation", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"allOf": [

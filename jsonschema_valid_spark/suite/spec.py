@@ -300,6 +300,22 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-noOverlap must be {'endColumn': col, "
                               "'by'?: col, 'allowTouch'?: bool, "
                               "'verdicts'?: 'perGroup' (requires 'by')}")
+        elif kw == "x-levelShift":
+            def _pnum(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and x > 0)
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("orderBy"), str) and v["orderBy"]
+                  and _pnum(v.get("maxShift"))
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("window" not in v
+                       or (isinstance(v["window"], int)
+                           and not isinstance(v["window"], bool)
+                           and v["window"] >= 2)))
+            if not ok:
+                raise _err(p, "x-levelShift must be {'orderBy': col, "
+                              "'maxShift': number>0, 'by'?: col, "
+                              "'window'?: int>=2}")
         elif kw == "x-correlation":
             def _corr_num(x):
                 return (isinstance(x, (int, float))

@@ -95,6 +95,10 @@ INVALID_SUITES = [
         "by": "g", "first": "a = 1"}}}}),
     ("x-correlation-no-with", {"properties": {"x": {"x-correlation": {
         "min": 0.5}}}}),
+    ("x-levelShift-no-orderby", {"properties": {"x": {"x-levelShift": {
+        "maxShift": 5}}}}),
+    ("x-levelShift-no-maxshift", {"properties": {"x": {"x-levelShift": {
+        "orderBy": "m"}}}}),
     ("x-correlation-no-bound", {"properties": {"x": {"x-correlation": {
         "with": "y"}}}}),
     ("x-eventOrder-no-by", {"properties": {"x": {"x-eventOrder": {
