@@ -4356,3 +4356,76 @@ def engine_levelshift_violations(spark, sf_dir):
         "maxShift": 40.0}}}})
     res = suite.run(ev, key="event_id")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_WEIGHTED_GATE_SQL = """
+SELECT doc_id, source, n_chars
+FROM documents
+WHERE n_chars IS NOT NULL AND n_chars > 0
+  AND ((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || chr(31)
+              || '3'), 1, 15)) AS BIGINT) % 1000000) + 0.5) / 1000000.0
+      < 0.001 * n_chars
+"""
+
+
+@register_extended("sample_weighted_gate", _WEIGHTED_GATE_SQL)
+def sample_weighted_gate(spark, sf_dir):
+    """Weight-proportional Bernoulli sampling (functions/sampling.py
+    weighted_sample): each document kept with probability
+    min(1, 0.001 · n_chars) — the quality-weighted gate of a training
+    mix (longer documents sampled more often). Pure codegen filter,
+    ZERO shuffles at any scale; the u < rate·w comparison uses only
+    IEEE-exact operations (no ln()), so the portable-hash oracle
+    replays the draw bit-for-bit. EXTENDED mirror entry; full
+    value-hash oracle."""
+    from jsonschema_valid_spark.functions.sampling import (
+        weighted_sample,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_sample(docs, key="doc_id", weight="n_chars",
+                           rate=0.001, seed=3, portable=True) \
+        .select("doc_id", "source", "n_chars")
+
+
+_WEIGHTED_K_SQL = """
+WITH r AS (
+  SELECT doc_id, source, n_chars,
+         round(-ln(((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)
+                     || chr(31) || '5'), 1, 15)) AS BIGINT) % 1000000)
+                    + 0.5) / 1000000.0)
+               / CAST(n_chars AS DOUBLE), 6) AS race
+  FROM documents
+  WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+t AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY race, doc_id) AS rn
+  FROM r
+)
+SELECT doc_id, source, n_chars FROM t WHERE rn <= 5
+"""
+
+
+@register_extended("sample_weighted_k_per_source", _WEIGHTED_K_SQL)
+def sample_weighted_k_per_source(spark, sf_dir):
+    """Weighted EXACT-k sampling without replacement
+    (Efraimidis–Spirakis A-ES, functions/sampling.py
+    weighted_k_per_group): 5 documents per source ranked by the
+    exponential race key −ln(u)/n_chars — longer documents win the race
+    more often, k is hit exactly, the whole draw replays from the seed.
+    One window shuffle on source. The race key is rounded to 1e-6
+    before ranking with doc_id as the exact tiebreak (JVM vs DuckDB ln
+    differ by 1 ulp on ~7% of inputs — measured; rounding makes a swap
+    require landing within an ulp of a rounding boundary, ~1e-10 per
+    row). EXTENDED mirror entry; full value-hash oracle replays the
+    race."""
+    from jsonschema_valid_spark.functions.sampling import (
+        weighted_k_per_group,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_k_per_group(docs, key="doc_id", group="source",
+                                weight="n_chars", k=5, seed=5,
+                                portable=True) \
+        .select("doc_id", "source", "n_chars")

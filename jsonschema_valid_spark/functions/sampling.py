@@ -173,3 +173,57 @@ def fixed_k_per_group(df: DataFrame, key: str, group: str, k: int,
     w = Window.partitionBy(group).orderBy(h, F.col(key))
     return (df.withColumn("__rank", F.row_number().over(w))
             .where(F.col("__rank") <= k).drop("__rank"))
+
+
+def weighted_sample(df: DataFrame, key: str, weight: str, rate: float,
+                    seed: int = 0, portable: bool = False) -> DataFrame:
+    """Weight-proportional Bernoulli sample: each row is kept with
+    probability ``min(1, rate · weight)`` — the quality-weighted gate of
+    a training mix ("sample long/high-score documents more often").
+    Scale ``rate`` so ``rate · typical_weight`` is the target inclusion
+    probability.
+
+    Same scale contract as :func:`hash_sample`: a pure codegen'd filter
+    (deterministic hash → uniform u → compare), ZERO shuffles at any
+    scale, reproducible row-for-row. The comparison ``u < rate · w``
+    uses only IEEE-exact operations (multiply, compare), so the DuckDB
+    oracle replays it bit-for-bit — no ln() in this path. Rows with
+    NULL or non-positive weight are never selected (police weights with
+    ``minimum``/``x-outlier``)."""
+    if rate <= 0:
+        raise ValueError(f"rate must be > 0, got {rate}")
+    u = (_hash_gate(F.col(key), seed, portable) + F.lit(0.5)) \
+        / F.lit(float(_GATE_M))
+    w = F.col(weight).cast("double")
+    return df.where(w.isNotNull() & (w > 0)
+                    & (u < F.lit(float(rate)) * w))
+
+
+def weighted_k_per_group(df: DataFrame, key: str, group: str,
+                         weight: str, k: int, seed: int = 0,
+                         portable: bool = False) -> DataFrame:
+    """Deterministic weighted EXACT-k sample per group without
+    replacement (Efraimidis–Spirakis A-ES): rank rows by the
+    exponential race key ``−ln(u)/w`` ascending and keep the first k —
+    inclusion probability rises with weight, k is hit exactly, and the
+    whole draw replays from the seed.
+
+    One window shuffle on ``group`` (the fixed_k_per_group cost
+    contract).  Cross-engine determinism: JVM and DuckDB ``ln`` differ
+    in the last ulp on ~7% of inputs (measured), so the race key is
+    ROUNDED to 1e-6 before ranking with the row key as the exact
+    tiebreak — a 1-ulp difference only matters if it crosses a rounding
+    boundary (~1e-10 per row). Rows with NULL/non-positive weight never
+    enter the race."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    u = (_hash_gate(F.col(key), seed, portable) + F.lit(0.5)) \
+        / F.lit(float(_GATE_M))
+    wt = F.col(weight).cast("double")
+    race = F.round(-F.log(u) / wt, 6)
+    win = Window.partitionBy(group).orderBy(race.asc(), F.col(key))
+    return (df.where(wt.isNotNull() & (wt > 0))
+            .withColumn("__rank", F.row_number().over(win))
+            .where(F.col("__rank") <= k).drop("__rank"))

@@ -573,3 +573,63 @@ def test_fixed_k_per_group(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="k must"):
         fixed_k_per_group(seq, "doc_id", "source", k=0)
+
+
+# ------------------------------------------------------- weighted sampling
+
+def test_weighted_sample_proportionality_and_determinism(spark):
+    from jsonschema_valid_spark.functions.sampling import weighted_sample
+
+    df = spark.range(20000).select(
+        F.col("id"),
+        F.when(F.col("id") % 2 == 0, 1.0).otherwise(10.0).alias("w"))
+    out = weighted_sample(df, key="id", weight="w", rate=0.05, seed=1)
+    light = out.where(F.col("w") == 1.0).count()
+    heavy = out.where(F.col("w") == 10.0).count()
+    # P=0.05 vs P=0.5: the heavy class must be sampled ~10x as often
+    assert light and 7 * light < heavy < 13 * light
+    # deterministic: identical draw on rerun
+    again = weighted_sample(df, key="id", weight="w", rate=0.05, seed=1)
+    assert sorted(r.id for r in out.collect()) \
+        == sorted(r.id for r in again.collect())
+    # different seed -> different draw
+    other = weighted_sample(df, key="id", weight="w", rate=0.05, seed=2)
+    assert sorted(r.id for r in other.collect()) \
+        != sorted(r.id for r in out.collect())
+    # zero/NULL weights never selected
+    nw = df.withColumn("w", F.when(F.col("id") < 10000, None)
+                       .otherwise(F.lit(0.0)))
+    assert weighted_sample(nw, key="id", weight="w", rate=10.0).count() == 0
+
+
+def test_weighted_sample_zero_shuffle_plan(spark):
+    from jsonschema_valid_spark.functions.sampling import weighted_sample
+
+    df = spark.range(100).select(F.col("id"), F.lit(2.0).alias("w"))
+    out = weighted_sample(df, key="id", weight="w", rate=0.1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_weighted_k_per_group_exact_k_and_bias(spark):
+    from jsonschema_valid_spark.functions.sampling import (
+        weighted_k_per_group,
+    )
+
+    df = spark.range(4000).select(
+        F.col("id"), (F.col("id") % 4).cast("string").alias("g"),
+        # 5 coprime to 4: every group gets its share of heavy rows
+        F.when(F.col("id") % 5 == 0, 50.0).otherwise(1.0).alias("w"))
+    out = weighted_k_per_group(df, key="id", group="g", weight="w",
+                               k=25, seed=7)
+    per = {r.g: r.cnt for r in
+           out.groupBy("g").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert per == {"0": 25, "1": 25, "2": 25, "3": 25}  # exact k
+    # the 10% heavy rows (w=50) must dominate the winners
+    heavy_frac = out.where(F.col("w") == 50.0).count() / 100.0
+    assert heavy_frac > 0.5
+    # partitioning-invariant: same winners from a different layout
+    re = weighted_k_per_group(df.repartition(17), key="id", group="g",
+                              weight="w", k=25, seed=7)
+    assert sorted(r.id for r in re.collect()) \
+        == sorted(r.id for r in out.collect())
