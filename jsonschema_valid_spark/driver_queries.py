@@ -4429,3 +4429,41 @@ def sample_weighted_k_per_source(spark, sf_dir):
                                 weight="n_chars", k=5, seed=5,
                                 portable=True) \
         .select("doc_id", "source", "n_chars")
+
+
+_STANDARDIZE_SQL = """
+WITH st AS (
+  SELECT event_type,
+         avg(value) AS mu, stddev_samp(value) AS sg,
+         min(value) AS lo, max(value) AS hi
+  FROM events GROUP BY event_type
+)
+SELECT e.event_id,
+       round((e.value - st.mu) / st.sg, 6) AS v_z,
+       round((e.value - st.lo) / (st.hi - st.lo), 6) AS v_mm
+FROM events e JOIN st
+  ON e.event_type IS NOT DISTINCT FROM st.event_type
+"""
+
+
+@register_extended("events_standardized", _STANDARDIZE_SQL)
+def events_standardized(spark, sf_dir):
+    """Feature scaling (operators/features.py standardize): z-score and
+    min-max scaled value per event_type — the train-prep twin of
+    x-outlier's learned envelope. ONE stats aggregate per method
+    (#groups rows, all columns' moments in the same pass) broadcast
+    back onto the unshuffled fact scan; zero-variance scales to NULL
+    via try_divide (no ANSI error, no silent fake zero). Round-6 both
+    sides. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.features import standardize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    z = standardize(ev, ["value"], by="event_type", method="zscore",
+                    suffix="_z")
+    mm = standardize(z, ["value"], by="event_type", method="minmax",
+                     suffix="_mm")
+    return mm.select(
+        "event_id",
+        F.round("value_z", 6).alias("v_z"),
+        F.round("value_mm", 6).alias("v_mm"),
+    )

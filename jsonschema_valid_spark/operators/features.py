@@ -125,3 +125,56 @@ def lag_features(
                               val - F.lag(val, 1).over(w))
                .withColumn(f"{ts}_gap_micros", m - F.lag(m, 1).over(w)))
     return out
+
+
+def standardize(
+    df: DataFrame,
+    cols: list[str],
+    by: str | None = None,
+    method: str = "zscore",
+    suffix: str = "_std",
+) -> DataFrame:
+    """Feature scaling: adds ``{col}{suffix}`` for every input column —
+    ``zscore`` ((v − mean)/stddev) or ``minmax`` ((v − min)/(max − min)
+    into [0, 1]) — per ``by``-group or globally.
+
+    The train-prep twin of x-outlier's envelope: ONE stats aggregate
+    (#groups rows, every column's moments in the same pass) broadcast
+    back onto the unshuffled fact scan as a codegen projection — the
+    fact side is never hash-partitioned.  Zero-variance / constant
+    columns scale to NULL (``try_divide`` — no ANSI division error, no
+    silent fake zero); the caller decides whether constants belong in
+    the feature set."""
+    if method not in ("zscore", "minmax"):
+        raise ValueError("method must be 'zscore' or 'minmax'")
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    aggs = []
+    for c in cols:
+        v = F.col(c).cast("double")
+        if method == "zscore":
+            aggs += [F.avg(v).alias(f"__m_{c}"),
+                     F.stddev_samp(v).alias(f"__s_{c}")]
+        else:
+            aggs += [F.min(v).alias(f"__m_{c}"),
+                     F.max(v).alias(f"__s_{c}")]
+    if by is not None:
+        stats = df.groupBy(F.col(by).alias("__grp")).agg(*aggs)
+        joined = df.join(F.broadcast(stats),
+                         F.col(by).eqNullSafe(F.col("__grp")))
+    else:
+        stats = df.agg(*aggs)
+        joined = df.crossJoin(F.broadcast(stats))
+    out = joined
+    for c in cols:
+        v = F.col(c).cast("double")
+        if method == "zscore":
+            scaled = F.try_divide(v - F.col(f"__m_{c}"),
+                                  F.col(f"__s_{c}"))
+        else:
+            scaled = F.try_divide(v - F.col(f"__m_{c}"),
+                                  F.col(f"__s_{c}") - F.col(f"__m_{c}"))
+        out = out.withColumn(f"{c}{suffix}", scaled)
+    drop = ([f"__m_{c}" for c in cols] + [f"__s_{c}" for c in cols]
+            + (["__grp"] if by is not None else []))
+    return out.drop(*drop)

@@ -417,7 +417,8 @@ def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
                           chi2_max: float | None = None,
                           emd_max: float | None = None,
                           window_duration: str = "1 minute",
-                          watermark: str = "2 minutes") -> DataFrame:
+                          watermark: str = "2 minutes",
+                          categorical: bool = False) -> DataFrame:
     """Per-window drift verdicts vs a literal baseline histogram — the
     streaming form of ``operators/drift.py``, now with the SAME three
     statistics as batch (VERDICT r3 item 5): PSI, binned-ECDF KS,
@@ -435,22 +436,49 @@ def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
     The baseline rides as a literal map expression; no Python at runtime,
     state bounded by the watermark.
 
+    ``categorical=True`` lifts the batch categorical mode
+    (operators/drift.py categorical_histogram) onto the stream: the
+    baseline is keyed by CATEGORY STRING, categories map to indices of
+    the sorted declared list at ingestion (one literal array_position
+    expression — every undeclared value collapses to bucket −1,
+    "other"), and everything downstream is the identical integer-bucket
+    machinery. KS/EMD are refused (categories are unordered).
+
     Emits one verdict row per closed window per enabled statistic:
     ``(window_start, window_end, check_id, passed, metric_value, threshold)``.
     """
     eps = 1e-9
+    if categorical:
+        bad = [n for n, t in (("ksMax", ks_max), ("emdMax", emd_max))
+               if t is not None]
+        if bad:
+            raise ValueError(
+                f"{bad} not valid for categorical drift — categories "
+                "are unordered (use psi_max/chi2_max)")
+        cats = sorted(str(k) for k in baseline)
+        int_baseline = {i: int(baseline[c]) for i, c in enumerate(cats)}
+        bucket_expr = (
+            F.array_position(F.array(*[F.lit(c) for c in cats]),
+                             F.col(column).cast("string"))
+            - 1).cast("long")
+        null_guard = F.col(column).isNotNull()
+    else:
+        int_baseline = {int(k): int(v) for k, v in baseline.items()}
+        bucket_expr = F.floor(
+            F.col(column) / F.lit(float(bucket_width))).cast("long")
+        null_guard = F.lit(True)
+    baseline = int_baseline
     btotal = float(sum(baseline.values())) or 1.0
     bmap = F.create_map(*[F.lit(v).cast("long")
                           for kv in sorted(baseline.items())
                           for v in (int(kv[0]), int(kv[1]))])
     bbuckets = F.array(*[F.lit(int(b)).cast("long") for b in sorted(baseline)])
 
-    wm = sdf.withWatermark(ts_col, watermark)
+    wm = sdf.withWatermark(ts_col, watermark).where(null_guard)
     hist = (
         wm.groupBy(
             F.window(F.col(ts_col), window_duration).alias("w"),
-            F.floor(F.col(column) / F.lit(float(bucket_width)))
-            .cast("long").alias("bucket"))
+            bucket_expr.alias("bucket"))
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     per_w = (

@@ -88,3 +88,34 @@ def test_rejects_bad_specs(series):
                          rows_windows=[2], stats=("median",))
     with pytest.raises(ValueError):
         lag_features(series, key="uid", ts="ts", value="v", lags=[0])
+
+
+def test_standardize_zscore_and_minmax(spark):
+    from jsonschema_valid_spark.operators.features import standardize
+
+    rows = [("g", 0.0, 1), ("g", 10.0, 2), ("g", 20.0, 3),
+            ("h", 5.0, 4), ("h", 5.0, 5)]          # h: zero variance
+    df = spark.createDataFrame(rows, "grp string, v double, id long")
+    z = standardize(df, ["v"], by="grp", method="zscore", suffix="_z")
+    got = {r.id: r.v_z for r in z.collect()}
+    assert got[1] == pytest.approx(-1.0)
+    assert got[2] == pytest.approx(0.0)
+    assert got[3] == pytest.approx(1.0)
+    assert got[4] is None and got[5] is None       # constant -> NULL
+
+    mm = standardize(df, ["v"], by="grp", method="minmax", suffix="_mm")
+    gm = {r.id: r.v_mm for r in mm.collect()}
+    assert gm[1] == 0.0 and gm[2] == 0.5 and gm[3] == 1.0
+    assert gm[4] is None                            # zero range -> NULL
+
+
+def test_standardize_fact_side_never_shuffled(spark):
+    from jsonschema_valid_spark.operators.features import standardize
+
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 5).cast("string").alias("grp"),
+        (F.col("id") * 1.0).alias("v"))
+    out = standardize(df, ["v"], by="grp")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    fact = plan.split("BroadcastExchange", 1)[0]
+    assert "Exchange hashpartitioning" not in fact, plan

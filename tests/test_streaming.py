@@ -188,3 +188,60 @@ def test_hash_sample_streaming_matches_batch(spark, stream_dir):
     b_ids = {r["doc_id"] for r in
              hash_sample(df, "doc_id", 0.3, seed=5).select("doc_id").collect()}
     assert s_ids == b_ids and 0 < len(b_ids) < 100
+
+
+def test_stream_categorical_drift_matches_batch(spark, stream_dir):
+    """Streaming categorical drift (wave 12): windowed category-frequency
+    PSI/chi2 must equal the batch categorical operators on the same
+    window slices; undeclared categories land in the 'other' bucket and
+    KS/EMD are refused."""
+    import pytest as _pytest
+
+    from jsonschema_valid_spark.operators.drift import (
+        categorical_histogram,
+        chi2_value_df,
+        psi_value_df,
+    )
+    from jsonschema_valid_spark.streaming.checks import stream_windowed_drift
+
+    path, batch_df = stream_dir
+    # category column derived from v: 'neg' (10%), 'even', 'odd' — the
+    # baseline deliberately omits 'neg' so it exercises the other bucket
+    batch_cat = batch_df.withColumn(
+        "cat", F.when(F.col("v") < 0, "neg")
+        .when(F.col("v") % 2 == 0, "even").otherwise("odd"))
+    baseline = {"even": 50, "odd": 50}
+    sdf = (spark.readStream.schema(batch_df.schema).parquet(path)
+           .withColumn("cat", F.when(F.col("v") < 0, "neg")
+                       .when(F.col("v") % 2 == 0, "even")
+                       .otherwise("odd")))
+    drift = stream_windowed_drift(
+        sdf, "cat", "ts", baseline, categorical=True,
+        psi_max=0.1, chi2_max=0.5, ks_max=None, emd_max=None,
+        window_duration="1 minute", watermark="0 seconds")
+    _run_to_memory(drift, "cat_drift_sink")
+    got = spark.sql("select * from cat_drift_sink").collect()
+    assert len(got) >= 16
+    assert ({r["check_id"].rsplit("/", 1)[-1] for r in got}
+            == {"psi", "chi2"})
+
+    cats = sorted(baseline)
+    int_base = {i: baseline[c] for i, c in enumerate(cats)}
+    fns = {
+        "psi": lambda h: float(
+            psi_value_df(h, int_base, spark).first()["value"]),
+        "chi2": lambda h: float(
+            chi2_value_df(h, int_base, spark).first()["value"]),
+    }
+    for r in got:
+        stat = r["check_id"].rsplit("/", 1)[-1]
+        sliced = batch_cat.where(
+            (F.col("ts") >= r["window_start"])
+            & (F.col("ts") < r["window_end"]))
+        expected = fns[stat](categorical_histogram(sliced, "cat", cats))
+        assert abs(r["metric_value"] - expected) < 1e-9, (
+            stat, r["window_start"], r["metric_value"], expected)
+
+    with _pytest.raises(ValueError):
+        stream_windowed_drift(sdf, "cat", "ts", baseline,
+                              categorical=True, ks_max=0.1)
