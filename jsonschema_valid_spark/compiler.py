@@ -1124,7 +1124,14 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
             threshold=float(hi if hi is not None else (lo or 0.0)),
         ))
     elif kw == "x-unique":
-        if v is True or (isinstance(v, dict) and not v.get("approx")):
+        if isinstance(v, dict) and "withinSeconds" in v:
+            # TIME-SCOPED uniqueness: the value may recur, just not
+            # within the declared horizon — exact across arbitrary
+            # horizons (no bucket-boundary blindness). MUST dispatch
+            # before the exact-unique catch-all below.
+            plan.dataset_checks.append(DatasetCheck(
+                cid, "unique_within", colname, dict(v)))
+        elif v is True or (isinstance(v, dict) and not v.get("approx")):
             # {'approx': false} means the EXACT check, same as `true` — a
             # declared uniqueness check must never compile to nothing
             plan.dataset_checks.append(DatasetCheck(cid, "unique", colname, {}))

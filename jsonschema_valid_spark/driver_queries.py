@@ -4467,3 +4467,45 @@ def events_standardized(spark, sf_dir):
         F.round("value_z", 6).alias("v_z"),
         F.round("value_mm", 6).alias("v_mm"),
     )
+
+
+_UNIQUE_WITHIN_KW_SQL = """
+WITH w AS (
+  SELECT event_id, user_id, epoch_us(ts) AS m,
+         lag(epoch_us(ts)) OVER (PARTITION BY user_id
+                                 ORDER BY epoch_us(ts), event_id) AS pm
+  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+)
+SELECT CAST(event_id AS VARCHAR) AS doc_id,
+       'properties/user_id/x-unique' AS check_id,
+       'value=' || CAST(user_id AS VARCHAR)
+         || ',gap_us=' || CAST(m - pm AS VARCHAR) AS observed
+FROM w
+WHERE pm IS NOT NULL AND m - pm <= CAST(600 AS BIGINT) * 1000000
+"""
+
+
+@register_extended("engine_unique_within_violations",
+                   _UNIQUE_WITHIN_KW_SQL)
+def engine_unique_within_violations(spark, sf_dir):
+    """x-unique {"withinSeconds": 600}: TIME-SCOPED uniqueness — the
+    same user_id may recur in the feed, but not within 10 minutes of
+    its previous occurrence (replay / double-fire / rate-limit
+    detection). Global x-unique is the W=∞ limit; this is the form
+    event feeds actually need, and it is exact over ARBITRARY horizons:
+    bucketed dedup (floor(ts/W)) misses boundary-straddling pairs and
+    streaming dropDuplicatesWithinWatermark is watermark-bounded. Plan
+    (operators/uniqueness.py recent_duplicate_violations): one window
+    per VALUE — lag of the previous occurrence's epoch-micros, exact
+    integer gap compare (boundary gap == W violates, strictly-greater
+    passes) — one Exchange on the value column, the same shuffle exact
+    dedup pays, never a self-join. 21 witnesses at sf0.001, 142 at
+    sf0.01. EXTENDED mirror entry; full value-hash oracle replays the
+    lag window."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"user_id": {"x-unique": {
+        "withinSeconds": 600, "ts": "ts"}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")

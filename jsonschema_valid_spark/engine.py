@@ -353,6 +353,20 @@ def _level_shift_violations(dc, df: DataFrame, key: str) -> DataFrame:
     )
 
 
+def _unique_within_violations(dc, df: DataFrame, key: str) -> DataFrame:
+    """Shared x-unique withinSeconds execution for both run paths."""
+    from jsonschema_valid_spark.operators.uniqueness import (
+        recent_duplicate_violations,
+    )
+
+    return recent_duplicate_violations(
+        df, dc.column, dc.check_id, key=key,
+        ts=dc.params["ts"],
+        within_seconds=float(dc.params["withinSeconds"]),
+        by=dc.params.get("by"),
+    )
+
+
 def _correlation_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-correlation execution for both run paths."""
     from jsonschema_valid_spark.operators.correlation import (
@@ -673,6 +687,8 @@ def run_suite_summarized(
             vdf = _session_violations(dc, df, key)
         elif dc.kind == "event_order":
             vdf = _event_order_violations(dc, df)
+        elif dc.kind == "unique_within":
+            vdf = _unique_within_violations(dc, df, key)
         elif dc.kind == "correlation":
             vdf = _correlation_violations(dc, df)
         elif dc.kind == "level_shift":
@@ -1063,6 +1079,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nov") == 0).alias("passed"),
                     F.col("nov").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "unique_within":
+            uwv = _unique_within_violations(dc, df, key)
+            violation_dfs.append(_with_ipath(uwv))
+            verdict_dfs.append(
+                uwv.agg(F.count(F.lit(1)).alias("nuw")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nuw") == 0).alias("passed"),
+                    F.col("nuw").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -26,7 +26,7 @@ Map-side combine in phase 1 means the shuffle carries at most
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 DEFAULT_SALT_BUCKETS = 64
 
@@ -91,4 +91,66 @@ def uniqueness_violations(df: DataFrame, key, check_id: str,
         F.lit(check_id).alias("check_id"),
         F.concat(F.lit("count="), F.col("dup_count").cast("string")).alias("observed"),
         F.lit("unique").alias("expected"),
+    )
+
+
+def recent_duplicate_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    key: str,
+    ts: str,
+    within_seconds: float,
+    by: str | None = None,
+) -> DataFrame:
+    """``x-unique {"withinSeconds": W}``: TIME-SCOPED uniqueness — the
+    same value may recur, but not within ``W`` seconds of its previous
+    occurrence ("the same doc_id posted twice in an hour is a replay /
+    double-fire; next week it's a legitimate update").  Global
+    uniqueness is the W=∞ limit; this is the form event feeds actually
+    need, and it is exact over ARBITRARY horizons — unlike bucketed
+    dedup (floor(ts/W) grouping misses pairs straddling a boundary) or
+    streaming dropDuplicatesWithinWatermark (bounded by the watermark).
+
+    Implementation: one window per VALUE — partitionBy(column) orderBy
+    (ts, key), ``lag`` of the previous occurrence's epoch-micros; a gap
+    <= W (exact integer micros, strictly-greater passes at the boundary
+    like sessionize) is a violation naming the LATER row.  One Exchange
+    on the value column — the same shuffle exact dedup pays, never a
+    self-join.  NULL values and NULL timestamps drop out (required/
+    x-nullRate police those).  ``by`` additionally scopes recurrence to
+    a group (same user re-posting vs anyone re-posting).
+    """
+    w_us = int(round(float(within_seconds) * 1_000_000))
+    if w_us <= 0:
+        raise ValueError("withinSeconds must be positive")
+    m = F.unix_micros(F.col(ts).cast("timestamp"))
+    part = [F.col(column)] + ([F.col(by)] if by else [])
+    win = Window.partitionBy(*part).orderBy(m, F.col(key))
+    ok_row = F.col(column).isNotNull() & m.isNotNull()
+    prev = F.lag(F.when(ok_row, m)).over(win)
+    gap = m - prev
+    bad = ok_row & prev.isNotNull() & (gap <= F.lit(w_us))
+    scope = f" per {by}" if by else ""
+    exp_msg = (f"{column} must not recur within {within_seconds:g}s"
+               f"{scope}")
+    return (
+        df.select(
+            F.col(key).alias("__key"),
+            F.col(column).alias("__val"),
+            gap.alias("__gap"),
+            bad.alias("__bad"),
+        )
+        .where(F.col("__bad"))
+        .select(
+            F.col("__key").cast("string").alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.concat(
+                F.lit("value="),
+                F.col("__val").cast("string"),
+                F.lit(",gap_us="),
+                F.col("__gap").cast("string"),
+            ).alias("observed"),
+            F.lit(exp_msg).alias("expected"),
+        )
     )

@@ -245,7 +245,13 @@ METASCHEMA_SUITE: dict = {
         _kw("x-unique", {"properties": {"value_type": {
             "enum": ["boolean", "object", "array"]}}}),
         _kw("x-unique", {"properties": {
-            "dict_keys": {"contains": {"const": "approx"}}}},
+            # object form: HLL sketch mode OR time-scoped mode (which
+            # needs its ts column declared alongside the horizon)
+            "dict_keys": {"anyOf": [
+                {"contains": {"const": "approx"}},
+                {"allOf": [{"contains": {"const": "withinSeconds"}},
+                           {"contains": {"const": "ts"}}]},
+            ]}}},
             value_type={"const": "object"}),
         _kw("x-unique", {"properties": {
             "list_len": {"minimum": 1},

@@ -161,12 +161,24 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if not isinstance(v, dict) or not ("max" in v or "min" in v):
                 raise _err(p, "x-nullRate must be {'max': τ} and/or {'min': τ}")
         elif kw == "x-unique":
+            within_ok = (
+                isinstance(v, dict) and "withinSeconds" in v
+                and isinstance(v["withinSeconds"], (int, float))
+                and not isinstance(v["withinSeconds"], bool)
+                and v["withinSeconds"] > 0
+                and isinstance(v.get("ts"), str) and v["ts"]
+                and ("by" not in v or isinstance(v["by"], str))
+                and "approx" not in v)
             if not (isinstance(v, bool)
-                    or (isinstance(v, dict) and "approx" in v)
+                    or within_ok
+                    or (isinstance(v, dict) and "approx" in v
+                        and "withinSeconds" not in v)
                     or (isinstance(v, list) and v
                         and all(isinstance(x, str) for x in v))):
                 raise _err(p, "x-unique must be boolean (column scope), "
                               "{'approx': true, 'rsd'?: e} (HLL sketch mode), "
+                              "{'withinSeconds': W>0, 'ts': col, 'by'?: col} "
+                              "(time-scoped), "
                               "or a list of columns (root scope, composite key)")
         elif kw == "x-referential":
             if not isinstance(v, dict) or "domain" not in v:

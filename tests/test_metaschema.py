@@ -97,6 +97,8 @@ INVALID_SUITES = [
         "min": 0.5}}}}),
     ("x-levelShift-no-orderby", {"properties": {"x": {"x-levelShift": {
         "maxShift": 5}}}}),
+    ("x-unique-within-no-ts", {"properties": {"x": {"x-unique": {
+        "withinSeconds": 60}}}}),
     ("x-levelShift-no-maxshift", {"properties": {"x": {"x-levelShift": {
         "orderBy": "m"}}}}),
     ("x-correlation-no-bound", {"properties": {"x": {"x-correlation": {
