@@ -4509,3 +4509,32 @@ def engine_unique_within_violations(spark, sf_dir):
         "withinSeconds": 600, "ts": "ts"}}}})
     res = suite.run(ev, key="event_id")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_SALTED_JOIN_SQL = """
+SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice,
+       o.o_custkey, o.o_totalprice
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+"""
+
+
+@register_extended("join_salted_lineitem_orders", _SALTED_JOIN_SQL)
+def join_salted_lineitem_orders(spark, sf_dir):
+    """SALTED JOIN (operators/skew.py salted_join): lineitem ⋈ orders
+    with the fact side scattered over 8 deterministic sub-keys and the
+    orders side replicated 8× — the mitigation for what heavy_keys
+    diagnoses, in the regime AQE's skew split doesn't cover (AQE only
+    splits oversized sort-merge partitions post-materialization;
+    salting rebalances the hash join itself). The salt assignment
+    partitions left rows, so the result set is EXACTLY the plain
+    join's — which is the oracle: any salting bug (lost rows, replica
+    duplicates, NULL-key semantics drift) hash-mismatches. EXTENDED
+    mirror entry; full value-hash oracle = the UNSALTED join."""
+    from jsonschema_valid_spark.operators.skew import salted_join
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .withColumnRenamed("o_orderkey", "l_orderkey"))
+    j = salted_join(li, o, on="l_orderkey", how="inner", salt=8)
+    return j.select("l_orderkey", "l_linenumber", "l_extendedprice",
+                    "o_custkey", "o_totalprice")

@@ -633,3 +633,48 @@ def test_weighted_k_per_group_exact_k_and_bias(spark):
                               weight="w", k=25, seed=7)
     assert sorted(r.id for r in re.collect()) \
         == sorted(r.id for r in out.collect())
+
+
+# ------------------------------------------------------------- salted join
+
+def test_salted_join_equals_plain_join(spark):
+    from jsonschema_valid_spark.operators.skew import salted_join
+
+    # hot key: 80% of left rows share key 0; right has NULL keys too
+    left = spark.range(1000).select(
+        F.when(F.col("id") % 5 != 0, 0).otherwise(F.col("id"))
+        .alias("k"), F.col("id").alias("lv"))
+    right = spark.createDataFrame(
+        [(0, "hot"), (5, "a"), (10, "b"), (None, "nullkey")],
+        "k: long, rv: string")
+    got = salted_join(left, right, on="k", how="inner", salt=4)
+    plain = left.join(right, "k", "inner")
+    assert sorted((r.k, r.lv, r.rv) for r in got.collect()) \
+        == sorted((r.k, r.lv, r.rv) for r in plain.collect())
+    # NULL keys never match (plain-join semantics)
+    lnull = left.withColumn("k", F.when(F.col("lv") == 1, None)
+                            .otherwise(F.col("k")))
+    gn = salted_join(lnull, right, on="k", how="inner", salt=4)
+    assert gn.where(F.col("k").isNull()).count() == 0
+
+    # left join keeps unmatched left rows exactly once (not per replica)
+    gl = salted_join(left, right, on="k", how="left", salt=4)
+    assert gl.count() == 1000
+    assert (gl.where(F.col("rv").isNull()).count()
+            == left.join(right, "k", "left_anti").count())
+
+    with pytest.raises(ValueError):
+        salted_join(left, right, on="k", how="full")
+
+
+def test_salted_join_spreads_hot_key(spark):
+    from jsonschema_valid_spark.operators.skew import salted_join
+
+    left = spark.range(1000).select(F.lit(0).alias("k"),
+                                    F.col("id").alias("lv"))
+    right = spark.createDataFrame([(0, "x")], "k: long, rv: string")
+    j = salted_join(left, right, on="k", salt=8)
+    # the join key really includes the salt: all 8 sub-keys carry rows
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan
+    assert j.count() == 1000
