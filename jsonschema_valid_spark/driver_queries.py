@@ -4538,3 +4538,51 @@ def join_salted_lineitem_orders(spark, sf_dir):
     j = salted_join(li, o, on="l_orderkey", how="inner", salt=8)
     return j.select("l_orderkey", "l_linenumber", "l_extendedprice",
                     "o_custkey", "o_totalprice")
+
+
+_CHUNK_SQL = oracle_with_sequences("""
+, base AS (
+  SELECT doc_id, tokens, len(tokens) AS n FROM sequences
+  WHERE len(tokens) > 0
+),
+c AS (
+  SELECT doc_id, tokens,
+         CAST(t.i AS INT) AS chunk_idx
+  FROM base, LATERAL unnest(
+      range(0, 1 + CAST(ceil(greatest(n - 32, 0) / 24.0) AS BIGINT))
+  ) AS t(i)
+)
+SELECT doc_id, chunk_idx,
+       CAST(len(list_slice(tokens, chunk_idx * 24 + 1,
+                           chunk_idx * 24 + 32)) AS INT) AS chunk_len,
+       CAST(list_aggregate(list_slice(tokens, chunk_idx * 24 + 1,
+                                      chunk_idx * 24 + 32),
+                           'sum') AS BIGINT) AS checksum
+FROM c
+""")
+
+
+@register_extended("seq_chunking", _CHUNK_SQL)
+def seq_chunking(spark, sf_dir):
+    """CONTEXT-WINDOW CHUNKING (functions/packing.py chunk_sequences):
+    every token sequence split into 32-token windows advancing by 24
+    (overlapping stride — the standard LM train-prep shape; every token
+    covered, final window the tail). Pure projection: a transform over
+    a literal start range + posexplode — NO shuffle, fan-out rides the
+    scan; exact integer slice arithmetic, so the oracle replays chunk
+    boundaries and per-chunk token CHECKSUMS bit-for-bit (any off-by-
+    one in a boundary flips a checksum). Complements pack_sequences
+    (chunk long docs first, pack the chunks into bins second).
+    EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.functions.packing import chunk_sequences
+
+    seq = load_sequences(spark, sf_dir)
+    c = chunk_sequences(seq, key="doc_id", tokens_col="tokens",
+                        max_len=32, stride=24)
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("chunk_len").cast("int").alias("chunk_len"),
+        F.aggregate("chunk_tokens", F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("checksum"),
+    )

@@ -58,3 +58,57 @@ def packing_stats(packed: DataFrame, n_tok_col: str,
         F.sum(F.col(n_tok_col)).alias("total_tokens"),
         F.sum(F.when(F.col("oversize"), 1).otherwise(0)).alias("oversize_seqs"),
     )
+
+
+def chunk_sequences(df: DataFrame, key: str, tokens_col: str,
+                    max_len: int, stride: int | None = None,
+                    min_tail: int = 1) -> DataFrame:
+    """Context-window chunking: split each token sequence into windows
+    of ``max_len`` tokens advancing by ``stride`` (default = max_len:
+    disjoint chunks; stride < max_len: overlapping windows, the
+    standard LM train-prep shape).  Output: one row per chunk —
+    ``(…input columns…, chunk_idx, chunk_tokens, chunk_len)``.
+
+    The chunk count for a row is ``1 + ceil(max(0, n − max_len) /
+    stride)`` — every token is covered, the final window is the tail
+    (possibly shorter; tails below ``min_tail`` tokens are dropped
+    UNLESS they are the sequence's only chunk).  Empty/NULL token
+    arrays produce no chunks.
+
+    Scale contract: pure projection — ``transform`` over a
+    ``sequence(0, n_chunks−1)`` literal range builds the slice starts,
+    ``posexplode`` emits the chunks; NO shuffle, no Python, fan-out
+    rides the scan.  The slice arithmetic is exact integers, so the
+    DuckDB oracle replays chunk boundaries and checksums bit-for-bit.
+    """
+    max_len = int(max_len)
+    stride = int(stride) if stride is not None else max_len
+    if max_len < 1 or stride < 1:
+        raise ValueError("max_len and stride must be >= 1")
+    if stride > max_len:
+        raise ValueError("stride must be <= max_len (gaps would drop "
+                         "tokens)")
+    toks = F.col(tokens_col)
+    n = F.coalesce(F.array_size(toks), F.lit(0))
+    n_chunks = F.when(
+        n <= 0, F.lit(0)
+    ).otherwise(
+        F.lit(1) + F.ceil(
+            F.greatest(n - F.lit(max_len), F.lit(0))
+            / F.lit(stride)).cast("int"))
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        starts,
+        lambda i: F.slice(toks, i * stride + 1, max_len))
+    keep = F.filter(
+        F.transform(chunks, lambda c, i: F.struct(
+            i.alias("chunk_idx"), c.alias("chunk_tokens"),
+            F.array_size(c).alias("chunk_len"))),
+        lambda s: (s["chunk_len"] >= F.lit(int(min_tail)))
+        | (s["chunk_idx"] == 0))
+    return (df.where(n > 0)
+            .withColumn("__c", F.explode(keep))
+            .select("*", F.col("__c.chunk_idx").alias("chunk_idx"),
+                    F.col("__c.chunk_tokens").alias("chunk_tokens"),
+                    F.col("__c.chunk_len").alias("chunk_len"))
+            .drop("__c"))

@@ -678,3 +678,68 @@ def test_salted_join_spreads_hot_key(spark):
     plan = j._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan
     assert j.count() == 1000
+
+
+# ---------------------------------------------------------------- chunking
+
+def test_chunk_sequences_coverage_and_overlap(spark):
+    from jsonschema_valid_spark.functions.packing import chunk_sequences
+
+    rows = [
+        (1, list(range(10))),   # n == max_len: one chunk
+        (2, list(range(25))),   # 10/stride 5: chunks at 0,5,10,15
+        (3, list(range(3))),    # shorter than max_len: one chunk
+        (4, []),                # empty: no chunks
+        (5, None),              # NULL: no chunks
+    ]
+    df = spark.createDataFrame(rows, "id: long, toks: array<int>")
+    out = chunk_sequences(df, key="id", tokens_col="toks",
+                          max_len=10, stride=5)
+    got = {(r.id, r.chunk_idx): r.chunk_tokens for r in out.collect()}
+    assert {k[0] for k in got} == {1, 2, 3}
+    assert got[(1, 0)] == list(range(10))
+    assert got[(3, 0)] == [0, 1, 2]
+    # doc 2: starts 0,5,10,15 — overlapping, last is the 10-token tail
+    assert [got[(2, i)] for i in range(4)] == [
+        list(range(0, 10)), list(range(5, 15)),
+        list(range(10, 20)), list(range(15, 25))]
+    # every token covered: union of chunks == original set
+    assert sorted({t for i in range(4) for t in got[(2, i)]}) \
+        == list(range(25))
+
+
+def test_chunk_sequences_disjoint_and_min_tail(spark):
+    from jsonschema_valid_spark.functions.packing import chunk_sequences
+
+    df = spark.createDataFrame([(1, list(range(21)))],
+                               "id: long, toks: array<int>")
+    # disjoint (stride == max_len): 10+10+1, the 1-token tail kept
+    out = chunk_sequences(df, key="id", tokens_col="toks", max_len=10)
+    assert [r.chunk_len for r in
+            out.orderBy("chunk_idx").collect()] == [10, 10, 1]
+    # min_tail=5 drops the 1-token tail
+    trimmed = chunk_sequences(df, key="id", tokens_col="toks",
+                              max_len=10, min_tail=5)
+    assert [r.chunk_len for r in
+            trimmed.orderBy("chunk_idx").collect()] == [10, 10]
+    # a short sequence's ONLY chunk survives min_tail
+    short = chunk_sequences(
+        spark.createDataFrame([(1, [7, 8])], "id: long, toks: array<int>"),
+        key="id", tokens_col="toks", max_len=10, min_tail=5)
+    assert short.count() == 1
+
+    with pytest.raises(ValueError):
+        chunk_sequences(df, key="id", tokens_col="toks", max_len=10,
+                        stride=11)
+
+
+def test_chunk_sequences_no_shuffle(spark):
+    from jsonschema_valid_spark.functions.packing import chunk_sequences
+
+    df = spark.range(100).select(
+        F.col("id"), F.sequence(F.lit(0), (F.col("id") % 50).cast("int"))
+        .alias("toks"))
+    out = chunk_sequences(df, key="id", tokens_col="toks", max_len=8,
+                          stride=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
