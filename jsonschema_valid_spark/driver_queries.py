@@ -2316,6 +2316,59 @@ def drift_emd_ntok(spark, sf_dir):
 
 
 @register_extended(
+    "drift_kl_jsd_ntok",
+    oracle_with_sequences(
+        """
+, obs AS (SELECT CAST(floor(n_tok / 16.0) AS BIGINT) AS bucket,
+                 CAST(count(*) AS DOUBLE) AS c FROM sequences GROUP BY 1),
+base AS (SELECT CAST(floor(((doc_id * 37) % 120 + 8) / 16.0) AS BIGINT) AS bucket,
+                CAST(count(*) AS DOUBLE) AS c FROM documents GROUP BY 1),
+j AS (SELECT coalesce(obs.bucket, base.bucket) AS bucket,
+             coalesce(obs.c, 0) AS oc, coalesce(base.c, 0) AS bc
+      FROM obs FULL OUTER JOIN base ON obs.bucket = base.bucket),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j),
+n AS (SELECT oc / so AS po, bc / sb AS pb FROM j CROSS JOIN t)
+SELECT round(sum(po * ln((po + 1e-9) / (pb + 1e-9))), 6) AS kl,
+       round(sum(0.5 * po * ln((po + 1e-9) / ((po + pb) / 2 + 1e-9))
+               + 0.5 * pb * ln((pb + 1e-9) / ((po + pb) / 2 + 1e-9))), 6)
+           AS jsd
+FROM n
+"""
+    ),
+)
+def drift_kl_jsd_ntok(spark, sf_dir):
+    """KL divergence (directional: nats of surprise when the trusted
+    baseline models the observed data) and Jensen–Shannon divergence
+    (symmetric, bounded ≤ ln 2 — thresholds transfer across columns) of
+    n_tok vs the uncorrupted baseline — the fifth and sixth drift
+    statistics (operators/drift.py kl_value_df / jsd_value_df; x-drift
+    accepts klMax/jsdMax incl. categorical + embedding-cell modes, the
+    streaming form carries kl_max/jsd_max). Same #buckets-row plan as
+    PSI. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.drift import (
+        histogram,
+        jsd_value_df,
+        kl_value_df,
+    )
+
+    seq = load_sequences(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base_hist = {
+        int(r["bucket"]): int(r["count"])
+        for r in docs.groupBy(
+            F.floor(((F.col("doc_id") * 37) % 120 + 8) / 16.0)
+            .cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count")).collect()
+    }
+    obs = histogram(seq, "n_tok", 16.0)
+    kl = kl_value_df(obs, base_hist, spark).select(
+        F.round("value", 6).alias("kl"))
+    jsd = jsd_value_df(obs, base_hist, spark).select(
+        F.round("value", 6).alias("jsd"))
+    return kl.crossJoin(jsd)
+
+
+@register_extended(
     "text_token_histogram",
     oracle_with_sequences(
         "SELECT token, count(*) AS count FROM "

@@ -128,6 +128,50 @@ def chi2_value_df(observed_hist: DataFrame, baseline: dict[int, int],
     )
 
 
+def kl_value_df(observed_hist: DataFrame, baseline: dict[int, int],
+                spark) -> DataFrame:
+    """Kullback–Leibler divergence D(obs ‖ base) = Σ p_obs · ln((p_obs+ε) /
+    (p_base+ε)) — the fifth drift statistic: the expected log-likelihood
+    penalty of MODELING the observed data with the baseline distribution,
+    i.e. drift measured in nats of surprise. Unlike PSI (which symmetrizes
+    by adding the reverse term) KL is directional — mass appearing in
+    buckets the baseline considers near-impossible dominates, while mass
+    VANISHING from baseline-heavy buckets is damped — exactly the
+    asymmetry you want when the baseline is the trusted side. Empty
+    observed buckets contribute 0 (0·ln ε = 0 under the ε-smoothing).
+    Same #buckets-row plan as PSI."""
+    n = _normalized_join(observed_hist, baseline, spark)
+    return n.select(
+        F.coalesce(
+            F.sum(
+                F.col("p_obs")
+                * F.log((F.col("p_obs") + EPS) / (F.col("p_base") + EPS))
+            ),
+            F.lit(0.0),
+        ).alias("value")
+    )
+
+
+def jsd_value_df(observed_hist: DataFrame, baseline: dict[int, int],
+                 spark) -> DataFrame:
+    """Jensen–Shannon divergence: ½·KL(obs ‖ m) + ½·KL(base ‖ m) with
+    m = (p_obs + p_base)/2 — the sixth drift statistic: a SYMMETRIC,
+    BOUNDED divergence (≤ ln 2 ≈ 0.693), finite even on disjoint
+    supports, so thresholds transfer across columns and corpora where
+    KL/PSI explode on novel buckets. The natural default for comparing
+    two equally-trusted snapshots (profile A vs profile B) rather than
+    observed-vs-trusted-baseline. Same #buckets-row plan as PSI."""
+    n = _normalized_join(observed_hist, baseline, spark)
+    m = (F.col("p_obs") + F.col("p_base")) / F.lit(2.0)
+    term = (
+        F.lit(0.5) * F.col("p_obs")
+        * F.log((F.col("p_obs") + EPS) / (m + EPS))
+        + F.lit(0.5) * F.col("p_base")
+        * F.log((F.col("p_base") + EPS) / (m + EPS))
+    )
+    return n.select(F.coalesce(F.sum(term), F.lit(0.0)).alias("value"))
+
+
 def emd_value_df(observed_hist: DataFrame, baseline: dict[int, int],
                  spark, bucket_width: float = 1.0) -> DataFrame:
     """Binned Wasserstein-1 (Earth Mover's) distance — the fourth drift
@@ -170,15 +214,17 @@ def _stat_verdict_dfs(hist: DataFrame, baseline: dict[int, int],
                       check_id: str, params: dict, spark,
                       width: float = 1.0,
                       stats: tuple = ("psiMax", "ksMax", "chi2Max",
-                                      "emdMax")) -> list[DataFrame]:
+                                      "emdMax", "klMax", "jsdMax")
+                      ) -> list[DataFrame]:
     """Shared statistic loop: one verdict DF per enabled threshold over a
     (bucket, count) histogram vs the baseline dict."""
     fns = {"psiMax": psi_value_df, "ksMax": ks_value_df,
            "chi2Max": chi2_value_df,
+           "klMax": kl_value_df, "jsdMax": jsd_value_df,
            "emdMax": lambda h, b, sp: emd_value_df(
                h, b, sp, bucket_width=width)}
     names = {"psiMax": "psi", "ksMax": "ks", "chi2Max": "chi2",
-             "emdMax": "emd"}
+             "emdMax": "emd", "klMax": "kl", "jsdMax": "jsd"}
     out = []
     for name in stats:
         if name in params:
@@ -199,7 +245,7 @@ def drift_verdict_dfs(df: DataFrame, column: str, check_id: str, params: dict,
                       spark) -> list[DataFrame]:
     """Lazy verdict DFs ``(partition_id, check_id, passed, metric_value,
     threshold)``. Numeric mode (default): fixed-bin histogram of the
-    column, any of psiMax/ksMax/chi2Max/emdMax. Embedding mode
+    column, any of psiMax/ksMax/chi2Max/emdMax/klMax/jsdMax. Embedding mode
     (``params["cells"]`` present): the column is an embedding array and
     the histogram is over COARSE-CENTROID cell assignments
     (:func:`embedding_cell_histogram`) — semantic drift detection, the
@@ -213,27 +259,29 @@ def drift_verdict_dfs(df: DataFrame, column: str, check_id: str, params: dict,
         if bad:
             raise ValueError(
                 f"{check_id}: {bad} not valid for categorical drift — "
-                "categories are unordered (use psiMax/chi2Max)")
+                "categories are unordered (use psiMax/chi2Max/klMax/jsdMax)")
         cats = sorted(str(k) for k in params["baseline"])
         baseline = {i: int(params["baseline"][c])
                     for i, c in enumerate(cats)}
         hist = categorical_histogram(df, column, cats)
         return _stat_verdict_dfs(hist, baseline, check_id, params, spark,
-                                 stats=("psiMax", "chi2Max"))
+                                 stats=("psiMax", "chi2Max", "klMax",
+                                        "jsdMax"))
     if "cells" in params:
         baseline = {int(k): int(v) for k, v in params["baseline"].items()}
         bad = [k for k in ("ksMax", "emdMax") if k in params]
         if bad:
             raise ValueError(
                 f"{check_id}: {bad} not valid for embedding-cell drift — "
-                "cell ids are unordered (use psiMax/chi2Max)")
+                "cell ids are unordered (use psiMax/chi2Max/klMax/jsdMax)")
         cells = params["cells"]
         hist = embedding_cell_histogram(
             df, column, centroids=cells.get("centroids"),
             dim=cells.get("dim"), n_cells=int(cells.get("nCells", 16)),
             seed=int(cells.get("seed", 11)))
         return _stat_verdict_dfs(hist, baseline, check_id, params, spark,
-                                 stats=("psiMax", "chi2Max"))
+                                 stats=("psiMax", "chi2Max", "klMax",
+                                        "jsdMax"))
     width = float(params.get("bucketWidth", 1.0))
     baseline = {int(k): int(v) for k, v in params["baseline"].items()}
     hist = histogram(df, column, width)
@@ -345,9 +393,23 @@ def drift_verdicts_per_partition(df: DataFrame, column: str, check_id: str,
         * F.lit(width))
     emd_val = F.coalesce(
         F.aggregate(emd_terms, F.lit(0.0), lambda a, t: a + t), F.lit(0.0))
+    kl_val = F.aggregate(
+        F.col("__ub"), F.lit(0.0),
+        lambda a, b: a + p_obs(b)
+        * F.log((p_obs(b) + F.lit(eps)) / (p_base(b) + F.lit(eps))))
+    jsd_val = F.aggregate(
+        F.col("__ub"), F.lit(0.0),
+        lambda a, b: a
+        + F.lit(0.5) * p_obs(b)
+        * F.log((p_obs(b) + F.lit(eps))
+                / ((p_obs(b) + p_base(b)) / F.lit(2.0) + F.lit(eps)))
+        + F.lit(0.5) * p_base(b)
+        * F.log((p_base(b) + F.lit(eps))
+                / ((p_obs(b) + p_base(b)) / F.lit(2.0) + F.lit(eps))))
 
     vals = {"psiMax": ("psi", psi_val), "ksMax": ("ks", ks_val),
-            "chi2Max": ("chi2", chi2_val), "emdMax": ("emd", emd_val)}
+            "chi2Max": ("chi2", chi2_val), "emdMax": ("emd", emd_val),
+            "klMax": ("kl", kl_val), "jsdMax": ("jsd", jsd_val)}
     verdicts = []
     for name, (stat, val) in vals.items():
         if name in params:

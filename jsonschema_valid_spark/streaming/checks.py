@@ -416,15 +416,18 @@ def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
                           ks_max: float | None = None,
                           chi2_max: float | None = None,
                           emd_max: float | None = None,
+                          kl_max: float | None = None,
+                          jsd_max: float | None = None,
                           window_duration: str = "1 minute",
                           watermark: str = "2 minutes",
                           categorical: bool = False) -> DataFrame:
     """Per-window drift verdicts vs a literal baseline histogram — the
     streaming form of ``operators/drift.py``, now with the SAME three
     statistics as batch (VERDICT r3 item 5): PSI, binned-ECDF KS,
-    Pearson chi-square, and binned Wasserstein-1 EMD (r4), each gated by
-    its own threshold (pass ``None`` to skip a statistic; defaults keep
-    the r3 PSI-only surface).
+    Pearson chi-square, binned Wasserstein-1 EMD (r4), and KL /
+    Jensen–Shannon divergence (r4 wave 15), each gated by its own
+    threshold (pass ``None`` to skip a statistic; defaults keep the r3
+    PSI-only surface).
 
     Plan: windowed histogram (stateful agg #1: state = #windows × #buckets
     counters) → per-window collect of the tiny (bucket, count) list (stateful
@@ -540,12 +543,27 @@ def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
         * F.lit(float(bucket_width)))
     emd_val = F.coalesce(
         F.aggregate(emd_terms, F.lit(0.0), lambda a, t: a + t), F.lit(0.0))
+    kl_val = F.aggregate(
+        F.col("__ub"), F.lit(0.0),
+        lambda a, b: a + p_obs(b)
+        * F.log((p_obs(b) + F.lit(eps)) / (p_base(b) + F.lit(eps))))
+    jsd_val = F.aggregate(
+        F.col("__ub"), F.lit(0.0),
+        lambda a, b: a
+        + F.lit(0.5) * p_obs(b)
+        * F.log((p_obs(b) + F.lit(eps))
+                / ((p_obs(b) + p_base(b)) / F.lit(2.0) + F.lit(eps)))
+        + F.lit(0.5) * p_base(b)
+        * F.log((p_base(b) + F.lit(eps))
+                / ((p_obs(b) + p_base(b)) / F.lit(2.0) + F.lit(eps))))
 
     verdicts = []
     for stat, val, tau in (("psi", psi_val, psi_max),
                            ("ks", ks_val, ks_max),
                            ("chi2", chi2_val, chi2_max),
-                           ("emd", emd_val, emd_max)):
+                           ("emd", emd_val, emd_max),
+                           ("kl", kl_val, kl_max),
+                           ("jsd", jsd_val, jsd_max)):
         if tau is None:
             continue
         verdicts.append(F.struct(
@@ -556,7 +574,8 @@ def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
         ))
     if not verdicts:
         raise ValueError(
-            "at least one of psi_max/ks_max/chi2_max/emd_max required")
+            "at least one of psi_max/ks_max/chi2_max/emd_max/kl_max/"
+            "jsd_max required")
     return (
         stage.select(
             F.col("w.start").alias("window_start"),

@@ -205,6 +205,8 @@ def test_per_partition_drift_matches_global_per_slice(spark, baseline):
         chi2_value_df,
         emd_value_df,
         histogram,
+        jsd_value_df,
+        kl_value_df,
         ks,
         psi,
     )
@@ -214,11 +216,13 @@ def test_per_partition_drift_matches_global_per_slice(spark, baseline):
                .withColumn("doc_id", F.col("doc_id") + 100000)
                .withColumn("src", F.lit("drifted")))
     df = clean.unionByName(drifted)
-    taus = {"psi": 0.05, "ks": 0.05, "chi2": 0.05, "emd": 5.0}
+    taus = {"psi": 0.05, "ks": 0.05, "chi2": 0.05, "emd": 5.0,
+            "kl": 0.05, "jsd": 0.02}
     spec = {"properties": {"n_tok": {"x-drift": {
         "baseline": baseline, "bucketWidth": BUCKET, "perPartition": True,
         "psiMax": taus["psi"], "ksMax": taus["ks"],
-        "chi2Max": taus["chi2"], "emdMax": taus["emd"]}}}}
+        "chi2Max": taus["chi2"], "emdMax": taus["emd"],
+        "klMax": taus["kl"], "jsdMax": taus["jsd"]}}}}
     res = CheckSuite(spec).run(df, key="doc_id", partition_by="src")
     rows = {(r["partition_id"], r["check_id"].rsplit("/", 1)[-1]): r
             for r in res.verdicts.collect()
@@ -233,7 +237,11 @@ def test_per_partition_drift_matches_global_per_slice(spark, baseline):
            "chi2": lambda h: float(chi2_value_df(
                h, baseline, spark).first()["value"]),
            "emd": lambda h: float(emd_value_df(
-               h, baseline, spark, bucket_width=BUCKET).first()["value"])}
+               h, baseline, spark, bucket_width=BUCKET).first()["value"]),
+           "kl": lambda h: float(kl_value_df(
+               h, baseline, spark).first()["value"]),
+           "jsd": lambda h: float(jsd_value_df(
+               h, baseline, spark).first()["value"])}
     for src, sl in (("clean", clean), ("drifted", drifted)):
         h = histogram(sl, "n_tok", BUCKET)
         for stat, fn in fns.items():
@@ -299,3 +307,89 @@ def test_categorical_drift_keyword(spark):
         validate_suite_spec({"properties": {"et": {"x-drift": {
             "categorical": True, "cells": {}, "baseline": baseline,
             "psiMax": 1.0}}}})
+
+
+def test_kl_jsd_exact_values(spark):
+    """KL and JSD against hand-computed values (ε = 1e-9 smoothing), plus
+    the analytic properties that distinguish them from PSI: KL is
+    directional; JSD is symmetric and bounded by ln 2 even on disjoint
+    supports (where KL/PSI blow up with the ε floor)."""
+    import math
+
+    from jsonschema_valid_spark.operators.drift import (
+        jsd_value_df,
+        kl_value_df,
+    )
+
+    eps = 1e-9
+
+    def kl_py(po, pb):
+        return sum(o * math.log((o + eps) / (b + eps))
+                   for o, b in zip(po, pb))
+
+    def jsd_py(po, pb):
+        return sum(0.5 * o * math.log((o + eps) / ((o + b) / 2 + eps))
+                   + 0.5 * b * math.log((b + eps) / ((o + b) / 2 + eps))
+                   for o, b in zip(po, pb))
+
+    def run(fn, obs_rows, base):
+        h = spark.createDataFrame(obs_rows, "bucket long, count long")
+        return float(fn(h, base, spark).first()["value"])
+
+    obs = [(0, 40), (1, 30), (2, 30)]
+    base = {0: 25, 1: 50, 2: 25}
+    po, pb = [0.4, 0.3, 0.3], [0.25, 0.5, 0.25]
+    assert run(kl_value_df, obs, base) == pytest.approx(
+        kl_py(po, pb), rel=1e-12)
+    assert run(jsd_value_df, obs, base) == pytest.approx(
+        jsd_py(po, pb), rel=1e-12)
+
+    # identical distributions: both zero
+    assert run(kl_value_df, [(0, 5), (1, 5)], {0: 5, 1: 5}) \
+        == pytest.approx(0.0, abs=1e-9)
+    assert run(jsd_value_df, [(0, 5), (1, 5)], {0: 5, 1: 5}) \
+        == pytest.approx(0.0, abs=1e-9)
+
+    # asymmetry: D(obs‖base) ≠ D(base‖obs) on a skewed pair
+    fwd = run(kl_value_df, obs, base)
+    rev = run(kl_value_df, [(0, 25), (1, 50), (2, 25)], {0: 40, 1: 30, 2: 30})
+    assert fwd != pytest.approx(rev, rel=1e-6)
+
+    # disjoint supports: JSD ≤ ln 2 (bounded), KL explodes toward ln(1/ε)
+    dj_jsd = run(jsd_value_df, [(0, 10)], {5: 10})
+    dj_kl = run(kl_value_df, [(0, 10)], {5: 10})
+    assert dj_jsd == pytest.approx(math.log(2), rel=1e-3)
+    assert dj_kl > 10.0
+
+
+def test_x_drift_kl_jsd_keyword(spark, baseline):
+    """x-drift klMax/jsdMax: unshifted passes, shifted fails, and the
+    categorical mode accepts both (per-bucket statistics are valid for
+    unordered categories)."""
+    spec = {"properties": {"n_tok": {"x-drift": {
+        "baseline": baseline, "bucketWidth": BUCKET,
+        "klMax": 0.05, "jsdMax": 0.02}}}}
+    res = CheckSuite(spec).run(_gen(spark, 20000), key="doc_id")
+    rows = {r["check_id"].rsplit("/", 1)[-1]: r
+            for r in res.verdicts.collect() if "/x-drift/" in r["check_id"]}
+    assert set(rows) == {"kl", "jsd"}
+    assert rows["kl"]["passed"] and rows["jsd"]["passed"]
+
+    res2 = CheckSuite(spec).run(_gen(spark, 20000, shift=40), key="doc_id")
+    rows2 = {r["check_id"].rsplit("/", 1)[-1]: r
+             for r in res2.verdicts.collect() if "/x-drift/" in r["check_id"]}
+    assert not rows2["kl"]["passed"]
+    assert not rows2["jsd"]["passed"]
+
+    cat_rows = ([("click",)] * 50 + [("view",)] * 30 + [("refund",)] * 20)
+    df = spark.createDataFrame(
+        [(i, c) for i, (c,) in enumerate(cat_rows)], "id: long, et: string")
+    cres = CheckSuite({"properties": {"et": {"x-drift": {
+        "categorical": True, "baseline": {"click": 50, "view": 30,
+                                          "signup": 20},
+        "klMax": 0.01, "jsdMax": 0.01}}}}).run(df, key="id")
+    crows = {r["check_id"].rsplit("/", 1)[-1]: r
+             for r in cres.verdicts.collect() if "/x-drift/" in r["check_id"]}
+    # 20% of mass sits in the undeclared 'refund' bucket: both fail
+    assert not crows["kl"]["passed"]
+    assert not crows["jsd"]["passed"]

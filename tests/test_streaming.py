@@ -88,13 +88,16 @@ def test_stream_dedup(spark, tmp_path):
 
 def test_stream_windowed_drift_matches_batch(spark, stream_dir):
     """Per-window streaming drift (chained stateful aggs + HOF math) must
-    equal the batch operators for ALL THREE statistics — PSI, binned-ECDF
-    KS, and Pearson chi-square (VERDICT r3 item 5) — computed over the same
-    window slices, each against its own threshold."""
+    equal the batch operators for ALL SIX statistics — PSI, binned-ECDF
+    KS, Pearson chi-square (VERDICT r3 item 5), EMD, KL, and JSD —
+    computed over the same window slices, each against its own
+    threshold."""
     from jsonschema_valid_spark.operators.drift import (
         chi2_value_df,
         emd_value_df,
         histogram,
+        jsd_value_df,
+        kl_value_df,
         ks,
         psi,
     )
@@ -102,20 +105,22 @@ def test_stream_windowed_drift_matches_batch(spark, stream_dir):
 
     path, batch_df = stream_dir
     baseline = {0: 30, 1: 40, 2: 30, 3: 10}
-    taus = {"psi": 0.1, "ks": 0.15, "chi2": 0.5, "emd": 20.0}
+    taus = {"psi": 0.1, "ks": 0.15, "chi2": 0.5, "emd": 20.0,
+            "kl": 0.3, "jsd": 0.1}
     sdf = spark.readStream.schema(batch_df.schema).parquet(path)
     drift = stream_windowed_drift(sdf, "v", "ts", baseline, bucket_width=25.0,
                                   psi_max=taus["psi"], ks_max=taus["ks"],
                                   chi2_max=taus["chi2"],
                                   emd_max=taus["emd"],
+                                  kl_max=taus["kl"], jsd_max=taus["jsd"],
                                   window_duration="1 minute",
                                   watermark="0 seconds")
     assert drift.isStreaming
     _run_to_memory(drift, "drift_sink")
     got = spark.sql("select * from drift_sink").collect()
-    assert len(got) >= 32  # ≥8 closed windows × 4 statistics
+    assert len(got) >= 48  # ≥8 closed windows × 6 statistics
     seen_stats = {r["check_id"].rsplit("/", 1)[-1] for r in got}
-    assert seen_stats == {"psi", "ks", "chi2", "emd"}
+    assert seen_stats == {"psi", "ks", "chi2", "emd", "kl", "jsd"}
 
     def batch_chi2(hist):
         return float(chi2_value_df(hist, baseline, spark).first()["value"])
@@ -127,7 +132,11 @@ def test_stream_windowed_drift_matches_batch(spark, stream_dir):
     fns = {"psi": lambda h: psi(h, baseline, spark),
            "ks": lambda h: ks(h, baseline, spark),
            "chi2": batch_chi2,
-           "emd": batch_emd}
+           "emd": batch_emd,
+           "kl": lambda h: float(
+               kl_value_df(h, baseline, spark).first()["value"]),
+           "jsd": lambda h: float(
+               jsd_value_df(h, baseline, spark).first()["value"])}
     for r in got:
         stat = r["check_id"].rsplit("/", 1)[-1]
         sliced = batch_df.where(
