@@ -4639,3 +4639,63 @@ def seq_chunking(spark, sf_dir):
         F.aggregate("chunk_tokens", F.lit(0).cast("long"),
                     lambda a, x: a + x).alias("checksum"),
     )
+
+
+_CLUSTER_SPLIT_SQL = """
+WITH RECURSIVE w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+           FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(wl)),
+           i -> wl[i] || ' ' || wl[i+1])) AS shl FROM w),
+sizes AS (SELECT doc_id, len(shl) AS n_sh FROM sh),
+inv AS (SELECT doc_id, unnest(shl) AS s FROM sh),
+p0 AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS shared
+          FROM inv x JOIN inv y USING (s) WHERE x.doc_id < y.doc_id
+          GROUP BY 1, 2),
+prs AS (SELECT a, b FROM p0
+        JOIN sizes sa ON p0.a = sa.doc_id
+        JOIN sizes sb ON p0.b = sb.doc_id
+        WHERE shared / (sa.n_sh + sb.n_sh - shared) >= 0.2),
+nodes AS (SELECT a AS id FROM prs UNION SELECT b FROM prs),
+edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b AS u, a AS v FROM prs),
+reach(id, lbl) AS (
+    SELECT id, id FROM nodes
+  UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+),
+cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id),
+d AS (SELECT dd.doc_id, coalesce(cl.cluster_id, dd.doc_id) AS cluster_id
+      FROM documents dd LEFT JOIN cl ON dd.doc_id = cl.doc_id),
+g AS (SELECT doc_id, cluster_id,
+             CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)
+                                      || chr(31) || '5'), 1, 15)) AS BIGINT)
+                 % 1000000 AS gate
+      FROM d)
+SELECT doc_id, cluster_id,
+       CASE WHEN gate < 250000 THEN 'holdout' ELSE 'train' END AS side
+FROM g
+"""
+
+
+@register_extended("sample_cluster_split", _CLUSTER_SPLIT_SQL)
+def sample_cluster_split(spark, sf_dir):
+    """Leakage-safe train/holdout split (functions/sampling.py
+    leakage_safe_split): the hash gate is applied to the NEAR-DUP
+    CLUSTER id (connected-component minimum over word-bigram Jaccard
+    pairs), so near-duplicates of training documents can never land in
+    the holdout set — the contamination channel a per-row split leaves
+    open (Lee et al. 2022). Every document appears exactly once with
+    its cluster and side; singletons split like train_holdout_split.
+    Scale shape: CC over the small edge list + one broadcast-able join
+    + the zero-shuffle gate filter. EXTENDED mirror entry; full
+    value-hash oracle (recursive-CTE components + md5 gate replay)."""
+    from jsonschema_valid_spark.functions.dedup import jaccard_pairs
+    from jsonschema_valid_spark.functions.sampling import leakage_safe_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2)
+    train, hold = leakage_safe_split(docs, "doc_id", pairs,
+                                     holdout_rate=0.25, seed=5,
+                                     portable=True)
+    return train.select("doc_id", "cluster_id",
+                        F.lit("train").alias("side")).unionByName(
+        hold.select("doc_id", "cluster_id", F.lit("holdout").alias("side")))

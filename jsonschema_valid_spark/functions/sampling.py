@@ -141,6 +141,42 @@ def mix_to_budget(df: DataFrame, key: str, stratum: str, weight: str,
     return sampled.unionByName(nulls)
 
 
+def leakage_safe_split(df: DataFrame, key: str, pairs: DataFrame,
+                       holdout_rate: float, seed: int = 0,
+                       portable: bool = False, a: str = "a", b: str = "b"
+                       ) -> tuple[DataFrame, DataFrame]:
+    """(train, holdout) split that keeps every NEAR-DUPLICATE CLUSTER on
+    one side — the leakage-safe lift of :func:`train_holdout_split`.
+
+    A per-row hash split puts near-duplicates of training documents into
+    the eval set (Lee et al. 2022 measure this contaminating public
+    benchmarks; it inflates held-out metrics exactly like benchmark
+    decontamination failures do). Here the gate hashes the CLUSTER id —
+    the connected-component minimum over the near-dup ``pairs`` list
+    (any of the pair producers: Jaccard / MinHash-LSH / SimHash /
+    semantic) — so a cluster can never straddle the cut. Rows in no pair
+    are their own singleton cluster and split exactly like
+    ``train_holdout_split`` would place their cluster id.
+
+    Both sides carry a ``cluster_id`` column (handy for downstream
+    within-side dedup). Scale shape: one CC run over the (corpus-scale ÷
+    ~10³) edge list, then ONE join of the corpus against the small
+    cluster table (broadcast-able; AQE picks it) and the usual
+    zero-shuffle hash-gate filter — the corpus itself is never
+    hash-partitioned."""
+    if not 0.0 <= holdout_rate <= 1.0:
+        raise ValueError(f"holdout_rate must be in [0,1], got {holdout_rate}")
+    from jsonschema_valid_spark.functions.dedup import connected_components
+
+    cc = connected_components(pairs, a, b)
+    clustered = df.join(
+        cc.select(F.col("id").alias(key), "cluster_id"), on=key, how="left"
+    ).withColumn("cluster_id", F.coalesce(F.col("cluster_id"), F.col(key)))
+    gate = _hash_gate(F.col("cluster_id"), seed, portable)
+    cut = int(holdout_rate * _GATE_M)
+    return clustered.where(gate >= cut), clustered.where(gate < cut)
+
+
 def deterministic_shuffle(df: DataFrame, key: str, seed: int = 0) -> DataFrame:
     """Global deterministic permutation of the corpus — the
     training-order shuffle: sort by a seeded hash of the key. One

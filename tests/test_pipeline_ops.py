@@ -743,3 +743,43 @@ def test_chunk_sequences_no_shuffle(spark):
                           stride=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_leakage_safe_split_invariants(spark):
+    """(1) disjoint + exhaustive; (2) no near-dup cluster straddles the
+    cut (the leakage channel it exists to close); (3) a row in no pair
+    splits exactly as train_holdout_split would place its own id as
+    cluster; (4) deterministic across reruns."""
+    from jsonschema_valid_spark.functions.dedup import jaccard_pairs
+    from jsonschema_valid_spark.functions.sampling import (
+        leakage_safe_split,
+        train_holdout_split,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    pairs = jaccard_pairs(docs, "doc_id", "text", n=2, threshold=0.2)
+    train, hold = leakage_safe_split(docs, "doc_id", pairs,
+                                     holdout_rate=0.3, seed=9)
+    t_ids = {r["doc_id"] for r in train.select("doc_id").collect()}
+    h_ids = {r["doc_id"] for r in hold.select("doc_id").collect()}
+    all_ids = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    assert t_ids | h_ids == all_ids
+    assert not (t_ids & h_ids)
+    assert t_ids and h_ids  # 30% cut on this fixture hits both sides
+
+    # no cluster straddles: both endpoints of every pair share a side
+    for r in pairs.collect():
+        assert (r["a"] in t_ids) == (r["b"] in t_ids), (r["a"], r["b"])
+
+    # singletons (rows in no pair) match the per-row split exactly
+    paired = {r["a"] for r in pairs.collect()} | {
+        r["b"] for r in pairs.collect()}
+    pt, ph = train_holdout_split(docs, "doc_id", holdout_rate=0.3, seed=9)
+    pt_ids = {r["doc_id"] for r in pt.select("doc_id").collect()}
+    for did in all_ids - paired:
+        assert (did in t_ids) == (did in pt_ids), did
+
+    # deterministic rerun
+    t2, _ = leakage_safe_split(docs, "doc_id", pairs, holdout_rate=0.3,
+                               seed=9)
+    assert {r["doc_id"] for r in t2.select("doc_id").collect()} == t_ids
