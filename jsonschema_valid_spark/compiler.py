@@ -1169,6 +1169,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # dilute and single-row maxStep cannot see through noise
         plan.dataset_checks.append(
             DatasetCheck(cid, "level_shift", colname, dict(v)))
+    elif kw == "x-entropy":
+        # dataset scope: a bound on the distribution's own CONCENTRATION
+        # — baseline-free collapse/uniformity detection that x-drift
+        # (which needs a trusted baseline histogram) and per-value row
+        # checks cannot express
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "entropy", colname, dict(v)))
     elif kw == "x-correlation":
         # dataset scope: a relation BETWEEN columns — every other
         # statistical check treats one column at a time; "these two

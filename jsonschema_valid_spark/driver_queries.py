@@ -4699,3 +4699,49 @@ def sample_cluster_split(spark, sf_dir):
     return train.select("doc_id", "cluster_id",
                         F.lit("train").alias("side")).unionByName(
         hold.select("doc_id", "cluster_id", F.lit("holdout").alias("side")))
+
+
+_ENTROPY_KW_SQL = """
+WITH e AS (SELECT user_id,
+                  CASE WHEN user_id % 5 = 0 THEN 'error'
+                       ELSE event_type END AS et
+           FROM events),
+c AS (SELECT user_id, et, count(*) AS c FROM e
+      WHERE et IS NOT NULL GROUP BY 1, 2),
+g AS (SELECT user_id, sum(c) AS t, sum(c * ln(c)) AS clc,
+             count(*) AS k
+      FROM c GROUP BY user_id),
+h AS (SELECT user_id, ln(t) - clc / t AS ent, k FROM g)
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       'properties/et/x-entropy' AS check_id,
+       'entropy=' || CAST(CAST(round(ent, 6) AS DECIMAL(12,6)) AS VARCHAR)
+         || ',values=' || CAST(k AS VARCHAR) AS observed
+FROM h WHERE ent < 0.8
+"""
+
+
+@register_extended("engine_entropy_violations", _ENTROPY_KW_SQL)
+def engine_entropy_violations(spark, sf_dir):
+    """x-entropy as a DECLARATIVE suite keyword: each user's event-type
+    mix must keep Shannon entropy >= 0.8 nats — the baseline-free
+    DISTRIBUTION-COLLAPSE guard (a mode-collapsed generator, a stuck
+    upstream enum, a template explosion crater one group's entropy long
+    before any single frequency looks odd; x-drift can't see it without
+    a trusted baseline). The fixture deterministically collapses every
+    user_id % 5 == 0 to a single event type; those users' entropy is
+    exactly 0 while organic users sit near ln 5. Plan
+    (operators/entropy.py): two stacked map-side-combined aggregates —
+    (user, value) counts then the per-user ln(T) − Σc·ln(c)/T fold —
+    no window, no join, value counts are all that shuffles. EXTENDED
+    mirror entry; full value-hash oracle replays the corruption and the
+    entropy algebra."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    framed = ev.withColumn(
+        "et", F.when(F.col("user_id") % 5 == 0, F.lit("error"))
+        .otherwise(F.col("event_type")))
+    suite = CheckSuite({"properties": {"et": {"x-entropy": {
+        "min": 0.8, "by": "user_id"}}}})
+    res = suite.run(framed, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")

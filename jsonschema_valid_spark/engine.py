@@ -384,6 +384,19 @@ def _correlation_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _entropy_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-entropy execution for both run paths."""
+    from jsonschema_valid_spark.operators.entropy import entropy_violations
+
+    return entropy_violations(
+        df, dc.column, dc.check_id,
+        by=dc.params.get("by"),
+        min_entropy=dc.params.get("min"),
+        max_entropy=dc.params.get("max"),
+        normalized=bool(dc.params.get("normalized", False)),
+    )
+
+
 def _event_order_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-eventOrder execution for both run paths."""
     from jsonschema_valid_spark.operators.temporal import (
@@ -693,6 +706,8 @@ def run_suite_summarized(
             vdf = _correlation_violations(dc, df)
         elif dc.kind == "level_shift":
             vdf = _level_shift_violations(dc, df, key)
+        elif dc.kind == "entropy":
+            vdf = _entropy_violations(dc, df)
         elif dc.kind == "outlier":
             vdf = _outlier_violations(dc, df, key)
         elif dc.kind == "functional_dependency":
@@ -1091,6 +1106,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nuw") == 0).alias("passed"),
                     F.col("nuw").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "entropy":
+            env = _entropy_violations(dc, df)
+            violation_dfs.append(_with_ipath(env))
+            verdict_dfs.append(
+                env.agg(F.count(F.lit(1)).alias("nen")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nen") == 0).alias("passed"),
+                    F.col("nen").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -324,6 +324,10 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"const": "maxShift"}},
             ]},
         }}),
+        _kw("x-entropy", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"enum": ["min", "max"]}},
+        }}),
         _kw("x-correlation", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"allOf": [

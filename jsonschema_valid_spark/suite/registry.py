@@ -96,6 +96,7 @@ DATASET_KEYWORDS = frozenset(
         "x-eventOrder",     # first(A) must precede first(B) per group (causality)
         "x-correlation",    # Pearson r between two columns within bounds per group
         "x-levelShift",     # peak rolling-mean jump per group within a bound
+        "x-entropy",        # Shannon-entropy bounds (collapse/uniformity guard)
         "x-outlier",        # per-group z-score envelope (data-aware min/max lift)
         "x-functionalDependency",  # determinant -> dependent tuple (FD, lift of `dependencies`)
         "x-rowCount",       # table/group cardinality bounds (lift of min/maxItems)

@@ -328,6 +328,23 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-levelShift must be {'orderBy': col, "
                               "'maxShift': number>0, 'by'?: col, "
                               "'window'?: int>=2}")
+        elif kw == "x-entropy":
+            def _enum_ok(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and x >= 0)
+            norm = v.get("normalized", False) if isinstance(v, dict) else False
+            ok = (isinstance(v, dict)
+                  and ("min" in v or "max" in v)
+                  and ("min" not in v or _enum_ok(v["min"]))
+                  and ("max" not in v or _enum_ok(v["max"]))
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and isinstance(norm, bool)
+                  and (not norm
+                       or all(v[k] <= 1.0 for k in ("min", "max") if k in v)))
+            if not ok:
+                raise _err(p, "x-entropy must be {'min'|'max': number>=0, "
+                              "'by'?: col, 'normalized'?: bool "
+                              "(bounds in [0,1] when normalized)}")
         elif kw == "x-correlation":
             def _corr_num(x):
                 return (isinstance(x, (int, float))

@@ -101,6 +101,8 @@ INVALID_SUITES = [
         "withinSeconds": 60}}}}),
     ("x-levelShift-no-maxshift", {"properties": {"x": {"x-levelShift": {
         "orderBy": "m"}}}}),
+    ("x-entropy-no-bound", {"properties": {"x": {"x-entropy": {
+        "by": "src"}}}}),
     ("x-correlation-no-bound", {"properties": {"x": {"x-correlation": {
         "with": "y"}}}}),
     ("x-eventOrder-no-by", {"properties": {"x": {"x-eventOrder": {
