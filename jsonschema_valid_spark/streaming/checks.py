@@ -334,6 +334,113 @@ def stream_overlap_violations(
     )
 
 
+def stream_recent_duplicate_violations(
+    sdf: DataFrame,
+    column: str,
+    key: str,
+    ts_col: str,
+    within_seconds: float,
+    by: str | None = None,
+    watermark: str = "10 minutes",
+    check_id: str | None = None,
+) -> DataFrame:
+    """Streaming ``x-unique {"withinSeconds": W}`` (operators/
+    uniqueness.py recent_duplicate_violations lifted to an unbounded
+    stream): the same value may recur, but not within ``W`` seconds of
+    its previous occurrence — replay / double-fire / rate-limit
+    detection where the recurrence must survive MICRO-BATCH BOUNDARIES.
+    State carries each value's last occurrence (epoch micros), so an
+    event in batch N is checked against its predecessor from batch N−1
+    — which native ``dropDuplicatesWithinWatermark`` cannot report (it
+    silently KEEPS the first and drops the rest; a validation engine
+    must NAME the violating rows instead).
+
+    State is bounded two ways: one long per LIVE value, and an
+    event-time timer evicts a value's entry once the watermark passes
+    last_seen + W (it can no longer witness a violation) — so state
+    tracks the values active inside one W-horizon, not the stream's
+    history.  Within a micro-batch rows are ordered by (ts, key)
+    exactly like the batch window; across batches arrival order is
+    event-time order up to the watermark.  NULL values/timestamps drop
+    out in the stateless prep (required/x-nullRate police those).
+
+    Emits engine-shaped violation rows naming the LATER row, with the
+    same ``value=...,gap_us=...`` witness as the batch operator
+    (parity pytest-asserted).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    w_us = int(round(float(within_seconds) * 1_000_000))
+    if w_us <= 0:
+        raise ValueError("withinSeconds must be positive")
+    w_ms = (w_us + 999) // 1000
+    cid = check_id or f"properties/{column}/x-unique"
+    scope = f" per {by}" if by else ""
+    exp_msg = (f"{column} must not recur within {within_seconds:g}s"
+               f"{scope} (stream)")
+
+    out_schema = ("doc_id string, check_id string, observed string, "
+                  "expected string")
+    state_schema = "last_us long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # watermark passed last_seen + W: this value can no longer
+            # witness a violation — drop its entry
+            state.remove()
+            return
+        prev = state.get[0] if state.exists else None
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks and prev is None:
+            return
+        docs, vals, gaps = [], [], []
+        if chunks:
+            pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+                .sort_values(["__us", "__key"], kind="mergesort")
+            for k, us in zip(pdf["__key"].to_numpy(),
+                             pdf["__us"].to_numpy()):
+                us = int(us)
+                if prev is not None and us - prev <= w_us:
+                    docs.append(str(k))
+                    vals.append(str(key_tuple[0]))
+                    gaps.append(str(us - prev))
+                prev = us
+        state.update((int(prev),))
+        # a timer at-or-before the watermark is rejected; clamp to
+        # watermark+1ms — the entry is already evictable and goes on
+        # the next trigger instead of crashing the query
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(prev // 1000 + w_ms, wm + 1))
+        if docs:
+            yield pd.DataFrame({
+                "doc_id": docs,
+                "check_id": cid,
+                "observed": ["value=%s,gap_us=%s" % (v, g)
+                             for v, g in zip(vals, gaps)],
+                "expected": exp_msg,
+            })
+
+    group = [F.col(column).cast("string").alias("__val")] + (
+        [F.col(by).cast("string").alias("__by")] if by else [])
+    prepped = (
+        sdf.withWatermark(ts_col, watermark)
+        .where(F.col(column).isNotNull() & F.col(ts_col).isNotNull())
+        .select(
+            *group,
+            F.col(ts_col),
+            F.unix_micros(F.col(ts_col).cast("timestamp")).alias("__us"),
+            F.col(key).cast("string").alias("__key"),
+        )
+    )
+    names = ["__val"] + (["__by"] if by else [])
+    return prepped.groupBy(*names).applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_freshness_alerts(
     sdf: DataFrame,
     group_col: str,
