@@ -115,16 +115,33 @@ class SnapshotManifestCommit:
         except (FileNotFoundError, NotADirectoryError):
             return {}
 
-    def commit(self, df: DataFrame, kind: str, partition: str) -> None:
-        import json
-        import os
-        import shutil
+    def stage(self, df: DataFrame, kind: str, partition: str) -> str:
+        """WRITE phase: materialize ``df`` to a fresh UNREFERENCED data
+        dir and return its path — readers cannot see it until
+        :meth:`publish_staged` swaps the manifest. This is the staging
+        half of write-audit-publish (:func:`audit_publish`): anything may
+        inspect the staged files (including re-reading them through
+        Spark, which audits the BYTES readers would see rather than the
+        pre-write plan) and a crash or audit failure before publish
+        leaves the previous snapshot visible."""
         import uuid
 
         data_dir = f"{self.base}/{kind}/data/{partition}-{uuid.uuid4().hex}"
         # the (possibly slow) data write stays OUTSIDE the lock — only the
         # manifest read-modify-replace is serialized
         df.write.mode("errorifexists").parquet(data_dir)
+        return data_dir
+
+    def publish_staged(self, kind: str, partition: str,
+                       data_dir: str) -> None:
+        """PUBLISH phase: atomically repoint ``partition`` at a staged
+        data dir (the manifest swap), then best-effort expire the
+        superseded snapshot's files."""
+        import json
+        import os
+        import shutil
+        import uuid
+
         with self._lock:
             manifest = self._read_manifest(kind)
             superseded = manifest.get(partition)
@@ -140,6 +157,9 @@ class SnapshotManifestCommit:
             # here leaks one directory once, never corrupts visibility —
             # the manifest already points at the new data)
             shutil.rmtree(superseded, ignore_errors=True)
+
+    def commit(self, df: DataFrame, kind: str, partition: str) -> None:
+        self.publish_staged(kind, partition, self.stage(df, kind, partition))
 
     def read_partition(self, spark: SparkSession, kind: str,
                        partition: str) -> DataFrame:
@@ -430,3 +450,54 @@ class CheckpointRunner:
         if n_viol and int(n_viol) > 0:
             return True
         return not self.verdicts(spark).where(~F.col("passed")).isEmpty()
+
+
+@dataclass
+class WapResult:
+    """Outcome of one :func:`audit_publish` cycle. ``published`` says
+    whether the manifest swap happened; ``data_dir`` is the staged
+    directory either way (on failure it stays on disk, unreferenced,
+    for inspection — delete or re-audit it explicitly); ``result`` is
+    the full ValidationResult computed over the STAGED files."""
+
+    published: bool
+    data_dir: str
+    result: object
+
+    def ok(self) -> bool:
+        return self.published
+
+
+def audit_publish(df: DataFrame, suite, protocol: SnapshotManifestCommit,
+                  kind: str = "table", partition: str = "all",
+                  key: str = "doc_id", partition_by: str | None = None,
+                  context: dict | None = None) -> WapResult:
+    """Write-audit-publish: stage ``df`` to an unreferenced location,
+    validate WHAT WAS WRITTEN, and atomically publish only if the suite
+    passes — the deployment pattern that makes a validation engine a
+    GATE instead of a report (Iceberg's WAP / ``spark.wap.id`` workflow,
+    expressed through the same snapshot-manifest seam the resume tests
+    prove).
+
+    Why audit the staged files instead of the incoming DataFrame: the
+    re-read validates the exact bytes readers would see — catching
+    write-path surprises (type coercions, nullability widening, a
+    corrupted task output) that a pre-write ``suite.run(df)`` on the
+    logical plan cannot. The extra cost is one read of data that is
+    still in the page cache from the write.
+
+    On failure NOTHING becomes visible: the previous snapshot keeps
+    serving reads, the staged dir stays on disk for drill-down (its
+    path is in the returned :class:`WapResult`), and no manifest entry
+    references it. On success the publish is the same atomic
+    ``os.replace`` swap as :meth:`SnapshotManifestCommit.commit` —
+    crash-before-swap invisibility included."""
+    spark = df.sparkSession
+    data_dir = protocol.stage(df, kind, partition)
+    staged = spark.read.parquet(data_dir)
+    res = suite.run(staged, key=key, partition_by=partition_by,
+                    context=context)
+    if res.ok():
+        protocol.publish_staged(kind, partition, data_dir)
+        return WapResult(True, data_dir, res)
+    return WapResult(False, data_dir, res)
