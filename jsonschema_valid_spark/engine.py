@@ -99,6 +99,59 @@ class ValidationResult:
             out.append("no violations")
         return "\n".join(out)
 
+    def report(self, k_exemplars: int = 5, seed: int = 7) -> str:
+        """Markdown run report — the human-facing summary of one
+        validation run, bounded at ANY data scale: the verdict table
+        rides the (small: #checks × #partitions) verdicts DF, per-check
+        violation counts are ONE map-side-combined aggregate, and
+        sample rows come from the deterministic exemplar cap
+        (operators/exemplars.py) — never an unbounded collect. Paste it
+        into a PR / incident doc; reruns produce the identical text for
+        the same input."""
+        verd = self.verdicts.collect()
+        counts = {r["check_id"]: r["n"] for r in
+                  self.violations.groupBy("check_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+        by_check: dict[str, list] = {}
+        for r in verd:
+            by_check.setdefault(r["check_id"], []).append(r)
+        n_failed_checks = sum(
+            1 for rows in by_check.values() if any(not r["passed"]
+                                                   for r in rows))
+        n_viol = sum(counts.values())
+        passed = n_failed_checks == 0 and n_viol == 0
+        out = ["# Validation report", ""]
+        out.append("**Status: %s** — %d checks, %d failed; "
+                   "%d violation rows" % (
+                       "PASSED" if passed else "FAILED",
+                       len(by_check), n_failed_checks, n_viol))
+        out += ["", "## Verdicts", "",
+                "| check | partitions | failed | worst metric | threshold |",
+                "|---|---|---|---|---|"]
+        for cid in sorted(by_check):
+            rows = by_check[cid]
+            fails = [r for r in rows if not r["passed"]]
+            worst = max((r["metric_value"] for r in fails),
+                        default=None)
+            out.append("| `%s` | %d | %d | %s | %s |" % (
+                cid, len(rows), len(fails),
+                "—" if worst is None else "%g" % worst,
+                "%g" % rows[0]["threshold"]
+                if rows[0]["threshold"] is not None else "—"))
+        if counts:
+            out += ["", "## Violations", "", "| check | rows |", "|---|---|"]
+            for cid in sorted(counts):
+                out.append("| `%s` | %d |" % (cid, counts[cid]))
+            out += ["", "## Exemplars (deterministic, ≤%d per check)"
+                    % k_exemplars, ""]
+            for r in sorted(self.exemplars(k=k_exemplars,
+                                           seed=seed).collect(),
+                            key=lambda r: (r["check_id"], r["doc_id"])):
+                out.append("- `%s` doc=%s: observed %s, expected %s"
+                           % (r["check_id"], r["doc_id"], r["observed"],
+                              r["expected"]))
+        return "\n".join(out)
+
     def exemplars(self, k: int = 10, seed: int = 7) -> DataFrame:
         """At most ``k`` deterministic hash-ranked exemplar violations per
         check (operators/exemplars.py) — the bounded sink shape for runs

@@ -110,3 +110,30 @@ def test_parity_keyword(spark, df):
     res2 = suite2.run(df, key="id", context={"ref": ref})
     got2 = {(r["doc_id"], r["check_id"]) for r in res2.violations.collect()}
     assert got2 == got
+
+
+def test_markdown_report_bounded_and_deterministic(spark):
+    from jsonschema_valid_spark import CheckSuite
+
+    rows = [(i, "s%d" % (i % 3), i % 7) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id: long, src: string, v: long")
+    suite = CheckSuite({"properties": {"v": {"minimum": 2}}})
+    res = suite.run(df, key="doc_id", partition_by="src")
+    rep = res.report(k_exemplars=3)
+    assert rep.startswith("# Validation report")
+    assert "**Status: FAILED**" in rep
+    assert "| `properties/v/minimum` |" in rep
+    # violation counts: v in {0,1} -> 2/7 of 200 rows ≈ 58
+    n = sum(1 for _, _, v in rows if v < 2)
+    assert ("| `properties/v/minimum` | %d |" % n) in rep
+    # exemplar section bounded at k per check
+    ex_lines = [ln for ln in rep.splitlines() if ln.startswith("- `")]
+    assert 1 <= len(ex_lines) <= 3
+    assert rep == suite.run(df, key="doc_id", partition_by="src") \
+        .report(k_exemplars=3)  # deterministic rerun
+
+    ok = CheckSuite({"properties": {"v": {"minimum": 0}}}).run(
+        df, key="doc_id", partition_by="src")
+    rep_ok = ok.report()
+    assert "**Status: PASSED**" in rep_ok
+    assert "## Violations" not in rep_ok
