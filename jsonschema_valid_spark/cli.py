@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--suite", help="path to the CheckSuite JSON")
     p.add_argument("--input", help="input table path")
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "jsonl", "iceberg"])
+                   choices=["parquet", "jsonl", "iceberg", "csv", "tsv"])
     p.add_argument("--key", default="doc_id")
     p.add_argument("--partition-by", default=None)
     p.add_argument("--output", help="output dir for results")
@@ -50,6 +50,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "hash-ranked exemplars per check (full counts stay "
                         "in the verdicts) — the sink shape for runs whose "
                         "failing checks would emit violations at data scale")
+    p.add_argument("--report", metavar="PATH", default=None,
+                   help="write the bounded markdown run report "
+                        "(ValidationResult.report) to PATH after a "
+                        "non-resume run")
     p.add_argument("--explain", action="store_true",
                    help="print the formatted physical plans for the "
                         "violations and verdicts passes WITHOUT running "
@@ -103,14 +107,31 @@ def main(argv=None) -> int:
 
     suite = CheckSuite(spec)
 
+    quarantine = None
     if args.format == "jsonl":
         from jsonschema_valid_spark.sources.jsonl import read_jsonl
 
         df = read_jsonl(spark, args.input, spec)
     elif args.format == "iceberg":
         df = spark.table(args.input)
+    elif args.format in ("csv", "tsv"):
+        # delimited text gets the PARSE GATE first: unparseable lines
+        # become quarantine rows (written to <output>/quarantine and
+        # counted in the exit code) instead of poisoning the suite input
+        from jsonschema_valid_spark.sources.delimited import read_delimited
+
+        df, quarantine = read_delimited(
+            spark, args.input, spec,
+            sep="\t" if args.format == "tsv" else ",")
     else:
         df = spark.read.parquet(args.input)
+
+    def _quarantine_count() -> int:
+        if quarantine is None:
+            return 0
+        quarantine.write.mode("overwrite").parquet(
+            f"{args.output}/quarantine")
+        return spark.read.parquet(f"{args.output}/quarantine").count()
 
     if args.resume:
         if not args.partition_by:
@@ -130,12 +151,16 @@ def main(argv=None) -> int:
         # completed (and skipped) by previous interrupted runs — and failed
         # verdicts, not just this invocation's violation count
         failed = runner.failed(spark)
-        print(json.dumps({
+        n_quar = _quarantine_count()
+        out = {
             "processed": summary.processed, "skipped": summary.skipped,
             "rows": summary.total_rows, "violations": summary.total_violations,
             "wall_ms": summary.wall_ms, "failed": failed,
-        }))
-        return 1 if failed else 0
+        }
+        if quarantine is not None:
+            out["quarantined"] = n_quar
+        print(json.dumps(out))
+        return 1 if (failed or n_quar) else 0
 
     result = suite.run(df, key=args.key, partition_by=args.partition_by)
     if args.explain:
@@ -145,7 +170,7 @@ def main(argv=None) -> int:
         result.verdicts.explain("formatted")
         return 0
     if args.fail_fast:
-        ok = result.ok()
+        ok = result.ok() and (quarantine is None or quarantine.isEmpty())
         print(json.dumps({"ok": ok}))
         return 0 if ok else 1
 
@@ -156,13 +181,20 @@ def main(argv=None) -> int:
     n_viol = spark.read.parquet(f"{args.output}/violations").count()
     n_fail = (spark.read.parquet(f"{args.output}/verdicts")
               .where("passed = false").count())
+    n_quar = _quarantine_count()
     out = {"violations": n_viol, "failed_verdicts": n_fail}
     if args.exemplars:
         # written count is the CAP, not the total — that lives in verdicts
         out = {"violations_written": n_viol, "failed_verdicts": n_fail,
                "exemplars_k": args.exemplars}
+    if quarantine is not None:
+        out["quarantined"] = n_quar
+    if args.report:
+        with open(args.report, "w") as f:
+            f.write(result.report())
+        out["report"] = args.report
     print(json.dumps(out))
-    return 0 if (n_viol == 0 and n_fail == 0) else 1
+    return 0 if (n_viol == 0 and n_fail == 0 and n_quar == 0) else 1
 
 
 if __name__ == "__main__":

@@ -322,6 +322,43 @@ def suggest_row_count_bounds(df: DataFrame, column: str,
             "max": int(math.ceil(r["mx"] * headroom))}
 
 
+def suggest_drift_baseline(df: DataFrame, column: str,
+                           bucket_width: float | None = None,
+                           n_buckets: int = 32,
+                           psi_max: float = 0.25) -> dict | None:
+    """Bootstrap an ``x-drift`` node from the column's OWN histogram —
+    closing the profile → suite loop for the drift family the way
+    :func:`suggest_row_count_bounds` does for cardinality: profile a
+    trusted snapshot once, pin its distribution as the baseline, and
+    every later load is tested against it.
+
+    ``bucket_width=None`` derives a width from the observed range
+    (range / ``n_buckets``, snapped to a power of two so bucket edges
+    are stable against tiny range jitter between snapshots). One
+    min/max aggregate plus one histogram aggregate; only #buckets rows
+    reach the driver. The suggested node passes on the profiled table
+    by construction (PSI of a distribution against itself is 0).
+    Returns None when the column has no non-NULL rows."""
+    from jsonschema_valid_spark.operators.drift import histogram
+
+    if bucket_width is None:
+        r = df.agg(F.min(F.col(column).cast("double")).alias("mn"),
+                   F.max(F.col(column).cast("double")).alias("mx")).first()
+        if r["mn"] is None:
+            return None
+        spread = float(r["mx"]) - float(r["mn"])
+        import math
+
+        bucket_width = (2.0 ** math.ceil(math.log2(spread / n_buckets))
+                        if spread > 0 else 1.0)
+    rows = histogram(df, column, float(bucket_width)).collect()
+    if not rows:
+        return None
+    return {"baseline": {int(r["bucket"]): int(r["count"]) for r in rows},
+            "bucketWidth": float(bucket_width),
+            "psiMax": float(psi_max)}
+
+
 def profile_diff(
     cur: DataFrame,
     ref: DataFrame,

@@ -151,3 +151,37 @@ def test_cli_exemplars_caps_written_violations(spark, tmp_path):
                "count", "n").collect()}
     assert all(n <= 5 for n in per.values()) and per
     assert "exemplar_rank" in viol.columns
+
+
+def test_cli_csv_quarantine_and_report(spark, tmp_path):
+    from jsonschema_valid_spark.cli import main
+
+    spec = {"properties": {
+        "doc_id": {"type": "string"},
+        "n_tok": {"type": "integer", "minimum": 1},
+    }}
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps(spec))
+    csv = tmp_path / "in.csv"
+    csv.write_text("doc_id,n_tok\na,10\nb,zz\nc,0\n")
+    out = tmp_path / "out"
+    rep = tmp_path / "report.md"
+
+    rc = main(["--suite", str(suite_path), "--input", str(csv),
+               "--format", "csv", "--key", "doc_id",
+               "--output", str(out), "--report", str(rep)])
+    assert rc == 1  # one violation (c) + one quarantined line (b)
+    quar = spark.read.parquet(str(out / "quarantine")).collect()
+    assert [r["_corrupt_record"] for r in quar] == ["b,zz"]
+    viol = spark.read.parquet(str(out / "violations")).collect()
+    assert [r["doc_id"] for r in viol] == ["c"]
+    text = rep.read_text()
+    assert text.startswith("# Validation report")
+    assert "**Status: FAILED**" in text
+
+    clean_csv = tmp_path / "ok.csv"
+    clean_csv.write_text("doc_id,n_tok\na,10\nc,3\n")
+    rc2 = main(["--suite", str(suite_path), "--input", str(clean_csv),
+                "--format", "csv", "--key", "doc_id",
+                "--output", str(tmp_path / "out2")])
+    assert rc2 == 0

@@ -234,3 +234,36 @@ def test_profile_diff_dtype_and_distinct(spark):
     assert got[("v", "dtype")] == ("double", "int")
     # 3 distinct vs 50 distinct: ratio 0.06 < 1/2
     assert got[("v", "distinct")] == ("3", "50")
+
+
+def test_suggest_drift_baseline_closes_loop(spark):
+    """The suggested x-drift node passes on the profiled snapshot by
+    construction and flags a genuinely shifted regeneration."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_drift_baseline,
+    )
+
+    def gen(n, shift=0):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            ((F.col("id") * 37) % 120 + 8 + shift).cast("int").alias("n_tok"))
+
+    node = suggest_drift_baseline(gen(20000), "n_tok")
+    assert node is not None and node["psiMax"] == 0.25
+    assert sum(node["baseline"].values()) == 20000
+    # derived width: range 119 / 32 buckets -> snapped to 4.0
+    assert node["bucketWidth"] == 4.0
+
+    spec = {"properties": {"n_tok": {"x-drift": node}}}
+    assert CheckSuite(spec).run(gen(20000), key="doc_id").ok() is True
+    # same shape at half the volume still passes (normalized histograms)
+    assert CheckSuite(spec).run(gen(10000), key="doc_id").ok() is True
+    assert CheckSuite(spec).run(gen(20000, shift=40),
+                                key="doc_id").ok() is False
+
+    # explicit width is honored; empty column -> None
+    node2 = suggest_drift_baseline(gen(1000), "n_tok", bucket_width=16.0)
+    assert node2["bucketWidth"] == 16.0
+    empty = spark.createDataFrame([], "doc_id long, n_tok int")
+    assert suggest_drift_baseline(empty, "n_tok") is None
