@@ -1151,6 +1151,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # AMOUNT of rows arrive" is invisible to every row check
         plan.dataset_checks.append(
             DatasetCheck(cid, "row_count", colname, dict(v)))
+    elif kw == "x-maxFrequency":
+        # dataset scope: the OTHER lift of enum/x-unique — not "may this
+        # value appear" but "how often may it" (count per value vs an
+        # absolute cap / share of the table); dominance is a property of
+        # the value's whole row set, invisible to every row check
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "max_frequency", colname, dict(v)))
     elif kw == "x-monotonic":
         # dataset scope: each row is bounded by its PREDECESSOR in a
         # declared ordering — inherently relational (window), unlike the

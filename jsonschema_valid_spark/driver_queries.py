@@ -4745,3 +4745,77 @@ def engine_entropy_violations(spark, sf_dir):
         "min": 0.8, "by": "user_id"}}}})
     res = suite.run(framed, key="event_id")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_FREQ_KW_SQL = """
+WITH c AS (SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS v,
+                  count(*) AS n
+           FROM documents GROUP BY 1),
+t AS (SELECT v, n, sum(n) OVER () AS total FROM c)
+SELECT v AS doc_id,
+       'properties/lang/x-maxFrequency' AS check_id,
+       'count=' || CAST(n AS VARCHAR) AS observed,
+       'fraction <= 0.155 of total=' || CAST(total AS VARCHAR) AS expected
+FROM t
+WHERE n * 200 > 31 * total
+"""
+
+
+@register_extended("engine_frequency_violations", _FREQ_KW_SQL)
+def engine_frequency_violations(spark, sf_dir):
+    """x-maxFrequency as a DECLARATIVE suite keyword: no language may
+    exceed 15.5% of the documents table — the dominance cap that catches
+    a stuck upstream producer / template flood / mode collapse long
+    before uniqueness or enum checks notice (every row is individually
+    valid; the failure is one value's SHARE). The synthetic corpus is
+    ~39-44% 'en' at every SF with the other languages near 14%, so the
+    same literal threshold yields witnesses at sf0.001 (en/fr/es) and
+    sf0.01 (en). The fraction bound compares in integer arithmetic
+    (n * 200 > 31 * total — the 0.155 reduced at micro resolution), so
+    Spark and DuckDB agree bit-for-bit at the boundary. Plan
+    (operators/frequency.py): ONE base scan — map-side-combined
+    groupBy(value) counts, grand total as a single-frame window over the
+    aggregated #distinct rows, no join (plan-asserted in
+    tests/test_frequency.py). EXTENDED mirror entry; full value-hash
+    oracle is the GROUP BY + window replay."""
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suite = CheckSuite({"properties": {"lang": {"x-maxFrequency": {
+        "maxFraction": 0.155}}}})
+    res = suite.run(docs, key="doc_id")
+    return res.violations.select("doc_id", "check_id", "observed",
+                                 "expected")
+
+
+_FREQ_SKETCH_SQL = """
+WITH c AS (SELECT CAST(event_type AS VARCHAR) AS value, count(*) AS n
+           FROM events GROUP BY 1),
+t AS (SELECT value, n, sum(n) OVER () AS total FROM c)
+SELECT value, CAST(n AS BIGINT) AS n, CAST(total AS BIGINT) AS total
+FROM t
+WHERE n * 20 > 3 * total
+"""
+
+
+@register_extended("freq_heavy_hitters_sketch", _FREQ_SKETCH_SQL)
+def freq_heavy_hitters_sketch(spark, sf_dir):
+    """Misra-Gries heavy hitters (operators/frequency.py heavy_hitters):
+    values claiming > 15% of events.event_type, found via the MERGEABLE
+    sketch path — phase 1 keeps k counters per Spark partition inside
+    mapInPandas (no shuffle; per-partition undercount <= n_p/(k+1), never
+    an overcount), phase 2 merges by summing estimates (mergeability
+    keeps the bound), then candidates within slack of the threshold are
+    re-counted EXACTLY with an In-filtered aggregate. Because the
+    candidate set provably contains every true violator and the final
+    filter uses exact counts, the sketch path's OUTPUT IS EXACT and
+    partitioning-invariant — which is why this entry carries a full
+    value-hash oracle (plain GROUP BY + HAVING in integer arithmetic),
+    not a rows-only check. The scale story: exact mode's shuffle carries
+    partitions x |distinct| partial states (fine for enums, fatal for
+    doc_id-like columns); the sketch carries partitions x k. EXTENDED
+    mirror entry."""
+    from jsonschema_valid_spark.operators.frequency import heavy_hitters
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return heavy_hitters(ev, "event_type", max_fraction=0.15)

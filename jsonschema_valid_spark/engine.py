@@ -307,6 +307,23 @@ def _row_count_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _max_frequency_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-maxFrequency execution for both run paths."""
+    from jsonschema_valid_spark.operators.frequency import (
+        frequency_violations,
+    )
+
+    mf, mc = dc.params.get("maxFraction"), dc.params.get("maxCount")
+    kk = dc.params.get("k")
+    return frequency_violations(
+        df, dc.column, dc.check_id,
+        max_fraction=None if mf is None else float(mf),
+        max_count=None if mc is None else int(mc),
+        mode=dc.params.get("mode", "exact"),
+        k=None if kk is None else int(kk),
+    )
+
+
 def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
     """``{"verdicts": "perGroup"}`` on x-monotonic / x-rowCount: one
     verdict row per group (partition_id = group value) REPLACING the
@@ -767,6 +784,8 @@ def run_suite_summarized(
             vdf = _fd_violations(dc, df)
         elif dc.kind == "row_count":
             vdf = _row_count_violations(dc, df)
+        elif dc.kind == "max_frequency":
+            vdf = _max_frequency_violations(dc, df)
         else:
             continue
         gv = _per_group_verdicts(dc, df, key)
@@ -1115,6 +1134,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nrc") == 0).alias("passed"),
                     F.col("nrc").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "max_frequency":
+            mfv = _max_frequency_violations(dc, df)
+            violation_dfs.append(_with_ipath(mfv))
+            verdict_dfs.append(
+                mfv.agg(F.count(F.lit(1)).alias("nmf")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nmf") == 0).alias("passed"),
+                    F.col("nmf").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -1,0 +1,263 @@
+"""Frequency-cap validation and heavy-hitter detection (``x-maxFrequency``).
+
+The dataset lift of ``enum``/``x-unique`` along the OTHER axis: ``x-unique``
+says "each value at most once"; ``x-maxFrequency`` says "no value may
+DOMINATE" — count(value) must stay under an absolute cap (``maxCount``)
+and/or a share of the table (``maxFraction``). The failures it catches are
+invisible to every row check: a stuck upstream producer emitting one user_id
+for half the feed, a default/placeholder value flooding a column, a template
+document duplicated into dominance, mode collapse in generated data.
+
+≙ reference semantics anchor: ``enum`` (validators.rs) bounds which values
+may appear; this bounds how OFTEN one may appear — the same per-value
+judgment lifted from membership to frequency.
+
+Two execution modes with the same exact output:
+
+* ``exact`` (default): one map-side-combined ``groupBy(value).count()``
+  — the shuffle carries (partitions x distinct) partial states, then the
+  tiny aggregated table gets the grand total via a single-frame window
+  (sum of per-value counts == table total, so the base table is scanned
+  ONCE). Right when the column's cardinality is modest (enums, sources,
+  languages).
+* ``sketch``: a mergeable Misra-Gries summary (Agarwal et al., "Mergeable
+  Summaries", PODS'12) for HIGH-cardinality columns (doc_id, user_id,
+  url), where exact's shuffle would carry partitions x billions of partial
+  states. Phase 1 (``mapInPandas``, no shuffle, vectorized value_counts
+  per Arrow batch) keeps k counters per Spark partition — the classic
+  reduction: when the dict exceeds k, subtract the (k+1)-th largest count
+  from every counter and drop the non-positive, giving per-partition
+  undercount <= n_p/(k+1) and never an overcount. Phase 2 merges by
+  summing per-value estimates (undercount stays <= n/(k+1) after any
+  merge order — the mergeability theorem), so every value with true count
+  > total/(k+1) SURVIVES with a positive estimate. Candidates within
+  slack of the threshold are then re-counted EXACTLY with a filtered
+  aggregate (the In-filter pushes to the scan; map-side combine shuffles
+  only partitions x candidates states). Because the candidate set is a
+  guaranteed superset of the true violators and the final filter uses
+  exact counts, the sketch mode's OUTPUT IS EXACT and partitioning-
+  invariant — which is why the driver oracle can replay it with a plain
+  GROUP BY ... HAVING.
+
+Fraction bounds compare in integer arithmetic (count * denom > num *
+total, the fraction reduced at micro-resolution) so Spark and the DuckDB
+oracle agree bit-for-bit with no float-division edge at the boundary.
+Safe to 10^12 rows: n * denom < 2^63 for denom <= 10^6.
+"""
+
+from __future__ import annotations
+
+import math
+from fractions import Fraction
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+_NULL_SENTINEL = "\x00<null>"
+
+
+def _ensure_worker_pickling() -> None:
+    """Ship this module inside the UDF closure so bare sessions (no
+    ``--py-files``) can run the sketch phase on workers."""
+    try:
+        import sys
+
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:
+        pass
+
+
+def _frac_ratio(max_fraction: float) -> tuple[int, int]:
+    """Exact integer (num, denom) for the fraction bound at micro
+    resolution — the comparison ``count * denom > num * total`` is then
+    pure int64 arithmetic in both Spark and the SQL oracle."""
+    fr = Fraction(round(float(max_fraction) * 1_000_000), 1_000_000)
+    return fr.numerator, fr.denominator
+
+
+def _value_str(column: str) -> F.Column:
+    return F.coalesce(F.col(column).cast("string"), F.lit(_NULL_SENTINEL))
+
+
+def exact_value_counts(df: DataFrame, column: str) -> DataFrame:
+    """(value, n, total): per-value counts plus the grand total, ONE scan.
+
+    The total is the sum of the per-value counts, taken with a
+    single-frame window over the ALREADY-AGGREGATED table (#distinct
+    rows), so the base table is never scanned twice. NULL groups under
+    the sentinel."""
+    counts = (df.groupBy(_value_str(column).alias("value"))
+              .agg(F.count(F.lit(1)).alias("n")))
+    return counts.withColumn(
+        "total", F.sum("n").over(Window.partitionBy()))
+
+
+def mg_partition_summaries(df: DataFrame, column: str, k: int) -> DataFrame:
+    """Phase 1 of the Misra-Gries sketch: (value, est) rows per Spark
+    partition, at most ``k`` per partition, plus one total row per
+    partition (value NULL, est = rows processed) so the grand total rides
+    the same single scan. Estimates never overcount; per-partition
+    undercount <= n_p/(k+1). Vectorized: pandas ``value_counts`` per
+    Arrow batch; the Python loop touches distinct values, not rows."""
+    _ensure_worker_pickling()
+    k = int(k)
+    if k < 2:
+        raise ValueError(f"sketch k must be >= 2, got {k}")
+    src = df.select(_value_str(column).alias("val"))
+
+    def build(batches):
+        counters: dict[str, int] = {}
+        processed = 0
+        for pdf in batches:
+            processed += len(pdf)
+            for v, c in pdf["val"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # MG reduction: subtract the (k+1)-th largest count from
+                # everything, drop the non-positive — <= k survivors
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - cut for v, c in counters.items()
+                            if c > cut}
+        out_vals = list(counters) + [None]
+        out_est = list(counters.values()) + [processed]
+        yield pd.DataFrame({"value": out_vals, "est": out_est})
+
+    return src.mapInPandas(build, "value string, est long")
+
+
+def heavy_hitters(
+    df: DataFrame,
+    column: str,
+    max_fraction: float | None = None,
+    max_count: int | None = None,
+    k: int | None = None,
+    max_candidates: int = 100_000,
+) -> DataFrame:
+    """Values whose EXACT count violates the bound(s), found via the
+    Misra-Gries two-phase sketch + exact re-count: (value, n, total) rows
+    — exact and partitioning-invariant (see module docstring).
+
+    ``k`` defaults to ``max(64, ceil(8/max_fraction))`` so the merged
+    undercount slack total/(k+1) is at most an eighth of the fraction
+    threshold (candidate set stays O(1/max_fraction)). With only
+    ``max_count``, pass an explicit ``k`` sized so total/(k+1) is small
+    against the cap — the candidate filter degrades (never misses) when
+    the slack swamps the threshold, and the ``max_candidates`` guard
+    refuses rather than collecting an unbounded candidate list."""
+    if max_fraction is None and max_count is None:
+        raise ValueError("heavy_hitters needs max_fraction and/or max_count")
+    if k is None:
+        if max_fraction is None:
+            raise ValueError("with only max_count, an explicit sketch k "
+                             "is required (slack = total/(k+1) must be "
+                             "sized against the cap)")
+        k = max(64, math.ceil(8.0 / float(max_fraction)))
+    k = int(k)
+
+    merged = (mg_partition_summaries(df, column, k)
+              .groupBy("value").agg(F.sum("est").alias("est")))
+    totals = (merged.where(F.col("value").isNull())
+              .agg(F.sum("est").alias("total")))
+    cand = (merged.where(F.col("value").isNotNull())
+            .crossJoin(F.broadcast(totals)))
+
+    # keep every value whose TRUE count could violate: est >= threshold -
+    # slack - margin (slack = total/(k+1) merged undercount; margin 2
+    # absorbs the double rounding in this pruning-only comparison)
+    slack = (F.col("total").cast("double") / F.lit(float(k + 1))) + F.lit(2.0)
+    conds = []
+    if max_fraction is not None:
+        num, den = _frac_ratio(max_fraction)
+        thr = F.col("total").cast("double") * F.lit(num) / F.lit(den)
+        conds.append(F.col("est").cast("double") >= thr - slack)
+    if max_count is not None:
+        conds.append(F.col("est").cast("double")
+                     >= F.lit(float(int(max_count))) - slack)
+    keep = conds[0]
+    for c in conds[1:]:
+        keep = keep | c
+    cand_rows = cand.where(keep).select("value").limit(max_candidates + 1)
+    values = [r["value"] for r in cand_rows.collect()]
+    if len(values) > max_candidates:
+        raise ValueError(
+            f"candidate set exceeds max_candidates={max_candidates}: the "
+            "sketch slack (total/(k+1)) is too large for the threshold — "
+            "raise k, raise the bound, or use mode='exact'")
+
+    spark = df.sparkSession
+    if not values:
+        return spark.createDataFrame([], "value string, n long, total long")
+
+    # exact re-count of ONLY the candidate values: the In-filter pushes to
+    # the scan; map-side combine shuffles partitions x |candidates| states
+    col_str = _value_str(column)
+    counts = (df.where(col_str.isin(values))
+              .groupBy(col_str.alias("value"))
+              .agg(F.count(F.lit(1)).alias("n"))
+              .crossJoin(F.broadcast(totals)))
+    return counts.where(_violation_cond(max_fraction, max_count)).select(
+        "value", "n", F.col("total").cast("long").alias("total"))
+
+
+def _violation_cond(max_fraction, max_count) -> F.Column:
+    conds = []
+    if max_fraction is not None:
+        num, den = _frac_ratio(max_fraction)
+        conds.append(F.col("n") * F.lit(den) > F.lit(num) * F.col("total"))
+    if max_count is not None:
+        conds.append(F.col("n") > int(max_count))
+    cond = conds[0]
+    for c in conds[1:]:
+        cond = cond | c
+    return cond
+
+
+def _expected_str(max_fraction, max_count) -> F.Column:
+    parts = []
+    if max_fraction is not None:
+        parts.append(f"fraction <= {float(max_fraction):g}")
+    if max_count is not None:
+        parts.append(f"count <= {int(max_count)}")
+    return F.concat(F.lit(" and ".join(parts) + " of total="),
+                    F.col("total").cast("string"))
+
+
+def frequency_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    max_fraction: float | None = None,
+    max_count: int | None = None,
+    mode: str = "exact",
+    k: int | None = None,
+    max_candidates: int = 100_000,
+) -> DataFrame:
+    """``x-maxFrequency`` execution: one violation row per dominating
+    value — (doc_id=value, check_id, observed="count=N",
+    expected="fraction <= f and count <= c of total=T"). Exact output in
+    BOTH modes; ``mode`` only chooses the physical strategy (see module
+    docstring)."""
+    if max_fraction is None and max_count is None:
+        raise ValueError("x-maxFrequency needs maxFraction and/or maxCount")
+    if max_fraction is not None and not (0.0 < float(max_fraction) <= 1.0):
+        raise ValueError(f"maxFraction must be in (0, 1], got {max_fraction}")
+    if mode not in ("exact", "sketch"):
+        raise ValueError(f"mode must be 'exact' or 'sketch', got {mode!r}")
+
+    if mode == "sketch":
+        bad = heavy_hitters(df, column, max_fraction, max_count,
+                            k=k, max_candidates=max_candidates)
+    else:
+        bad = exact_value_counts(df, column).where(
+            _violation_cond(max_fraction, max_count))
+
+    doc = F.when(F.col("value") == _NULL_SENTINEL, F.lit("<null>")) \
+        .otherwise(F.col("value"))
+    return bad.select(
+        doc.alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(F.lit("count="), F.col("n").cast("string")).alias("observed"),
+        _expected_str(max_fraction, max_count).alias("expected"),
+    )

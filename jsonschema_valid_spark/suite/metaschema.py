@@ -296,6 +296,11 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "method"}},
         }}),
+        _kw("x-maxFrequency", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"minItems": 1, "items": {
+                "enum": ["maxFraction", "maxCount", "mode", "k"]}},
+        }}),
         _kw("x-rowCount", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"minItems": 1, "items": {

@@ -279,6 +279,32 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                               "'max'?: int>=0, 'scope'?: 'group' | "
                               "'table', 'verdicts'?: 'perGroup' (group "
                               "scope only)} with at least one bound")
+        elif kw == "x-maxFrequency":
+            def _posint(x):
+                return (isinstance(x, int) and not isinstance(x, bool)
+                        and x >= 1)
+            mf = v.get("maxFraction") if isinstance(v, dict) else None
+            ok = (isinstance(v, dict)
+                  and set(v) <= {"maxFraction", "maxCount", "mode", "k"}
+                  and ("maxFraction" in v or "maxCount" in v)
+                  and (mf is None
+                       or (isinstance(mf, (int, float))
+                           and not isinstance(mf, bool) and 0 < mf <= 1))
+                  and ("maxCount" not in v or _posint(v["maxCount"]))
+                  and v.get("mode", "exact") in ("exact", "sketch")
+                  and ("k" not in v
+                       or (isinstance(v["k"], int)
+                           and not isinstance(v["k"], bool) and v["k"] >= 2))
+                  # sketch sizing needs a fraction threshold unless the
+                  # caller sizes k explicitly (slack = total/(k+1))
+                  and (v.get("mode") != "sketch"
+                       or "maxFraction" in v or "k" in v))
+            if not ok:
+                raise _err(p, "x-maxFrequency must be {'maxFraction'?: "
+                              "0<f<=1, 'maxCount'?: int>=1, 'mode'?: "
+                              "'exact' | 'sketch', 'k'?: int>=2} with at "
+                              "least one bound (sketch mode needs "
+                              "maxFraction or an explicit k)")
         elif kw == "x-monotonic":
             def _num(x):
                 return isinstance(x, (int, float)) \

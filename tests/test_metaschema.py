@@ -78,6 +78,9 @@ INVALID_SUITES = [
     ("x-rowCount-empty", {"properties": {"x": {"x-rowCount": {}}}}),
     ("x-rowCount-unknown-key", {"properties": {"x": {"x-rowCount": {
         "limit": 2}}}}),
+    ("x-maxFrequency-empty", {"properties": {"x": {"x-maxFrequency": {}}}}),
+    ("x-maxFrequency-unknown-key", {"properties": {"x": {"x-maxFrequency": {
+        "maxShare": 0.2}}}}),
     ("x-tokenShape-empty", {"properties": {"x": {"x-tokenShape": {}}}}),
     ("x-tokenShape-unknown-key", {"properties": {"x": {"x-tokenShape": {
         "prefix": [1]}}}}),
