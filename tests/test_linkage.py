@@ -1,0 +1,131 @@
+"""Record linkage (operators/linkage.py): blocked candidates, weighted
+field-similarity scoring, transitive match clustering."""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark.operators.linkage import (
+    link_candidates,
+    link_clusters,
+    link_records,
+)
+
+
+def _people(spark):
+    rows = [
+        (1, "alice smith", "OR", 100.0),
+        (2, "alice smyth", "OR", 100.0),   # typo twin of 1
+        (3, "bob jones", "OR", 55.0),
+        (4, "alice smith", "CA", 100.0),   # same person, other block key
+        (5, "carol white", None, 70.0),    # NULL block: never pairs
+        (6, "alice  smith", "CA", 100.0),  # whitespace variant of 4
+    ]
+    return spark.createDataFrame(
+        rows, "id: long, name: string, state: string, bal: double")
+
+
+def test_candidates_block_null_and_order(spark):
+    cand = link_candidates(_people(spark), "id", "state", carry=["name"])
+    pairs = {(r["a"], r["b"]) for r in cand.collect()}
+    assert pairs == {(1, 2), (1, 3), (2, 3), (4, 6)}
+    # a < b always; NULL block key excluded entirely
+    assert all(a < b for a, b in pairs)
+    row = {(r["a"], r["b"]): (r["name_a"], r["name_b"])
+           for r in cand.collect()}[(1, 2)]
+    assert row == ("alice smith", "alice smyth")
+
+
+def test_multi_key_blocking_dedups_before_scoring(spark):
+    # blocking on state AND on first 5 name chars: pair (1,2) meets both
+    # keys but must appear once
+    cand = link_candidates(
+        _people(spark), "id", ["state", "substr(name, 1, 5)"],
+        carry=["name"])
+    pairs = sorted((r["a"], r["b"]) for r in cand.collect())
+    assert pairs.count((1, 2)) == 1
+    # name-prefix blocking recovers the cross-state pair (1,4) that
+    # state blocking misses
+    assert (1, 4) in pairs
+
+
+def test_oversize_block_error_and_skip(spark):
+    df = _people(spark)
+    with pytest.raises(ValueError, match="max_block"):
+        link_candidates(df, "id", "state", carry=[], max_block=2)
+    cand = link_candidates(df, "id", "state", carry=[], max_block=2,
+                           on_oversize="skip")
+    # OR block (3 rows) dropped; CA block (2 rows) survives
+    assert {(r["a"], r["b"]) for r in cand.collect()} == {(4, 6)}
+
+
+def test_field_scores_and_threshold(spark):
+    fields = [
+        {"column": "name", "method": "levenshtein", "weight": 0.5},
+        {"column": "bal", "method": "exact", "weight": 0.5},
+    ]
+    out = link_records(_people(spark), "id", fields, "state",
+                       threshold=0.9)
+    got = {(r["a"], r["b"]): r["score"] for r in out.collect()}
+    # (1,2): lev('alice smith','alice smyth')=1, len 11 -> sim 10/11;
+    # bal exact -> 1.0; score = .5*(10/11) + .5 = 0.954545. (4,6): the
+    # double-space variant, lev=1 over len 12 -> .5*(11/12)+.5 = 0.958333
+    assert set(got) == {(1, 2), (4, 6)}
+    assert got[(1, 2)] == pytest.approx(0.954545, abs=1e-6)
+    assert got[(4, 6)] == pytest.approx(0.958333, abs=1e-6)
+
+
+def test_jaccard_method(spark):
+    fields = [{"column": "name", "method": "jaccard", "weight": 1.0}]
+    out = link_records(_people(spark), "id", fields,
+                       "substr(name, 1, 5)", threshold=0.99)
+    got = {(r["a"], r["b"]): r["score"] for r in out.collect()}
+    # token sets identical for 'alice smith' / 'alice  smith' (and the
+    # CA pair 4-6); (1,2) misses at tokens {alice,smith} vs {alice,smyth}
+    assert set(got) == {(1, 4), (1, 6), (4, 6)}
+    assert all(v == 1.0 for v in got.values())
+
+
+def test_clusters_transitive_and_singletons(spark):
+    df = _people(spark)
+    pairs = spark.createDataFrame([(1, 2), (2, 4)], "a: long, b: long")
+    cl = {r["id"]: r["cluster_id"]
+          for r in link_clusters(df, "id", pairs).collect()}
+    # 1-2-4 collapse to min key 1; everyone else their own entity
+    assert cl == {1: 1, 2: 1, 3: 3, 4: 1, 5: 5, 6: 6}
+
+
+def test_partitioning_invariance(spark):
+    fields = [
+        {"column": "name", "method": "levenshtein", "weight": 0.5},
+        {"column": "bal", "method": "exact", "weight": 0.5},
+    ]
+    base = sorted(map(tuple, link_records(
+        _people(spark), "id", fields, "state", threshold=0.5).collect()))
+    rep = sorted(map(tuple, link_records(
+        _people(spark).repartition(7), "id", fields, "state",
+        threshold=0.5).collect()))
+    assert base == rep and base
+
+
+def test_rejects_bad_args(spark):
+    df = _people(spark)
+    with pytest.raises(ValueError):
+        link_records(df, "id", [], "state", 0.5)
+    with pytest.raises(ValueError):
+        link_records(df, "id", [{"column": "name"}], "state", 0.5)
+    with pytest.raises(ValueError):
+        link_records(df, "id", [{"column": "name", "method": "soundex"}],
+                     "state", 0.5).collect()
+    with pytest.raises(ValueError):
+        link_candidates(df, "id", [], carry=[])
+    with pytest.raises(ValueError):
+        link_candidates(df, "id", "state", carry=[], on_oversize="warn")
+
+
+def test_no_cartesian_in_plan(spark):
+    fields = [{"column": "name", "method": "levenshtein", "weight": 1.0}]
+    out = link_records(_people(spark), "id", fields, "state", 0.5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
