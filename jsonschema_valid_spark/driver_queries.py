@@ -4938,3 +4938,73 @@ def link_customer_clusters(spark, sf_dir):
     pairs = link_records(allr, "c_custkey", _LINK_FIELDS,
                          block_on="c_nationkey", threshold=0.8)
     return link_clusters(allr, "c_custkey", pairs)
+
+
+_QDRIFT_EDGES = [40.0, 72.0, 104.0]
+
+_QDRIFT_SQL = oracle_with_sequences(
+    """
+, obs AS (SELECT len(list_filter([40.0, 72.0, 104.0], e -> n_tok >= e))
+                     AS bucket,
+                 CAST(count(*) AS DOUBLE) AS c
+          FROM sequences GROUP BY 1),
+base AS (SELECT len(list_filter([40.0, 72.0, 104.0],
+                                e -> ((doc_id * 37) % 120 + 8) >= e))
+                    AS bucket,
+                CAST(count(*) AS DOUBLE) AS c
+         FROM documents GROUP BY 1),
+j AS (SELECT coalesce(obs.bucket, base.bucket) AS bucket,
+             coalesce(obs.c, 0) AS oc, coalesce(base.c, 0) AS bc
+      FROM obs FULL OUTER JOIN base ON obs.bucket = base.bucket),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j),
+n AS (SELECT bucket, oc / so AS po, bc / sb AS pb FROM j CROSS JOIN t),
+cum AS (SELECT abs(sum(po - pb) OVER (ORDER BY bucket)) AS cd FROM n)
+SELECT round((SELECT sum((po - pb) * ln((po + 1e-9) / (pb + 1e-9)))
+              FROM n), 6) AS psi,
+       round((SELECT max(cd) FROM cum), 6) AS ks,
+       round((SELECT sum((po - pb) * (po - pb) / (pb + 1e-9)) FROM n), 6)
+           AS chi2
+"""
+)
+
+
+@register_extended("drift_quantile_ntok", _QDRIFT_SQL)
+def drift_quantile_ntok(spark, sf_dir):
+    """EQUI-DEPTH drift (operators/drift.py quantile_histogram + x-drift
+    'edges' mode): n_tok bucketed by the BASELINE distribution's own
+    quantile edges instead of fixed widths — every bucket carries equal
+    baseline mass, so PSI/KS/chi2 weight the whole distribution evenly
+    (fixed widths starve heavy tails into one mega-bucket and shatter
+    the body into noise-dominated slivers). The bucket expression is a
+    literal-array HOF (len(list_filter(edges, e -> v >= e)) — no join,
+    no UDF), the baseline is the uncorrupted documents-derived n_tok
+    law, and the observed side is the sequences table with its injected
+    corruption. Closes the profile loop with suggest_drift_baseline(
+    mode='quantile'). EXTENDED mirror entry; full value-hash oracle
+    replays bucketing and all three statistics."""
+    from jsonschema_valid_spark.operators.drift import (
+        chi2_value_df,
+        ks_value_df,
+        psi_value_df,
+        quantile_histogram,
+    )
+
+    seq = load_sequences(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    arr = F.array(*[F.lit(e) for e in _QDRIFT_EDGES])
+    base_val = (F.col("doc_id") * 37) % 120 + 8
+    base_hist = {
+        int(r["bucket"]): int(r["count"])
+        for r in docs.groupBy(
+            F.size(F.filter(arr, lambda e: base_val >= e)).cast("long")
+            .alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count")).collect()
+    }
+    obs = quantile_histogram(seq, "n_tok", _QDRIFT_EDGES)
+    psi = psi_value_df(obs, base_hist, spark).select(
+        F.round("value", 6).alias("psi"))
+    ks = ks_value_df(obs, base_hist, spark).select(
+        F.round("value", 6).alias("ks"))
+    chi2 = chi2_value_df(obs, base_hist, spark).select(
+        F.round("value", 6).alias("chi2"))
+    return psi.crossJoin(ks).crossJoin(chi2)

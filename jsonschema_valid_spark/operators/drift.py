@@ -33,6 +33,33 @@ def histogram(df: DataFrame, column: str, bucket_width: float) -> DataFrame:
     )
 
 
+def quantile_histogram(df: DataFrame, column: str,
+                       edges: list[float]) -> DataFrame:
+    """EQUI-DEPTH histogram: ``(bucket, count)`` where bucket = number of
+    ``edges`` that are <= the value (so edges [e0..ek-1] define k+1
+    buckets: (-inf, e0), [e0, e1), ..., [ek-1, inf)). Edges typically come
+    from the BASELINE's quantiles (``suggest_drift_baseline(mode=
+    "quantile")``), giving every bucket equal baseline mass — the drift
+    statistics then weight the whole distribution evenly instead of
+    letting fixed-width bins starve heavy tails into one mega-bucket and
+    shatter the sparse range into noise-dominated slivers. The bucket
+    expression is a literal-array HOF (no join, no UDF) and replays as
+    ``len(list_filter(...))`` in the oracle; same one-shuffle
+    #buckets-row plan as :func:`histogram`."""
+    es = [float(e) for e in edges]
+    if not es or sorted(es) != es or len(set(es)) != len(es):
+        raise ValueError("edges must be a non-empty strictly increasing "
+                         f"list, got {edges!r}")
+    arr = F.array(*[F.lit(e) for e in es])
+    v = F.col(column).cast("double")
+    b = F.size(F.filter(arr, lambda e: v >= e))
+    return (
+        df.where(F.col(column).isNotNull())
+        .groupBy(b.cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
 def categorical_histogram(df: DataFrame, column: str,
                           categories: list[str]) -> DataFrame:
     """Frequency histogram of a CATEGORICAL (string) column as ``(bucket,
@@ -267,6 +294,20 @@ def drift_verdict_dfs(df: DataFrame, column: str, check_id: str, params: dict,
         return _stat_verdict_dfs(hist, baseline, check_id, params, spark,
                                  stats=("psiMax", "chi2Max", "klMax",
                                         "jsdMax"))
+    if "edges" in params:
+        # equi-depth mode: buckets bounded by the baseline's own quantile
+        # edges. Ordered → KS is valid; EMD is not (bucket widths are
+        # irregular, so index distance is not value distance).
+        if "emdMax" in params:
+            raise ValueError(
+                f"{check_id}: emdMax not valid for quantile-edged drift — "
+                "bucket widths are irregular (use psiMax/ksMax/chi2Max/"
+                "klMax/jsdMax)")
+        baseline = {int(k): int(v) for k, v in params["baseline"].items()}
+        hist = quantile_histogram(df, column, params["edges"])
+        return _stat_verdict_dfs(hist, baseline, check_id, params, spark,
+                                 stats=("psiMax", "ksMax", "chi2Max",
+                                        "klMax", "jsdMax"))
     if "cells" in params:
         baseline = {int(k): int(v) for k, v in params["baseline"].items()}
         bad = [k for k in ("ksMax", "emdMax") if k in params]

@@ -325,22 +325,61 @@ def suggest_row_count_bounds(df: DataFrame, column: str,
 def suggest_drift_baseline(df: DataFrame, column: str,
                            bucket_width: float | None = None,
                            n_buckets: int = 32,
-                           psi_max: float = 0.25) -> dict | None:
+                           psi_max: float = 0.25,
+                           mode: str = "width") -> dict | None:
     """Bootstrap an ``x-drift`` node from the column's OWN histogram —
     closing the profile → suite loop for the drift family the way
     :func:`suggest_row_count_bounds` does for cardinality: profile a
     trusted snapshot once, pin its distribution as the baseline, and
     every later load is tested against it.
 
-    ``bucket_width=None`` derives a width from the observed range
-    (range / ``n_buckets``, snapped to a power of two so bucket edges
-    are stable against tiny range jitter between snapshots). One
-    min/max aggregate plus one histogram aggregate; only #buckets rows
-    reach the driver. The suggested node passes on the profiled table
-    by construction (PSI of a distribution against itself is 0).
-    Returns None when the column has no non-NULL rows."""
-    from jsonschema_valid_spark.operators.drift import histogram
+    ``mode="width"`` (default): fixed-width bins; ``bucket_width=None``
+    derives a width from the observed range (range / ``n_buckets``,
+    snapped to a power of two so bucket edges are stable against tiny
+    range jitter between snapshots). One min/max aggregate plus one
+    histogram aggregate; only #buckets rows reach the driver.
 
+    ``mode="quantile"``: EQUI-DEPTH bins — edges at the snapshot's own
+    exact percentiles (deduped to stay strictly increasing), emitted as
+    an ``edges`` node so every bucket carries equal baseline mass: the
+    right shape for heavy-tailed columns, where fixed widths starve the
+    tail into one mega-bucket and shatter the body into noise-dominated
+    slivers. Exact ``percentile`` is a sort-based aggregate — fine at
+    profile time on a trusted snapshot, not a per-load cost (the emitted
+    check itself stays one histogram aggregate per load).
+
+    The suggested node passes on the profiled table by construction
+    (PSI of a distribution against itself is 0). Returns None when the
+    column has no non-NULL rows."""
+    from jsonschema_valid_spark.operators.drift import (
+        histogram,
+        quantile_histogram,
+    )
+
+    if mode not in ("width", "quantile"):
+        raise ValueError(f"mode must be 'width' or 'quantile', got {mode!r}")
+    if mode == "quantile":
+        qs = [i / float(n_buckets) for i in range(1, int(n_buckets))]
+        r = df.agg(F.percentile(F.col(column).cast("double"),
+                                F.array(*[F.lit(q) for q in qs]))
+                   .alias("es")).first()
+        if r["es"] is None:
+            return None
+        edges: list[float] = []
+        for e in r["es"]:
+            if e is not None and (not edges or float(e) > edges[-1]):
+                edges.append(float(e))
+        if not edges:
+            # constant column: a single degenerate edge still yields a
+            # two-bucket histogram with all mass in bucket 1
+            mn = df.agg(F.min(F.col(column).cast("double"))).first()[0]
+            edges = [float(mn)]
+        rows = quantile_histogram(df, column, edges).collect()
+        if not rows:
+            return None
+        return {"baseline": {int(r["bucket"]): int(r["count"])
+                             for r in rows},
+                "edges": edges, "psiMax": float(psi_max)}
     if bucket_width is None:
         r = df.agg(F.min(F.col(column).cast("double")).alias("mn"),
                    F.max(F.col(column).cast("double")).alias("mx")).first()

@@ -218,6 +218,25 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 if v["categorical"] and "cells" in v:
                     raise _err(p, "x-drift: categorical and cells are "
                                   "mutually exclusive")
+            if "edges" in v:
+                es = v["edges"]
+                ok = (isinstance(es, list) and es
+                      and all(isinstance(e, (int, float))
+                              and not isinstance(e, bool) for e in es)
+                      and all(es[i] < es[i + 1]
+                              for i in range(len(es) - 1)))
+                if not ok:
+                    raise _err(p, "x-drift edges must be a non-empty "
+                                  "strictly increasing number list")
+                if v.get("categorical") or "cells" in v:
+                    raise _err(p, "x-drift: edges is exclusive with "
+                                  "categorical/cells")
+                if "bucketWidth" in v:
+                    raise _err(p, "x-drift: edges replaces bucketWidth")
+                if "emdMax" in v:
+                    raise _err(p, "x-drift edges mode: bucket widths are "
+                                  "irregular — emdMax invalid (use "
+                                  "psiMax/ksMax/chi2Max/klMax/jsdMax)")
         elif kw == "x-rowExpr":
             if not isinstance(v, str):
                 raise _err(p, "x-rowExpr must be a SQL boolean expression string")

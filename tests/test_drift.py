@@ -393,3 +393,58 @@ def test_x_drift_kl_jsd_keyword(spark, baseline):
     # 20% of mass sits in the undeclared 'refund' bucket: both fail
     assert not crows["kl"]["passed"]
     assert not crows["jsd"]["passed"]
+
+
+def test_quantile_histogram_buckets(spark):
+    from jsonschema_valid_spark.operators.drift import quantile_histogram
+
+    df = spark.createDataFrame(
+        [(v,) for v in [1.0, 2.0, 5.0, 5.0, 9.0, 100.0, None]], "v: double")
+    # edges [2, 5, 10]: buckets (-inf,2)=0, [2,5)=1, [5,10)=2, [10,inf)=3
+    got = {r["bucket"]: r["count"]
+           for r in quantile_histogram(df, "v", [2.0, 5.0, 10.0]).collect()}
+    assert got == {0: 1, 1: 1, 2: 3, 3: 1}
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        quantile_histogram(df, "v", [])
+    with _pt.raises(ValueError):
+        quantile_histogram(df, "v", [2.0, 2.0, 5.0])
+    with _pt.raises(ValueError):
+        quantile_histogram(df, "v", [5.0, 2.0])
+
+
+def test_edges_mode_verdicts_and_emd_refusal(spark):
+    import pytest as _pt
+
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.suite.spec import SuiteError, \
+        validate_suite_spec
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 100).cast("double").alias("v"))
+    # baseline = the same distribution bucketed by its own quartile edges
+    node = {"edges": [25.0, 50.0, 75.0],
+            "baseline": {0: 250, 1: 250, 2: 250, 3: 250},
+            "psiMax": 0.05, "ksMax": 0.05, "chi2Max": 0.05}
+    res = CheckSuite({"properties": {"v": {"x-drift": node}}}).run(
+        df, key="doc_id")
+    assert res.ok() is True
+    # shift the whole distribution up: every statistic trips
+    shifted = df.withColumn("v", F.col("v") + 60.0)
+    res2 = CheckSuite({"properties": {"v": {"x-drift": node}}}).run(
+        shifted, key="doc_id")
+    got = {r["check_id"].rsplit("/", 1)[1]: r["passed"]
+           for r in res2.verdicts.collect()}
+    assert got == {"psi": False, "ks": False, "chi2": False}
+
+    bad = dict(node, emdMax=1.0)
+    with _pt.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-drift": bad}}})
+    with _pt.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-drift": {
+            "edges": [3.0, 1.0], "baseline": {0: 1}, "psiMax": 0.1}}}})
+    with _pt.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-drift": {
+            "edges": [1.0], "bucketWidth": 2.0, "baseline": {0: 1},
+            "psiMax": 0.1}}}})

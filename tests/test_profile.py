@@ -267,3 +267,51 @@ def test_suggest_drift_baseline_closes_loop(spark):
     assert node2["bucketWidth"] == 16.0
     empty = spark.createDataFrame([], "doc_id long, n_tok int")
     assert suggest_drift_baseline(empty, "n_tok") is None
+
+
+def test_suggest_drift_baseline_quantile_mode(spark):
+    """Equi-depth bootstrap: edges at the snapshot's own percentiles,
+    every bucket ~equal mass; passes on itself, flags a tail explosion
+    that fixed-width bucketing at the same budget dilutes."""
+    import pytest as _pt
+
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_drift_baseline,
+    )
+
+    # heavy-tailed: 95% small values, 5% spread over a huge range
+    def gen(n, body_shift=0):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 20 < 19,
+                   (F.col("id") % 50 + body_shift).cast("double"))
+             .otherwise((F.col("id") % 1000).cast("double") * 100)
+            .alias("v"))
+
+    node = suggest_drift_baseline(gen(20000), "v", n_buckets=16,
+                                  mode="quantile")
+    assert node is not None and "edges" in node and "bucketWidth" not in node
+    assert node["edges"] == sorted(node["edges"])
+    assert sum(node["baseline"].values()) == 20000
+    # equal-depth within rounding: no bucket owns more than ~2x its share
+    assert max(node["baseline"].values()) <= 2 * (20000 // 16) + 1500
+
+    spec = {"properties": {"v": {"x-drift": node}}}
+    assert CheckSuite(spec).run(gen(20000), key="doc_id").ok() is True
+    # same shape at half the volume passes (normalized)
+    assert CheckSuite(spec).run(gen(10000), key="doc_id").ok() is True
+    # body mass shifted across the quantile edges: PSI trips
+    assert CheckSuite(spec).run(gen(20000, body_shift=30),
+                                key="doc_id").ok() is False
+
+    # constant column degenerates to a single edge, still valid
+    const = spark.range(100).select(
+        F.col("id").alias("doc_id"), F.lit(7.0).alias("v"))
+    cn = suggest_drift_baseline(const, "v", n_buckets=8, mode="quantile")
+    assert cn["edges"] == [7.0] and cn["baseline"] == {1: 100}
+
+    empty = spark.createDataFrame([], "doc_id long, v double")
+    assert suggest_drift_baseline(empty, "v", mode="quantile") is None
+    with _pt.raises(ValueError):
+        suggest_drift_baseline(const, "v", mode="depth")
