@@ -1235,6 +1235,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
             DatasetCheck(cid, "partition_complete", colname, dict(v)))
     elif kw == "x-drift":
         plan.dataset_checks.append(DatasetCheck(cid, "drift", colname, dict(v)))
+    elif kw == "x-distribution":
+        # baseline-FREE goodness-of-fit: x-drift's statistics with the
+        # baseline synthesized from a closed-form law (uniform /
+        # exponential / normal) on the driver — hash-gate uniformity,
+        # Poisson inter-arrivals, residual normality
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "distribution", colname, dict(v)))
     elif kw == "x-parity":
         params = dict(v)
         params.setdefault("columns", [colname])

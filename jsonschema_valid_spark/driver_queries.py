@@ -5008,3 +5008,69 @@ def drift_quantile_ntok(spark, sf_dir):
     chi2 = chi2_value_df(obs, base_hist, spark).select(
         F.round("value", 6).alias("chi2"))
     return psi.crossJoin(ks).crossJoin(chi2)
+
+
+_DIST_SQL = """
+WITH g AS (SELECT CAST(((doc_id * 61) % 100) * ((doc_id * 61) % 100)
+                       AS DOUBLE) / 100.0 AS gate
+           FROM documents),
+obs AS (SELECT CAST(floor(gate / 10.0) AS BIGINT) AS bucket,
+               CAST(count(*) AS DOUBLE) AS c
+        FROM g GROUP BY 1),
+base AS (SELECT * FROM (VALUES (0, 100000000.0), (1, 100000000.0),
+                               (2, 100000000.0), (3, 100000000.0),
+                               (4, 100000000.0), (5, 100000000.0),
+                               (6, 100000000.0), (7, 100000000.0),
+                               (8, 100000000.0), (9, 100000000.0))
+                 AS t(bucket, c)),
+j AS (SELECT coalesce(obs.bucket, base.bucket) AS bucket,
+             coalesce(obs.c, 0) AS oc, coalesce(base.c, 0) AS bc
+      FROM obs FULL OUTER JOIN base ON obs.bucket = base.bucket),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j),
+n AS (SELECT bucket, oc / so AS po, bc / sb AS pb FROM j CROSS JOIN t),
+cum AS (SELECT abs(sum(po - pb) OVER (ORDER BY bucket)) AS cd FROM n)
+SELECT 'properties/gate/x-distribution/psi' AS check_id,
+       (SELECT sum((po - pb) * ln((po + 1e-9) / (pb + 1e-9))) FROM n)
+           <= 0.05 AS passed,
+       round((SELECT sum((po - pb) * ln((po + 1e-9) / (pb + 1e-9)))
+              FROM n), 6) AS metric
+UNION ALL
+SELECT 'properties/gate/x-distribution/ks',
+       (SELECT max(cd) FROM cum) <= 0.05,
+       round((SELECT max(cd) FROM cum), 6)
+UNION ALL
+SELECT 'properties/gate/x-distribution/chi2',
+       (SELECT sum((po - pb) * (po - pb) / (pb + 1e-9)) FROM n) <= 0.05,
+       round((SELECT sum((po - pb) * (po - pb) / (pb + 1e-9)) FROM n), 6)
+"""
+
+
+@register_extended("dist_uniform_gate", _DIST_SQL)
+def dist_uniform_gate(spark, sf_dir):
+    """x-distribution: goodness-of-fit vs a CLOSED-FORM law with no
+    trusted baseline snapshot (operators/distribution.py) — the check a
+    sampling/sharding pipeline runs on its own hash-gate outputs, which
+    must be uniform BY CONSTRUCTION (a biased sampler or broken hash is
+    invisible to row checks: every gate value is individually valid).
+    The fixture derives a deliberately BROKEN gate (percentile squared —
+    the classic double-hashing bias) from doc_id; uniform(0,100) is the
+    declared law, and all three statistics trip decisively. The expected
+    per-bucket mass is integrated from the CDF on the DRIVER (any family
+    works without SQL special functions) and scaled to integer
+    pseudo-counts; the check then rides the exact drift machinery (one
+    map-side-combined histogram aggregate, #buckets-row statistics).
+    EXTENDED mirror entry; full value-hash oracle inlines the synthesized
+    baseline as VALUES and replays all three statistics."""
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    raw = (F.col("doc_id") * 61) % 100
+    framed = docs.withColumn(
+        "gate", (raw * raw).cast("double") / F.lit(100.0))
+    suite = CheckSuite({"properties": {"gate": {"x-distribution": {
+        "family": "uniform", "min": 0, "max": 100, "bucketWidth": 10.0,
+        "psiMax": 0.05, "ksMax": 0.05, "chi2Max": 0.05}}}})
+    res = suite.run(framed, key="doc_id")
+    return res.verdicts.select(
+        "check_id", "passed",
+        F.round("metric_value", 6).alias("metric"))

@@ -873,6 +873,13 @@ def run_suite_summarized(
             else:
                 verdict_dfs.extend(drift_op.drift_verdict_dfs(
                     df, dc.column, dc.check_id, prm, spark))
+        elif dc.kind == "distribution":
+            from jsonschema_valid_spark.operators.distribution import (
+                distribution_verdict_dfs,
+            )
+
+            verdict_dfs.extend(distribution_verdict_dfs(
+                df, dc.column, dc.check_id, dc.params, spark))
         elif dc.kind == "tdigest_quantile":
             from jsonschema_valid_spark.operators.tdigest import (
                 tdigest_quantile_verdicts,
@@ -1012,6 +1019,13 @@ def run_suite(
             else:
                 verdict_dfs.extend(drift_op.drift_verdict_dfs(
                     df, dc.column, dc.check_id, prm, spark))
+        elif dc.kind == "distribution":
+            from jsonschema_valid_spark.operators.distribution import (
+                distribution_verdict_dfs,
+            )
+
+            verdict_dfs.extend(distribution_verdict_dfs(
+                df, dc.column, dc.check_id, dc.params, spark))
         elif dc.kind == "parity":
             ref_df = dc.params["reference"]
             if isinstance(ref_df, str) and ref_df.startswith("@"):

@@ -296,6 +296,10 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "method"}},
         }}),
+        _kw("x-distribution", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "family"}},
+        }}),
         _kw("x-maxFrequency", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"minItems": 1, "items": {

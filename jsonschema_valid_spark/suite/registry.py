@@ -101,6 +101,7 @@ DATASET_KEYWORDS = frozenset(
         "x-functionalDependency",  # determinant -> dependent tuple (FD, lift of `dependencies`)
         "x-rowCount",       # table/group cardinality bounds (lift of min/maxItems)
         "x-maxFrequency",   # per-value dominance cap (lift of enum to frequency)
+        "x-distribution",   # goodness-of-fit vs a closed-form law (baseline-free drift)
         "x-rowExpr",        # escape hatch: arbitrary SQL boolean over the row
         "x-parity",         # per-row equality vs a reference table (BASELINE.json:15)
     }

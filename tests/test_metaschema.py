@@ -78,6 +78,8 @@ INVALID_SUITES = [
     ("x-rowCount-empty", {"properties": {"x": {"x-rowCount": {}}}}),
     ("x-rowCount-unknown-key", {"properties": {"x": {"x-rowCount": {
         "limit": 2}}}}),
+    ("x-distribution-no-family",
+     {"properties": {"x": {"x-distribution": {"ksMax": 0.1}}}}),
     ("x-maxFrequency-empty", {"properties": {"x": {"x-maxFrequency": {}}}}),
     ("x-maxFrequency-unknown-key", {"properties": {"x": {"x-maxFrequency": {
         "maxShare": 0.2}}}}),
