@@ -284,3 +284,46 @@ def test_ivf_pq_rerank_reads_vectors_only_on_rerank_branch(spark, tmp_path):
             brute_force_topk(emb, "vec_id", "embedding", q, k=10)
             .select("vec_id", F.round("cos", 6).alias("cos")).collect()]
     assert got == want
+
+
+def test_range_layout_enables_file_skipping(spark, tmp_path):
+    """write_range_layout: per-file min/max footers become (near-)disjoint
+    so a narrow range predicate prunes most files; an unsorted control
+    cannot skip anything."""
+    from jsonschema_valid_spark.sources.bucketing import (
+        file_range_stats,
+        files_matching_range,
+        write_range_layout,
+    )
+
+    df = spark.range(100_000).select(
+        F.col("id").alias("doc_id"),
+        ((F.col("id") * 7919) % 1000).alias("n_tok"))  # shuffled values
+
+    sorted_path = str(tmp_path / "sorted")
+    control_path = str(tmp_path / "control")
+    write_range_layout(df, sorted_path, "n_tok", n_files=16)
+    df.repartition(16).write.mode("overwrite").parquet(control_path)
+
+    ss = file_range_stats(sorted_path, "n_tok")
+    cs = file_range_stats(control_path, "n_tok")
+    assert sum(s["rows"] for s in ss) == 100_000
+
+    # range files: pairwise-disjoint intervals (boundary duplicates of a
+    # single value may touch); control files: all span ~the full domain
+    ss_sorted = sorted(ss, key=lambda s: s["min"])
+    for a, b in zip(ss_sorted, ss_sorted[1:]):
+        assert a["max"] <= b["min"], "range layout intervals overlap"
+
+    probe = files_matching_range(ss, 100, 160)
+    assert len(probe) <= 3, f"narrow probe touches {len(probe)} files"
+    assert sum(s["rows"] for s in probe) >= 6_000  # the matching rows exist
+    assert len(files_matching_range(cs, 100, 160)) == len(cs), \
+        "unsorted control should not be able to skip"
+
+    # the predicate itself reaches the parquet scan
+    q = (spark.read.parquet(sorted_path)
+         .where((F.col("n_tok") >= 100) & (F.col("n_tok") <= 160)))
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "GreaterThanOrEqual(n_tok,100)" in plan
+    assert q.count() == df.where("n_tok between 100 and 160").count()
