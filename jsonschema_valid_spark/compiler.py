@@ -1255,6 +1255,12 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # method needs a candidate join + connected components
         plan.dataset_checks.append(
             DatasetCheck(cid, "neardup", colname, dict(v)))
+    elif kw == "x-linkage":
+        # the multi-FIELD record lift of x-unique/x-nearDup: "no two rows
+        # may describe the same ENTITY" — blocked candidate join + weighted
+        # field similarity + connected components, never all-pairs
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "linkage", colname, dict(v)))
     elif kw == "x-lmScore":
         # unigram-LM quality gate (functions/text.py lm_score_violations):
         # dataset scope because the score joins against a trained vocab

@@ -5074,3 +5074,49 @@ def dist_uniform_gate(spark, sf_dir):
     return res.verdicts.select(
         "check_id", "passed",
         F.round("metric_value", 6).alias("metric"))
+
+
+_LINKAGE_KW_SQL = _LINKAGE_BASE_SQL + """,
+pn AS (SELECT a AS id FROM prs UNION SELECT b FROM prs),
+edges AS (SELECT a AS u, b AS v FROM prs UNION SELECT b AS u, a AS v FROM prs),
+reach(id, lbl) AS (
+    SELECT id, id FROM pn
+  UNION
+    SELECT e.v, r.lbl FROM reach r JOIN edges e ON e.u = r.id
+),
+cl AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+SELECT CAST(id AS VARCHAR) AS doc_id,
+       'properties/c_name/x-linkage' AS check_id,
+       'entity of ' || CAST(cluster_id AS VARCHAR) AS observed
+FROM cl WHERE id != cluster_id
+"""
+
+
+@register_extended("engine_linkage_violations", _LINKAGE_KW_SQL)
+def engine_linkage_violations(spark, sf_dir):
+    """x-linkage as a DECLARATIVE suite keyword: "no two rows may describe
+    the same ENTITY" — the multi-field record lift of x-unique (exact
+    value) and x-nearDup (text similarity): blocked candidate join +
+    weighted levenshtein/exact field scores + connected components, with
+    every non-survivor of an entity cluster reported as a violation
+    naming its min-key survivor ("entity of N"), exactly how x-unique
+    reports exact duplicates. Fixture = the customer re-register twins
+    (one-char name typo, same nation/balance/segment; 13 at sf0.001, 137
+    at sf0.01). Scale: pairs exist only inside c_nationkey blocks (never
+    all-pairs, max_block skew guard), CC runs on the match edge list.
+    EXTENDED mirror entry; full value-hash oracle replays the whole
+    pipeline plus the recursive-CTE components."""
+    from jsonschema_valid_spark import CheckSuite
+
+    allr = _linked_customers(spark, sf_dir)
+    suite = CheckSuite({"properties": {"c_name": {"x-linkage": {
+        "blockOn": "c_nationkey",
+        "fields": [
+            {"column": "c_name", "method": "levenshtein", "weight": 0.5},
+            {"column": "c_acctbal", "method": "exact", "weight": 0.25},
+            {"column": "c_mktsegment", "method": "exact", "weight": 0.25},
+        ],
+        "threshold": 0.8,
+    }}}})
+    res = suite.run(allr, key="c_custkey")
+    return res.violations.select("doc_id", "check_id", "observed")

@@ -745,6 +745,13 @@ def run_suite_summarized(
             vdf = neardup_violations(df, dc.column, dc.check_id, key=key,
                                      params=_resolve_neardup(dc.params,
                                                              context))
+        elif dc.kind == "linkage":
+            from jsonschema_valid_spark.operators.linkage import (
+                linkage_violations,
+            )
+
+            vdf = linkage_violations(df, dc.column, dc.check_id, key=key,
+                                     params=dc.params)
         elif dc.kind == "partition_complete":
             from jsonschema_valid_spark.operators.consistency import (
                 completeness_violations,
@@ -1109,6 +1116,23 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nn") == 0).alias("passed"),
                     F.col("nn").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "linkage":
+            from jsonschema_valid_spark.operators.linkage import (
+                linkage_violations,
+            )
+
+            lkv = linkage_violations(df, dc.column, dc.check_id, key=key,
+                                     params=dc.params)
+            violation_dfs.append(_with_ipath(lkv))
+            verdict_dfs.append(
+                lkv.agg(F.count(F.lit(1)).alias("nlk")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nlk") == 0).alias("passed"),
+                    F.col("nlk").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

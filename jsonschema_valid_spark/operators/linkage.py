@@ -168,6 +168,40 @@ def link_records(
             .select("a", "b", F.round("__score", 6).alias("score")))
 
 
+def linkage_violations(df: DataFrame, column: str, check_id: str,
+                       key: str = "doc_id",
+                       params: dict | None = None) -> DataFrame:
+    """``x-linkage`` engine adapter: approximate-identity membership as a
+    first-class VALIDATION check — every non-survivor of an entity
+    cluster becomes a violation (doc_id, check_id, observed="entity of
+    <survivor>", expected), exactly how ``x-unique`` reports exact
+    duplicates and ``x-nearDup`` reports text near-duplicates; this is
+    the multi-FIELD record lift (same person re-registered under a new
+    id). ``column`` anchors the check's schema path and defaults to the
+    first scoring field. Params: ``blockOn`` (key expression or list),
+    ``fields`` (see :func:`link_records`), ``threshold``, ``maxBlock``,
+    ``onOversize``. Survivors follow the engine's deterministic min-key
+    rule via the shared connected components."""
+    p = params or {}
+    fields = p.get("fields") or [{"column": column, "method": "levenshtein",
+                                  "weight": 1.0}]
+    thr = float(p.get("threshold", 0.9))
+    pairs = link_records(
+        df, key, fields, block_on=p["blockOn"], threshold=thr,
+        max_block=int(p.get("maxBlock", 100_000)),
+        on_oversize=p.get("onOversize", "error"))
+    from jsonschema_valid_spark.functions.dedup import neardup_survivors
+
+    marked = neardup_survivors(df, key, pairs.select("a", "b"))
+    return marked.where(~F.col("is_survivor")).select(
+        F.col(key).cast("string").alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(F.lit("entity of "),
+                 F.col("cluster_id").cast("string")).alias("observed"),
+        F.lit(f"unique entity (linkage score < {thr:g})").alias("expected"),
+    )
+
+
 def link_clusters(df: DataFrame, key: str, pairs: DataFrame) -> DataFrame:
     """Entity assignment ``(id, cluster_id)`` for EVERY input record:
     matched components collapse to their minimum key (the same survivor

@@ -296,6 +296,10 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "method"}},
         }}),
+        _kw("x-linkage", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "blockOn"}},
+        }}),
         _kw("x-distribution", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "family"}},

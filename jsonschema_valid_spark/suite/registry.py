@@ -87,6 +87,7 @@ DATASET_KEYWORDS = frozenset(
         "x-tokenShape",     # token-array structure: BOS/EOS/forbidden/pad (row-scope)
         "x-jsonWellFormed", # string column parses as JSON (row-scope)
         "x-nearDup",        # near-duplicate membership (MinHash/SimHash/semantic)
+        "x-linkage",        # approximate-identity membership (multi-field record lift)
         "x-partitionComplete",  # declared partitions present (lift of `required`)
         "x-aggConsistency",  # column == child-table aggregate (lift of `const`)
         "x-freshness",      # per-group max-timestamp recency vs declared as-of

@@ -237,6 +237,40 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                     raise _err(p, "x-drift edges mode: bucket widths are "
                                   "irregular — emdMax invalid (use "
                                   "psiMax/ksMax/chi2Max/klMax/jsdMax)")
+        elif kw == "x-linkage":
+            def _lnum(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool))
+
+            def _field_ok(f):
+                return (isinstance(f, dict)
+                        and isinstance(f.get("column"), str) and f["column"]
+                        and f.get("method") in ("exact", "levenshtein",
+                                                "jaccard")
+                        and ("weight" not in f
+                             or (_lnum(f["weight"]) and f["weight"] > 0)))
+            blk = v.get("blockOn") if isinstance(v, dict) else None
+            blk_ok = (isinstance(blk, str) and blk) or (
+                isinstance(blk, list) and blk
+                and all(isinstance(x, str) and x for x in blk))
+            ok = (isinstance(v, dict)
+                  and blk_ok
+                  and isinstance(v.get("fields"), list) and v["fields"]
+                  and all(_field_ok(f) for f in v["fields"])
+                  and _lnum(v.get("threshold"))
+                  and 0 < v["threshold"] <= 1
+                  and ("maxBlock" not in v
+                       or (isinstance(v["maxBlock"], int)
+                           and not isinstance(v["maxBlock"], bool)
+                           and v["maxBlock"] >= 2))
+                  and v.get("onOversize", "error") in ("error", "skip"))
+            if not ok:
+                raise _err(p, "x-linkage must be {'blockOn': expr | [expr,"
+                              " ...], 'fields': [{'column', 'method': "
+                              "'exact'|'levenshtein'|'jaccard', "
+                              "'weight'?>0}, ...], 'threshold': 0<t<=1, "
+                              "'maxBlock'?: int>=2, 'onOversize'?: "
+                              "'error'|'skip'}")
         elif kw == "x-distribution":
             def _dnum(x):
                 return isinstance(x, (int, float)) \

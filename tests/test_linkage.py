@@ -129,3 +129,70 @@ def test_no_cartesian_in_plan(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+_KW_SPEC = {"properties": {"name": {"x-linkage": {
+    "blockOn": "state",
+    "fields": [
+        {"column": "name", "method": "levenshtein", "weight": 0.5},
+        {"column": "bal", "method": "exact", "weight": 0.5},
+    ],
+    "threshold": 0.9,
+}}}}
+
+
+def test_keyword_violations_and_verdict(spark):
+    from jsonschema_valid_spark import CheckSuite
+
+    res = CheckSuite(_KW_SPEC).run(_people(spark), key="id")
+    got = {r["doc_id"]: r["observed"] for r in res.violations.collect()}
+    # matched pairs (1,2) and (4,6): non-survivors 2 and 6 name their
+    # entity's min-key survivor
+    assert got == {"2": "entity of 1", "6": "entity of 4"}
+    cid = "properties/name/x-linkage"
+    verd = [r for r in res.verdicts.collect() if r["check_id"] == cid]
+    assert len(verd) == 1 and not verd[0]["passed"]
+    assert verd[0]["metric_value"] == 2.0
+
+
+def test_keyword_both_paths_agree(spark):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.engine import run_suite_summarized
+
+    df = _people(spark)
+    lazy = CheckSuite(_KW_SPEC).run(df, key="id")
+    summ = run_suite_summarized(CheckSuite(_KW_SPEC), df, key="id")
+    cols = ["doc_id", "check_id", "observed", "expected"]
+    assert (sorted(map(tuple, lazy.violations.select(*cols).collect()))
+            == sorted(map(tuple, summ.violations.select(*cols).collect())))
+
+
+def test_keyword_spec_validation(spark):
+    import pytest as _pt
+
+    from jsonschema_valid_spark.suite.metaschema import (
+        validate_suite_with_engine,
+    )
+    from jsonschema_valid_spark.suite.spec import (
+        SuiteError,
+        validate_suite_spec,
+    )
+
+    validate_suite_spec(_KW_SPEC)
+    assert validate_suite_with_engine(spark, _KW_SPEC).ok()
+    for bad in [
+        {},                                              # nothing
+        {"blockOn": "state", "threshold": 0.9},          # no fields
+        {"blockOn": [], "threshold": 0.9,
+         "fields": [{"column": "a", "method": "exact"}]},  # empty blocks
+        {"blockOn": "state", "threshold": 1.5,
+         "fields": [{"column": "a", "method": "exact"}]},  # bad threshold
+        {"blockOn": "state", "threshold": 0.9,
+         "fields": [{"column": "a", "method": "soundex"}]},  # bad method
+        {"blockOn": "state", "threshold": 0.9, "onOversize": "warn",
+         "fields": [{"column": "a", "method": "exact"}]},  # bad mode
+        "state",                                         # not an object
+    ]:
+        with _pt.raises(SuiteError):
+            validate_suite_spec({"properties": {"name": {
+                "x-linkage": bad}}})

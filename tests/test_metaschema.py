@@ -78,6 +78,9 @@ INVALID_SUITES = [
     ("x-rowCount-empty", {"properties": {"x": {"x-rowCount": {}}}}),
     ("x-rowCount-unknown-key", {"properties": {"x": {"x-rowCount": {
         "limit": 2}}}}),
+    ("x-linkage-no-block", {"properties": {"x": {"x-linkage": {
+        "fields": [{"column": "x", "method": "exact"}],
+        "threshold": 0.9}}}}),
     ("x-distribution-no-family",
      {"properties": {"x": {"x-distribution": {"ksMax": 0.1}}}}),
     ("x-maxFrequency-empty", {"properties": {"x": {"x-maxFrequency": {}}}}),
