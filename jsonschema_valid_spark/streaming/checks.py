@@ -517,6 +517,124 @@ def stream_freshness_alerts(
     )
 
 
+def stream_frequency_alerts(
+    sdf: DataFrame,
+    column: str,
+    ts_col: str,
+    max_fraction: float,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+    k: int | None = None,
+) -> DataFrame:
+    """Streaming ``x-maxFrequency`` (operators/frequency.py lifted to an
+    unbounded stream): per event-time window, alert on values that
+    DOMINATE the window's traffic. The batch operator can re-count
+    candidates exactly; a stream cannot re-read its past, so the state IS
+    the Misra-Gries summary — k counters + the window total per window,
+    merged across micro-batches (the sketch's mergeability is what makes
+    the cross-batch accumulation sound), bounded state regardless of how
+    many distinct values flow through.
+
+    Emitted when the watermark closes the window (EventTimeTimeout):
+    one row per flagged value with the sketch's certainty made explicit —
+    ``status='violation'`` when the ESTIMATE alone exceeds the threshold
+    (MG never overcounts, so true_count >= est > T: certain), and
+    ``status='suspect'`` when only est + total/(k+1) exceeds it (the
+    undercount slack could hide a violator; raise k to shrink this band).
+    With k >= the window's distinct values the summary is exact and the
+    violation set equals the batch operator's per window
+    (pytest-asserted parity).
+
+    Output: (window_start, value, est, total, status)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from jsonschema_valid_spark.operators.frequency import (
+        _NULL_SENTINEL,
+        _frac_ratio,
+    )
+
+    if not (0.0 < float(max_fraction) <= 1.0):
+        raise ValueError(f"max_fraction must be in (0, 1], got "
+                         f"{max_fraction}")
+    if k is None:
+        import math as _math
+
+        k = max(64, _math.ceil(8.0 / float(max_fraction)))
+    k = int(k)
+    if k < 2:
+        raise ValueError(f"sketch k must be >= 2, got {k}")
+    num, den = _frac_ratio(max_fraction)
+
+    dur = F.expr(f"INTERVAL {window_duration}")
+    dur_ms = sdf.sparkSession.range(1).select(
+        (F.timestamp_millis(F.lit(0).cast("long")) + dur).cast("long")
+    ).first()[0] * 1000
+
+    out_schema = ("window_start timestamp, value string, est long, "
+                  "total long, status string")
+    state_schema = "vals array<string>, cnts array<long>, total long"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            vals, cnts, total = state.get
+            state.remove()
+            rows = []
+            slack = total // (k + 1)
+            for v, c in zip(vals, cnts):
+                if c * den > num * total:
+                    rows.append((v, c, "violation"))
+                elif (c + slack) * den > num * total:
+                    rows.append((v, c, "suspect"))
+            if rows:
+                yield pd.DataFrame({
+                    "window_start": [key_tuple[0]] * len(rows),
+                    "value": [r[0] for r in rows],
+                    "est": [r[1] for r in rows],
+                    "total": [total] * len(rows),
+                    "status": [r[2] for r in rows],
+                })
+            return
+        if state.exists:
+            vals, cnts, total = state.get
+            counters = dict(zip(vals, cnts))
+        else:
+            counters, total = {}, 0
+        for pdf in pdfs:
+            total += len(pdf)
+            for v, c in pdf["val"].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {v: c - cut for v, c in counters.items()
+                            if c > cut}
+        state.update((list(counters), [int(c) for c in counters.values()],
+                      int(total)))
+        end_ms = int(key_tuple[0].value // 1_000_000) + dur_ms
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(end_ms, wm + 1))
+        return
+
+    prepped = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), window_duration).getField("start")
+            .alias("__wstart"),
+            F.coalesce(F.col(column).cast("string"),
+                       F.lit(_NULL_SENTINEL)).alias("val"),
+            # the watermark-tagged event-time column must survive into
+            # the stateful operator's input or Spark rejects
+            # EventTimeTimeout ("watermark must be specified")
+            F.col(ts_col),
+        )
+    )
+    return prepped.groupBy("__wstart").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
                           baseline: dict, bucket_width: float = 1.0,
                           psi_max: float | None = 0.25,
