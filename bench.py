@@ -248,6 +248,19 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
         right_cols=["rid"], right_tiebreak="rid")
         .where(F.col("asof_rid").isNotNull()).count())
 
+    # r4 wave 15: the mergeable-sketch family (x-maxFrequency sketch mode)
+    # — phase 1 Arrow-batched Misra-Gries counters per partition (no
+    # shuffle of raw values), tiny estimate merge, exact re-count of only
+    # the candidate list (In-filter pushed to the scan). High-cardinality
+    # input by construction: a 20% hot value over a unique tail.
+    from jsonschema_valid_spark.operators.frequency import heavy_hitters
+
+    freq_src = seq.select(
+        F.when(did % 5 == 0, F.lit("hot"))
+        .otherwise(F.col("doc_id")).alias("v"))
+    timed("frequency_sketch", lambda: heavy_hitters(
+        freq_src, "v", max_fraction=0.1).count())
+
     wall = timings["flagship_full"]
     totals = seq.agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.size("tokens")).alias("t")).first()

@@ -398,6 +398,38 @@ def suggest_drift_baseline(df: DataFrame, column: str,
             "psiMax": float(psi_max)}
 
 
+def suggest_frequency_cap(df: DataFrame, column: str,
+                          headroom: float = 1.5,
+                          floor: float = 0.01) -> dict | None:
+    """Bootstrap an ``x-maxFrequency`` node from the snapshot's own TOP
+    value share — the dominance analog of :func:`suggest_drift_baseline`:
+    profile a trusted load once, pin ``maxFraction`` at the observed top
+    share x ``headroom`` (ceil'd to the check's micro resolution, floored
+    at ``floor`` so organically tiny shares don't pin a hair-trigger
+    cap), and every later load fails if any value's share grows past it
+    — the stuck-producer / template-flood / mode-collapse guard. Passes
+    on the profiled table by construction (headroom > 1). One exact
+    count aggregate; returns None on an all-NULL column."""
+    import math
+
+    if headroom <= 1.0:
+        raise ValueError(f"headroom must be > 1, got {headroom}")
+    from jsonschema_valid_spark.operators.frequency import (
+        exact_value_counts,
+    )
+
+    top = (exact_value_counts(df, column)
+           .orderBy(F.col("n").desc()).limit(1).collect())
+    if not top:
+        return None
+    share = top[0]["n"] / float(top[0]["total"])
+    # ceil to the check's micro grid, with an epsilon so float artifacts
+    # (0.2 * 1.5 = 0.30000000000000004) don't bump an exact grid point up
+    frac = min(1.0, max(float(floor),
+                        math.ceil(share * headroom * 1e6 - 1e-6) / 1e6))
+    return {"maxFraction": frac}
+
+
 def profile_diff(
     cur: DataFrame,
     ref: DataFrame,

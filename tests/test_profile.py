@@ -315,3 +315,36 @@ def test_suggest_drift_baseline_quantile_mode(spark):
     assert suggest_drift_baseline(empty, "v", mode="quantile") is None
     with _pt.raises(ValueError):
         suggest_drift_baseline(const, "v", mode="depth")
+
+
+def test_suggest_frequency_cap_closes_loop(spark):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_frequency_cap,
+    )
+
+    def gen(n, hot_every=5):
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % hot_every == 0, F.lit("hot"))
+             .otherwise(F.concat(F.lit("u"), F.col("id"))).alias("v"))
+
+    node = suggest_frequency_cap(gen(10000), "v")  # top share 0.2
+    assert node == {"maxFraction": 0.3}  # 0.2 * 1.5
+    spec = {"properties": {"v": {"x-maxFrequency": node}}}
+    assert CheckSuite(spec).run(gen(10000), key="doc_id").ok() is True
+    # the hot value floods to 50%: cap trips
+    assert CheckSuite(spec).run(gen(10000, hot_every=2),
+                                key="doc_id").ok() is False
+
+    # floor stops hair-trigger caps on near-unique columns
+    uniq = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("u"), F.col("id")).alias("v"))
+    assert suggest_frequency_cap(uniq, "v")["maxFraction"] == 0.01
+
+    empty = spark.createDataFrame([], "doc_id long, v string")
+    assert suggest_frequency_cap(empty, "v") is None
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        suggest_frequency_cap(uniq, "v", headroom=1.0)
