@@ -5120,3 +5120,48 @@ def engine_linkage_violations(spark, sf_dir):
     }}}})
     res = suite.run(allr, key="c_custkey")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_FREQ_BY_SQL = """
+WITH e AS (SELECT user_id,
+                  CASE WHEN user_id % 5 = 0 THEN 'error'
+                       ELSE event_type END AS et
+           FROM events),
+c AS (SELECT coalesce(CAST(user_id AS VARCHAR), '<null>') AS grp,
+             CAST(et AS VARCHAR) AS v, count(*) AS n
+      FROM e GROUP BY 1, 2),
+t AS (SELECT grp, v, n, sum(n) OVER (PARTITION BY grp) AS total FROM c)
+SELECT grp AS doc_id,
+       'properties/et/x-maxFrequency' AS check_id,
+       'value=' || v || ' count=' || CAST(n AS VARCHAR) AS observed,
+       'fraction <= 0.5 of total=' || CAST(total AS VARCHAR)
+           || ' per user_id' AS expected
+FROM t
+WHERE n * 2 > 1 * total
+"""
+
+
+@register_extended("engine_frequency_by_violations", _FREQ_BY_SQL)
+def engine_frequency_by_violations(spark, sf_dir):
+    """x-maxFrequency {'by'}: PER-GROUP dominance — no event type may
+    exceed half of any single user's stream (a stuck client emits one
+    type; the GLOBAL mix barely moves because other users dilute it, so
+    table-scope dominance and even x-entropy's global form are blind
+    until many users break). The fixture collapses every user_id % 5 ==
+    0 to one type; those users' dominant share is ~1.0 while organic
+    per-user top shares sit near 0.2-0.35. Same single-scan shape: one
+    (group, value) count aggregate + a group-partitioned window total
+    over the aggregated rows, integer-arithmetic boundary (n*2 > total).
+    EXTENDED mirror entry; full value-hash oracle is the GROUP BY +
+    partitioned-window replay."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    framed = ev.withColumn(
+        "et", F.when(F.col("user_id") % 5 == 0, F.lit("error"))
+        .otherwise(F.col("event_type")))
+    suite = CheckSuite({"properties": {"et": {"x-maxFrequency": {
+        "maxFraction": 0.5, "by": "user_id"}}}})
+    res = suite.run(framed, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed",
+                                 "expected")

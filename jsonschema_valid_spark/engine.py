@@ -321,6 +321,7 @@ def _max_frequency_violations(dc, df: DataFrame) -> DataFrame:
         max_count=None if mc is None else int(mc),
         mode=dc.params.get("mode", "exact"),
         k=None if kk is None else int(kk),
+        by=dc.params.get("by"),
     )
 
 

@@ -81,17 +81,26 @@ def _value_str(column: str) -> F.Column:
     return F.coalesce(F.col(column).cast("string"), F.lit(_NULL_SENTINEL))
 
 
-def exact_value_counts(df: DataFrame, column: str) -> DataFrame:
-    """(value, n, total): per-value counts plus the grand total, ONE scan.
+def exact_value_counts(df: DataFrame, column: str,
+                       by: str | None = None) -> DataFrame:
+    """(value, n, total) — or (grp, value, n, total) with ``by`` — per-
+    value counts plus the (group) total, ONE scan.
 
-    The total is the sum of the per-value counts, taken with a
-    single-frame window over the ALREADY-AGGREGATED table (#distinct
-    rows), so the base table is never scanned twice. NULL groups under
-    the sentinel."""
-    counts = (df.groupBy(_value_str(column).alias("value"))
-              .agg(F.count(F.lit(1)).alias("n")))
+    The total is the sum of the per-value counts, taken with a window
+    over the ALREADY-AGGREGATED table (#distinct rows; partitioned by
+    the group when ``by`` is set), so the base table is never scanned
+    twice. NULL values under the sentinel."""
+    if by is None:
+        counts = (df.groupBy(_value_str(column).alias("value"))
+                  .agg(F.count(F.lit(1)).alias("n")))
+        return counts.withColumn(
+            "total", F.sum("n").over(Window.partitionBy()))
+    counts = (df.groupBy(
+        F.coalesce(F.col(by).cast("string"), F.lit("<null>")).alias("grp"),
+        _value_str(column).alias("value"))
+        .agg(F.count(F.lit(1)).alias("n")))
     return counts.withColumn(
-        "total", F.sum("n").over(Window.partitionBy()))
+        "total", F.sum("n").over(Window.partitionBy("grp")))
 
 
 def mg_partition_summaries(df: DataFrame, column: str, k: int) -> DataFrame:
@@ -233,30 +242,49 @@ def frequency_violations(
     mode: str = "exact",
     k: int | None = None,
     max_candidates: int = 100_000,
+    by: str | None = None,
 ) -> DataFrame:
     """``x-maxFrequency`` execution: one violation row per dominating
     value — (doc_id=value, check_id, observed="count=N",
     expected="fraction <= f and count <= c of total=T"). Exact output in
     BOTH modes; ``mode`` only chooses the physical strategy (see module
-    docstring)."""
+    docstring).
+
+    ``by`` scopes the dominance PER GROUP (no value may exceed the share
+    of its group's rows — "no event type may be 80% of one user's
+    stream"): doc_id becomes the group, observed names the value. Group
+    mode is exact-only — the MG summary would need a per-group k, and
+    the group totals already ride the same single-scan window."""
     if max_fraction is None and max_count is None:
         raise ValueError("x-maxFrequency needs maxFraction and/or maxCount")
     if max_fraction is not None and not (0.0 < float(max_fraction) <= 1.0):
         raise ValueError(f"maxFraction must be in (0, 1], got {max_fraction}")
     if mode not in ("exact", "sketch"):
         raise ValueError(f"mode must be 'exact' or 'sketch', got {mode!r}")
+    if by is not None and mode == "sketch":
+        raise ValueError("x-maxFrequency: sketch mode does not support "
+                         "'by' (per-group dominance is exact-only)")
 
     if mode == "sketch":
         bad = heavy_hitters(df, column, max_fraction, max_count,
                             k=k, max_candidates=max_candidates)
     else:
-        bad = exact_value_counts(df, column).where(
+        bad = exact_value_counts(df, column, by=by).where(
             _violation_cond(max_fraction, max_count))
 
-    doc = F.when(F.col("value") == _NULL_SENTINEL, F.lit("<null>")) \
+    val = F.when(F.col("value") == _NULL_SENTINEL, F.lit("<null>")) \
         .otherwise(F.col("value"))
+    if by is not None:
+        return bad.select(
+            F.col("grp").alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.concat(F.lit("value="), val, F.lit(" count="),
+                     F.col("n").cast("string")).alias("observed"),
+            F.concat(_expected_str(max_fraction, max_count),
+                     F.lit(f" per {by}")).alias("expected"),
+        )
     return bad.select(
-        doc.alias("doc_id"),
+        val.alias("doc_id"),
         F.lit(check_id).alias("check_id"),
         F.concat(F.lit("count="), F.col("n").cast("string")).alias("observed"),
         _expected_str(max_fraction, max_count).alias("expected"),

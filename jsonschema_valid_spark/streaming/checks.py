@@ -517,6 +517,52 @@ def stream_freshness_alerts(
     )
 
 
+def stream_rowcount_verdicts(
+    sdf: DataFrame,
+    group_col: str,
+    ts_col: str,
+    min_count: int | None = None,
+    max_count: int | None = None,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-rowCount`` (operators/cardinality.py lifted to
+    event-time windows): did the right AMOUNT arrive per group per
+    window — the volume contract a feed makes ("every device reports
+    50-70 readings per hour") that row checks can't see. Pure NATIVE
+    windowed aggregation: one ``groupBy(window, group).count()`` with
+    watermark, emitted in append mode as windows close; no Python state,
+    no UDF — state is Spark's windowed-agg store, bounded by the
+    watermark horizon.
+
+    Caveat shared with the batch keyword: a group with ZERO rows in a
+    window emits nothing — a ``min`` bound only polices groups that
+    showed up at all; pair with :func:`stream_freshness_alerts` when
+    total absence must alert (that is exactly the check an event-time
+    TIMER exists for).
+
+    Output: (window_start, group, n, passed) — one verdict row per
+    (window x group) including passing ones, the per-partition
+    pass/fail shape."""
+    if min_count is None and max_count is None:
+        raise ValueError("stream_rowcount_verdicts needs min and/or max")
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
+                 F.coalesce(F.col(group_col).cast("string"),
+                            F.lit("<null>")).alias("group"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    passed = F.lit(True)
+    if min_count is not None:
+        passed = passed & (F.col("n") >= int(min_count))
+    if max_count is not None:
+        passed = passed & (F.col("n") <= int(max_count))
+    return agg.select(
+        F.col("__w").getField("start").alias("window_start"),
+        "group", "n", passed.alias("passed"))
+
+
 def stream_frequency_alerts(
     sdf: DataFrame,
     column: str,

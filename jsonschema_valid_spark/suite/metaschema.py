@@ -307,7 +307,7 @@ METASCHEMA_SUITE: dict = {
         _kw("x-maxFrequency", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"minItems": 1, "items": {
-                "enum": ["maxFraction", "maxCount", "mode", "k"]}},
+                "enum": ["maxFraction", "maxCount", "mode", "k", "by"]}},
         }}),
         _kw("x-rowCount", {"properties": {
             "value_type": {"const": "object"},

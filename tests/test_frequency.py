@@ -194,3 +194,36 @@ def test_spec_and_metaschema_accept(spark):
         "maxFraction": 0.2, "maxCount": 100, "mode": "sketch", "k": 64}}}}
     validate_suite_spec(spec)
     assert validate_suite_with_engine(spark, spec).ok()
+
+
+def test_per_group_dominance(spark):
+    """by= scopes the cap per group: a value may own 30% of the table
+    but not 80% of one group."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("g"),
+        # group g0 collapses to one value; others stay diverse
+        F.when(F.col("id") % 4 == 0, F.lit("stuck"))
+         .otherwise(F.concat(F.lit("v"), (F.col("id") % 10).cast("string")))
+        .alias("v"))
+    out = frequency_violations(df, "v", "c", max_fraction=0.5, by="g")
+    rows = [(r["doc_id"], r["observed"], r["expected"])
+            for r in out.collect()]
+    assert rows == [("g0", "value=stuck count=250",
+                     "fraction <= 0.5 of total=250 per g")]
+
+    spec = {"properties": {"v": {"x-maxFrequency": {
+        "maxFraction": 0.5, "by": "g"}}}}
+    from jsonschema_valid_spark import CheckSuite
+    res = CheckSuite(spec).run(df, key="doc_id")
+    assert [r["doc_id"] for r in res.violations.collect()] == ["g0"]
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        frequency_violations(df, "v", "c", max_fraction=0.5, by="g",
+                             mode="sketch")
+    from jsonschema_valid_spark.suite.spec import SuiteError, \
+        validate_suite_spec
+    with _pt.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-maxFrequency": {
+            "maxFraction": 0.5, "by": "g", "mode": "sketch"}}}})
