@@ -517,6 +517,112 @@ def stream_freshness_alerts(
     )
 
 
+def stream_tdigest_quantile_verdicts(
+    sdf: DataFrame,
+    column: str,
+    ts_col: str,
+    q: float,
+    lo: float | None = None,
+    hi: float | None = None,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+    delta: int = 100,
+) -> DataFrame:
+    """Streaming ``x-quantile {"backend": "tdigest"}``: per-window
+    quantile verdicts from a MERGEABLE t-digest carried in state — the
+    check Spark's windowed aggregates cannot express (``percentile_
+    approx`` is not exposed as a streaming-stateful aggregate, and raw
+    values must not accumulate per window at 10^12-row scale). The
+    window's state IS the digest (<= delta centroids regardless of row
+    count); every micro-batch merges its Arrow batches in (the same
+    ``_merge`` primitive as the batch operator, so cross-batch
+    accumulation is exactly digest-of-digests), and the watermark
+    closing the window emits one verdict row.
+
+    Accuracy contract mirrors the batch operator: exact (==
+    ``np.quantile`` linear) while the window's point count stays in the
+    singleton regime, documented rank-error bound when compressed —
+    per-window parity with ``tdigest_quantiles`` is pytest-asserted.
+
+    Output: (window_start, q, value, passed)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from jsonschema_valid_spark.operators import tdigest as td
+
+    td._ensure_worker_pickling()
+    if not (0.0 <= float(q) <= 1.0):
+        raise ValueError(f"q must be in [0, 1], got {q}")
+    if lo is None and hi is None:
+        raise ValueError("stream_tdigest_quantile_verdicts needs lo "
+                         "and/or hi")
+    qq, dd = float(q), int(delta)
+    lo_f = None if lo is None else float(lo)
+    hi_f = None if hi is None else float(hi)
+
+    dur = F.expr(f"INTERVAL {window_duration}")
+    dur_ms = sdf.sparkSession.range(1).select(
+        (F.timestamp_millis(F.lit(0).cast("long")) + dur).cast("long")
+    ).first()[0] * 1000
+
+    out_schema = ("window_start timestamp, q double, value double, "
+                  "passed boolean")
+    state_schema = "means array<double>, weights array<double>"
+
+    def update(key_tuple, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            means, weights = state.get
+            state.remove()
+            val = td.tdigest_quantile_value(
+                np.asarray(means, dtype=float),
+                np.asarray(weights, dtype=float), qq)
+            ok = True
+            if lo_f is not None:
+                ok = ok and val >= lo_f
+            if hi_f is not None:
+                ok = ok and val <= hi_f
+            yield pd.DataFrame({
+                "window_start": [key_tuple[0]], "q": [qq],
+                "value": [val], "passed": [bool(ok)],
+            })
+            return
+        if state.exists:
+            means, weights = state.get
+            m = np.asarray(means, dtype=float)
+            w = np.asarray(weights, dtype=float)
+        else:
+            m = np.empty(0)
+            w = np.empty(0)
+        for pdf in pdfs:
+            vals = pdf["val"].to_numpy(dtype=float)
+            vals = vals[~np.isnan(vals)]
+            if vals.size:
+                m, w = td._merge(np.concatenate([m, vals]),
+                                 np.concatenate([w, np.ones(vals.size)]),
+                                 dd)
+        state.update((m.tolist(), w.tolist()))
+        end_ms = int(key_tuple[0].value // 1_000_000) + dur_ms
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(max(end_ms, wm + 1))
+        return
+
+    prepped = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.window(F.col(ts_col), window_duration).getField("start")
+            .alias("__wstart"),
+            F.col(column).cast("double").alias("val"),
+            F.col(ts_col),
+        )
+    )
+    return prepped.groupBy("__wstart").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_rowcount_verdicts(
     sdf: DataFrame,
     group_col: str,
