@@ -517,6 +517,43 @@ def stream_freshness_alerts(
     )
 
 
+def stream_distribution_verdicts(
+    sdf: DataFrame,
+    column: str,
+    ts_col: str,
+    family: str,
+    params: dict,
+    bucket_width: float = 1.0,
+    psi_max: float | None = None,
+    ks_max: float | None = None,
+    chi2_max: float | None = None,
+    window_duration: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming ``x-distribution``: per-window goodness-of-fit against a
+    CLOSED-FORM law — the baseline-free twin of
+    :func:`stream_windowed_drift`, sharing its entire execution (the
+    law's per-bucket mass is integrated from the CDF on the driver by
+    ``operators/distribution.py`` exactly as in batch, then rides the
+    windowed-drift machinery as a literal baseline map). The
+    validate-on-ingest form of the hash-gate-uniformity / Poisson-
+    inter-arrival check: a sampler that breaks at 14:00 is named by the
+    14:00 window, not diluted into the day's mixture."""
+    from jsonschema_valid_spark.operators.distribution import (
+        parametric_baseline,
+    )
+
+    if psi_max is None and ks_max is None and chi2_max is None:
+        raise ValueError("stream_distribution_verdicts needs at least one "
+                         "of psi_max/ks_max/chi2_max")
+    baseline = parametric_baseline(family, params, float(bucket_width))
+    return stream_windowed_drift(
+        sdf, column, ts_col, baseline=baseline,
+        bucket_width=float(bucket_width), psi_max=psi_max, ks_max=ks_max,
+        chi2_max=chi2_max, window_duration=window_duration,
+        watermark=watermark)
+
+
 def stream_tdigest_quantile_verdicts(
     sdf: DataFrame,
     column: str,

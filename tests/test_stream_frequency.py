@@ -113,3 +113,49 @@ def test_rejects_bad_args(spark, tmp_path):
         stream_frequency_alerts(sdf, "v", "ts", max_fraction=1.5)
     with pytest.raises(ValueError):
         stream_frequency_alerts(sdf, "v", "ts", max_fraction=0.5, k=1)
+
+
+def test_stream_distribution_uniform_gate(spark, tmp_path):
+    """Streaming x-distribution: the window where the hash gate broke is
+    named; the healthy window passes. Shares the windowed-drift engine,
+    baseline synthesized from the uniform CDF."""
+    from jsonschema_valid_spark.streaming.checks import (
+        stream_distribution_verdicts,
+    )
+
+    def _write_dbl(rows):
+        df = spark.createDataFrame(rows, "v: double, ts_s: string") \
+            .select("v", F.to_timestamp("ts_s").alias("ts"))
+        df.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+
+    path = str(tmp_path / "dist_in")
+    good = [(float((i * 37) % 100), "2024-01-01 00:20:00")
+            for i in range(400)]
+    broken = [(float(((i * 37) % 100) ** 2 % 100 // 2), "2024-01-01 01:20:00")
+              for i in range(400)]
+    _write_dbl(good)
+    _write_dbl(broken)
+    _write_dbl([(0.0, "2024-01-01 09:00:00")])
+
+    sdf = (spark.readStream.schema("v double, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = stream_distribution_verdicts(
+        sdf, "v", "ts", family="uniform", params={"min": 0, "max": 100},
+        bucket_width=10.0, psi_max=0.05, ks_max=0.05,
+        window_duration="1 hour", watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("dist_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(str(r["window_start"]), r["check_id"].rsplit("/", 1)[-1]
+            if "/" in r["check_id"] else r["check_id"]): r["passed"]
+           for r in spark.sql("select * from dist_sink").collect()}
+    w0 = [v for (ws, _), v in got.items() if ws == "2024-01-01 00:00:00"]
+    w1 = [v for (ws, _), v in got.items() if ws == "2024-01-01 01:00:00"]
+    assert w0 and all(w0), f"healthy window tripped: {got}"
+    assert w1 and not any(w1), f"broken window passed: {got}"
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        stream_distribution_verdicts(sdf, "v", "ts", family="uniform",
+                                     params={"min": 0, "max": 1})
