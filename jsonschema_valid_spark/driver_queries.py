@@ -5165,3 +5165,39 @@ def engine_frequency_by_violations(spark, sf_dir):
     res = suite.run(framed, key="event_id")
     return res.violations.select("doc_id", "check_id", "observed",
                                  "expected")
+
+
+@register_extended("decontam_semantic", _og.semantic_contamination_sql())
+def decontam_semantic(spark, sf_dir):
+    """SEMANTIC decontamination (functions/decontamination.py
+    semantic_contamination): corpus embeddings too close to any
+    benchmark embedding -- the paraphrase-leak channel that n-gram
+    overlap (decontam_overlap) cannot see. The benchmark is a
+    deterministic PERTURBED LEAK of every vec_id % 41 == 0 corpus row
+    (every 8th coordinate scaled 1.2 -- a paraphrase stand-in at cosine
+    ~0.995 to its source, far above the fixture's organic pair band
+    <=0.48), so the 0.9 gate flags exactly the leaked sources at every
+    SF. Scale shape: the corpus is NEVER shuffled before the final
+    per-doc max rollup -- both sides project cell assignments from
+    plan-literal centroids, the small benchmark side broadcasts,
+    duplicate meetings across shared cells are absorbed by the max
+    instead of a distinct (plan-asserted in
+    tests/test_semantic_decontamination.py). EXTENDED mirror entry;
+    full value-hash oracle interpolates the same seeded centroids and
+    replays the leak derivation, assignment, broadcast meeting, cosine
+    gate, and tie-ordered rollup."""
+    from jsonschema_valid_spark.functions.decontamination import (
+        semantic_contamination,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dv = F.col("embedding").cast("array<double>")
+    bench = emb.where(F.col("vec_id") % 41 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"),
+        F.transform(dv, lambda x, i: x * F.when(i % 8 == 0, F.lit(1.2))
+                    .otherwise(F.lit(1.0))).alias("embedding"))
+    out = semantic_contamination(
+        emb, bench, key="vec_id", vec_col="embedding", dim=64,
+        threshold=0.9, n_cells=16, n_assign=4, seed=11)
+    return out.select("vec_id", "bench_id",
+                      F.round("cos", 6).alias("cos"))

@@ -97,3 +97,81 @@ def decontamination_violations(df: DataFrame, text_col: str, bench: DataFrame,
             F.lit(f"contamination_ratio <= {max_ratio}").alias("expected"),
         )
     )
+
+
+def semantic_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    key: str,
+    vec_col: str,
+    bench_key: str | None = None,
+    bench_vec_col: str | None = None,
+    dim: int | None = None,
+    threshold: float = 0.8,
+    n_cells: int = 16,
+    n_assign: int = 1,
+    seed: int = 11,
+    centroids: list | None = None,
+) -> DataFrame:
+    """SEMANTIC decontamination: corpus documents whose EMBEDDING is too
+    close to any benchmark embedding — the paraphrase channel n-gram
+    overlap misses entirely (a reworded test question shares no 8-gram
+    with the original but sits on top of it in embedding space).
+    Returns ``(key, bench_id, cos)`` — one row per contaminated doc with
+    its closest benchmark item (max cosine; ties break to the larger
+    bench id, deterministically).
+
+    Cross-table SemDeDup shape, benchmark-small by construction: both
+    sides soft-assign to the SAME coarse centroids (a literal-expression
+    projection — share trained ``train_ivf_centroids`` output between
+    corpus and bench or the cells don't line up), the benchmark's
+    exploded (cell, vector) table is BROADCAST, and candidates meet in a
+    broadcast hash join — the corpus is NEVER shuffled before the final
+    per-doc max rollup (the one shuffle, carrying only matched pairs).
+    Duplicate (doc, bench) meetings across shared cells are harmless:
+    the rollup is a max, so no distinct is spent on them."""
+    from jsonschema_valid_spark.functions.similarity import (
+        _require_dim,
+        cosine,
+        ivf_centroids,
+        soft_cell_assign,
+    )
+
+    bench_key = bench_key or key
+    bench_vec_col = bench_vec_col or vec_col
+    dim = _require_dim(docs, vec_col, dim)
+    cents = centroids if centroids is not None else ivf_centroids(
+        dim, n_cells, seed)
+
+    dv = F.col(vec_col).cast("array<double>")
+    bv = F.col(bench_vec_col).cast("array<double>")
+    da = docs.select(
+        F.col(key).alias("__doc"), dv.alias("__vd"),
+        F.explode(soft_cell_assign(dv, cents, n_assign)).alias("cell"))
+    ba = bench.select(
+        F.col(bench_key).alias("bench_id"), bv.alias("__vb"),
+        F.explode(soft_cell_assign(bv, cents, n_assign)).alias("cell"))
+    hits = (
+        da.join(F.broadcast(ba), on="cell")
+        .select("__doc", "bench_id",
+                cosine(F.col("__vd"), F.col("__vb")).alias("cos"))
+        .where(F.col("cos") >= float(threshold))
+    )
+    return (hits.groupBy("__doc")
+            .agg(F.max(F.struct("cos", "bench_id")).alias("m"))
+            .select(F.col("__doc").alias(key), F.col("m.bench_id"),
+                    F.col("m.cos").alias("cos")))
+
+
+def semantic_decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    key: str,
+    vec_col: str,
+    **kwargs,
+) -> DataFrame:
+    """Drop semantically contaminated documents: ``docs`` minus every row
+    :func:`semantic_contamination` flags (left-anti on the key)."""
+    flagged = semantic_contamination(docs, bench, key, vec_col,
+                                     **kwargs).select(key)
+    return docs.join(flagged, on=key, how="left_anti")

@@ -302,3 +302,49 @@ SELECT
   (SELECT round(sum((oc / so - bc / sb) * (oc / so - bc / sb)
         / (bc / sb + 0.000000001)), 6) FROM j CROSS JOIN t) AS chi2
 """
+
+
+def semantic_contamination_sql(dim: int = 64, n_cells: int = 16,
+                               n_assign: int = 4, seed: int = 11,
+                               threshold: float = 0.9,
+                               leak_mod: int = 41) -> str:
+    """Oracle for semantic_contamination: the benchmark is a deterministic
+    PERTURBED LEAK of every vec_id % leak_mod == 0 corpus row (every 8th
+    coordinate scaled 1.2 -- a paraphrase stand-in at cosine ~0.995 to its
+    source, far above any organic pair), the corpus is the full table;
+    BOTH sides soft-assigned with the SAME interpolated seeded centroids;
+    exact-cosine gate; per-doc max rollup with the (cos DESC, bench_id
+    DESC) tie order matching Spark's max(struct(cos, bench_id)).
+    DuckDB list lambdas index 1-based (Spark's transform is 0-based), so
+    the perturbation mask is (i - 1) % 8 = 0 here and i % 8 = 0 there."""
+    from jsonschema_valid_spark.functions.similarity import ivf_centroids
+
+    cents = ivf_centroids(dim, n_cells, seed)
+    dots = ", ".join(_dot_sql("v", c, dim) for c in cents)
+    cos = _cos_sql("cv.v", "bv.v", dim)
+    assign = (f"unnest(list_filter(range(1, {n_cells + 1}), "
+              f"c -> dl[c] >= list_reverse_sort(dl)[{n_assign}]))")
+    return f"""
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+b AS (SELECT vec_id + 1000000 AS vec_id,
+             list_transform(v, (x, i) -> x * (CASE WHEN (i - 1) % 8 = 0
+                                              THEN 1.2 ELSE 1.0 END)) AS v
+      FROM e WHERE vec_id % {leak_mod} = 0),
+xc AS (SELECT vec_id, {assign} AS cell
+       FROM (SELECT vec_id, [{dots}] AS dl FROM e)),
+xb AS (SELECT vec_id, {assign} AS cell
+       FROM (SELECT vec_id, [{dots}] AS dl FROM b)),
+hits AS (SELECT DISTINCT xc.vec_id AS doc, xb.vec_id AS bench_id
+         FROM xc JOIN xb USING (cell)),
+scored AS (SELECT doc, bench_id, {cos} AS cos
+           FROM hits JOIN e cv ON hits.doc = cv.vec_id
+                     JOIN b bv ON hits.bench_id = bv.vec_id
+           WHERE {cos} >= {threshold!r})
+SELECT doc AS vec_id, bench_id, round(cos, 6) AS cos FROM (
+  SELECT doc, bench_id, cos,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY cos DESC, bench_id DESC) AS rn
+  FROM scored)
+WHERE rn = 1
+"""

@@ -1,0 +1,79 @@
+"""Semantic decontamination (functions/decontamination.py
+semantic_contamination / semantic_decontaminate): embedding-space
+benchmark overlap — the paraphrase channel n-gram overlap misses."""
+
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark.functions.decontamination import (
+    semantic_contamination,
+    semantic_decontaminate,
+)
+
+
+def _fixture(spark):
+    """4-dim toy space: corpus doc 1 IS the benchmark item (leaked),
+    doc 2 is a near-paraphrase of bench 20, docs 3-4 are orthogonal."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0]),
+         (2, [0.0, 1.0, 0.1, 0.0]),
+         (3, [0.0, 0.0, 0.0, 1.0]),
+         (4, [0.0, 0.0, 1.0, 0.0])],
+        "vec_id: long, embedding: array<double>")
+    bench = spark.createDataFrame(
+        [(10, [1.0, 0.0, 0.0, 0.0]),     # verbatim leak of doc 1
+         (20, [0.0, 1.0, 0.0, 0.0])],    # paraphrase target of doc 2
+        "vec_id: long, embedding: array<double>")
+    return corpus, bench
+
+
+def test_contamination_flags_and_ranks(spark):
+    corpus, bench = _fixture(spark)
+    out = semantic_contamination(corpus, bench, key="vec_id",
+                                 vec_col="embedding", dim=4,
+                                 threshold=0.9, n_cells=4, n_assign=4)
+    got = {r["vec_id"]: (r["bench_id"], round(r["cos"], 4))
+           for r in out.collect()}
+    # doc 1 hits bench 10 at cos 1.0; doc 2 hits bench 20 at ~0.995
+    assert got[1] == (10, 1.0)
+    assert got[2][0] == 20 and got[2][1] > 0.99
+    assert set(got) == {1, 2}
+
+
+def test_decontaminate_drops_flagged(spark):
+    corpus, bench = _fixture(spark)
+    kept = semantic_decontaminate(corpus, bench, key="vec_id",
+                                  vec_col="embedding", dim=4,
+                                  threshold=0.9, n_cells=4, n_assign=4)
+    assert sorted(r["vec_id"] for r in kept.collect()) == [3, 4]
+
+
+def test_max_rollup_tiebreak_deterministic(spark):
+    """Two benchmark items at the SAME cosine to one doc: the larger
+    bench id wins (max(struct)) — partitioning-invariant."""
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "vec_id: long, embedding: array<double>")
+    bench = spark.createDataFrame(
+        [(10, [2.0, 0.0, 0.0, 0.0]), (30, [3.0, 0.0, 0.0, 0.0])],
+        "vec_id: long, embedding: array<double>")
+    out = semantic_contamination(corpus, bench, key="vec_id",
+                                 vec_col="embedding", dim=4,
+                                 threshold=0.9, n_cells=4, n_assign=4)
+    rows = out.collect()
+    assert len(rows) == 1 and rows[0]["bench_id"] == 30
+
+
+def test_corpus_never_shuffled_before_rollup(spark):
+    """Plan contract: ONE Exchange total (the final per-doc aggregate);
+    the benchmark meets the corpus in a broadcast hash join."""
+    corpus, bench = _fixture(spark)
+    out = semantic_contamination(corpus, bench, key="vec_id",
+                                 vec_col="embedding", dim=4,
+                                 threshold=0.9, n_cells=4, n_assign=2)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # partial+final agg = at most one real Exchange besides broadcasts
+    import re
+    non_bcast = [m for m in re.findall(r"Exchange \w+", plan)
+                 if "Broadcast" not in m]
+    assert len(non_bcast) <= 1, plan
