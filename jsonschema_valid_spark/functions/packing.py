@@ -112,3 +112,76 @@ def chunk_sequences(df: DataFrame, key: str, tokens_col: str,
                     F.col("__c.chunk_tokens").alias("chunk_tokens"),
                     F.col("__c.chunk_len").alias("chunk_len"))
             .drop("__c"))
+
+
+def length_bucketed_batches(
+    df: DataFrame,
+    key: str,
+    n_tok_col: str,
+    batch_size: int,
+    edges: list[float],
+    shards: int = 1,
+    portable: bool = False,
+) -> DataFrame:
+    """Length-bucketed BATCH assignment — the padding-waste fix for
+    padded (non-packed) training: a batch of mixed lengths pads every
+    sequence to the batch max, so grouping similar lengths first cuts
+    the wasted tokens to the within-bucket spread. Adds ``bucket``
+    (index into the strictly-increasing ``edges``, same rule as the
+    equi-depth drift histogram: #edges <= value), ``batch_id``
+    ("bucket-shard-ordinal") and ``batch_seq`` (0-based slot).
+
+    Scale shape: batches need SIMILAR lengths, not a global order — so
+    numbering runs within (bucket, shard) where shard = hash(key) %
+    shards, keeping every window partition at ~n/(buckets x shards)
+    rows (one global sort per bucket would single-task 10^12/#buckets
+    rows). Deterministic and partitioning-invariant: the order inside a
+    shard is (hash, key). ``portable=True`` swaps xxhash64 for the md5
+    hash the DuckDB oracle replays bit-for-bit.
+
+    Pair with :func:`padding_stats` to measure the win; use
+    :func:`pack_sequences` instead when the loader supports dense
+    sample packing (packing beats bucketing whenever it's available)."""
+    if batch_size <= 0:
+        raise ValueError(f"batch_size must be positive, got {batch_size}")
+    if shards <= 0:
+        raise ValueError(f"shards must be positive, got {shards}")
+    es = [float(e) for e in edges]
+    if not es or sorted(es) != es or len(set(es)) != len(es):
+        raise ValueError("edges must be a non-empty strictly increasing "
+                         f"list, got {edges!r}")
+    from jsonschema_valid_spark.functions.dedup import portable_hash60
+
+    arr = F.array(*[F.lit(e) for e in es])
+    bucket = F.size(F.filter(
+        arr, lambda e: F.col(n_tok_col).cast("double") >= e)).cast("long")
+    h = (portable_hash60(F.col(key).cast("string")) if portable
+         else F.xxhash64(F.col(key).cast("string")))
+    staged = df.withColumn("bucket", bucket) \
+               .withColumn("__h", h) \
+               .withColumn("__shard", F.pmod(F.col("__h"),
+                                             F.lit(int(shards))))
+    w = Window.partitionBy("bucket", "__shard").orderBy("__h", key)
+    rn = F.row_number().over(w) - 1
+    return (staged
+            .withColumn("batch_seq", (rn % int(batch_size)).cast("int"))
+            .withColumn("batch_id", F.concat_ws(
+                "-", F.col("bucket"), F.col("__shard"),
+                F.floor(rn / int(batch_size)).cast("long")))
+            .drop("__h", "__shard"))
+
+
+def padding_stats(batches: DataFrame, n_tok_col: str,
+                  batch_col: str = "batch_id") -> DataFrame:
+    """One-row padding report for a batch assignment: total real tokens,
+    total padded slots (each batch pads to its own max length), and
+    ``efficiency`` = real / padded — the number length bucketing exists
+    to raise. One two-level aggregate (per-batch max+count, then the
+    global sums)."""
+    per = (batches.groupBy(batch_col)
+           .agg(F.sum(n_tok_col).alias("real"),
+                (F.max(n_tok_col) * F.count(F.lit(1))).alias("padded")))
+    return per.agg(
+        F.sum("real").alias("real_tokens"),
+        F.sum("padded").alias("padded_tokens"),
+        (F.sum("real") / F.sum("padded")).alias("efficiency"))
