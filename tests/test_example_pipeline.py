@@ -79,3 +79,19 @@ def test_ops_pipeline(spark, tmp_path):
     assert rec["flagged"] == ["src4"]
     kinds = {r["diff_kind"] for r in rec["diff"].collect()}
     assert kinds == {"value_mismatch"}
+
+
+def test_ingest_hygiene_pipeline(spark, tmp_path):
+    from examples.ingest_hygiene_pipeline import run
+    from tests.conftest import SF_DIR
+
+    out = run(spark, SF_DIR, str(tmp_path))
+    # every mod-11 twin folds back into its source entity
+    assert out["records_in"] - out["entities"] == \
+        len([k for k in range(0, 150, 11)])
+    assert out["gates_ok"] is True
+    # every mod-41 leak source dropped from the clean vector set
+    assert out["vectors_in"] - out["vectors_clean"] == \
+        len([k for k in range(0, 500, 41)])
+    assert out["layout_files"] == 8
+    assert out["padding_efficiency"] > 0.75
