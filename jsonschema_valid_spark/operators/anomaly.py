@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from pyspark.sql.utils import AnalysisException
 
-_METHODS = ("zscore", "relative", "absolute")
+_METHODS = ("zscore", "relative", "absolute", "seasonal")
 
 
 def anomaly_flags(
@@ -42,6 +42,7 @@ def anomaly_flags(
     k: float = 3.0,
     max_change: float = 0.5,
     bounds: tuple[float, float] | None = None,
+    period: int | None = None,
 ) -> DataFrame:
     """Per-point verdicts against trailing history within each series.
 
@@ -54,6 +55,14 @@ def anomaly_flags(
     departure from the constant. ``relative``: |value/prev − 1| >
     ``max_change`` (prev = lag 1; prev 0 with value ≠ 0 flags).
     ``absolute``: static ``bounds`` (lo, hi) — no history needed.
+    ``seasonal``: zscore against PHASE-ALIGNED history only — each point
+    compares to the prior points at the same position in a ``period``-long
+    cycle (Monday vs previous Mondays, 03:00 vs previous 03:00s), so a
+    legitimate weekly rhythm stops tripping the plain trailing window and
+    a flat Monday that's 4σ off OTHER Mondays trips even though it's
+    normal for a Wednesday. ``order_col`` must be integer-like (a run
+    counter, an hour number); ``window`` counts CYCLES of history. Same
+    single window pass — the phase is just one more partition key.
     """
     if method not in _METHODS:
         raise ValueError(f"method must be one of {_METHODS}, got {method!r}")
@@ -84,7 +93,14 @@ def anomaly_flags(
             *out_keys, v.alias("value"), F.round(change, 6).alias("stat"),
             status.alias("status"))
 
-    trail = w.rowsBetween(-window, -1)
+    if method == "seasonal":
+        if period is None or int(period) < 2:
+            raise ValueError("method='seasonal' requires period >= 2")
+        phase = F.pmod(F.col(order_col).cast("long"), F.lit(int(period)))
+        trail = (Window.partitionBy(*keys, phase).orderBy(order_col)
+                 .rowsBetween(-window, -1))
+    else:
+        trail = w.rowsBetween(-window, -1)
     n_hist = F.count(v).over(trail)
     mean = F.avg(v).over(trail)
     std = F.stddev_samp(v).over(trail)

@@ -144,3 +144,41 @@ def test_checkpoint_runner_metrics_integration(spark, tmp_path):
     with pytest.raises(ValueError, match="run_seq"):
         CheckpointRunner(suite, str(tmp_path / "runx")).run(
             seq, partition_by="source", key="doc_id", metrics_history=hist)
+
+
+def test_seasonal_method_phase_aligned(spark):
+    """A strong weekly rhythm (weekend dip) is normal under the seasonal
+    method but trips the plain trailing zscore; a Saturday that's way off
+    OTHER Saturdays trips seasonally even though it's an unremarkable
+    value for a weekday."""
+    from jsonschema_valid_spark.operators.anomaly import anomaly_flags
+
+    rows = []
+    for day in range(35):  # 5 weeks
+        dow = day % 7
+        base = 20.0 if dow in (5, 6) else 100.0
+        val = base + (day % 3)  # tiny jitter
+        rows.append(("m", day, val))
+    # day 33 (dow 5, a Saturday): weekday-like value 100 — seasonal outlier
+    rows[33] = ("m", 33, 100.0)
+    df = spark.createDataFrame(rows, "series: string, day: long, v: double")
+
+    seas = {r["day"]: r["status"] for r in anomaly_flags(
+        df, ["series"], "day", "v", method="seasonal", period=7,
+        window=5, min_history=2, k=3.0).collect()}
+    assert seas[33] == "anomaly"
+    # ordinary weekend dips are NOT anomalies seasonally
+    ordinary_weekends = [d for d in range(14, 33) if d % 7 in (5, 6)]
+    assert all(seas[d] == "ok" for d in ordinary_weekends)
+
+    # the plain trailing zscore MISSES the seasonal outlier: 100.0 is an
+    # unremarkable value against the mixed weekday/weekend trailing
+    # window (z ~ +0.6) — only phase alignment exposes it
+    plain = {r["day"]: r["status"] for r in anomaly_flags(
+        df, ["series"], "day", "v", method="zscore",
+        window=7, min_history=3, k=3.0).collect()}
+    assert plain[33] == "ok"
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        anomaly_flags(df, ["series"], "day", "v", method="seasonal")
