@@ -54,6 +54,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the bounded markdown run report "
                         "(ValidationResult.report) to PATH after a "
                         "non-resume run")
+    p.add_argument("--suggest-suite", metavar="PATH", default=None,
+                   help="profile the input in one pass and write the "
+                        "bootstrapped CheckSuite JSON to PATH, then exit "
+                        "— the first suite nobody hand-writes "
+                        "(operators/profile.py suite_from_profile); "
+                        "review and commit the output, don't trust it "
+                        "blindly")
     p.add_argument("--explain", action="store_true",
                    help="print the formatted physical plans for the "
                         "violations and verdicts passes WITHOUT running "
@@ -71,6 +78,32 @@ def main(argv=None) -> int:
         path = build_pyfiles_zip(args.package)
         print(json.dumps({"py_files": path,
                           "size": __import__("os").path.getsize(path)}))
+        return 0
+
+    if args.suggest_suite:
+        if args.input is None:
+            print("--suggest-suite requires --input", file=sys.stderr)
+            return 2
+        if args.format not in ("parquet", "iceberg"):
+            # jsonl/csv need a spec to parse — circular for bootstrapping
+            print("--suggest-suite needs a schema-ful source "
+                  "(parquet/iceberg)", file=sys.stderr)
+            return 2
+        from pyspark.sql import SparkSession
+
+        from jsonschema_valid_spark.operators.profile import (
+            suite_from_profile,
+        )
+
+        spark = (SparkSession.builder
+                 .appName("jsonschema-valid-spark").getOrCreate())
+        df = (spark.table(args.input) if args.format == "iceberg"
+              else spark.read.parquet(args.input))
+        spec = suite_from_profile(df, key=args.key)
+        with open(args.suggest_suite, "w") as f:
+            json.dump(spec, f, indent=2, sort_keys=True)
+        print(json.dumps({"suite": args.suggest_suite,
+                          "columns": len(spec.get("properties", {}))}))
         return 0
 
     missing = [n for n in ("suite", "input", "output")

@@ -185,3 +185,27 @@ def test_cli_csv_quarantine_and_report(spark, tmp_path):
                 "--format", "csv", "--key", "doc_id",
                 "--output", str(tmp_path / "out2")])
     assert rc2 == 0
+
+
+def test_cli_suggest_suite_bootstrap(spark, tmp_path):
+    """--suggest-suite profiles the input, writes a runnable CheckSuite,
+    and that suite validates the profiled table cleanly end-to-end."""
+    from jsonschema_valid_spark.cli import main
+    from tests.conftest import SF_DIR
+
+    suite_path = tmp_path / "suggested.json"
+    rc = main(["--input", f"{SF_DIR}/documents.parquet",
+               "--key", "doc_id", "--suggest-suite", str(suite_path)])
+    assert rc == 0
+    spec = json.loads(suite_path.read_text())
+    assert spec["properties"]["doc_id"].get("x-unique") is True
+
+    out = tmp_path / "out"
+    rc2 = main(["--suite", str(suite_path),
+                "--input", f"{SF_DIR}/documents.parquet",
+                "--key", "doc_id", "--output", str(out)])
+    assert rc2 == 0  # the bootstrapped suite passes on its own snapshot
+
+    # jsonl input refused (circular: parsing needs a spec)
+    assert main(["--input", "x.jsonl", "--format", "jsonl",
+                 "--suggest-suite", str(suite_path)]) == 2
