@@ -5244,3 +5244,45 @@ def seq_length_batches(spark, sf_dir):
                                   edges=[40.0, 72.0, 104.0], shards=2,
                                   portable=True)
     return out.select("doc_id", "bucket", "batch_id", "batch_seq")
+
+
+_FREQ_PERGROUP_SQL = """
+WITH e AS (SELECT user_id,
+                  CASE WHEN user_id % 5 = 0 THEN 'error'
+                       ELSE event_type END AS et
+           FROM events),
+c AS (SELECT coalesce(CAST(user_id AS VARCHAR), '<null>') AS grp,
+             CAST(et AS VARCHAR) AS v, count(*) AS n
+      FROM e GROUP BY 1, 2),
+t AS (SELECT grp, v, n, sum(n) OVER (PARTITION BY grp) AS total FROM c)
+SELECT grp AS partition_id,
+       'properties/et/x-maxFrequency' AS check_id,
+       max(CASE WHEN n * 2 > 1 * total THEN 1 ELSE 0 END) = 0 AS passed,
+       round(max(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)), 6)
+           AS metric_value
+FROM t GROUP BY grp
+"""
+
+
+@register_extended("engine_frequency_group_verdicts", _FREQ_PERGROUP_SQL)
+def engine_frequency_group_verdicts(spark, sf_dir):
+    """x-maxFrequency {'by', 'verdicts': 'perGroup'}: the verdict set
+    enumerates EVERY group with its TOP value share — healthy users as
+    passed=true — instead of one <global> roll-up; the per-partition
+    pass/fail shape the north rule demands, still the same single-scan
+    count aggregate plus one tiny per-group max. Same collapsed-user
+    fixture as engine_frequency_by_violations. EXTENDED mirror entry;
+    full value-hash oracle replays the partitioned-window totals and the
+    per-group max share (round-6)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    framed = ev.withColumn(
+        "et", F.when(F.col("user_id") % 5 == 0, F.lit("error"))
+        .otherwise(F.col("event_type")))
+    suite = CheckSuite({"properties": {"et": {"x-maxFrequency": {
+        "maxFraction": 0.5, "by": "user_id", "verdicts": "perGroup"}}}})
+    res = suite.run(framed, key="event_id")
+    return res.verdicts.select(
+        "partition_id", "check_id", "passed",
+        F.round("metric_value", 6).alias("metric_value"))

@@ -356,6 +356,16 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             max_age_hours=float(dc.params["maxAgeHours"]),
             by=dc.params["by"],
             max_future_hours=None if mf is None else float(mf))
+    if dc.kind == "max_frequency" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.frequency import (
+            frequency_group_verdicts,
+        )
+
+        mf, mc = dc.params.get("maxFraction"), dc.params.get("maxCount")
+        return frequency_group_verdicts(
+            df, dc.column, dc.check_id, by=dc.params["by"],
+            max_fraction=None if mf is None else float(mf),
+            max_count=None if mc is None else int(mc))
     if dc.kind == "row_count" and dc.params.get("scope", "group") == "group":
         from jsonschema_valid_spark.operators.cardinality import (
             row_count_group_verdicts,
@@ -1179,6 +1189,10 @@ def run_suite(
         elif dc.kind == "max_frequency":
             mfv = _max_frequency_violations(dc, df)
             violation_dfs.append(_with_ipath(mfv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
             verdict_dfs.append(
                 mfv.agg(F.count(F.lit(1)).alias("nmf")).select(
                     F.lit("<global>").alias("partition_id"),

@@ -210,6 +210,37 @@ def heavy_hitters(
         "value", "n", F.col("total").cast("long").alias("total"))
 
 
+def frequency_group_verdicts(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    by: str,
+    max_fraction: float | None = None,
+    max_count: int | None = None,
+) -> DataFrame:
+    """``x-maxFrequency {"by", "verdicts": "perGroup"}``: one verdict row
+    per group — (partition_id=group, check_id, passed, metric_value=the
+    group's TOP value share, threshold=maxFraction) — enumerating passing
+    groups too, the per-partition pass/fail contract. Same single scan as
+    the violations form plus one more tiny aggregate over the
+    already-counted (group, value) rows."""
+    if max_fraction is None and max_count is None:
+        raise ValueError("x-maxFrequency needs maxFraction and/or maxCount")
+    counts = exact_value_counts(df, column, by=by)
+    viol = _violation_cond(max_fraction, max_count)
+    return (counts.groupBy("grp")
+            .agg(F.max(viol.cast("int")).alias("nv"),
+                 F.max(F.col("n") / F.col("total")).alias("top_share"))
+            .select(
+                F.col("grp").alias("partition_id"),
+                F.lit(check_id).alias("check_id"),
+                (F.col("nv") == 0).alias("passed"),
+                F.col("top_share").cast("double").alias("metric_value"),
+                F.lit(float(max_fraction if max_fraction is not None
+                            else 0.0)).cast("double").alias("threshold"),
+            ))
+
+
 def _violation_cond(max_fraction, max_count) -> F.Column:
     conds = []
     if max_fraction is not None:

@@ -307,7 +307,8 @@ METASCHEMA_SUITE: dict = {
         _kw("x-maxFrequency", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"minItems": 1, "items": {
-                "enum": ["maxFraction", "maxCount", "mode", "k", "by"]}},
+                "enum": ["maxFraction", "maxCount", "mode", "k", "by",
+                         "verdicts"]}},
         }}),
         _kw("x-rowCount", {"properties": {
             "value_type": {"const": "object"},

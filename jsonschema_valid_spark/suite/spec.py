@@ -363,11 +363,13 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             mf = v.get("maxFraction") if isinstance(v, dict) else None
             ok = (isinstance(v, dict)
                   and set(v) <= {"maxFraction", "maxCount", "mode", "k",
-                                 "by"}
+                                 "by", "verdicts"}
                   and ("maxFraction" in v or "maxCount" in v)
                   and ("by" not in v
                        or (isinstance(v["by"], str) and v["by"]
                            and v.get("mode", "exact") == "exact"))
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup" and "by" in v))
                   and (mf is None
                        or (isinstance(mf, (int, float))
                            and not isinstance(mf, bool) and 0 < mf <= 1))
@@ -384,7 +386,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-maxFrequency must be {'maxFraction'?: "
                               "0<f<=1, 'maxCount'?: int>=1, 'mode'?: "
                               "'exact' | 'sketch', 'k'?: int>=2, "
-                              "'by'?: col (exact mode only)} with at "
+                              "'by'?: col (exact mode only), 'verdicts'?: "
+                              "'perGroup' (requires 'by')} with at "
                               "least one bound (sketch mode needs "
                               "maxFraction or an explicit k)")
         elif kw == "x-monotonic":

@@ -227,3 +227,37 @@ def test_per_group_dominance(spark):
     with _pt.raises(SuiteError):
         validate_suite_spec({"properties": {"v": {"x-maxFrequency": {
             "maxFraction": 0.5, "by": "g", "mode": "sketch"}}}})
+
+
+def test_per_group_verdicts_both_paths(spark):
+    """{'verdicts': 'perGroup'}: every group enumerated with its top
+    value share — passing groups included, no <global> roll-up."""
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("g"), (F.col("id") % 4).cast("string")).alias("g"),
+        F.when(F.col("id") % 4 == 0, F.lit("stuck"))
+         .otherwise(F.concat(F.lit("v"), (F.col("id") % 10).cast("string")))
+        .alias("v"))
+    spec = {"properties": {"v": {"x-maxFrequency": {
+        "maxFraction": 0.5, "by": "g", "verdicts": "perGroup"}}}}
+    cid = "properties/v/x-maxFrequency"
+    res = CheckSuite(spec).run(df, key="doc_id")
+    verd = {r["partition_id"]: (r["passed"], round(r["metric_value"], 4),
+                                r["threshold"])
+            for r in res.verdicts.collect() if r["check_id"] == cid}
+    # g0 collapsed to one value (share 1.0); g1-g3 diverse (~0.12 top)
+    assert verd["g0"] == (False, 1.0, 0.5)
+    assert set(verd) == {"g0", "g1", "g2", "g3"}
+    assert all(p for g, (p, _, _) in verd.items() if g != "g0")
+    # violations unchanged
+    assert [r["doc_id"] for r in res.violations.collect()] == ["g0"]
+
+    summ = run_suite_summarized(CheckSuite(spec), df, key="doc_id")
+    sv = {r["partition_id"]: (r["passed"], round(r["metric_value"], 4),
+                              r["threshold"])
+          for r in summ.verdicts.collect() if r["check_id"] == cid}
+    assert sv == verd
+
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-maxFrequency": {
+            "maxFraction": 0.5, "verdicts": "perGroup"}}}})  # needs by
