@@ -95,3 +95,20 @@ def test_ingest_hygiene_pipeline(spark, tmp_path):
         len([k for k in range(0, 500, 41)])
     assert out["layout_files"] == 8
     assert out["padding_efficiency"] > 0.75
+
+
+def test_star_schema_pipeline(spark):
+    from examples.star_schema_pipeline import run
+    from tests.conftest import SF_DIR
+
+    out = run(spark, SF_DIR)
+    # foreign keys are clean at every SF (bloom mode included: violations
+    # are Bloom-certain, so 0 here proves no false alarms either)
+    assert out["orders_fk_violations"] == 0
+    # the synthetic o_totalprice is NOT derived from lineitem: every
+    # order is a rollup mismatch (the check working, not the data lying)
+    assert out["orders_rollup_mismatches"] == 1500
+    # the generator really does emit duplicate (l_orderkey, l_linenumber)
+    # pairs -- composite x-unique catches them; everything else passes
+    assert out["lineitem_failed_checks"] == ["properties/line_id/x-unique"]
+    assert not out["lineitem_ok"] and out["lineitem_violations"] > 1000
