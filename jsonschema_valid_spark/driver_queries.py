@@ -5286,3 +5286,34 @@ def engine_frequency_group_verdicts(spark, sf_dir):
     return res.verdicts.select(
         "partition_id", "check_id", "passed",
         F.round("metric_value", 6).alias("metric_value"))
+
+
+@register_extended("decontam_fuzzy", _og.fuzzy_contamination_sql())
+def decontam_fuzzy(spark, sf_dir):
+    """FUZZY-TEXT decontamination (functions/decontamination.py
+    fuzzy_contamination): corpus documents whose shingle set is
+    near-duplicate to any benchmark item — the lightly-edited verbatim
+    leak that exact n-gram overlap misses and that needs no embeddings.
+    Completes the decontamination trio: exact n-gram (decontam_overlap),
+    fuzzy text (this), semantic embedding (decontam_semantic). The
+    benchmark is a deterministic edited leak of every doc_id % 43 == 0
+    document (first word dropped — bigram Jaccard ~0.95 to its source vs
+    organic overlap far below the 0.8 gate). Scale shape: cross-table
+    MinHash-LSH with the benchmark's banded table AND shingle sets
+    broadcast — the corpus is never shuffled before the per-doc max
+    rollup. EXTENDED mirror entry; full value-hash oracle replays the
+    leak derivation, portable signatures, banding, Jaccard verify, and
+    tie-ordered rollup."""
+    from jsonschema_valid_spark.functions.decontamination import (
+        fuzzy_contamination,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 43 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr("substr(text, instr(text, ' ') + 1)").alias("text"))
+    out = fuzzy_contamination(
+        docs, bench, key="doc_id", text_col="text", num_perm=64,
+        bands=16, n=2, threshold=0.8, seed=42, portable=True)
+    return out.select("doc_id", "bench_id",
+                      F.round("jaccard", 6).alias("jaccard"))

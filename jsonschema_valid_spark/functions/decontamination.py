@@ -175,3 +175,83 @@ def semantic_decontaminate(
     flagged = semantic_contamination(docs, bench, key, vec_col,
                                      **kwargs).select(key)
     return docs.join(flagged, on=key, how="left_anti")
+
+
+def fuzzy_contamination(
+    docs: DataFrame,
+    bench: DataFrame,
+    key: str,
+    text_col: str,
+    bench_key: str | None = None,
+    bench_text_col: str | None = None,
+    num_perm: int = 64,
+    bands: int = 16,
+    n: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    portable: bool = False,
+) -> DataFrame:
+    """FUZZY-TEXT decontamination: corpus documents whose n-gram shingle
+    set is near-duplicate to any benchmark item — the middle channel of
+    the trio (exact n-gram :func:`contamination` misses edits; embedding
+    :func:`semantic_contamination` needs vectors; this catches the
+    lightly-edited verbatim leak from text alone). Returns
+    ``(key, bench_id, jaccard)`` — closest benchmark item per
+    contaminated doc (max Jaccard; ties to the larger bench id).
+
+    Cross-table MinHash-LSH, benchmark-small by construction: both sides
+    band their signatures (identical permutations — same seed or the
+    buckets don't line up), the benchmark's banded table AND its shingle
+    sets broadcast, candidates meet in broadcast hash joins, exact
+    Jaccard verifies — the corpus is NEVER shuffled before the final
+    per-doc max rollup. Duplicate meetings across bands are absorbed by
+    the max (no distinct spent). ``portable=True`` = md5 shingle hash +
+    raw band keys for the SQL oracle."""
+    from jsonschema_valid_spark.functions.dedup import (
+        minhash_signature,
+        word_shingles,
+    )
+
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    bench_key = bench_key or key
+    bench_text_col = bench_text_col or text_col
+
+    def prep(df, k, t, out_id):
+        return df.select(
+            F.col(k).alias(out_id),
+            F.array_distinct(word_shingles(F.col(t), n)).alias("sh"),
+            minhash_signature(F.col(t), num_perm, n, seed,
+                              portable=portable).alias("sig"))
+
+    def banded(base, out_id, sh_out):
+        # the shingle set RIDES the banding explode: band-bucket misses
+        # are dropped inside the same stage by the broadcast join below,
+        # so the corpus is never re-fetched by key (which would be a
+        # corpus-wide shuffle) — the bands-x array duplication exists
+        # only in flight
+        def band_key(b):
+            parts = [F.col("sig")[b * r + i].cast("string")
+                     for i in range(r)]
+            joined = F.concat_ws(",", *parts)
+            return joined if portable else F.xxhash64(joined)
+
+        structs = [F.struct(F.lit(b).alias("band"),
+                            band_key(b).alias("bh")) for b in range(bands)]
+        return (base.select(out_id, F.col("sh").alias(sh_out),
+                            F.explode(F.array(*structs)).alias("bb"))
+                .select(out_id, sh_out, "bb.band", "bb.bh"))
+
+    dside = prep(docs, key, text_col, "__doc")
+    bside = prep(bench, bench_key, bench_text_col, "bench_id")
+    jac = (F.size(F.array_intersect("sha", "shb"))
+           / F.size(F.array_union("sha", "shb")))
+    hits = (banded(dside, "__doc", "sha")
+            .join(F.broadcast(banded(bside, "bench_id", "shb")),
+                  on=["band", "bh"])
+            .select("__doc", "bench_id", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= float(threshold)))
+    return (hits.groupBy("__doc")
+            .agg(F.max(F.struct("jaccard", "bench_id")).alias("m"))
+            .select(F.col("__doc").alias(key), F.col("m.bench_id"),
+                    F.col("m.jaccard").alias("jaccard")))

@@ -348,3 +348,61 @@ SELECT doc AS vec_id, bench_id, round(cos, 6) AS cos FROM (
   FROM scored)
 WHERE rn = 1
 """
+
+
+def fuzzy_contamination_sql(num_perm: int = 64, bands: int = 16,
+                            threshold: float = 0.8, seed: int = 42,
+                            leak_mod: int = 43) -> str:
+    """Oracle for fuzzy_contamination(portable=True, n=2): the benchmark
+    is a deterministic LIGHTLY-EDITED leak of every doc_id % leak_mod == 0
+    document (first word dropped — shingle Jaccard ~0.95 to its source,
+    far above organic cross-doc overlap at the 0.8 gate); identical
+    portable shingle hash, permutations and band keys on BOTH sides;
+    exact-Jaccard verify; per-doc max rollup ordered (jaccard DESC,
+    bench_id DESC) to match Spark's max(struct)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    h = HASH60.format(s="s")
+    perms = _perm_params(num_perm, seed)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
+        for a, b in perms)
+    band_keys = ", ".join(
+        "'{b}:' || ".format(b=b)
+        + " || ',' || ".join(f"CAST(sg[{b * r + i + 1}] AS VARCHAR)"
+                             for i in range(r))
+        for b in range(bands))
+    jac = ("len(list_intersect(sa.shl, sb.shl)) * 1.0 / "
+           "(len(sa.shl) + len(sb.shl) - len(list_intersect(sa.shl, sb.shl)))")
+
+    def pipeline(src, idcol):
+        return f"""
+w_{idcol} AS (SELECT {idcol}, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+              FROM {src}),
+sh_{idcol} AS (SELECT {idcol}, list_distinct(list_transform(range(1, len(wl)),
+                   i -> wl[i] || ' ' || wl[i+1])) AS shl FROM w_{idcol}),
+hh_{idcol} AS (SELECT {idcol}, list_transform(shl, s -> {h} % {MERSENNE31}) AS hs
+               FROM sh_{idcol}),
+sig_{idcol} AS (SELECT {idcol}, [{sig_exprs}] AS sg FROM hh_{idcol}),
+banded_{idcol} AS (SELECT {idcol}, unnest([{band_keys}]) AS bk FROM sig_{idcol})"""
+
+    return f"""
+WITH bench AS (SELECT doc_id + 1000000 AS bench_id,
+                      substr(text, strpos(text, ' ') + 1) AS text
+               FROM documents WHERE doc_id % {leak_mod} = 0),
+corpus AS (SELECT doc_id, text FROM documents),
+{pipeline('corpus', 'doc_id')},
+{pipeline('bench', 'bench_id')},
+cand AS (SELECT DISTINCT x.doc_id AS doc, y.bench_id
+         FROM banded_doc_id x JOIN banded_bench_id y USING (bk)),
+scored AS (SELECT doc, cand.bench_id AS bench_id, {jac} AS jaccard
+           FROM cand JOIN sh_doc_id sa ON cand.doc = sa.doc_id
+                     JOIN sh_bench_id sb ON cand.bench_id = sb.bench_id
+           WHERE {jac} >= {threshold!r})
+SELECT doc AS doc_id, bench_id, round(jaccard, 6) AS jaccard FROM (
+  SELECT doc, bench_id, jaccard,
+         row_number() OVER (PARTITION BY doc
+                            ORDER BY jaccard DESC, bench_id DESC) AS rn
+  FROM scored)
+WHERE rn = 1
+"""

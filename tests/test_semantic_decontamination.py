@@ -77,3 +77,37 @@ def test_corpus_never_shuffled_before_rollup(spark):
     non_bcast = [m for m in re.findall(r"Exchange \w+", plan)
                  if "Broadcast" not in m]
     assert len(non_bcast) <= 1, plan
+
+
+def test_fuzzy_contamination_edited_leak(spark):
+    """Lightly-edited verbatim leak: caught by shingle Jaccard with the
+    corpus never shuffled before the rollup."""
+    from jsonschema_valid_spark.functions.decontamination import (
+        fuzzy_contamination,
+    )
+
+    words = " ".join(f"w{i}" for i in range(30))
+    corpus = spark.createDataFrame(
+        [(1, words),
+         (2, "completely different text about other things entirely"),
+         (3, " ".join(f"x{i}" for i in range(30)))],
+        "doc_id: long, text: string")
+    # bench 10 = doc 1 with the first word dropped; bench 20 = unrelated
+    bench = spark.createDataFrame(
+        [(10, " ".join(f"w{i}" for i in range(1, 30))),
+         (20, "totally unrelated benchmark question")],
+        "doc_id: long, text: string")
+    out = fuzzy_contamination(corpus, bench, key="doc_id",
+                              text_col="text", n=2, threshold=0.8)
+    rows = [(r["doc_id"], r["bench_id"], round(r["jaccard"], 3))
+            for r in out.collect()]
+    assert len(rows) == 1
+    assert rows[0][0] == 1 and rows[0][1] == 10 and rows[0][2] > 0.9
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]  # AQE echoes both plans
+    assert "BroadcastHashJoin" in final and "SortMergeJoin" not in final
+    import re
+    non_bcast = [m for m in re.findall(r"Exchange \w+", final)
+                 if "Broadcast" not in m]
+    assert len(non_bcast) <= 1, final
