@@ -307,6 +307,52 @@ def _row_count_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _decontamination_violations(dc, df: DataFrame, context: dict,
+                                key: str) -> DataFrame:
+    """Shared x-decontamination execution for both run paths — three
+    channels behind one keyword: exact n-gram overlap (default), fuzzy
+    MinHash text near-dup ('fuzzy'), embedding cosine ('semantic')."""
+    from jsonschema_valid_spark.functions.decontamination import (
+        decontamination_violations,
+        fuzzy_decontamination_violations,
+        semantic_decontamination_violations,
+    )
+
+    bench = dc.params["benchmark"]
+    if isinstance(bench, str) and bench.startswith("@"):
+        bench = context[bench[1:]]
+    method = dc.params.get("method", "ngram")
+    if method == "fuzzy":
+        return fuzzy_decontamination_violations(
+            df, dc.column, bench, dc.check_id, key=key,
+            threshold=float(dc.params.get("threshold", 0.7)),
+            num_perm=int(dc.params.get("numPerm", 64)),
+            bands=int(dc.params.get("bands", 16)),
+            n=int(dc.params.get("n", 3)),
+            seed=int(dc.params.get("seed", 42)),
+            bench_text_col=dc.params.get("benchTextColumn"),
+            portable=bool(dc.params.get("portable", False)))
+    if method == "semantic":
+        cents = dc.params.get("centroids")
+        if isinstance(cents, str) and cents.startswith("@"):
+            cents = context[cents[1:]]
+        dim = dc.params.get("dim")
+        return semantic_decontamination_violations(
+            df, dc.column, bench, dc.check_id, key=key,
+            threshold=float(dc.params.get("threshold", 0.8)),
+            dim=None if dim is None else int(dim),
+            n_cells=int(dc.params.get("nCells", 16)),
+            n_assign=int(dc.params.get("nAssign", 1)),
+            seed=int(dc.params.get("seed", 11)),
+            centroids=cents,
+            bench_vec_col=dc.params.get("benchVecColumn"))
+    return decontamination_violations(
+        df, dc.column, bench, dc.check_id, key=key,
+        n=int(dc.params.get("n", 8)),
+        max_ratio=float(dc.params.get("maxRatio", 0.0)),
+        bench_text_col=dc.params.get("benchTextColumn"))
+
+
 def _max_frequency_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-maxFrequency execution for both run paths."""
     from jsonschema_valid_spark.operators.frequency import (
@@ -722,18 +768,7 @@ def run_suite_summarized(
                 columns=dc.params["columns"], check_id=dc.check_id,
                 mode=dc.params.get("mode", "native"))
         elif dc.kind == "decontamination":
-            from jsonschema_valid_spark.functions.decontamination import (
-                decontamination_violations,
-            )
-
-            bench = dc.params["benchmark"]
-            if isinstance(bench, str) and bench.startswith("@"):
-                bench = context[bench[1:]]
-            vdf = decontamination_violations(
-                df, dc.column, bench, dc.check_id, key=key,
-                n=int(dc.params.get("n", 8)),
-                max_ratio=float(dc.params.get("maxRatio", 0.0)),
-                bench_text_col=dc.params.get("benchTextColumn"))
+            vdf = _decontamination_violations(dc, df, context, key)
         elif dc.kind == "lm_score":
             from jsonschema_valid_spark.functions.text import (
                 lm_score_violations,
@@ -1066,18 +1101,7 @@ def run_suite(
                 )
             )
         elif dc.kind == "decontamination":
-            from jsonschema_valid_spark.functions.decontamination import (
-                decontamination_violations,
-            )
-
-            bench = dc.params["benchmark"]
-            if isinstance(bench, str) and bench.startswith("@"):
-                bench = context[bench[1:]]
-            dv = decontamination_violations(
-                df, dc.column, bench, dc.check_id, key=key,
-                n=int(dc.params.get("n", 8)),
-                max_ratio=float(dc.params.get("maxRatio", 0.0)),
-                bench_text_col=dc.params.get("benchTextColumn"))
+            dv = _decontamination_violations(dc, df, context, key)
             violation_dfs.append(_with_ipath(dv))
             verdict_dfs.append(
                 dv.agg(F.count(F.lit(1)).alias("nc")).select(

@@ -255,3 +255,51 @@ def fuzzy_contamination(
             .agg(F.max(F.struct("jaccard", "bench_id")).alias("m"))
             .select(F.col("__doc").alias(key), F.col("m.bench_id"),
                     F.col("m.jaccard").alias("jaccard")))
+
+
+def fuzzy_decontamination_violations(
+    df: DataFrame, text_col: str, bench: DataFrame, check_id: str,
+    key: str = "doc_id", threshold: float = 0.7, num_perm: int = 64,
+    bands: int = 16, n: int = 3, seed: int = 42,
+    bench_text_col: str | None = None, portable: bool = False,
+) -> DataFrame:
+    """``x-decontamination {"method": "fuzzy"}`` adapter: one violation
+    row per document whose shingle Jaccard to some benchmark item
+    reaches ``threshold``."""
+    hits = fuzzy_contamination(
+        df, bench, key, text_col, bench_text_col=bench_text_col,
+        num_perm=num_perm, bands=bands, n=n, threshold=threshold,
+        seed=seed, portable=portable)
+    return hits.select(
+        F.col(key).cast("string").alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(F.lit("jaccard="), F.round("jaccard", 6).cast("string"),
+                 F.lit(" vs "),
+                 F.col("bench_id").cast("string")).alias("observed"),
+        F.lit(f"benchmark shingle jaccard < {float(threshold):g}")
+        .alias("expected"),
+    )
+
+
+def semantic_decontamination_violations(
+    df: DataFrame, vec_col: str, bench: DataFrame, check_id: str,
+    key: str = "doc_id", threshold: float = 0.8, dim: int | None = None,
+    n_cells: int = 16, n_assign: int = 1, seed: int = 11,
+    centroids: list | None = None, bench_vec_col: str | None = None,
+) -> DataFrame:
+    """``x-decontamination {"method": "semantic"}`` adapter: one violation
+    row per document whose embedding cosine to some benchmark item
+    reaches ``threshold``."""
+    hits = semantic_contamination(
+        df, bench, key, vec_col, bench_vec_col=bench_vec_col, dim=dim,
+        threshold=threshold, n_cells=n_cells, n_assign=n_assign,
+        seed=seed, centroids=centroids)
+    return hits.select(
+        F.col(key).cast("string").alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(F.lit("cosine="), F.round("cos", 6).cast("string"),
+                 F.lit(" vs "),
+                 F.col("bench_id").cast("string")).alias("observed"),
+        F.lit(f"benchmark cosine < {float(threshold):g}")
+        .alias("expected"),
+    )

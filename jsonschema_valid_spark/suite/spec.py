@@ -323,9 +323,17 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if not isinstance(v, dict) or "reference" not in v:
                 raise _err(p, "x-parity must be {'reference': '@name', 'key': k?, 'mode': 'native'|'arrow'?}")
         elif kw == "x-decontamination":
-            if not isinstance(v, dict) or "benchmark" not in v:
-                raise _err(p, "x-decontamination must be {'benchmark': '@name', "
-                              "'n'?: int, 'maxRatio'?: float, 'benchTextColumn'?: str}")
+            ok = (isinstance(v, dict) and "benchmark" in v
+                  and v.get("method", "ngram") in ("ngram", "fuzzy",
+                                                   "semantic"))
+            if not ok:
+                raise _err(p, "x-decontamination must be {'benchmark': "
+                              "'@name', 'method'?: 'ngram' | 'fuzzy' | "
+                              "'semantic', 'n'?: int, 'maxRatio'?: float "
+                              "(ngram), 'threshold'?: float, 'numPerm'/"
+                              "'bands'/'seed'? (fuzzy), 'dim'/'nCells'/"
+                              "'nAssign'/'centroids'? (semantic), "
+                              "'benchTextColumn'/'benchVecColumn'?: str}")
         elif kw == "x-blocklist":
             if not (isinstance(v, dict) and isinstance(v.get("terms"), list)
                     and v["terms"]

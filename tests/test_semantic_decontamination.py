@@ -111,3 +111,50 @@ def test_fuzzy_contamination_edited_leak(spark):
     non_bcast = [m for m in re.findall(r"Exchange \w+", final)
                  if "Broadcast" not in m]
     assert len(non_bcast) <= 1, final
+
+
+def test_keyword_three_methods(spark):
+    """One declarative keyword, three channels: ngram / fuzzy / semantic
+    each flag their own leak style through BOTH run paths."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.engine import run_suite_summarized
+    from jsonschema_valid_spark.suite.spec import SuiteError, \
+        validate_suite_spec
+
+    words = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, words), (2, "nothing in common here at all whatsoever")],
+        "doc_id: long, text: string")
+    bench_txt = spark.createDataFrame(
+        [(10, " ".join(f"w{i}" for i in range(1, 30)))],
+        "doc_id: long, text: string")
+
+    for method, extra in [("ngram", {"n": 3}),
+                          ("fuzzy", {"threshold": 0.8, "n": 2})]:
+        spec = {"properties": {"text": {"x-decontamination": dict(
+            {"benchmark": "@bench", "method": method}, **extra)}}}
+        if method == "ngram":
+            del spec["properties"]["text"]["x-decontamination"]["method"]
+        res = CheckSuite(spec).run(docs, key="doc_id",
+                                   context={"bench": bench_txt})
+        assert [r["doc_id"] for r in res.violations.collect()] == ["1"], \
+            method
+        summ = run_suite_summarized(CheckSuite(spec), docs, key="doc_id",
+                                    context={"bench": bench_txt})
+        assert [r["doc_id"] for r in summ.violations.collect()] == ["1"], \
+            method
+
+    vdocs, vbench = _fixture(spark)
+    spec = {"properties": {"embedding": {"x-decontamination": {
+        "benchmark": "@bench", "method": "semantic", "threshold": 0.9,
+        "dim": 4, "nCells": 4, "nAssign": 4}}}}
+    res = CheckSuite(spec).run(vdocs, key="vec_id",
+                               context={"bench": vbench})
+    got = {r["doc_id"]: r["observed"] for r in res.violations.collect()}
+    assert set(got) == {"1", "2"}
+    assert got["1"].startswith("cosine=1.0 vs 10")
+
+    import pytest as _pt
+    with _pt.raises(SuiteError):
+        validate_suite_spec({"properties": {"text": {
+            "x-decontamination": {"benchmark": "@b", "method": "vector"}}}})
