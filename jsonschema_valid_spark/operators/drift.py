@@ -383,10 +383,19 @@ def drift_verdicts_per_partition(df: DataFrame, column: str, check_id: str,
                           for v in (int(kv[0]), int(kv[1]))])
     bbuckets = F.array(*[F.lit(int(b)).cast("long") for b in sorted(baseline)])
 
+    if "edges" in params:
+        # equi-depth mode shares the per-partition machinery: only the
+        # bucket expression differs (same rule as quantile_histogram)
+        es = [float(e) for e in params["edges"]]
+        earr = F.array(*[F.lit(e) for e in es])
+        vcol = F.col(column).cast("double")
+        bucket_expr = F.size(F.filter(earr, lambda e: vcol >= e)) \
+            .cast("long")
+    else:
+        bucket_expr = F.floor(F.col(column) / F.lit(width)).cast("long")
     hist = (df.where(F.col(column).isNotNull())
             .groupBy(pk.alias("partition_id"),
-                     F.floor(F.col(column) / F.lit(width)).cast("long")
-                     .alias("bucket"))
+                     bucket_expr.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("cnt")))
     per_p = (hist.groupBy("partition_id")
              .agg(F.collect_list(F.struct("bucket", "cnt")).alias("h")))

@@ -448,3 +448,30 @@ def test_edges_mode_verdicts_and_emd_refusal(spark):
         validate_suite_spec({"properties": {"v": {"x-drift": {
             "edges": [1.0], "bucketWidth": 2.0, "baseline": {0: 1},
             "psiMax": 0.1}}}})
+
+
+def test_edges_mode_per_partition(spark):
+    """x-drift {'edges', 'perPartition': true}: the drifted source is
+    NAMED; the per-partition path buckets by the same quantile edges as
+    the global path (the fixed-width expression would silently test a
+    different histogram)."""
+    from jsonschema_valid_spark import CheckSuite
+
+    df = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, F.lit("healthy"))
+         .otherwise(F.lit("drifted")).alias("src"),
+        F.when(F.col("id") % 2 == 0, (F.col("id") % 100).cast("double"))
+         .otherwise((F.col("id") % 100 + 60).cast("double")).alias("v"))
+    node = {"edges": [25.0, 50.0, 75.0],
+            "baseline": {0: 250, 1: 250, 2: 250, 3: 250},
+            "psiMax": 0.1, "ksMax": 0.1, "perPartition": True}
+    res = CheckSuite({"properties": {"v": {"x-drift": node}}}).run(
+        df, key="doc_id", partition_by="src")
+    verd = {(r["partition_id"], r["check_id"].rsplit("/", 1)[1]):
+            r["passed"] for r in res.verdicts.collect()
+            if "x-drift" in r["check_id"]}
+    assert verd[("healthy", "psi")] is True
+    assert verd[("healthy", "ks")] is True
+    assert verd[("drifted", "psi")] is False
+    assert verd[("drifted", "ks")] is False
