@@ -834,7 +834,8 @@ def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
                           jsd_max: float | None = None,
                           window_duration: str = "1 minute",
                           watermark: str = "2 minutes",
-                          categorical: bool = False) -> DataFrame:
+                          categorical: bool = False,
+                          edges: list | None = None) -> DataFrame:
     """Per-window drift verdicts vs a literal baseline histogram — the
     streaming form of ``operators/drift.py``, now with the SAME three
     statistics as batch (VERDICT r3 item 5): PSI, binned-ECDF KS,
@@ -878,6 +879,23 @@ def stream_windowed_drift(sdf: DataFrame, column: str, ts_col: str,
             F.array_position(F.array(*[F.lit(c) for c in cats]),
                              F.col(column).cast("string"))
             - 1).cast("long")
+        null_guard = F.col(column).isNotNull()
+    elif edges is not None:
+        # equi-depth mode (operators/drift.py quantile_histogram): buckets
+        # bounded by the baseline's quantile edges; KS stays valid
+        # (ordered), EMD is not (irregular widths)
+        if emd_max is not None:
+            raise ValueError("emd_max not valid for quantile-edged drift "
+                             "— bucket widths are irregular")
+        es = [float(e) for e in edges]
+        if not es or sorted(es) != es or len(set(es)) != len(es):
+            raise ValueError("edges must be a non-empty strictly "
+                             f"increasing list, got {edges!r}")
+        int_baseline = {int(k): int(v) for k, v in baseline.items()}
+        earr = F.array(*[F.lit(e) for e in es])
+        vcol = F.col(column).cast("double")
+        bucket_expr = F.size(F.filter(earr, lambda e: vcol >= e)) \
+            .cast("long")
         null_guard = F.col(column).isNotNull()
     else:
         int_baseline = {int(k): int(v) for k, v in baseline.items()}

@@ -159,3 +159,47 @@ def test_stream_distribution_uniform_gate(spark, tmp_path):
     with _pt.raises(ValueError):
         stream_distribution_verdicts(sdf, "v", "ts", family="uniform",
                                      params={"min": 0, "max": 1})
+
+
+def test_stream_drift_edges_mode(spark, tmp_path):
+    """Streaming x-drift equi-depth: closed windows bucket by the same
+    quantile edges as batch; the shifted window trips, the matching one
+    passes."""
+    from jsonschema_valid_spark.streaming.checks import stream_windowed_drift
+
+    def _write_dbl(path, rows):
+        df = spark.createDataFrame(rows, "v: double, ts_s: string") \
+            .select("v", F.to_timestamp("ts_s").alias("ts"))
+        df.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+
+    path = str(tmp_path / "edges_in")
+    ok_rows = [(float(i % 100), "2024-01-01 00:20:00") for i in range(400)]
+    bad_rows = [(float(i % 100) + 60.0, "2024-01-01 01:20:00")
+                for i in range(400)]
+    _write_dbl(path, ok_rows)
+    _write_dbl(path, bad_rows)
+    _write_dbl(path, [(0.0, "2024-01-01 09:00:00")])
+
+    sdf = (spark.readStream.schema("v double, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = stream_windowed_drift(
+        sdf, "v", "ts", baseline={0: 250, 1: 250, 2: 250, 3: 250},
+        edges=[25.0, 50.0, 75.0], psi_max=0.05, ks_max=0.05,
+        window_duration="1 hour", watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("edges_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(str(r["window_start"]), r["check_id"]): r["passed"]
+           for r in spark.sql("select * from edges_sink").collect()}
+    w0 = [v for (ws, _), v in got.items() if ws == "2024-01-01 00:00:00"]
+    w1 = [v for (ws, _), v in got.items() if ws == "2024-01-01 01:00:00"]
+    assert w0 and all(w0) and w1 and not any(w1), got
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        stream_windowed_drift(sdf, "v", "ts", baseline={0: 1},
+                              edges=[2.0, 1.0], psi_max=0.1)
+    with _pt.raises(ValueError):
+        stream_windowed_drift(sdf, "v", "ts", baseline={0: 1},
+                              edges=[1.0], emd_max=0.1, psi_max=0.1)
