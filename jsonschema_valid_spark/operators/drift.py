@@ -473,3 +473,49 @@ def drift_verdicts_per_partition(df: DataFrame, column: str, check_id: str,
                          .alias("partition_id"),
                          F.explode(F.array(*verdicts)).alias("v"))
             .select("partition_id", "v.*"))
+
+
+def update_drift_baseline(node: dict, df: DataFrame, column: str,
+                          decay: float = 0.5) -> dict:
+    """Baseline MAINTENANCE: blend a pinned ``x-drift`` node with a newly
+    TRUSTED snapshot — exponential decay in count space (``old*decay +
+    new``), so the baseline tracks slow legitimate evolution (content
+    mix shifts over months) without a human re-profiling, while a sudden
+    break still trips the thresholds against the mostly-historical mass.
+    ``decay=0`` replaces the baseline outright; ``decay=1`` accumulates
+    forever (every epoch weighs equally).
+
+    Only update from snapshots that PASSED the current node — updating
+    from a drifted load launders the drift into the baseline. Bucketing
+    follows the node's own mode (``edges`` pinned as-is, else
+    ``bucketWidth``); categorical/cell nodes keep their key space.
+    One histogram aggregate; #buckets rows reach the driver."""
+    if not (0.0 <= float(decay) <= 1.0):
+        raise ValueError(f"decay must be in [0, 1], got {decay}")
+    if "cells" in node:
+        raise ValueError("embedding-cell baselines update via re-running "
+                         "embedding_cell_histogram with the SAME "
+                         "centroids — pass that histogram directly")
+    if node.get("categorical"):
+        cats = sorted(str(k) for k in node["baseline"])
+        hist = categorical_histogram(df, column, cats)
+        idx_to_cat = {i: c for i, c in enumerate(cats)}
+        new = {idx_to_cat.get(int(r["bucket"])): int(r["count"])
+               for r in hist.collect() if int(r["bucket"]) >= 0}
+        merged = {c: int(round(int(node["baseline"].get(c, 0))
+                               * float(decay))) + int(new.get(c, 0))
+                  for c in set(node["baseline"]) | set(new)}
+    else:
+        if "edges" in node:
+            hist = quantile_histogram(df, column, node["edges"])
+        else:
+            hist = histogram(df, column,
+                             float(node.get("bucketWidth", 1.0)))
+        new = {int(r["bucket"]): int(r["count"]) for r in hist.collect()}
+        old = {int(k): int(v) for k, v in node["baseline"].items()}
+        merged = {b: int(round(old.get(b, 0) * float(decay)))
+                  + int(new.get(b, 0))
+                  for b in set(old) | set(new)}
+    out = dict(node)
+    out["baseline"] = {k: v for k, v in merged.items() if v > 0}
+    return out

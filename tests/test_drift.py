@@ -475,3 +475,58 @@ def test_edges_mode_per_partition(spark):
     assert verd[("healthy", "ks")] is True
     assert verd[("drifted", "psi")] is False
     assert verd[("drifted", "ks")] is False
+
+
+def test_update_drift_baseline_tracks_slow_drift(spark):
+    """Exponential-decay maintenance: repeated trusted updates let the
+    baseline follow slow legitimate evolution; without updates the stale
+    node trips on data the maintained node accepts."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.drift import (
+        update_drift_baseline,
+    )
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_drift_baseline,
+    )
+
+    def gen(n, tilt):
+        # fixed support, gradually tilting mix: `tilt`/10 of the rows are
+        # confined to the lower half — the slow legitimate evolution a
+        # pinned baseline must be allowed to follow (a SUPPORT shift is
+        # different: new buckets against ~zero baseline mass explode PSI
+        # by design, maintained or not)
+        return spark.range(n).select(
+            F.col("id").alias("doc_id"),
+            F.when(F.col("id") % 10 < tilt, (F.col("id") * 37) % 50)
+             .otherwise((F.col("id") * 37) % 100)
+            .cast("double").alias("v"))
+
+    node = suggest_drift_baseline(gen(10000, 0), "v", bucket_width=10.0)
+    stale = dict(node)
+    # five epochs, each tilting 10% more mass into the lower half — each
+    # step passes vs the MAINTAINED baseline and the node absorbs it
+    cur = node
+    for epoch in range(1, 6):
+        snap = gen(10000, epoch)
+        res = CheckSuite({"properties": {"v": {"x-drift": cur}}}).run(
+            snap, key="doc_id")
+        assert res.ok() is True, f"epoch {epoch} tripped maintained node"
+        cur = update_drift_baseline(cur, snap, "v", decay=0.5)
+    # the stale baseline trips on the final epoch's data (PSI ~0.275)
+    final = gen(10000, 5)
+    assert CheckSuite({"properties": {"v": {"x-drift": stale}}}).run(
+        final, key="doc_id").ok() is False
+    assert CheckSuite({"properties": {"v": {"x-drift": cur}}}).run(
+        final, key="doc_id").ok() is True
+
+    # decay=0 replaces outright; bounds validated; edges mode keeps edges
+    import pytest as _pt
+    rep = update_drift_baseline(node, gen(100, 0), "v", decay=0.0)
+    assert sum(rep["baseline"].values()) == 100
+    with _pt.raises(ValueError):
+        update_drift_baseline(node, gen(10, 0), "v", decay=1.5)
+    qn = {"edges": [30.0, 60.0], "baseline": {0: 10, 1: 10, 2: 10},
+          "psiMax": 0.3}
+    up = update_drift_baseline(qn, gen(300, 0), "v", decay=1.0)
+    assert up["edges"] == [30.0, 60.0]
+    assert sum(up["baseline"].values()) == 330
