@@ -303,3 +303,68 @@ def semantic_decontamination_violations(
         F.lit(f"benchmark cosine < {float(threshold):g}")
         .alias("expected"),
     )
+
+
+def bloom_contamination_flags(
+    df: DataFrame,
+    bench: DataFrame,
+    text_col: str,
+    n: int = 8,
+    max_ratio: float = 0.0,
+    m_bits: int = 1 << 20,
+    k: int = 5,
+    seed: int = 7,
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """STATELESS contamination flagging: ``df`` + ``contamination_ratio``
+    + ``contaminated`` columns, computed per row against a Bloom filter
+    of the benchmark's n-grams — no explode, no join on the corpus side,
+    no per-doc re-grouping. Because it is a pure projection over a
+    stream-static broadcast, THE SAME CALL WORKS ON A STREAMING
+    DataFrame (validate-on-ingest decontamination; the exact-overlap
+    operator needs a per-doc rollup a stateless stream can't do).
+
+    Probe semantics: Bloom has no false negatives, so the ratio never
+    UNDERcounts — a flagged-clean doc is certainly clean. False
+    positives inflate the ratio by ~FPR per shingle (size ``m_bits`` at
+    >= ~10 bits per benchmark n-gram for FPR < 1%); with
+    ``max_ratio=0`` an FP can over-flag, so streaming deployments
+    route flags to quarantine for the exact batch check rather than
+    dropping outright."""
+    from jsonschema_valid_spark.operators.bloom import (
+        _probe_hash,
+        bloom_build,
+    )
+
+    ngrams = benchmark_ngrams(bench, bench_text_col or text_col, n)
+    bloom = bloom_build(ngrams, "s", m_bits=m_bits, k=k, seed=seed)
+
+    # shiftleft needs a LITERAL shift amount (Spark 4), so the per-bit
+    # masks come from a 63-entry powers-of-two literal array instead
+    pow2 = F.array(*[F.lit(1 << b).cast("long") for b in range(63)])
+
+    def member(s):
+        tests = None
+        for i in range(k):
+            h = _probe_hash(s, m_bits, seed, i)
+            mask = F.try_element_at(pow2,
+                                    (F.pmod(h, F.lit(63)) + 1).cast("int"))
+            t = ((F.try_element_at(
+                F.col("__bloom_words"),
+                F.floor(h / F.lit(63)).cast("int") + F.lit(1))
+                .bitwiseAND(mask)) != 0)
+            tests = t if tests is None else (tests & t)
+        return tests
+
+    sh = F.array_distinct(word_shingles(F.col(text_col), n))
+    probed = df.crossJoin(F.broadcast(
+        bloom.select(F.col("words").alias("__bloom_words"))))
+    staged = probed.withColumn("__sh", sh)
+    ratio = F.when(
+        F.size("__sh") > 0,
+        F.size(F.filter("__sh", member)).cast("double")
+        / F.size("__sh").cast("double")).otherwise(F.lit(0.0))
+    return (staged.withColumn("contamination_ratio", F.round(ratio, 6))
+            .withColumn("contaminated",
+                        F.col("contamination_ratio") > float(max_ratio))
+            .drop("__sh", "__bloom_words"))

@@ -158,3 +158,50 @@ def test_keyword_three_methods(spark):
     with _pt.raises(SuiteError):
         validate_suite_spec({"properties": {"text": {
             "x-decontamination": {"benchmark": "@b", "method": "vector"}}}})
+
+
+def test_bloom_contamination_flags_batch_and_stream(spark, tmp_path):
+    """The stateless Bloom probe matches the exact operator on clean and
+    leaked docs (m sized for ~0 FPR here), and the SAME call runs on a
+    stream."""
+    import time
+
+    from jsonschema_valid_spark.functions.decontamination import (
+        bloom_contamination_flags,
+        contamination,
+    )
+
+    words = " ".join(f"w{i}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, words),
+         (2, "nothing shared here at all in any way truly")],
+        "doc_id: long, text: string")
+    bench = spark.createDataFrame(
+        [(10, words)], "doc_id: long, text: string")
+
+    out = bloom_contamination_flags(docs, bench, "text", n=3,
+                                    m_bits=1 << 16)
+    got = {r["doc_id"]: (r["contamination_ratio"], r["contaminated"])
+           for r in out.collect()}
+    assert got[1] == (1.0, True) and got[2] == (0.0, False)
+    # parity with the exact rollup operator on the flagged doc
+    exact = {r["doc_id"]: r["contamination_ratio"]
+             for r in contamination(docs, bench, "doc_id", "text",
+                                    n=3).collect()}
+    assert exact == {1: 1.0}
+
+    # the identical call on a STREAM (stateless: no watermark needed)
+    path = str(tmp_path / "in")
+    docs.coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.1)
+    sdf = (spark.readStream.schema("doc_id long, text string")
+           .parquet(path))
+    sout = bloom_contamination_flags(sdf, bench, "text", n=3,
+                                     m_bits=1 << 16)
+    q = (sout.select("doc_id", "contaminated")
+         .writeStream.format("memory").queryName("bloomc_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    srows = {r["doc_id"]: r["contaminated"]
+             for r in spark.sql("select * from bloomc_sink").collect()}
+    assert srows == {1: True, 2: False}
