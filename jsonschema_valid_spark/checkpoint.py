@@ -161,6 +161,37 @@ class SnapshotManifestCommit:
     def commit(self, df: DataFrame, kind: str, partition: str) -> None:
         self.publish_staged(kind, partition, self.stage(df, kind, partition))
 
+    def vacuum(self, kind: str, min_age_seconds: float = 3600.0
+               ) -> list[str]:
+        """Expire ORPHANED data dirs: staged-but-never-published
+        directories left by crashes between :meth:`stage` and
+        :meth:`publish_staged` (the publish-time expiry only cleans the
+        snapshot it replaces). A dir is deleted when it is (a) absent
+        from the manifest and (b) older than ``min_age_seconds`` — the
+        age guard exists because an IN-FLIGHT stage is unreferenced by
+        design; never vacuum with 0 while writers run. Returns the
+        deleted paths. ≙ Iceberg ``remove_orphan_files``."""
+        import os
+        import shutil
+        import time
+
+        data_root = f"{self.base}/{kind}/data"
+        if not os.path.isdir(data_root):
+            return []
+        with self._lock:
+            referenced = set(self._read_manifest(kind).values())
+        now = time.time()
+        removed: list[str] = []
+        for name in sorted(os.listdir(data_root)):
+            path = os.path.join(data_root, name)
+            if path in referenced or not os.path.isdir(path):
+                continue
+            if now - os.path.getmtime(path) < float(min_age_seconds):
+                continue
+            shutil.rmtree(path, ignore_errors=True)
+            removed.append(path)
+        return removed
+
     def read_partition(self, spark: SparkSession, kind: str,
                        partition: str) -> DataFrame:
         path = self._read_manifest(kind).get(partition)

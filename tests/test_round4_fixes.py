@@ -416,3 +416,33 @@ def test_x_lmscore_spec_validation(spark):
         CheckSuite({"properties": {"text": {"x-lmScore": {"minScore": "x"}}}})
     CheckSuite({"properties": {"text": {
         "x-lmScore": {"minScore": -4.0, "vocabSize": 100, "alpha": 0.5}}}})
+
+
+def test_snapshot_vacuum_orphans(spark, tmp_path):
+    """vacuum(): crash-orphaned staging dirs (staged, never published)
+    are expired; published snapshots and fresh in-flight stages are
+    untouched."""
+    import os
+
+    from jsonschema_valid_spark.checkpoint import SnapshotManifestCommit
+
+    proto = SnapshotManifestCommit(str(tmp_path))
+    df = spark.range(5).selectExpr("id AS doc_id")
+    # published partition
+    proto.commit(df, "violations", "p0")
+    # crash between stage and publish: orphaned dir
+    orphan = proto.stage(df, "violations", "p1")
+    assert os.path.isdir(orphan)
+
+    # age guard: a fresh unreferenced dir survives a conservative vacuum
+    assert proto.vacuum("violations", min_age_seconds=3600) == []
+    assert os.path.isdir(orphan)
+
+    removed = proto.vacuum("violations", min_age_seconds=0)
+    assert removed == [orphan]
+    assert not os.path.isdir(orphan)
+    # the published snapshot still reads back
+    assert proto.read_partition(spark, "violations", "p0").count() == 5
+    # idempotent; unknown kind is a no-op
+    assert proto.vacuum("violations", min_age_seconds=0) == []
+    assert proto.vacuum("nope") == []
