@@ -54,6 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the bounded markdown run report "
                         "(ValidationResult.report) to PATH after a "
                         "non-resume run")
+    p.add_argument("--vacuum-age", type=float, default=None,
+                   metavar="SECONDS",
+                   help="with --resume --commit-protocol snapshot: after "
+                        "the run, expire crash-orphaned staging dirs older "
+                        "than SECONDS (the remove_orphan_files analog; "
+                        "never pass 0 while other writers run)")
     p.add_argument("--suggest-suite", metavar="PATH", default=None,
                    help="profile the input in one pass and write the "
                         "bootstrapped CheckSuite JSON to PATH, then exit "
@@ -192,6 +198,10 @@ def main(argv=None) -> int:
         }
         if quarantine is not None:
             out["quarantined"] = n_quar
+        if args.vacuum_age is not None and proto is not None:
+            out["vacuumed"] = sum(
+                len(proto.vacuum(kind, min_age_seconds=args.vacuum_age))
+                for kind in ("violations", "verdicts"))
         print(json.dumps(out))
         return 1 if (failed or n_quar) else 0
 

@@ -209,3 +209,32 @@ def test_cli_suggest_suite_bootstrap(spark, tmp_path):
     # jsonl input refused (circular: parsing needs a spec)
     assert main(["--input", "x.jsonl", "--format", "jsonl",
                  "--suggest-suite", str(suite_path)]) == 2
+
+
+def test_cli_resume_snapshot_vacuum(spark, tmp_path):
+    """--vacuum-age with the snapshot protocol: a crash-orphaned staging
+    dir is expired after the resume run; the run's own snapshots stay."""
+    from jsonschema_valid_spark.checkpoint import SnapshotManifestCommit
+    from jsonschema_valid_spark.cli import main
+    from tests.conftest import SF_DIR
+
+    spec = {"properties": {"doc_id": {"type": "integer"}}}
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps(spec))
+    out = tmp_path / "out"
+
+    # plant an orphan as if a previous run crashed between stage/publish
+    proto = SnapshotManifestCommit(str(out))
+    orphan = proto.stage(
+        spark.range(3).selectExpr("id AS doc_id"), "violations", "zz")
+
+    rc = main(["--suite", str(suite_path),
+               "--input", f"{SF_DIR}/documents.parquet",
+               "--key", "doc_id", "--partition-by", "source",
+               "--output", str(out), "--resume",
+               "--commit-protocol", "snapshot", "--vacuum-age", "0"])
+    assert rc == 0
+    import os
+    assert not os.path.isdir(orphan)
+    # committed results still readable through the manifest
+    assert proto.read_all(spark, "verdicts").count() > 0
