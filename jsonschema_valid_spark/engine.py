@@ -763,10 +763,12 @@ def run_suite_summarized(
             ref_df = dc.params["reference"]
             if isinstance(ref_df, str) and ref_df.startswith("@"):
                 ref_df = context[ref_df[1:]]
+            tl = dc.params.get("tol")
             vdf = parity_op.parity_violations(
                 df, ref_df, key=dc.params.get("key", key),
                 columns=dc.params["columns"], check_id=dc.check_id,
-                mode=dc.params.get("mode", "native"))
+                mode=dc.params.get("mode", "native"),
+                tol=None if tl is None else float(tl))
         elif dc.kind == "decontamination":
             vdf = _decontamination_violations(dc, df, context, key)
         elif dc.kind == "lm_score":
@@ -1083,10 +1085,12 @@ def run_suite(
             ref_df = dc.params["reference"]
             if isinstance(ref_df, str) and ref_df.startswith("@"):
                 ref_df = context[ref_df[1:]]
+            tl = dc.params.get("tol")
             pv = parity_op.parity_violations(
                 df, ref_df, key=dc.params.get("key", key),
                 columns=dc.params["columns"], check_id=dc.check_id,
                 mode=dc.params.get("mode", parity_mode),
+                tol=None if tl is None else float(tl),
             )
             violation_dfs.append(_with_ipath(pv))
             # same count-based <global> verdict as unique/referential —

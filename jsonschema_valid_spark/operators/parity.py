@@ -24,9 +24,16 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def parity_mismatches(df: DataFrame, ref: DataFrame, key: str,
-                      columns: list[str], mode: str = "native") -> DataFrame:
+                      columns: list[str], mode: str = "native",
+                      tol: float | None = None) -> DataFrame:
     """Rows whose ``columns`` differ from the reference row with the same key.
-    Returns ``(key, column, observed, expected_value)``-style violations."""
+    Returns ``(key, column, observed, expected_value)``-style violations.
+
+    ``tol`` (native mode): numeric columns compare with |a − b| <= tol
+    instead of exact equality — for rewrites that legitimately reorder
+    float arithmetic (repartitioned aggregations, compaction through a
+    different codec path); NULL-vs-NULL still matches, NULL-vs-value
+    still mismatches. Non-numeric columns keep exact null-safe equality."""
     left = df.select(key, *columns)
     right = ref.select(
         F.col(key), *[F.col(c).alias(f"__ref_{c}") for c in columns]
@@ -60,10 +67,21 @@ def parity_mismatches(df: DataFrame, ref: DataFrame, key: str,
         )
 
     # native path: one array-equality Column per compared column
-    mism = None
+    numeric = {f.name for f in df.schema.fields
+               if f.dataType.typeName() in
+               ("double", "float", "integer", "long", "short", "byte",
+                "decimal")}
     frames = []
     for c in columns:
-        neq = ~(F.col(c).eqNullSafe(F.col(f"__ref_{c}")))
+        if tol is not None and c in numeric:
+            a, b = F.col(c), F.col(f"__ref_{c}")
+            close = (a.isNull() & b.isNull()) | (
+                a.isNotNull() & b.isNotNull()
+                & (F.abs(a.cast("double") - b.cast("double"))
+                   <= F.lit(float(tol))))
+            neq = ~close
+        else:
+            neq = ~(F.col(c).eqNullSafe(F.col(f"__ref_{c}")))
         frames.append(
             joined.where(neq).select(
                 F.col(key).cast("string").alias("doc_id"),
@@ -92,8 +110,9 @@ def _cell_equal(a, b) -> bool:
 
 def parity_violations(df: DataFrame, ref: DataFrame, key: str,
                       columns: list[str], check_id: str,
-                      mode: str = "native") -> DataFrame:
-    bad = parity_mismatches(df, ref, key, columns, mode)
+                      mode: str = "native",
+                      tol: float | None = None) -> DataFrame:
+    bad = parity_mismatches(df, ref, key, columns, mode, tol=tol)
     return bad.select(
         F.col("doc_id"),
         F.lit(check_id).alias("check_id"),
