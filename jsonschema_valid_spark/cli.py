@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--suite", help="path to the CheckSuite JSON")
     p.add_argument("--input", help="input table path")
     p.add_argument("--format", default="parquet",
-                   choices=["parquet", "jsonl", "iceberg", "csv", "tsv"])
+                   choices=["parquet", "jsonl", "iceberg", "csv", "tsv", "orc"])
     p.add_argument("--key", default="doc_id")
     p.add_argument("--partition-by", default=None)
     p.add_argument("--output", help="output dir for results")
@@ -90,7 +90,7 @@ def main(argv=None) -> int:
         if args.input is None:
             print("--suggest-suite requires --input", file=sys.stderr)
             return 2
-        if args.format not in ("parquet", "iceberg"):
+        if args.format not in ("parquet", "iceberg", "orc"):
             # jsonl/csv need a spec to parse — circular for bootstrapping
             print("--suggest-suite needs a schema-ful source "
                   "(parquet/iceberg)", file=sys.stderr)
@@ -104,7 +104,7 @@ def main(argv=None) -> int:
         spark = (SparkSession.builder
                  .appName("jsonschema-valid-spark").getOrCreate())
         df = (spark.table(args.input) if args.format == "iceberg"
-              else spark.read.parquet(args.input))
+              else spark.read.format(args.format).load(args.input))
         spec = suite_from_profile(df, key=args.key)
         with open(args.suggest_suite, "w") as f:
             json.dump(spec, f, indent=2, sort_keys=True)
@@ -162,6 +162,8 @@ def main(argv=None) -> int:
         df, quarantine = read_delimited(
             spark, args.input, spec,
             sep="\t" if args.format == "tsv" else ",")
+    elif args.format == "orc":
+        df = spark.read.orc(args.input)
     else:
         df = spark.read.parquet(args.input)
 

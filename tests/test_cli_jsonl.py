@@ -238,3 +238,29 @@ def test_cli_resume_snapshot_vacuum(spark, tmp_path):
     assert not os.path.isdir(orphan)
     # committed results still readable through the manifest
     assert proto.read_all(spark, "verdicts").count() > 0
+
+
+def test_cli_orc_roundtrip(spark, tmp_path):
+    """ORC input: full validate run and suggest-suite bootstrap both work
+    on the columnar sibling format."""
+    from jsonschema_valid_spark.cli import main
+
+    src = spark.createDataFrame(
+        [(1, 10), (2, 0), (3, 7)], "doc_id: long, n_tok: long")
+    orc_path = str(tmp_path / "in_orc")
+    src.write.orc(orc_path)
+
+    spec = {"properties": {"n_tok": {"minimum": 1}}}
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps(spec))
+    rc = main(["--suite", str(suite_path), "--input", orc_path,
+               "--format", "orc", "--key", "doc_id",
+               "--output", str(tmp_path / "out")])
+    assert rc == 1  # doc 2 violates minimum
+    viol = spark.read.parquet(str(tmp_path / "out" / "violations")).collect()
+    assert [r["doc_id"] for r in viol] == ["2"]
+
+    sugg = tmp_path / "sugg.json"
+    assert main(["--input", orc_path, "--format", "orc", "--key", "doc_id",
+                 "--suggest-suite", str(sugg)]) == 0
+    assert "n_tok" in json.loads(sugg.read_text())["properties"]
