@@ -1190,6 +1190,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # is invisible to all of them
         plan.dataset_checks.append(
             DatasetCheck(cid, "correlation", colname, dict(v)))
+    elif kw == "x-trend":
+        # dataset scope: a bound on the OLS SLOPE of the column vs an
+        # ordering — the directional/rate complement of x-correlation
+        # (which bounds unitless tightness-of-tracking, not rate) and
+        # x-levelShift (one step, not sustained creep)
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "trend", colname, dict(v)))
     elif kw == "x-eventOrder":
         # dataset scope: causality between the MINIMA of two row
         # subsets of a group ("no purchase before signup") — a relation

@@ -511,6 +511,21 @@ def _correlation_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _trend_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-trend execution for both run paths."""
+    from jsonschema_valid_spark.operators.trend import trend_violations
+
+    mn, mx = dc.params.get("min"), dc.params.get("max")
+    return trend_violations(
+        df, dc.column, dc.check_id,
+        order_by=dc.params["orderBy"],
+        by=dc.params.get("by"),
+        min_slope=None if mn is None else float(mn),
+        max_slope=None if mx is None else float(mx),
+        min_count=int(dc.params.get("minCount", 3)),
+    )
+
+
 def _entropy_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-entropy execution for both run paths."""
     from jsonschema_valid_spark.operators.entropy import entropy_violations
@@ -829,6 +844,8 @@ def run_suite_summarized(
             vdf = _unique_within_violations(dc, df, key)
         elif dc.kind == "correlation":
             vdf = _correlation_violations(dc, df)
+        elif dc.kind == "trend":
+            vdf = _trend_violations(dc, df)
         elif dc.kind == "level_shift":
             vdf = _level_shift_violations(dc, df, key)
         elif dc.kind == "entropy":
@@ -1307,6 +1324,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("ncr") == 0).alias("passed"),
                     F.col("ncr").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "trend":
+            trv = _trend_violations(dc, df)
+            violation_dfs.append(_with_ipath(trv))
+            verdict_dfs.append(
+                trv.agg(F.count(F.lit(1)).alias("ntr")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("ntr") == 0).alias("passed"),
+                    F.col("ntr").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -349,6 +349,13 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"enum": ["min", "max"]}},
             ]},
         }}),
+        _kw("x-trend", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "orderBy"}},
+                {"contains": {"enum": ["min", "max"]}},
+            ]},
+        }}),
         _kw("x-eventOrder", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"allOf": [

@@ -483,6 +483,24 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-correlation must be {'with': col, "
                               "'min'|'max': number in [-1, 1], "
                               "'by'?: col, 'minCount'?: int>=3}")
+        elif kw == "x-trend":
+            def _slope_num(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool))
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("orderBy"), str) and v["orderBy"]
+                  and ("min" in v or "max" in v)
+                  and ("min" not in v or _slope_num(v["min"]))
+                  and ("max" not in v or _slope_num(v["max"]))
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("minCount" not in v
+                       or (isinstance(v["minCount"], int)
+                           and not isinstance(v["minCount"], bool)
+                           and v["minCount"] >= 3)))
+            if not ok:
+                raise _err(p, "x-trend must be {'orderBy': col, "
+                              "'min'|'max': number, 'by'?: col, "
+                              "'minCount'?: int>=3}")
         elif kw == "x-eventOrder":
             ok = (isinstance(v, dict)
                   and isinstance(v.get("by"), str) and v["by"]

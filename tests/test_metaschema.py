@@ -113,6 +113,10 @@ INVALID_SUITES = [
         "by": "src"}}}}),
     ("x-correlation-no-bound", {"properties": {"x": {"x-correlation": {
         "with": "y"}}}}),
+    ("x-trend-no-orderby", {"properties": {"x": {"x-trend": {
+        "max": 1.0}}}}),
+    ("x-trend-no-bound", {"properties": {"x": {"x-trend": {
+        "orderBy": "m"}}}}),
     ("x-eventOrder-no-by", {"properties": {"x": {"x-eventOrder": {
         "first": "a = 1", "then": "b = 1"}}}}),
     ("x-functionalDependency-empty",
