@@ -5317,3 +5317,109 @@ def decontam_fuzzy(spark, sf_dir):
         bands=16, n=2, threshold=0.8, seed=42, portable=True)
     return out.select("doc_id", "bench_id",
                       F.round("jaccard", 6).alias("jaccard"))
+
+
+_TREND_KW_SQL = """
+WITH g AS (
+  SELECT event_type,
+         regr_slope(value, epoch_us(ts) / 3.6e9) AS s,
+         count(CASE WHEN value IS NOT NULL AND ts IS NOT NULL
+                    THEN 1 END) AS n
+  FROM events GROUP BY event_type
+)
+SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS doc_id,
+       'properties/value/x-trend' AS check_id,
+       'slope=' || CAST(CAST(round(s, 6) AS DECIMAL(18,6)) AS VARCHAR)
+         || ',n=' || CAST(n AS VARCHAR) AS observed
+FROM g
+WHERE s IS NOT NULL AND n >= 3 AND (s < -0.004 OR s > 0.004)
+"""
+
+
+@register_extended("engine_trend_violations", _TREND_KW_SQL)
+def engine_trend_violations(spark, sf_dir):
+    """x-trend as a DECLARATIVE suite keyword: per-event_type OLS slope
+    of value vs event time (in HOURS, so slopes are O(1)) must stay in
+    [-0.004, 0.004] per hour — the DIRECTIONAL/rate member of the
+    statistical family. x-correlation bounds unitless tracking r (0.99
+    says nothing about RATE), x-levelShift sees one step, x-monotonic
+    maxStep one row's jump; "this metric may not creep faster than
+    0.004/hour" is a bound on the fitted RATE that none of them
+    express. Plan (operators/trend.py): slope = try_divide(covar_pop,
+    var_pop) == SQL regr_slope — a mergeable moment statistic, so ONE
+    map-side-combined conditional aggregate (#groups rows shuffled),
+    never a sort/window/join; NULL on constant ordering (no ANSI
+    divide-by-zero), groups under minCount suppressed. Witnesses are
+    decimal(18,6); bound margins >= 4e-4, ~1e10 above cross-engine
+    float-sum noise. 5 violating groups at sf0.001, 1 at sf0.01.
+    EXTENDED mirror entry; full value-hash oracle via DuckDB
+    regr_slope."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ts_h",
+                      F.unix_micros(F.col("ts").cast("timestamp"))
+                      / F.lit(3.6e9)))
+    suite = CheckSuite({"properties": {"value": {"x-trend": {
+        "orderBy": "ts_h", "by": "event_type",
+        "min": -0.004, "max": 0.004}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_LINK_GOLDEN_SQL = _LINK_CLUSTERS_SQL.replace(
+    "SELECT n.id, coalesce(cl.cluster_id, n.id) AS cluster_id\n"
+    "FROM nodes n LEFT JOIN cl ON n.id = cl.id",
+    """asg AS (SELECT n.id, coalesce(cl.cluster_id, n.id) AS cluster_id
+       FROM nodes n LEFT JOIN cl ON n.id = cl.id),
+m AS (SELECT asg.cluster_id, r.*
+      FROM allr r JOIN asg ON r.c_custkey = asg.id),
+base AS (
+  SELECT cluster_id, count(*) AS n_members,
+         arg_max(c_name, c_custkey) AS c_name,
+         max(c_acctbal) AS c_acctbal
+  FROM m GROUP BY cluster_id),
+fc AS (SELECT cluster_id, c_mktsegment AS v, count(*) AS c
+       FROM m WHERE c_mktsegment IS NOT NULL GROUP BY 1, 2),
+ft AS (SELECT cluster_id, v AS c_mktsegment FROM (
+         SELECT cluster_id, v,
+                row_number() OVER (PARTITION BY cluster_id
+                                   ORDER BY c DESC, v DESC) AS rn
+         FROM fc) WHERE rn = 1)
+SELECT b.cluster_id, b.n_members, b.c_name, b.c_acctbal, f.c_mktsegment
+FROM base b LEFT JOIN ft f USING (cluster_id)""").replace(
+    "cl AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id)",
+    "cl AS (SELECT id, min(lbl) AS cluster_id FROM reach GROUP BY id),")
+
+
+@register_extended("link_customer_golden", _LINK_GOLDEN_SQL)
+def link_customer_golden(spark, sf_dir):
+    """Golden-record construction (operators/linkage.py merge_clusters):
+    each linked entity cluster collapses to ONE canonical record by
+    per-field survivorship — c_name from the LATEST member (highest
+    custkey: the re-registered twin's record wins, the classic
+    most-recent-wins rule), c_acctbal as max, c_mktsegment as the
+    deterministic modal value. The step after link_customer_clusters
+    answers "same entity?": this answers "what does the merged entity
+    look like" — master-data management's survivorship stage. Scale:
+    one assignment equi-join + ONE map-side-combined
+    groupBy(cluster_id) for latest/max (max_by over a (order, key)
+    struct is a mergeable aggregate, not a window); the modal field
+    adds one (cluster, value) count pass joined on #clusters rows.
+    EXTENDED mirror entry; full value-hash oracle (components
+    recursive-CTE + arg_max + windowed mode replay)."""
+    from jsonschema_valid_spark.operators.linkage import (
+        link_clusters,
+        link_records,
+        merge_clusters,
+    )
+
+    allr = _linked_customers(spark, sf_dir)
+    pairs = link_records(allr, "c_custkey", _LINK_FIELDS,
+                         block_on="c_nationkey", threshold=0.8)
+    clusters = link_clusters(allr, "c_custkey", pairs)
+    return merge_clusters(
+        allr, "c_custkey", clusters,
+        rules={"c_name": "latest", "c_acctbal": "max",
+               "c_mktsegment": "most_frequent"},
+        order_by="c_custkey")

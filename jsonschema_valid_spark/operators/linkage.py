@@ -202,6 +202,72 @@ def linkage_violations(df: DataFrame, column: str, check_id: str,
     )
 
 
+_MERGE_RULES = ("latest", "earliest", "most_frequent", "min", "max", "sum")
+
+
+def merge_clusters(
+    df: DataFrame,
+    key: str,
+    clusters: DataFrame,
+    rules: dict[str, str],
+    order_by: str | None = None,
+) -> DataFrame:
+    """Golden-record construction: collapse each entity cluster to ONE
+    canonical record by per-field survivorship rules — the step after
+    :func:`link_clusters` answers "which records are the same entity",
+    this answers "what does the merged entity look like".
+
+    ``rules`` maps column -> rule:
+
+    - ``latest`` / ``earliest``: the column value from the member with
+      the max/min ``order_by`` (ties broken by ``key``; members where
+      the column is NULL never win — survivorship wants the newest
+      NON-NULL value, not a newer NULL).
+    - ``most_frequent``: the modal value (NULLs excluded), ties broken
+      by the larger value — deterministic, unlike a bare ``mode()``.
+    - ``min`` / ``max`` / ``sum``: plain aggregates.
+
+    Output: one row per ``cluster_id`` with ``n_members`` and the merged
+    columns.  Scale contract: cluster assignment is one equi-join on
+    ``key``; all rules except ``most_frequent`` ride ONE
+    map-side-combined groupBy(cluster_id) — ``latest``/``earliest`` are
+    ``max_by``/``min_by`` over a NULL-guarded (order, key) struct, which
+    is a mergeable aggregate, not a window.  Each ``most_frequent``
+    column adds one (cluster_id, value) count pass joined back on
+    #clusters rows — documented extra shuffle, never a window over the
+    fact rows."""
+    for col, rule in rules.items():
+        if rule not in _MERGE_RULES:
+            raise ValueError(f"unknown merge rule {rule!r} for {col!r} "
+                             f"(choose from {_MERGE_RULES})")
+        if rule in ("latest", "earliest") and order_by is None:
+            raise ValueError(f"rule {rule!r} for {col!r} needs order_by")
+    joined = df.join(clusters.withColumnRenamed("id", key), on=key)
+    aggs = [F.count(F.lit(1)).alias("n_members")]
+    freq_cols = []
+    for col, rule in rules.items():
+        c = F.col(col)
+        if rule in ("min", "max", "sum"):
+            aggs.append(getattr(F, rule)(c).alias(col))
+        elif rule in ("latest", "earliest"):
+            ord_key = F.when(
+                c.isNotNull(), F.struct(F.col(order_by), F.col(key)))
+            fn = F.max_by if rule == "latest" else F.min_by
+            aggs.append(fn(c, ord_key).alias(col))
+        else:
+            freq_cols.append(col)
+    out = joined.groupBy("cluster_id").agg(*aggs)
+    for col in freq_cols:
+        cnt = (joined.where(F.col(col).isNotNull())
+               .groupBy("cluster_id", col)
+               .agg(F.count(F.lit(1)).alias("__c")))
+        top = cnt.groupBy("cluster_id").agg(
+            F.max_by(F.col(col), F.struct(F.col("__c"), F.col(col)))
+            .alias(col))
+        out = out.join(top, on="cluster_id", how="left")
+    return out
+
+
 def link_clusters(df: DataFrame, key: str, pairs: DataFrame) -> DataFrame:
     """Entity assignment ``(id, cluster_id)`` for EVERY input record:
     matched components collapse to their minimum key (the same survivor

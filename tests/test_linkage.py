@@ -196,3 +196,77 @@ def test_keyword_spec_validation(spark):
         with _pt.raises(SuiteError):
             validate_suite_spec({"properties": {"name": {
                 "x-linkage": bad}}})
+
+
+def _merge_fixture(spark):
+    # two clusters: {1,2,3} and {10}; member 3 has a NULL email (a
+    # newer NULL must not beat an older non-null under "latest")
+    rows = [
+        (1, 100, "a@x", "gold", 5.0),
+        (2, 200, "b@x", "gold", 7.0),
+        (3, 300, None, "silver", 2.0),
+        (10, 150, "j@x", "bronze", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "id: long, seen: long, email: string, tier: string, "
+              "spend: double")
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10)], "id: long, cluster_id: long")
+    return df, clusters
+
+
+def test_merge_clusters_rules(spark):
+    from jsonschema_valid_spark.operators.linkage import merge_clusters
+
+    df, clusters = _merge_fixture(spark)
+    g = merge_clusters(
+        df, "id", clusters,
+        rules={"email": "latest", "tier": "most_frequent",
+               "spend": "sum", "seen": "max"},
+        order_by="seen")
+    got = {r.cluster_id: r for r in g.collect()}
+    assert set(got) == {1, 10}
+    m = got[1]
+    assert m.n_members == 3
+    # latest NON-NULL email: member 3 (seen=300) is NULL, so member 2 wins
+    assert m.email == "b@x"
+    assert m.tier == "gold"          # modal value (2 gold vs 1 silver)
+    assert m.spend == pytest.approx(14.0)
+    assert m.seen == 300
+    s = got[10]
+    assert (s.n_members, s.email, s.tier, s.spend) == (1, "j@x", "bronze", 9.0)
+
+
+def test_merge_clusters_tie_and_earliest(spark):
+    from jsonschema_valid_spark.operators.linkage import merge_clusters
+
+    rows = [(1, 5, "b"), (2, 5, "a"), (3, 7, "a"), (4, 9, "b")]
+    df = spark.createDataFrame(rows, "id: long, seen: long, v: string")
+    clusters = spark.createDataFrame(
+        [(i, 1) for i in (1, 2, 3, 4)], "id: long, cluster_id: long")
+    g = merge_clusters(df, "id", clusters,
+                       rules={"v": "most_frequent"}).collect()[0]
+    # 2 a's vs 2 b's: deterministic tie-break by larger value
+    assert g.v == "b"
+    e = merge_clusters(df, "id", clusters, rules={"v": "earliest"},
+                       order_by="seen").collect()[0]
+    # seen=5 twice: key tie-break picks id=1's value
+    assert e.v == "b"
+
+
+def test_merge_clusters_validation_and_plan(spark):
+    from jsonschema_valid_spark.operators.linkage import merge_clusters
+
+    df, clusters = _merge_fixture(spark)
+    with pytest.raises(ValueError, match="unknown merge rule"):
+        merge_clusters(df, "id", clusters, rules={"email": "newest"})
+    with pytest.raises(ValueError, match="needs order_by"):
+        merge_clusters(df, "id", clusters, rules={"email": "latest"})
+    # no most_frequent: single aggregate after the assignment join —
+    # no window, no extra join
+    g = merge_clusters(df, "id", clusters,
+                       rules={"email": "latest", "spend": "sum"},
+                       order_by="seen")
+    plan = g._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("Join") == 1, plan
