@@ -5423,3 +5423,72 @@ def link_customer_golden(spark, sf_dir):
         rules={"c_name": "latest", "c_acctbal": "max",
                "c_mktsegment": "most_frequent"},
         order_by="c_custkey")
+
+
+def _benford_sql() -> str:
+    """Oracle for dist_benford_totalprice: baseline masses inlined from
+    the SAME benford_baseline() the engine uses; first digit extracted
+    with the SAME decimal-string regexp (no float transcendentals)."""
+    from jsonschema_valid_spark.operators.distribution import (
+        benford_baseline,
+    )
+
+    base_vals = ", ".join(f"({d}, {c}.0)"
+                          for d, c in sorted(benford_baseline().items()))
+    return f"""
+WITH obs AS (
+  SELECT try_cast(regexp_extract(
+           CAST(try_cast(abs(o_totalprice) AS DECIMAL(38,10)) AS VARCHAR),
+           '[1-9]', 0) AS BIGINT) AS bucket,
+         CAST(count(*) AS DOUBLE) AS c
+  FROM orders
+  WHERE try_cast(abs(o_totalprice) AS DECIMAL(38,10)) IS NOT NULL
+  GROUP BY 1
+),
+obs2 AS (SELECT bucket, c FROM obs WHERE bucket IS NOT NULL),
+base AS (SELECT * FROM (VALUES {base_vals}) AS t(bucket, c)),
+j AS (SELECT coalesce(obs2.bucket, base.bucket) AS bucket,
+             coalesce(obs2.c, 0) AS oc, coalesce(base.c, 0) AS bc
+      FROM obs2 FULL OUTER JOIN base ON obs2.bucket = base.bucket),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j),
+n AS (SELECT bucket, oc / so AS po, bc / sb AS pb FROM j CROSS JOIN t)
+SELECT 'properties/o_totalprice/x-distribution/psi' AS check_id,
+       (SELECT sum((po - pb) * ln((po + 1e-9) / (pb + 1e-9))) FROM n)
+           <= 0.05 AS passed,
+       round((SELECT sum((po - pb) * ln((po + 1e-9) / (pb + 1e-9)))
+              FROM n), 6) AS metric
+UNION ALL
+SELECT 'properties/o_totalprice/x-distribution/chi2',
+       (SELECT sum((po - pb) * (po - pb) / (pb + 1e-9)) FROM n) <= 0.05,
+       round((SELECT sum((po - pb) * (po - pb) / (pb + 1e-9)) FROM n), 6)
+"""
+
+
+@register_extended("dist_benford_totalprice", _benford_sql())
+def dist_benford_totalprice(spark, sf_dir):
+    """x-distribution family=benford: first-significant-digit
+    goodness-of-fit against Benford's law P(d) = log10(1 + 1/d) — the
+    data-forensics law that naturally-grown multiplicative quantities
+    follow and FABRICATED, truncated, or unit-capped data does not; the
+    classic generated-data/tampering detector, invisible to every range
+    and drift check (each value is individually valid). TPC-H
+    o_totalprice is range-capped by the generator, so the digit mix
+    decisively fails the law — a deterministic verdict fixture, like
+    dist_uniform_gate's broken gate. Execution: the digit is extracted
+    from the decimal(38,10) STRING rendering (first char in [1-9] —
+    pure string algebra, no log10/pow floats whose last-ulp libm
+    differences could bucket boundary values differently across
+    engines); zero/NULL/sub-scale values carry no digit and are
+    excluded; then the 9-bucket histogram rides the exact drift
+    machinery (one map-side-combined aggregate). EXTENDED mirror entry;
+    full value-hash oracle inlines the same benford_baseline() masses
+    and replays the same regexp extraction."""
+    from jsonschema_valid_spark import CheckSuite
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    suite = CheckSuite({"properties": {"o_totalprice": {"x-distribution": {
+        "family": "benford", "psiMax": 0.05, "chi2Max": 0.05}}}})
+    res = suite.run(orders, key="o_orderkey")
+    return res.verdicts.select(
+        "check_id", "passed",
+        F.round("metric_value", 6).alias("metric"))

@@ -1,6 +1,6 @@
 """Parametric distribution checks (``x-distribution``): goodness-of-fit
 of a numeric column against a CLOSED-FORM law — uniform / exponential /
-normal — with no trusted snapshot required.
+normal / benford — with no trusted snapshot required.
 
 The baseline-free sibling of ``x-drift``: drift compares against an
 OBSERVED baseline histogram (a trusted earlier load); this compares
@@ -72,6 +72,8 @@ def parametric_baseline(family: str, params: dict,
     :func:`~jsonschema_valid_spark.operators.drift.histogram` (bucket =
     floor(x / width)). Tail mass beyond the enumerated support folds into
     the edge buckets, so the masses always sum to ~_SCALE."""
+    if family == "benford":
+        return benford_baseline()
     w = float(bucket_width)
     if w <= 0:
         raise ValueError(f"bucketWidth must be > 0, got {bucket_width}")
@@ -91,7 +93,7 @@ def parametric_baseline(family: str, params: dict,
         cdf, lo, hi = _normal_cdf(float(params["mean"]), std)
     else:
         raise ValueError(f"unknown family {family!r} "
-                         "(uniform | exponential | normal)")
+                         "(uniform | exponential | normal | benford)")
 
     b_lo = math.floor(lo / w)
     b_hi = math.floor(hi / w)
@@ -114,6 +116,48 @@ def parametric_baseline(family: str, params: dict,
     return out
 
 
+def benford_baseline() -> dict[int, int]:
+    """Benford's law as an integer pseudo-count histogram over buckets
+    1..9: P(first significant digit = d) = log10(1 + 1/d).  The
+    data-forensics law: naturally-grown multiplicative quantities
+    (transaction amounts, populations, file sizes) follow it, while
+    fabricated, truncated, or unit-capped data does not — a
+    goodness-of-fit check against it is the classic generated-data /
+    tampering detector that no range or drift check can express."""
+    return {d: int(round(math.log10(1.0 + 1.0 / d) * _SCALE))
+            for d in range(1, 10)}
+
+
+def first_digit_histogram(df: DataFrame, column: str) -> DataFrame:
+    """``(bucket, count)`` over the FIRST SIGNIFICANT DIGIT (1..9) of
+    ``|column|``.  The digit is extracted from the decimal(38,10) string
+    rendering (first char in [1-9]) — pure string algebra, no
+    ``log10``/``pow`` floats whose last-ulp libm differences could
+    bucket boundary values differently across engines; the oracle
+    replays it with the same regexp.  Zero, NULL, |x| < 1e-10, and
+    values beyond decimal(38,10) (try_cast NULL) carry no first digit
+    and are excluded.  Same one-shuffle #buckets-row plan as
+    :func:`~jsonschema_valid_spark.operators.drift.histogram`."""
+    from pyspark.sql import functions as F
+
+    return (df.select(first_digit_expr(column).alias("bucket"))
+            .where(F.col("bucket").isNotNull())
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias("count")))
+
+
+def first_digit_expr(column: str):
+    """First-significant-digit Column (long 1..9, NULL when undefined) —
+    the cross-engine-exact string extraction shared by the batch
+    histogram and the streaming ingestion projection."""
+    from pyspark.sql import functions as F
+
+    return F.expr(
+        "try_cast(regexp_extract("
+        f"cast(try_cast(abs(`{column}`) as decimal(38,10)) as string), "
+        "'[1-9]', 0) as long)")
+
+
 def distribution_verdict_dfs(df: DataFrame, column: str, check_id: str,
                              params: dict, spark) -> list[DataFrame]:
     """x-distribution → verdict DFs: synthesize the law's baseline
@@ -125,9 +169,14 @@ def distribution_verdict_dfs(df: DataFrame, column: str, check_id: str,
         histogram,
     )
 
-    width = float(params.get("bucketWidth", 1.0))
-    baseline = parametric_baseline(params["family"],
-                                   params.get("params", params), width)
-    hist = histogram(df, column, width)
+    if params["family"] == "benford":
+        baseline = benford_baseline()
+        hist = first_digit_histogram(df, column)
+        width = 1.0
+    else:
+        width = float(params.get("bucketWidth", 1.0))
+        baseline = parametric_baseline(params["family"],
+                                       params.get("params", params), width)
+        hist = histogram(df, column, width)
     return _stat_verdict_dfs(hist, baseline, check_id, params, spark,
                              width=width)

@@ -540,6 +540,7 @@ def stream_distribution_verdicts(
     inter-arrival check: a sampler that breaks at 14:00 is named by the
     14:00 window, not diluted into the day's mixture."""
     from jsonschema_valid_spark.operators.distribution import (
+        first_digit_expr,
         parametric_baseline,
     )
 
@@ -547,6 +548,14 @@ def stream_distribution_verdicts(
         raise ValueError("stream_distribution_verdicts needs at least one "
                          "of psi_max/ks_max/chi2_max")
     baseline = parametric_baseline(family, params, float(bucket_width))
+    if family == "benford":
+        # the observed side buckets by FIRST SIGNIFICANT DIGIT — a pure
+        # ingestion projection (same cross-engine-exact string
+        # extraction as batch), then the digit IS the unit-width bucket
+        digit = first_digit_expr(column)
+        sdf = (sdf.withColumn("__benford_digit", digit)
+               .where(F.col("__benford_digit").isNotNull()))
+        column, bucket_width = "__benford_digit", 1.0
     return stream_windowed_drift(
         sdf, column, ts_col, baseline=baseline,
         bucket_width=float(bucket_width), psi_max=psi_max, ks_max=ks_max,

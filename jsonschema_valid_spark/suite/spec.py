@@ -278,7 +278,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             fam = v.get("family") if isinstance(v, dict) else None
             fam_req = {"uniform": ("min", "max"),
                        "exponential": ("rate",),
-                       "normal": ("mean", "std")}
+                       "normal": ("mean", "std"),
+                       "benford": ()}
             stat_keys = {"psiMax", "ksMax", "chi2Max", "emdMax",
                          "klMax", "jsdMax"}
             ok = (isinstance(v, dict)
@@ -287,14 +288,17 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                   and any(kk in v for kk in stat_keys)
                   and all(_dnum(v[kk]) for kk in stat_keys if kk in v)
                   and ("bucketWidth" not in v
-                       or (_dnum(v["bucketWidth"]) and v["bucketWidth"] > 0))
+                       or (fam != "benford"
+                           and _dnum(v["bucketWidth"])
+                           and v["bucketWidth"] > 0))
                   and ("shift" not in v or _dnum(v["shift"])))
             if not ok:
                 raise _err(p, "x-distribution must be {'family': 'uniform'"
                               " (min, max) | 'exponential' (rate, shift?) |"
-                              " 'normal' (mean, std), 'bucketWidth'?: n>0, "
-                              "and at least one of psiMax/ksMax/chi2Max/"
-                              "emdMax/klMax/jsdMax}")
+                              " 'normal' (mean, std) | 'benford' (first "
+                              "significant digit; no bucketWidth), "
+                              "'bucketWidth'?: n>0, and at least one of "
+                              "psiMax/ksMax/chi2Max/emdMax/klMax/jsdMax}")
         elif kw == "x-rowExpr":
             if not isinstance(v, str):
                 raise _err(p, "x-rowExpr must be a SQL boolean expression string")

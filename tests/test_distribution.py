@@ -120,3 +120,76 @@ def test_spec_validation_rejects(bad):
 def test_spec_and_metaschema_accept(spark):
     validate_suite_spec(_SPEC)
     assert validate_suite_with_engine(spark, _SPEC).ok()
+
+
+def test_benford_baseline_masses():
+    b = parametric_baseline("benford", {}, 1.0)
+    assert set(b) == set(range(1, 10))
+    assert abs(sum(b.values()) - SCALE) <= len(b)
+    assert b[1] == pytest.approx(SCALE * math.log10(2), abs=2)
+    assert b[9] == pytest.approx(SCALE * math.log10(10 / 9), abs=2)
+    assert b[1] > b[2] > b[3] > b[9]  # strictly decreasing
+
+
+def test_first_digit_extraction_edges(spark):
+    from jsonschema_valid_spark.operators.distribution import (
+        first_digit_histogram,
+    )
+
+    rows = [(1, 123.45), (2, -0.00456), (3, 9000.0), (4, 0.0),
+            (5, None), (6, 1e-12),      # below decimal(38,10) scale
+            (7, 7.0), (8, 0.1)]
+    df = spark.createDataFrame(rows, "id: long, v: double")
+    got = {r.bucket: r["count"]
+           for r in first_digit_histogram(df, "v").collect()}
+    # 123.45->1, -0.00456->4, 9000->9, 7->7, 0.1->1; zero/NULL/1e-12 excluded
+    assert got == {1: 2, 4: 1, 9: 1, 7: 1}
+
+
+def _benford_df(spark, fabricated=False):
+    """Multiplicative growth (exp of uniform log) is Benford by
+    construction; the fabricated variant is uniform on [10, 100) —
+    every first digit equally likely, the classic made-up-numbers
+    tell."""
+    u = ((F.col("id") * 2654435761) % 100000) / 100000.0
+    if fabricated:
+        v = 10.0 + u * 90.0
+    else:
+        v = F.pow(F.lit(10.0), u * 6.0)  # log-uniform over 6 decades
+    return spark.range(20000).select(
+        F.col("id").alias("doc_id"), v.cast("double").alias("amount"))
+
+
+_BENFORD_SPEC = {"properties": {"amount": {"x-distribution": {
+    "family": "benford", "psiMax": 0.05, "chi2Max": 0.05}}}}
+
+
+def test_benford_fit_passes_and_fabrication_trips(spark):
+    assert CheckSuite(_BENFORD_SPEC).run(
+        _benford_df(spark), key="doc_id").ok() is True
+    res = CheckSuite(_BENFORD_SPEC).run(
+        _benford_df(spark, fabricated=True), key="doc_id")
+    got = {r["check_id"].rsplit("/", 1)[1]: r["passed"]
+           for r in res.verdicts.collect()}
+    assert got == {"psi": False, "chi2": False}
+
+
+def test_benford_both_paths_agree(spark):
+    df = _benford_df(spark, fabricated=True)
+    lazy = CheckSuite(_BENFORD_SPEC).run(df, key="doc_id")
+    summ = run_suite_summarized(CheckSuite(_BENFORD_SPEC), df,
+                                key="doc_id")
+    cols = ["partition_id", "check_id", "passed", "metric_value",
+            "threshold"]
+    a = sorted(map(tuple, lazy.verdicts.select(*cols).collect()))
+    b = sorted(map(tuple, summ.verdicts.select(*cols).collect()))
+    assert a == b and len(a) == 2
+
+
+def test_benford_spec_rules(spark):
+    validate_suite_spec(_BENFORD_SPEC)
+    assert validate_suite_with_engine(spark, _BENFORD_SPEC).ok()
+    with pytest.raises(SuiteError):
+        # bucketWidth is meaningless for a digit histogram
+        validate_suite_spec({"properties": {"amount": {"x-distribution": {
+            "family": "benford", "psiMax": 0.05, "bucketWidth": 1.0}}}})

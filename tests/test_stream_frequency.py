@@ -203,3 +203,43 @@ def test_stream_drift_edges_mode(spark, tmp_path):
     with _pt.raises(ValueError):
         stream_windowed_drift(sdf, "v", "ts", baseline={0: 1},
                               edges=[1.0], emd_max=0.1, psi_max=0.1)
+
+
+def test_stream_benford_windows(spark, tmp_path):
+    """Streaming x-distribution benford: the log-uniform window passes,
+    the uniform-[10,100) (fabricated-numbers) window trips — digit
+    bucketing happens at ingestion as a pure projection."""
+    from jsonschema_valid_spark.streaming.checks import (
+        stream_distribution_verdicts,
+    )
+
+    def _write_dbl(rows):
+        df = spark.createDataFrame(rows, "v: double, ts_s: string") \
+            .select("v", F.to_timestamp("ts_s").alias("ts"))
+        df.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+
+    path = str(tmp_path / "benford_in")
+    natural = [(10.0 ** (((i * 2654435761) % 100000) / 100000.0 * 6.0),
+                "2024-01-01 00:20:00") for i in range(2000)]
+    fabricated = [(10.0 + ((i * 2654435761) % 100000) / 100000.0 * 90.0,
+                   "2024-01-01 01:20:00") for i in range(2000)]
+    _write_dbl(natural)
+    _write_dbl(fabricated)
+    _write_dbl([(1.0, "2024-01-01 09:00:00")])
+
+    sdf = (spark.readStream.schema("v double, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = stream_distribution_verdicts(
+        sdf, "v", "ts", family="benford", params={},
+        psi_max=0.05, chi2_max=0.05,
+        window_duration="1 hour", watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("benford_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(str(r["window_start"]), r["check_id"]): r["passed"]
+           for r in spark.sql("select * from benford_sink").collect()}
+    w0 = [v for (ws, _), v in got.items() if ws == "2024-01-01 00:00:00"]
+    w1 = [v for (ws, _), v in got.items() if ws == "2024-01-01 01:00:00"]
+    assert w0 and all(w0), f"natural window tripped: {got}"
+    assert w1 and not any(w1), f"fabricated window passed: {got}"
