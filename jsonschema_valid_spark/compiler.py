@@ -1190,6 +1190,12 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # is invisible to all of them
         plan.dataset_checks.append(
             DatasetCheck(cid, "correlation", colname, dict(v)))
+    elif kw == "x-distinctRatio":
+        # dataset scope: distinct/count rate bounds — the SOFT form of
+        # x-unique exactly as x-nullRate is the soft form of required
+        # (fan-out-join multiplication, id-collapse, broken sessionizer)
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "distinct_ratio", colname, dict(v)))
     elif kw == "x-trend":
         # dataset scope: a bound on the OLS SLOPE of the column vs an
         # ordering — the directional/rate complement of x-correlation

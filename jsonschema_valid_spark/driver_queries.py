@@ -5492,3 +5492,96 @@ def dist_benford_totalprice(spark, sf_dir):
     return res.verdicts.select(
         "check_id", "passed",
         F.round("metric_value", 6).alias("metric"))
+
+
+_DRATIO_SQL = """
+WITH g AS (
+  SELECT l_suppkey,
+         count(DISTINCT l_orderkey) AS d,
+         count(l_orderkey) AS n
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(l_suppkey AS VARCHAR) AS doc_id,
+       'properties/l_orderkey/x-distinctRatio' AS check_id,
+       'ratio=' || CAST(CAST(round(CAST(d AS DOUBLE) / n, 6)
+                             AS DECIMAL(10,6)) AS VARCHAR)
+         || ',distinct=' || CAST(d AS VARCHAR)
+         || ',n=' || CAST(n AS VARCHAR) AS observed
+FROM g
+WHERE n >= 5 AND CAST(d AS DOUBLE) / n < 0.98
+"""
+
+
+@register_extended("engine_distinct_ratio_violations", _DRATIO_SQL)
+def engine_distinct_ratio_violations(spark, sf_dir):
+    """x-distinctRatio as a DECLARATIVE suite keyword: per supplier, the
+    orders it appears in must be (nearly) distinct across its lineitems
+    — the SOFT form of x-unique exactly as x-nullRate is the soft form
+    of required: x-unique names every duplicate and fails on one;
+    this bounds the RATE (a fan-out join multiplying rows, an id column
+    collapsing to a handful of values, a sessionizer emitting
+    all-distinct labels are rate failures, not single-row ones).
+    Suppliers serving the same order twice push their distinct/count
+    ratio under 0.98 (a real property of the TPC-H generator — many
+    suppliers repeat an order across lineitems). Plan
+    (operators/cardinality.py distinct_ratio_violations): ONE aggregate
+    (exact count_distinct rides Spark's Expand rewrite, map-side
+    combined; approx=True swaps in HLL for 10^12-row domains) +
+    residual filter — #groups rows shuffled, no join/window. The ratio
+    is a single IEEE division: bit-identical across engines;
+    decimal(10,6) witnesses. minCount=5 suppresses thin groups.
+    EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    suite = CheckSuite({"properties": {"l_orderkey": {"x-distinctRatio": {
+        "min": 0.98, "by": "l_suppkey", "minCount": 5}}}})
+    res = suite.run(li, key="l_orderkey")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_SIG_SQL = """
+WITH m AS (
+  SELECT CASE c_custkey % 3
+           WHEN 0 THEN CAST(c_acctbal AS VARCHAR)
+           WHEN 1 THEN c_name
+           ELSE upper(c_mktsegment) END AS v
+  FROM customer
+),
+s AS (
+  SELECT regexp_replace(regexp_replace(regexp_replace(
+           regexp_replace(regexp_replace(regexp_replace(
+             v, '[A-Z]', 'A', 'g'), '[a-z]', 'a', 'g'), '[0-9]', '9', 'g'),
+           'A+', 'A', 'g'), 'a+', 'a', 'g'), '9+', '9', 'g') AS signature
+  FROM m WHERE v IS NOT NULL
+)
+SELECT signature, count(*) AS cnt FROM s GROUP BY signature
+"""
+
+
+@register_extended("profile_string_patterns", _SIG_SQL)
+def profile_string_patterns(spark, sf_dir):
+    """String-format profiling (operators/profile.py string_signatures):
+    the character-class TEMPLATE histogram of a string column —
+    uppercase runs -> A, lowercase -> a, digits -> 9, punctuation kept,
+    repeat runs collapsed, so "25-989-741-2988" and "1-23-4-5" share
+    the template 9-9-9-9 (format identity, not length identity) — the
+    Deequ-style bootstrap for the `pattern` keyword
+    (suggest_string_pattern converts the dominant templates into an
+    anchored alternation regex the engine's rlike can run). The fixture
+    mixes real formats deterministically (custkey%3: rendered balance /
+    Customer#id name / upper-cased segment), so the histogram must
+    recover exactly the three templates with exact counts. Plan: one
+    pure projection (three chained regexp_replace, JVM codegen, no UDF)
+    + one map-side-combined aggregate; #signatures rows. EXTENDED
+    mirror entry; full value-hash oracle replays the replace chain with
+    'g' flags."""
+    from jsonschema_valid_spark.operators.profile import string_signatures
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    mixed = cust.select(
+        F.when(F.col("c_custkey") % 3 == 0,
+                F.col("c_acctbal").cast("string"))
+        .when(F.col("c_custkey") % 3 == 1, F.col("c_name"))
+        .otherwise(F.upper(F.col("c_mktsegment"))).alias("v"))
+    return string_signatures(mixed, "v", collapse=True)

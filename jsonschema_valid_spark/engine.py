@@ -511,6 +511,23 @@ def _correlation_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _distinct_ratio_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-distinctRatio execution for both run paths."""
+    from jsonschema_valid_spark.operators.cardinality import (
+        distinct_ratio_violations,
+    )
+
+    mn, mx = dc.params.get("min"), dc.params.get("max")
+    return distinct_ratio_violations(
+        df, dc.column, dc.check_id,
+        min_ratio=None if mn is None else float(mn),
+        max_ratio=None if mx is None else float(mx),
+        by=dc.params.get("by"),
+        approx=bool(dc.params.get("approx", False)),
+        min_count=int(dc.params.get("minCount", 1)),
+    )
+
+
 def _trend_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-trend execution for both run paths."""
     from jsonschema_valid_spark.operators.trend import trend_violations
@@ -846,6 +863,8 @@ def run_suite_summarized(
             vdf = _correlation_violations(dc, df)
         elif dc.kind == "trend":
             vdf = _trend_violations(dc, df)
+        elif dc.kind == "distinct_ratio":
+            vdf = _distinct_ratio_violations(dc, df)
         elif dc.kind == "level_shift":
             vdf = _level_shift_violations(dc, df, key)
         elif dc.kind == "entropy":
@@ -1324,6 +1343,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("ncr") == 0).alias("passed"),
                     F.col("ncr").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "distinct_ratio":
+            drv = _distinct_ratio_violations(dc, df)
+            violation_dfs.append(_with_ipath(drv))
+            verdict_dfs.append(
+                drv.agg(F.count(F.lit(1)).alias("ndr")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("ndr") == 0).alias("passed"),
+                    F.col("ndr").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

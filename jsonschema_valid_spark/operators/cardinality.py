@@ -104,3 +104,70 @@ def _row_count_agg(df, column, check_id, min_count, max_count, scope,
             F.lit(" and ".join(exp_parts) + scope_msg).alias("expected"),
         )
     )
+
+
+def distinct_ratio_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    min_ratio: float | None = None,
+    max_ratio: float | None = None,
+    by: str | None = None,
+    approx: bool = False,
+    min_count: int = 1,
+) -> DataFrame:
+    """``x-distinctRatio`` execution: distinct(``column``) / count(rows
+    where ``column`` is non-NULL) outside [min_ratio, max_ratio], per
+    ``by``-group or globally — the SOFT form of ``x-unique``, exactly as
+    ``x-nullRate`` is the soft form of ``required``.  x-unique names
+    every duplicate row (and fails on ONE dup); this bounds the RATE:
+    "user_id may repeat, but a fan-out join that multiplies rows 40×
+    must trip" (min), or "an id column that suddenly collapses to a
+    handful of values must trip" (also min); max catches the inverse
+    ("session_label should repeat — all-distinct means the sessionizer
+    broke").
+
+    ``approx=True`` swaps exact count(distinct) for
+    approx_count_distinct (HLL, ~2% relative error) — the 10^12-row
+    mode when the engine-standard exact-distinct Expand is too heavy
+    and the declared bounds have headroom beyond the sketch error.
+    Groups with fewer than ``min_count`` non-NULL rows are suppressed
+    (the x-correlation contract).  observed renders the ratio as
+    decimal(10,6) — exact mode is a single IEEE division, bit-identical
+    across engines."""
+    if min_ratio is None and max_ratio is None:
+        raise ValueError("x-distinctRatio needs min and/or max")
+    c = F.col(column)
+    d = (F.approx_count_distinct(c) if approx
+         else F.count_distinct(c))
+    aggs = [d.alias("__d"), F.count(c).alias("__n")]
+    if by is not None:
+        g = df.groupBy(F.col(by)).agg(*aggs)
+        doc = F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
+    else:
+        g = df.agg(*aggs)
+        doc = F.lit("<global>")
+    ratio = F.col("__d") / F.col("__n")
+    bad = F.lit(False)
+    if min_ratio is not None:
+        bad = bad | (ratio < F.lit(float(min_ratio)))
+    if max_ratio is not None:
+        bad = bad | (ratio > F.lit(float(max_ratio)))
+    bad = bad & (F.col("__n") >= F.lit(int(min_count)))
+    lo = "0" if min_ratio is None else f"{float(min_ratio):g}"
+    hi = "1" if max_ratio is None else f"{float(max_ratio):g}"
+    scope = f" per {by}" if by else ""
+    kind = "approx " if approx else ""
+    exp_msg = (f"{kind}distinct({column})/count in [{lo}, {hi}]{scope} "
+               f"(min_count={min_count})")
+    return g.where(bad).select(
+        doc.alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(
+            F.lit("ratio="),
+            F.round(ratio, 6).cast("decimal(10,6)").cast("string"),
+            F.lit(",distinct="), F.col("__d").cast("string"),
+            F.lit(",n="), F.col("__n").cast("string"),
+        ).alias("observed"),
+        F.lit(exp_msg).alias("expected"),
+    )

@@ -513,3 +513,82 @@ def profile_diff(
                  F.explode(F.array_compact(F.array(*aspects))).alias("a"))
         .select("col_name", "a.aspect", "a.cur_v", "a.ref_v")
     )
+
+
+def string_signatures(df: DataFrame, column: str,
+                      collapse: bool = True) -> DataFrame:
+    """``(signature, cnt)``: the character-class TEMPLATE histogram of a
+    string column — uppercase runs → ``A``, lowercase → ``a``, digits →
+    ``9``, everything else kept literally (Deequ/Great-Expectations-
+    style format profiling).  ``collapse=True`` squeezes repeat runs to
+    one symbol, so "25-989-741-2988" and "1-23-4-5" share the signature
+    ``9-9-9-9``: format identity, not length identity.
+
+    One map-side-combined aggregate over a pure projection (three
+    chained ``regexp_replace`` — JVM codegen, no UDF); the result is
+    #signatures rows.  NULLs carry no signature and are excluded.
+    Replayable verbatim in DuckDB (``regexp_replace(..., 'g')``)."""
+    sig = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col(column), "[A-Z]", "A"),
+            "[a-z]", "a"),
+        "[0-9]", "9")
+    if collapse:
+        sig = F.regexp_replace(
+            F.regexp_replace(
+                F.regexp_replace(sig, "A+", "A"), "a+", "a"), "9+", "9")
+    return (df.where(F.col(column).isNotNull())
+            .groupBy(sig.alias("signature"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def suggest_string_pattern(df: DataFrame, column: str,
+                           min_coverage: float = 0.95,
+                           max_signatures: int = 100) -> str | None:
+    """Suggest an anchored regex for ``column`` from its collapsed
+    signature histogram, or None when the column has no dominant
+    format.  Signatures are taken greedily by frequency until they
+    cover ``min_coverage`` of non-NULL rows; each becomes an alternation
+    branch (``A``→``[A-Z]+``, ``a``→``[a-z]+``, ``9``→``[0-9]+``, other
+    chars escaped).  Collapse→quantifier generalization only WIDENS, so
+    the signature coverage is a lower bound on the pattern's true
+    coverage.  Bounded: only the top ``max_signatures`` histogram rows
+    (TakeOrderedAndProject) ever reach the driver — a column with more
+    formats than that has no suggestable pattern and returns None.
+    The result is plain character-class regex, valid in both Java
+    (``pattern`` keyword rlike) and DuckDB."""
+    _META = set(".^$*+?()[]{}|\\")
+
+    rows = (string_signatures(df, column, collapse=True)
+            .orderBy(F.col("cnt").desc(), F.col("signature"))
+            .limit(int(max_signatures)).collect())
+    total_row = (df.where(F.col(column).isNotNull())
+                 .agg(F.count(F.lit(1)).alias("n")).collect()[0])
+    total = total_row["n"]
+    if total == 0 or not rows:
+        return None
+    kept, covered = [], 0
+    for r in rows:
+        kept.append(r["signature"])
+        covered += r["cnt"]
+        if covered / total >= float(min_coverage):
+            break
+    if covered / total < float(min_coverage):
+        return None
+
+    def _branch(sig: str) -> str:
+        out = []
+        for ch in sig:
+            if ch == "A":
+                out.append("[A-Z]+")
+            elif ch == "a":
+                out.append("[a-z]+")
+            elif ch == "9":
+                out.append("[0-9]+")
+            elif ch in _META:
+                out.append("\\" + ch)
+            else:
+                out.append(ch)
+        return "".join(out)
+
+    return "^(?:" + "|".join(_branch(s) for s in sorted(kept)) + ")$"

@@ -349,6 +349,10 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"enum": ["min", "max"]}},
             ]},
         }}),
+        _kw("x-distinctRatio", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"enum": ["min", "max"]}},
+        }}),
         _kw("x-trend", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"allOf": [

@@ -97,6 +97,7 @@ DATASET_KEYWORDS = frozenset(
         "x-eventOrder",     # first(A) must precede first(B) per group (causality)
         "x-correlation",    # Pearson r between two columns within bounds per group
         "x-trend",          # OLS slope of value vs an ordering within bounds per group
+        "x-distinctRatio",  # distinct/count rate bounds (soft x-unique, like x-nullRate vs required)
         "x-levelShift",     # peak rolling-mean jump per group within a bound
         "x-entropy",        # Shannon-entropy bounds (collapse/uniformity guard)
         "x-outlier",        # per-group z-score envelope (data-aware min/max lift)

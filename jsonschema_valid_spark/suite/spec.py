@@ -487,6 +487,24 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-correlation must be {'with': col, "
                               "'min'|'max': number in [-1, 1], "
                               "'by'?: col, 'minCount'?: int>=3}")
+        elif kw == "x-distinctRatio":
+            def _ratio_num(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and 0.0 <= x <= 1.0)
+            ok = (isinstance(v, dict)
+                  and ("min" in v or "max" in v)
+                  and ("min" not in v or _ratio_num(v["min"]))
+                  and ("max" not in v or _ratio_num(v["max"]))
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and isinstance(v.get("approx", False), bool)
+                  and ("minCount" not in v
+                       or (isinstance(v["minCount"], int)
+                           and not isinstance(v["minCount"], bool)
+                           and v["minCount"] >= 1)))
+            if not ok:
+                raise _err(p, "x-distinctRatio must be {'min'|'max': "
+                              "number in [0, 1], 'by'?: col, 'approx'?: "
+                              "bool, 'minCount'?: int>=1}")
         elif kw == "x-trend":
             def _slope_num(x):
                 return (isinstance(x, (int, float))

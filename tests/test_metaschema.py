@@ -115,6 +115,8 @@ INVALID_SUITES = [
         "with": "y"}}}}),
     ("x-trend-no-orderby", {"properties": {"x": {"x-trend": {
         "max": 1.0}}}}),
+    ("x-distinctRatio-no-bound", {"properties": {"x": {"x-distinctRatio": {
+        "by": "g"}}}}),
     ("x-trend-no-bound", {"properties": {"x": {"x-trend": {
         "orderBy": "m"}}}}),
     ("x-eventOrder-no-by", {"properties": {"x": {"x-eventOrder": {

@@ -348,3 +348,66 @@ def test_suggest_frequency_cap_closes_loop(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         suggest_frequency_cap(uniq, "v", headroom=1.0)
+
+
+def test_string_signatures_and_collapse(spark):
+    from jsonschema_valid_spark.operators.profile import string_signatures
+
+    df = spark.createDataFrame(
+        [(1, "25-989-741-2988"), (2, "1-23-4-5"), (3, "Customer#001"),
+         (4, "FURNITURE"), (5, None)], "id: long, v: string")
+    got = {r.signature: r.cnt
+           for r in string_signatures(df, "v").collect()}
+    # collapse: both phone shapes share one template; NULL excluded
+    assert got == {"9-9-9-9": 2, "Aa#9": 1, "A": 1}
+    raw = {r.signature: r.cnt
+           for r in string_signatures(df, "v", collapse=False).collect()}
+    assert raw["99-999-999-9999"] == 1 and raw["9-99-9-9"] == 1
+
+
+def test_suggest_string_pattern_coverage_and_refusal(spark):
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_string_pattern,
+    )
+
+    rows = [(i, f"{i % 90 + 10}-{i}-{i * 7}") for i in range(95)]
+    rows += [(100 + i, f"ID#{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "id: long, v: string")
+    # 95% phone-ish: the dominant format alone satisfies the bar
+    pat = suggest_string_pattern(df, "v", min_coverage=0.9)
+    assert pat == "^(?:[0-9]+-[0-9]+-[0-9]+)$"
+    # the pattern actually validates the dominant slice (and the
+    # quantifier widening never drops a covered row)
+    n = df.where(F.col("v").rlike(pat)).count()
+    assert n == 95
+    # demanding full coverage pulls in the second format
+    pat2 = suggest_string_pattern(df, "v", min_coverage=1.0)
+    assert pat2 is not None and "#" in pat2
+    assert df.where(F.col("v").rlike(pat2)).count() == 100
+    # too many formats within the collection bound: refuse
+    wide = spark.createDataFrame(
+        [(i, "x" * (i % 7) + "-" * (i % 5) + "#" * (i % 3))
+         for i in range(200)], "id: long, v: string")
+    assert suggest_string_pattern(wide, "v", min_coverage=0.99,
+                                  max_signatures=3) is None
+    empty = spark.createDataFrame([(1, None)], "id: long, v: string")
+    assert suggest_string_pattern(empty, "v") is None
+
+
+def test_suggested_pattern_feeds_the_pattern_keyword(spark):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_string_pattern,
+    )
+
+    df = spark.createDataFrame(
+        [(i, f"{10 + i % 80}-{i}") for i in range(50)],
+        "doc_id: long, code: string")
+    pat = suggest_string_pattern(df, "code", min_coverage=0.95)
+    res = CheckSuite({"properties": {"code": {
+        "pattern": pat}}}).run(df, key="doc_id")
+    assert res.ok()
+    bad = df.union(spark.createDataFrame([(999, "BROKEN FORMAT")],
+                                         df.schema))
+    assert not CheckSuite({"properties": {"code": {
+        "pattern": pat}}}).run(bad, key="doc_id").ok()
