@@ -216,6 +216,9 @@ class RunSummary:
     # (partition_id, check_id, value, stat) rows flagged 'anomaly' when the
     # run was given a MetricsHistory — empty otherwise
     anomalies: list[tuple] = field(default_factory=list)
+    # partitions whose lineage said "done" but whose content fingerprint
+    # no longer matched — revalidated this run (verify_content=True only)
+    invalidated: list[str] = field(default_factory=list)
 
 
 class CheckpointRunner:
@@ -259,6 +262,55 @@ class CheckpointRunner:
             return spark.read.parquet(self.lineage_path)
         except AnalysisException:
             return spark.createDataFrame([], LINEAGE_SCHEMA)
+
+    # -- content fingerprints (verify_content) -------------------------
+
+    def _content_fingerprints(self, df: DataFrame,
+                              partition_by: str) -> dict[str, str]:
+        """Per-partition ``"<rows>:<fingerprint-sum>"`` over ALL columns
+        (sorted for determinism) — ONE map-side-combined aggregate, the
+        reconcile-summary shape: #partitions rows reach the driver, row
+        data never shuffles. Order-insensitive (sum) and NULL-safe."""
+        from jsonschema_valid_spark.operators.reconcile import (
+            row_fingerprint,
+        )
+
+        cols = sorted(df.columns)
+        part = F.coalesce(F.col(partition_by).cast("string"),
+                          F.lit(_NULL_PARTITION))
+        agg = (df.groupBy(part.alias("__p"))
+               .agg(F.count(F.lit(1)).alias("n"),
+                    F.coalesce(
+                        F.sum(row_fingerprint(cols).cast("decimal(38,0)")),
+                        F.lit(0).cast("decimal(38,0)")).alias("s")))
+        return {r["__p"]: f'{r["n"]}:{r["s"]}' for r in agg.collect()}
+
+    def _recorded_fingerprints(self, spark: SparkSession) -> dict[str, str]:
+        """Latest recorded fingerprint per partition for THIS suite_hash
+        (append-only sidecar; seq breaks ties). Partitions validated
+        before verify_content existed have no row here and keep the
+        plain lineage skip — backward compatible."""
+        try:
+            rows = (spark.read.parquet(f"{self.base}/fingerprints")
+                    .where(F.col("suite_hash") == self.suite.suite_hash)
+                    .collect())
+        except AnalysisException:
+            return {}
+        latest: dict[str, tuple] = {}
+        for r in rows:
+            cur = latest.get(r["partition_id"])
+            if cur is None or r["seq"] > cur[0]:
+                latest[r["partition_id"]] = (r["seq"], r["fingerprint"])
+        return {p: fp for p, (_, fp) in latest.items()}
+
+    def _append_fingerprint(self, spark: SparkSession, partition: str,
+                            fingerprint: str) -> None:
+        spark.createDataFrame(
+            [(partition, self.suite.suite_hash, fingerprint,
+              time.time_ns())],
+            "partition_id string, suite_hash string, fingerprint string, "
+            "seq long",
+        ).write.mode("append").parquet(f"{self.base}/fingerprints")
 
     def _append_lineage(self, spark: SparkSession, row: tuple) -> None:
         spark.createDataFrame([row], LINEAGE_SCHEMA).write.mode("append").parquet(
@@ -313,6 +365,7 @@ class CheckpointRunner:
         metrics_history=None,
         run_seq: int | None = None,
         exemplars_k: int | None = None,
+        verify_content: bool = False,
     ) -> RunSummary:
         """Validate ``df`` partition-by-partition, skipping completed ones.
 
@@ -328,6 +381,16 @@ class CheckpointRunner:
         recorded after completion and ``summary.anomalies`` carries the
         zscore flags of THIS run vs the recorded history (run-over-run
         drift the absolute thresholds can't see).
+
+        ``verify_content``: recompute per-partition content fingerprints
+        (ONE reconcile-shaped aggregate over the input — #partitions
+        rows to the driver, no row-data shuffle) and REVALIDATE any
+        "done" partition whose fingerprint no longer matches the one
+        recorded at its validation time — late-arriving appends or a
+        backfill rewrite would otherwise keep stale verdicts silently.
+        Off by default: the plain resume never rescans the input.
+        Partitions validated before this knob existed carry no recorded
+        fingerprint and keep the plain lineage skip.
 
         ``fail_after``: test hook — raise after N partitions to simulate an
         interrupted run (resume tests).
@@ -359,6 +422,24 @@ class CheckpointRunner:
         parts = sorted(
             (_NULL_PARTITION if r[0] is None else str(r[0])) for r in part_rows
         )
+
+        fps_now: dict[str, str] = {}
+        if verify_content:
+            # ONE map-side-combined aggregate over the input: per
+            # partition (rows, mod-2^60 fingerprint-sum) — the reconcile
+            # summary shape, #partitions rows out, no row-data shuffle.
+            # A "done" partition whose content no longer matches the
+            # fingerprint recorded at validation time (late-arriving
+            # appends, a backfill rewrite) is INVALIDATED and
+            # revalidated instead of silently keeping stale verdicts.
+            fps_now = self._content_fingerprints(df, partition_by)
+            recorded = self._recorded_fingerprints(spark)
+            invalid = sorted(
+                p for p in parts
+                if p in done and p in recorded
+                and recorded[p] != fps_now.get(p))
+            done -= set(invalid)
+            summary.invalidated = invalid
 
         # prune completed partitions from the scan in ONE predicate — on a
         # partitioned layout this is partition pruning, zero I/O for done work
@@ -413,6 +494,8 @@ class CheckpointRunner:
                 self._append_lineage(
                     spark,
                     (p, self.suite.suite_hash, "done", n_rows, n_viol, wall_ms))
+                if verify_content and p in fps_now:
+                    self._append_fingerprint(spark, p, fps_now[p])
             return p, n_rows, n_viol, wall_ms
 
         def record(result):

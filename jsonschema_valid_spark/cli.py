@@ -54,6 +54,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="write the bounded markdown run report "
                         "(ValidationResult.report) to PATH after a "
                         "non-resume run")
+    p.add_argument("--verify-content", action="store_true",
+                   help="on --resume, revalidate 'done' partitions whose "
+                        "content fingerprint changed since validation "
+                        "(late appends / backfill rewrites)")
     p.add_argument("--vacuum-age", type=float, default=None,
                    metavar="SECONDS",
                    help="with --resume --commit-protocol snapshot: after "
@@ -187,7 +191,8 @@ def main(argv=None) -> int:
                  if args.commit_protocol == "snapshot" else None)
         runner = CheckpointRunner(suite, args.output, commit_protocol=proto)
         summary = runner.run(df, partition_by=args.partition_by,
-                             key=args.key, exemplars_k=args.exemplars)
+                             key=args.key, exemplars_k=args.exemplars,
+                             verify_content=args.verify_content)
         # exit code covers ALL committed partitions — including ones
         # completed (and skipped) by previous interrupted runs — and failed
         # verdicts, not just this invocation's violation count
@@ -195,6 +200,7 @@ def main(argv=None) -> int:
         n_quar = _quarantine_count()
         out = {
             "processed": summary.processed, "skipped": summary.skipped,
+            "invalidated": summary.invalidated,
             "rows": summary.total_rows, "violations": summary.total_violations,
             "wall_ms": summary.wall_ms, "failed": failed,
         }

@@ -119,3 +119,65 @@ def test_exemplars_k_caps_sink_keeps_true_counts(spark, tmp_path):
     lin = {r["partition_id"]: r["n_violations"]
            for r in runner.lineage(spark).collect()}
     assert lin == {"p1": 60, "p2": 40}
+
+
+def test_verify_content_invalidates_changed_partition(spark, tmp_path):
+    """verify_content: a 'done' partition whose data changed since
+    validation is revalidated; unchanged partitions stay skipped; the
+    plain resume (default) keeps the stale skip."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.checkpoint import CheckpointRunner
+
+    suite = CheckSuite({"properties": {"v": {"minimum": 0}}})
+    in_path = str(tmp_path / "in")
+    base = str(tmp_path / "ckpt")
+    df0 = spark.createDataFrame(
+        [(1, "a", 5), (2, "a", 6), (3, "b", 7)],
+        "doc_id: long, src: string, v: long")
+    df0.write.parquet(in_path)
+
+    r = CheckpointRunner(suite, base)
+    s1 = r.run(spark.read.parquet(in_path), "src", key="doc_id",
+               verify_content=True)
+    assert sorted(s1.processed) == ["a", "b"] and s1.invalidated == []
+
+    # append a VIOLATING row to partition a
+    spark.createDataFrame([(9, "a", -1)], df0.schema) \
+        .write.mode("append").parquet(in_path)
+
+    # default resume: stale skip (documented behavior)
+    s2 = r.run(spark.read.parquet(in_path), "src", key="doc_id")
+    assert sorted(s2.skipped) == ["a", "b"] and s2.processed == []
+
+    # verify_content resume: partition a invalidated and revalidated
+    s3 = r.run(spark.read.parquet(in_path), "src", key="doc_id",
+               verify_content=True)
+    assert s3.invalidated == ["a"]
+    assert s3.processed == ["a"] and s3.skipped == ["b"]
+    viol = r.violations(spark).collect()
+    assert [v["doc_id"] for v in viol] == ["9"]
+
+    # steady state: fingerprints recorded at revalidation now match
+    s4 = r.run(spark.read.parquet(in_path), "src", key="doc_id",
+               verify_content=True)
+    assert s4.invalidated == [] and s4.processed == []
+    assert sorted(s4.skipped) == ["a", "b"]
+
+
+def test_verify_content_backward_compatible(spark, tmp_path):
+    """Partitions validated BEFORE verify_content existed (no recorded
+    fingerprint) keep the plain lineage skip."""
+    import shutil
+
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.checkpoint import CheckpointRunner
+
+    suite = CheckSuite({"properties": {"v": {"minimum": 0}}})
+    base = str(tmp_path / "ckpt")
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 6)], "doc_id: long, src: string, v: long")
+    r = CheckpointRunner(suite, base)
+    r.run(df, "src", key="doc_id", verify_content=True)
+    shutil.rmtree(f"{base}/fingerprints")  # simulate a pre-knob lineage
+    s = r.run(df, "src", key="doc_id", verify_content=True)
+    assert s.invalidated == [] and sorted(s.skipped) == ["a", "b"]

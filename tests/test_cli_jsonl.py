@@ -264,3 +264,32 @@ def test_cli_orc_roundtrip(spark, tmp_path):
     assert main(["--input", orc_path, "--format", "orc", "--key", "doc_id",
                  "--suggest-suite", str(sugg)]) == 0
     assert "n_tok" in json.loads(sugg.read_text())["properties"]
+
+
+def test_cli_verify_content_resume(spark, tmp_path):
+    """--verify-content: the CLI resume revalidates a partition whose
+    data changed after its first validation and reports it."""
+    from jsonschema_valid_spark.cli import main
+
+    spec = {"properties": {"v": {"minimum": 0}}}
+    suite_path = tmp_path / "suite.json"
+    suite_path.write_text(json.dumps(spec))
+    in_path = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    df = spark.createDataFrame(
+        [(1, "a", 5), (2, "b", 6)], "doc_id: long, src: string, v: long")
+    df.write.parquet(in_path)
+
+    base_args = ["--suite", str(suite_path), "--input", in_path,
+                 "--key", "doc_id", "--partition-by", "src",
+                 "--output", out, "--resume", "--verify-content"]
+    assert main(base_args) == 0
+
+    spark.createDataFrame([(9, "a", -3)], df.schema) \
+        .write.mode("append").parquet(in_path)
+    rc = main(base_args)
+    assert rc == 1  # the appended row violates
+    from jsonschema_valid_spark.checkpoint import CheckpointRunner
+    from jsonschema_valid_spark import CheckSuite
+    r = CheckpointRunner(CheckSuite(spec), out)
+    assert [v["doc_id"] for v in r.violations(spark).collect()] == ["9"]
