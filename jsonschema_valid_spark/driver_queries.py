@@ -5585,3 +5585,42 @@ def profile_string_patterns(spark, sf_dir):
         .when(F.col("c_custkey") % 3 == 1, F.col("c_name"))
         .otherwise(F.upper(F.col("c_mktsegment"))).alias("v"))
     return string_signatures(mixed, "v", collapse=True)
+
+
+_DRATIO_PERGROUP_SQL = """
+WITH g AS (
+  SELECT l_suppkey,
+         count(DISTINCT l_orderkey) AS d,
+         count(l_orderkey) AS n
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT CAST(l_suppkey AS VARCHAR) AS partition_id,
+       'properties/l_orderkey/x-distinctRatio' AS check_id,
+       NOT (n >= 5 AND CAST(d AS DOUBLE) / n < 0.98) AS passed,
+       round(CAST(d AS DOUBLE) / n, 6) AS metric,
+       CAST(0.98 AS DOUBLE) AS threshold
+FROM g
+"""
+
+
+@register_extended("engine_distinct_ratio_group_verdicts",
+                   _DRATIO_PERGROUP_SQL)
+def engine_distinct_ratio_group_verdicts(spark, sf_dir):
+    """x-distinctRatio {"verdicts": "perGroup"}: the verdict set
+    enumerates EVERY supplier with its distinct/count ratio — passing
+    ones included, partition_id = the group value — the per-partition
+    pass/fail shape the north rule demands, replacing the <global>
+    roll-up. Same single aggregate as the violations form (the verdict
+    emission costs zero extra Exchange). The ratio is one IEEE division
+    (bit-exact cross-engine); rounded to 6 for the hash. EXTENDED
+    mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    suite = CheckSuite({"properties": {"l_orderkey": {"x-distinctRatio": {
+        "min": 0.98, "by": "l_suppkey", "minCount": 5,
+        "verdicts": "perGroup"}}}})
+    res = suite.run(li, key="l_orderkey")
+    return res.verdicts.select(
+        "partition_id", "check_id", "passed",
+        F.round("metric_value", 6).alias("metric"), "threshold")

@@ -422,6 +422,30 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             df, dc.column, dc.check_id,
             min_count=None if mn is None else int(mn),
             max_count=None if mx is None else int(mx))
+    if dc.kind == "distinct_ratio" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.cardinality import (
+            distinct_ratio_group_verdicts,
+        )
+
+        mn, mx = dc.params.get("min"), dc.params.get("max")
+        return distinct_ratio_group_verdicts(
+            df, dc.column, dc.check_id, by=dc.params["by"],
+            min_ratio=None if mn is None else float(mn),
+            max_ratio=None if mx is None else float(mx),
+            approx=bool(dc.params.get("approx", False)),
+            min_count=int(dc.params.get("minCount", 1)))
+    if dc.kind == "trend" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.trend import (
+            trend_group_verdicts,
+        )
+
+        mn, mx = dc.params.get("min"), dc.params.get("max")
+        return trend_group_verdicts(
+            df, dc.column, dc.check_id,
+            order_by=dc.params["orderBy"], by=dc.params["by"],
+            min_slope=None if mn is None else float(mn),
+            max_slope=None if mx is None else float(mx),
+            min_count=int(dc.params.get("minCount", 3)))
     if dc.kind == "no_overlap" and dc.params.get("by") is not None:
         from jsonschema_valid_spark.operators.intervals import (
             overlap_group_verdicts,
@@ -1349,6 +1373,10 @@ def run_suite(
         elif dc.kind == "distinct_ratio":
             drv = _distinct_ratio_violations(dc, df)
             violation_dfs.append(_with_ipath(drv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
             verdict_dfs.append(
                 drv.agg(F.count(F.lit(1)).alias("ndr")).select(
                     F.lit("<global>").alias("partition_id"),
@@ -1361,6 +1389,10 @@ def run_suite(
         elif dc.kind == "trend":
             trv = _trend_violations(dc, df)
             violation_dfs.append(_with_ipath(trv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
             verdict_dfs.append(
                 trv.agg(F.count(F.lit(1)).alias("ntr")).select(
                     F.lit("<global>").alias("partition_id"),

@@ -147,7 +147,9 @@ def distinct_ratio_violations(
     else:
         g = df.agg(*aggs)
         doc = F.lit("<global>")
-    ratio = F.col("__d") / F.col("__n")
+    # try_divide: a group whose values are ALL NULL has __n == 0 —
+    # ratio undefined (NULL, suppressed), not an ANSI DIVIDE_BY_ZERO
+    ratio = F.try_divide(F.col("__d"), F.col("__n"))
     bad = F.lit(False)
     if min_ratio is not None:
         bad = bad | (ratio < F.lit(float(min_ratio)))
@@ -170,4 +172,45 @@ def distinct_ratio_violations(
             F.lit(",n="), F.col("__n").cast("string"),
         ).alias("observed"),
         F.lit(exp_msg).alias("expected"),
+    )
+
+
+def distinct_ratio_group_verdicts(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    by: str,
+    min_ratio: float | None = None,
+    max_ratio: float | None = None,
+    approx: bool = False,
+    min_count: int = 1,
+) -> DataFrame:
+    """``x-distinctRatio {"by", "verdicts": "perGroup"}``: one verdict
+    row per group — (partition_id=group, check_id, passed,
+    metric_value=the group's distinct/count ratio, threshold=min_ratio
+    or max_ratio) — enumerating passing groups too, the per-partition
+    pass/fail contract; same single aggregate as the violations form.
+    Groups under ``min_count`` pass (suppressed, never a false alarm)."""
+    if min_ratio is None and max_ratio is None:
+        raise ValueError("x-distinctRatio needs min and/or max")
+    c = F.col(column)
+    d = (F.approx_count_distinct(c) if approx else F.count_distinct(c))
+    g = df.groupBy(F.col(by)).agg(d.alias("__d"), F.count(c).alias("__n"))
+    # try_divide: a group whose values are ALL NULL has __n == 0 —
+    # ratio undefined (NULL, suppressed), not an ANSI DIVIDE_BY_ZERO
+    ratio = F.try_divide(F.col("__d"), F.col("__n"))
+    bad = F.lit(False)
+    if min_ratio is not None:
+        bad = bad | (ratio < F.lit(float(min_ratio)))
+    if max_ratio is not None:
+        bad = bad | (ratio > F.lit(float(max_ratio)))
+    bad = bad & (F.col("__n") >= F.lit(int(min_count)))
+    thr = float(min_ratio if min_ratio is not None else max_ratio)
+    return g.select(
+        F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
+        .alias("partition_id"),
+        F.lit(check_id).alias("check_id"),
+        (~bad).alias("passed"),
+        F.coalesce(ratio, F.lit(0.0)).cast("double").alias("metric_value"),
+        F.lit(thr).cast("double").alias("threshold"),
     )

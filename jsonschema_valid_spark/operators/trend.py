@@ -129,3 +129,46 @@ def trend_violations(
             F.lit(exp_msg).alias("expected"),
         )
     )
+
+
+def trend_group_verdicts(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    order_by: str,
+    by: str,
+    min_slope: float | None = None,
+    max_slope: float | None = None,
+    min_count: int = 3,
+) -> DataFrame:
+    """``x-trend {"by", "verdicts": "perGroup"}``: one verdict row per
+    group — (partition_id=group, check_id, passed, metric_value=the
+    group's OLS slope, threshold=min_slope or max_slope) — enumerating
+    passing groups too, the per-partition pass/fail contract; the same
+    single moment aggregate as the violations form.  Undefined slopes
+    and groups under ``min_count`` pass (suppressed); their
+    metric_value is NULL-as-0.0 only when undefined."""
+    if min_slope is None and max_slope is None:
+        raise ValueError("x-trend needs min and/or max")
+    x = F.col(order_by).cast("double")
+    y = F.col(column).cast("double")
+    g = df.groupBy(F.col(by)).agg(
+        _slope(x, y).alias("__s"),
+        F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("__n"))
+    bad = F.lit(False)
+    if min_slope is not None:
+        bad = bad | (F.col("__s") < F.lit(float(min_slope)))
+    if max_slope is not None:
+        bad = bad | (F.col("__s") > F.lit(float(max_slope)))
+    bad = (bad & F.col("__s").isNotNull()
+           & (F.col("__n") >= F.lit(int(min_count))))
+    thr = float(min_slope if min_slope is not None else max_slope)
+    return g.select(
+        F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
+        .alias("partition_id"),
+        F.lit(check_id).alias("check_id"),
+        (~bad).alias("passed"),
+        F.coalesce(F.col("__s"), F.lit(0.0)).cast("double")
+        .alias("metric_value"),
+        F.lit(thr).cast("double").alias("threshold"),
+    )

@@ -500,11 +500,15 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                   and ("minCount" not in v
                        or (isinstance(v["minCount"], int)
                            and not isinstance(v["minCount"], bool)
-                           and v["minCount"] >= 1)))
+                           and v["minCount"] >= 1))
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and isinstance(v.get("by"), str))))
             if not ok:
                 raise _err(p, "x-distinctRatio must be {'min'|'max': "
                               "number in [0, 1], 'by'?: col, 'approx'?: "
-                              "bool, 'minCount'?: int>=1}")
+                              "bool, 'minCount'?: int>=1, 'verdicts'?: "
+                              "'perGroup' (requires 'by')}")
         elif kw == "x-trend":
             def _slope_num(x):
                 return (isinstance(x, (int, float))
@@ -518,11 +522,15 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                   and ("minCount" not in v
                        or (isinstance(v["minCount"], int)
                            and not isinstance(v["minCount"], bool)
-                           and v["minCount"] >= 3)))
+                           and v["minCount"] >= 3))
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and isinstance(v.get("by"), str))))
             if not ok:
                 raise _err(p, "x-trend must be {'orderBy': col, "
                               "'min'|'max': number, 'by'?: col, "
-                              "'minCount'?: int>=3}")
+                              "'minCount'?: int>=3, 'verdicts'?: "
+                              "'perGroup' (requires 'by')}")
         elif kw == "x-eventOrder":
             ok = (isinstance(v, dict)
                   and isinstance(v.get("by"), str) and v["by"]

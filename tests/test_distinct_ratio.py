@@ -99,3 +99,43 @@ def test_spec_validation(spark):
     validate_suite_spec({"properties": {"v": {"x-distinctRatio": {
         "min": 0.1, "max": 0.9, "by": "g", "approx": True,
         "minCount": 10}}}})
+
+
+def test_pergroup_verdicts(spark):
+    df = _df(spark)
+    spec = {"properties": {"v": {"x-distinctRatio": {
+        "min": 0.4, "by": "grp", "verdicts": "perGroup"}}}}
+    res = CheckSuite(spec).run(df, key="id")
+    verd = {r.partition_id: (r.passed, r.metric_value)
+            for r in res.verdicts.collect()}
+    # every group enumerated (no <global> roll-up), passing ones included
+    assert set(verd) == {"healthy", "fanout", "mixed", "tiny"}
+    assert verd["fanout"][0] is False
+    assert verd["fanout"][1] == pytest.approx(0.05)
+    assert verd["healthy"][0] is True and verd["tiny"][0] is True
+    # summarized path agrees
+    summ = run_suite_summarized(CheckSuite(spec), df, key="id")
+    sv = {r.partition_id: r.passed for r in summ.verdicts.collect()
+          if r.check_id == "properties/v/x-distinctRatio"}
+    assert sv == {p: ok for p, (ok, _) in verd.items()}
+    # perGroup without by is rejected at spec time
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-distinctRatio": {
+            "min": 0.4, "verdicts": "perGroup"}}}})
+
+
+def test_all_null_group_suppressed(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1), (2, "a", 2), (3, "b", None)],
+        "id: long, grp: string, v: long")
+    # group b has zero non-NULL values: undefined ratio, no ANSI
+    # divide-by-zero, suppressed in violations, passes in verdicts
+    v = distinct_ratio_violations(df, "v", "c", by="grp", min_ratio=0.9)
+    assert {r.doc_id for r in v.collect()} == set()
+    from jsonschema_valid_spark.operators.cardinality import (
+        distinct_ratio_group_verdicts,
+    )
+    g = {r.partition_id: r.passed
+         for r in distinct_ratio_group_verdicts(
+             df, "v", "c", by="grp", min_ratio=0.9).collect()}
+    assert g == {"a": True, "b": True}

@@ -100,3 +100,27 @@ def test_trend_spec_validation():
             validate_suite_spec({"properties": {"v": {"x-trend": bad}}})
     validate_suite_spec({"properties": {"v": {"x-trend": {
         "orderBy": "x", "by": "g", "max": 2.5, "minCount": 10}}}})
+
+
+def test_pergroup_verdicts(spark):
+    df = _df(spark)
+    spec = {"properties": {"y": {"x-trend": {
+        "orderBy": "x", "by": "grp", "min": 0.0, "max": 1.0,
+        "verdicts": "perGroup"}}}}
+    res = CheckSuite(spec).run(df, key="id")
+    verd = {r.partition_id: (r.passed, r.metric_value)
+            for r in res.verdicts.collect()}
+    assert set(verd) == {"steady", "runaway", "falling", "flat_x", "tiny"}
+    assert verd["runaway"] == (False, pytest.approx(3.0))
+    assert verd["falling"][0] is False
+    assert verd["steady"] == (True, pytest.approx(0.5))
+    assert verd["flat_x"][0] is True   # undefined slope: suppressed
+    assert verd["tiny"][0] is True     # under minCount: suppressed
+    from jsonschema_valid_spark.engine import run_suite_summarized
+    summ = run_suite_summarized(CheckSuite(spec), df, key="id")
+    sv = {r.partition_id: r.passed for r in summ.verdicts.collect()
+          if r.check_id == "properties/y/x-trend"}
+    assert sv == {p: ok for p, (ok, _) in verd.items()}
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"y": {"x-trend": {
+            "orderBy": "x", "min": 0.0, "verdicts": "perGroup"}}}})
