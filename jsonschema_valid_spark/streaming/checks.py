@@ -715,6 +715,58 @@ def stream_rowcount_verdicts(
         "group", "n", passed.alias("passed"))
 
 
+def stream_distinct_ratio_verdicts(
+    sdf: DataFrame,
+    column: str,
+    ts_col: str,
+    group_col: str | None = None,
+    min_ratio: float | None = None,
+    max_ratio: float | None = None,
+    min_count: int = 1,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-distinctRatio`` (operators/cardinality.py lifted to
+    event-time windows): distinct/count of ``column`` per window (and
+    per ``group_col``) within bounds — the RATE failures the batch
+    keyword catches (fan-out duplication, id collapse) surfacing in the
+    window where they started, instead of diluted into the day's
+    aggregate.  Pure NATIVE windowed aggregation:
+    ``approx_count_distinct`` (HLL, mergeable across micro-batches —
+    exact distinct is not available to streaming aggregation, and the
+    sketch error is ~2%: declare bounds with headroom) + count, append
+    mode on watermark close; no Python state.
+
+    Output: (window_start, group, ratio, n, passed) — one verdict row
+    per (window × group) including passing ones; windows under
+    ``min_count`` pass (suppressed)."""
+    if min_ratio is None and max_ratio is None:
+        raise ValueError("stream_distinct_ratio_verdicts needs min "
+                         "and/or max")
+    grp = (F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+           if group_col is not None else F.lit("<global>"))
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
+                 grp.alias("group"))
+        .agg(F.approx_count_distinct(F.col(column)).alias("d"),
+             F.count(F.col(column)).alias("n"))
+    )
+    ratio = F.try_divide(F.col("d"), F.col("n"))
+    passed = F.lit(True)
+    if min_ratio is not None:
+        passed = passed & (ratio >= F.lit(float(min_ratio)))
+    if max_ratio is not None:
+        passed = passed & (ratio <= F.lit(float(max_ratio)))
+    passed = F.when(F.col("n") < int(min_count), F.lit(True)) \
+        .when(ratio.isNull(), F.lit(True)).otherwise(passed)
+    return agg.select(
+        F.col("__w").getField("start").alias("window_start"),
+        "group",
+        F.coalesce(ratio, F.lit(0.0)).cast("double").alias("ratio"),
+        "n", passed.alias("passed"))
+
+
 def stream_frequency_alerts(
     sdf: DataFrame,
     column: str,

@@ -1,0 +1,72 @@
+"""Streaming x-distinctRatio (streaming/checks.py
+stream_distinct_ratio_verdicts): per-window distinct/count verdicts from
+a native windowed HLL aggregation."""
+
+import time
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark.streaming.checks import (
+    stream_distinct_ratio_verdicts,
+)
+
+
+def _write_batch(spark, path, rows):
+    df = spark.createDataFrame(rows, "g: string, v: long, ts_s: string") \
+        .select("g", "v", F.to_timestamp("ts_s").alias("ts"))
+    df.coalesce(1).write.mode("append").parquet(path)
+    time.sleep(1.1)
+
+
+def test_cross_batch_ratio_and_bounds(spark, tmp_path):
+    path = str(tmp_path / "in")
+    h0 = "2024-01-01 00:20:00"
+    h1 = "2024-01-01 01:20:00"
+    # window 0 group A: values 1,2,3,4 ACROSS batches -> ratio 1.0;
+    # window 1 group A: 7,7,7,7 -> ratio 0.25 (the fan-out signature)
+    _write_batch(spark, path, [("A", 1, h0), ("A", 2, h0)])
+    _write_batch(spark, path,
+                 [("A", 3, h0), ("A", 4, h0),
+                  ("A", 7, h1), ("A", 7, h1), ("A", 7, h1), ("A", 7, h1)])
+    _write_batch(spark, path, [("Z", 1, "2024-01-01 06:00:00")])
+
+    sdf = (spark.readStream.schema("g string, v long, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = stream_distinct_ratio_verdicts(
+        sdf, "v", "ts", group_col="g", min_ratio=0.5,
+        window_duration="1 hour")
+    q = (out.writeStream.format("memory").queryName("dr_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(str(r["window_start"]), r["group"]):
+           (r["ratio"], r["n"], r["passed"])
+           for r in spark.sql("select * from dr_sink").collect()}
+    r0 = got[("2024-01-01 00:00:00", "A")]
+    # cross-batch HLL merge: 4 distinct over 4 rows (exact at this size)
+    assert r0 == (pytest.approx(1.0), 4, True)
+    r1 = got[("2024-01-01 01:00:00", "A")]
+    assert r1 == (pytest.approx(0.25), 4, False)
+
+
+def test_min_count_suppression_and_rejection(spark, tmp_path):
+    path = str(tmp_path / "in2")
+    _write_batch(spark, path, [("A", 5, "2024-01-01 00:10:00"),
+                               ("A", 5, "2024-01-01 00:11:00")])
+    _write_batch(spark, path, [("Z", 1, "2024-01-01 06:00:00")])
+    sdf = (spark.readStream.schema("g string, v long, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = stream_distinct_ratio_verdicts(
+        sdf, "v", "ts", group_col="g", min_ratio=0.9, min_count=3,
+        window_duration="1 hour")
+    q = (out.writeStream.format("memory").queryName("dr_sink2")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {r["group"]: r["passed"]
+           for r in spark.sql("select * from dr_sink2").collect()}
+    # ratio 0.5 < 0.9 but only 2 rows: suppressed
+    assert got["A"] is True
+
+    with pytest.raises(ValueError):
+        stream_distinct_ratio_verdicts(sdf, "v", "ts")
