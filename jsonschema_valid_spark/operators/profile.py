@@ -592,3 +592,40 @@ def suggest_string_pattern(df: DataFrame, column: str,
         return "".join(out)
 
     return "^(?:" + "|".join(_branch(s) for s in sorted(kept)) + ")$"
+
+
+def suggest_distinct_ratio_bounds(df: DataFrame, column: str,
+                                  by: str | None = None,
+                                  headroom: float = 2.0,
+                                  min_count: int = 5) -> dict | None:
+    """Bootstrap an ``x-distinctRatio`` node from the snapshot's own
+    observed ratios — the rate analog of :func:`suggest_frequency_cap`:
+    profile a trusted load once, pin ``min`` at the WORST observed
+    per-group ratio shrunk by ``headroom`` (a later load whose ratio
+    collapses past the historical floor — fan-out duplication, id
+    collapse — fails; organic variation inside the headroom passes).
+    Groups under ``min_count`` rows are ignored while profiling (thin
+    groups have noisy ratios).  Passes on the profiled table by
+    construction (headroom > 1).  One aggregate; returns None when no
+    group clears ``min_count``."""
+    if headroom <= 1.0:
+        raise ValueError(f"headroom must be > 1, got {headroom}")
+    c = F.col(column)
+    aggs = [F.count_distinct(c).alias("d"), F.count(c).alias("n")]
+    if by is not None:
+        g = df.groupBy(F.col(by)).agg(*aggs)
+    else:
+        g = df.agg(*aggs)
+    worst = (g.where(F.col("n") >= int(min_count))
+             .agg(F.min(F.try_divide(F.col("d"), F.col("n")))
+                  .alias("r")).collect()[0]["r"])
+    if worst is None:
+        return None
+    import math
+
+    # floor to the micro grid (epsilon guards exact grid points)
+    lo = max(0.0, math.floor(worst / float(headroom) * 1e6 + 1e-6) / 1e6)
+    node: dict = {"min": lo, "minCount": int(min_count)}
+    if by is not None:
+        node["by"] = by
+    return node

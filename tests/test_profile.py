@@ -411,3 +411,31 @@ def test_suggested_pattern_feeds_the_pattern_keyword(spark):
                                          df.schema))
     assert not CheckSuite({"properties": {"code": {
         "pattern": pat}}}).run(bad, key="doc_id").ok()
+
+
+def test_suggest_distinct_ratio_bounds(spark):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_distinct_ratio_bounds,
+    )
+
+    rows = [(i, "a", i) for i in range(40)]            # ratio 1.0
+    rows += [(100 + i, "b", i % 20) for i in range(40)]  # ratio 0.5
+    rows += [(200, "thin", 1), (201, "thin", 1)]         # under min_count
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: long")
+    node = suggest_distinct_ratio_bounds(df, "v", by="grp")
+    assert node == {"min": 0.25, "minCount": 5, "by": "grp"}
+    # self-consistent: the profiled table passes its own suggestion
+    suite = CheckSuite({"properties": {"v": {"x-distinctRatio": node}}})
+    assert suite.run(df, key="id").ok()
+    # a collapse past the historical floor trips it
+    bad = df.union(spark.createDataFrame(
+        [(300 + i, "c", 7) for i in range(40)], df.schema))
+    assert not suite.run(bad, key="id").ok()
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        suggest_distinct_ratio_bounds(df, "v", headroom=1.0)
+    empty = spark.createDataFrame([(1, "a", None)],
+                                  "id: long, grp: string, v: long")
+    assert suggest_distinct_ratio_bounds(empty, "v", by="grp") is None
