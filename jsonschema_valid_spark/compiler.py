@@ -1190,6 +1190,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # is invisible to all of them
         plan.dataset_checks.append(
             DatasetCheck(cid, "correlation", colname, dict(v)))
+    elif kw == "x-compliance":
+        # dataset scope: the ERROR-BUDGET form of x-rowExpr — x-rowExpr
+        # names every violating row and one bad row fails; this bounds
+        # the RATE of rows satisfying a predicate (quality gates over
+        # known-imperfect feeds)
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "compliance", colname, dict(v)))
     elif kw == "x-distinctRatio":
         # dataset scope: distinct/count rate bounds — the SOFT form of
         # x-unique exactly as x-nullRate is the soft form of required

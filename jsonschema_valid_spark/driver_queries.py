@@ -5624,3 +5624,50 @@ def engine_distinct_ratio_group_verdicts(spark, sf_dir):
     return res.verdicts.select(
         "partition_id", "check_id", "passed",
         F.round("metric_value", 6).alias("metric"), "threshold")
+
+
+_COMPLIANCE_SQL = """
+WITH g AS (
+  SELECT event_type,
+         sum(CASE WHEN coalesce(value > 25.0, false)
+                  THEN 1 ELSE 0 END) AS p,
+         count(*) AS n
+  FROM events GROUP BY event_type
+)
+SELECT COALESCE(CAST(event_type AS VARCHAR), '<null>') AS doc_id,
+       'properties/value/x-compliance' AS check_id,
+       'rate=' || CAST(CAST(round(CAST(p AS DOUBLE) / n, 6)
+                            AS DECIMAL(10,6)) AS VARCHAR)
+         || ',pass=' || CAST(p AS VARCHAR)
+         || ',n=' || CAST(n AS VARCHAR) AS observed
+FROM g
+WHERE n >= 5 AND CAST(p AS DOUBLE) / n < 0.61
+"""
+
+
+@register_extended("engine_compliance_violations", _COMPLIANCE_SQL)
+def engine_compliance_violations(spark, sf_dir):
+    """x-compliance as a DECLARATIVE suite keyword: per event_type, at
+    least 61% of events must carry value > 25 — the ERROR-BUDGET form
+    of x-rowExpr, completing the engine's hard/soft pairs
+    (required/x-nullRate, x-unique/x-distinctRatio): x-rowExpr names
+    every violating row and ONE bad row fails the run (right for
+    invariants, wrong for quality gates over known-imperfect feeds);
+    this bounds the RATE of rows satisfying an arbitrary SQL boolean
+    (Deequ's compliance constraint, which the reference's row keywords
+    have no analog for). NULL predicate results count as NON-compliant
+    (coalesce false — a row that cannot prove compliance is not
+    compliant). Plan (operators/compliance.py): ONE map-side-combined
+    conditional aggregate (#groups rows shuffled), never a join/window;
+    the rate is exact-integer p/n — a single IEEE division, bit-exact
+    cross-engine, so the 0.61 threshold needs no noise margin at all.
+    3 violating groups at both SFs' shapes (see counts in oracle).
+    EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"value": {"x-compliance": {
+        "expr": "value > 25.0", "min": 0.61, "by": "event_type",
+        "minCount": 5}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")

@@ -422,6 +422,18 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             df, dc.column, dc.check_id,
             min_count=None if mn is None else int(mn),
             max_count=None if mx is None else int(mx))
+    if dc.kind == "compliance" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.compliance import (
+            compliance_group_verdicts,
+        )
+
+        mn, mx = dc.params.get("min"), dc.params.get("max")
+        return compliance_group_verdicts(
+            df, dc.column, dc.check_id,
+            expr=dc.params["expr"], by=dc.params["by"],
+            min_rate=None if mn is None else float(mn),
+            max_rate=None if mx is None else float(mx),
+            min_count=int(dc.params.get("minCount", 1)))
     if dc.kind == "distinct_ratio" and dc.params.get("by") is not None:
         from jsonschema_valid_spark.operators.cardinality import (
             distinct_ratio_group_verdicts,
@@ -532,6 +544,23 @@ def _correlation_violations(dc, df: DataFrame) -> DataFrame:
         min_corr=None if mn is None else float(mn),
         max_corr=None if mx is None else float(mx),
         min_count=int(dc.params.get("minCount", 3)),
+    )
+
+
+def _compliance_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-compliance execution for both run paths."""
+    from jsonschema_valid_spark.operators.compliance import (
+        compliance_violations,
+    )
+
+    mn, mx = dc.params.get("min"), dc.params.get("max")
+    return compliance_violations(
+        df, dc.column, dc.check_id,
+        expr=dc.params["expr"],
+        min_rate=None if mn is None else float(mn),
+        max_rate=None if mx is None else float(mx),
+        by=dc.params.get("by"),
+        min_count=int(dc.params.get("minCount", 1)),
     )
 
 
@@ -889,6 +918,8 @@ def run_suite_summarized(
             vdf = _trend_violations(dc, df)
         elif dc.kind == "distinct_ratio":
             vdf = _distinct_ratio_violations(dc, df)
+        elif dc.kind == "compliance":
+            vdf = _compliance_violations(dc, df)
         elif dc.kind == "level_shift":
             vdf = _level_shift_violations(dc, df, key)
         elif dc.kind == "entropy":
@@ -1367,6 +1398,22 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("ncr") == 0).alias("passed"),
                     F.col("ncr").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "compliance":
+            cpv = _compliance_violations(dc, df)
+            violation_dfs.append(_with_ipath(cpv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
+            verdict_dfs.append(
+                cpv.agg(F.count(F.lit(1)).alias("ncp")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("ncp") == 0).alias("passed"),
+                    F.col("ncp").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

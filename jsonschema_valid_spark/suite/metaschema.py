@@ -349,6 +349,13 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"enum": ["min", "max"]}},
             ]},
         }}),
+        _kw("x-compliance", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "expr"}},
+                {"contains": {"enum": ["min", "max"]}},
+            ]},
+        }}),
         _kw("x-distinctRatio", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"enum": ["min", "max"]}},

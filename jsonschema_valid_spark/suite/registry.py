@@ -98,6 +98,7 @@ DATASET_KEYWORDS = frozenset(
         "x-correlation",    # Pearson r between two columns within bounds per group
         "x-trend",          # OLS slope of value vs an ordering within bounds per group
         "x-distinctRatio",  # distinct/count rate bounds (soft x-unique, like x-nullRate vs required)
+        "x-compliance",     # predicate pass-rate bounds (soft x-rowExpr, the error budget)
         "x-levelShift",     # peak rolling-mean jump per group within a bound
         "x-entropy",        # Shannon-entropy bounds (collapse/uniformity guard)
         "x-outlier",        # per-group z-score envelope (data-aware min/max lift)

@@ -487,6 +487,28 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-correlation must be {'with': col, "
                               "'min'|'max': number in [-1, 1], "
                               "'by'?: col, 'minCount'?: int>=3}")
+        elif kw == "x-compliance":
+            def _rate_num(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and 0.0 <= x <= 1.0)
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("expr"), str) and v["expr"]
+                  and ("min" in v or "max" in v)
+                  and ("min" not in v or _rate_num(v["min"]))
+                  and ("max" not in v or _rate_num(v["max"]))
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("minCount" not in v
+                       or (isinstance(v["minCount"], int)
+                           and not isinstance(v["minCount"], bool)
+                           and v["minCount"] >= 1))
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and isinstance(v.get("by"), str))))
+            if not ok:
+                raise _err(p, "x-compliance must be {'expr': sql-bool, "
+                              "'min'|'max': number in [0, 1], 'by'?: col, "
+                              "'minCount'?: int>=1, 'verdicts'?: "
+                              "'perGroup' (requires 'by')}")
         elif kw == "x-distinctRatio":
             def _ratio_num(x):
                 return (isinstance(x, (int, float))

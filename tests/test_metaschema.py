@@ -117,6 +117,10 @@ INVALID_SUITES = [
         "max": 1.0}}}}),
     ("x-distinctRatio-no-bound", {"properties": {"x": {"x-distinctRatio": {
         "by": "g"}}}}),
+    ("x-compliance-no-expr", {"properties": {"x": {"x-compliance": {
+        "min": 0.9}}}}),
+    ("x-compliance-no-bound", {"properties": {"x": {"x-compliance": {
+        "expr": "v > 0"}}}}),
     ("x-trend-no-bound", {"properties": {"x": {"x-trend": {
         "orderBy": "m"}}}}),
     ("x-eventOrder-no-by", {"properties": {"x": {"x-eventOrder": {
