@@ -767,6 +767,56 @@ def stream_distinct_ratio_verdicts(
         "n", passed.alias("passed"))
 
 
+def stream_compliance_verdicts(
+    sdf: DataFrame,
+    expr: str,
+    ts_col: str,
+    group_col: str | None = None,
+    min_rate: float | None = None,
+    max_rate: float | None = None,
+    min_count: int = 1,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-compliance`` (operators/compliance.py lifted to
+    event-time windows): the pass-rate of an arbitrary SQL boolean per
+    window (and per ``group_col``) within bounds — the error budget
+    evaluated where it breaks ("the 14:00 deploy dropped value-positivity
+    to 70%") instead of diluted into the day's aggregate.  NULL
+    predicate results count as NON-compliant, matching batch.  Pure
+    NATIVE windowed aggregation (conditional sum + count), append mode
+    on watermark close; no Python state.
+
+    Output: (window_start, group, rate, pass_n, n, passed) — one row per
+    (window × group) including passing ones; windows under
+    ``min_count`` pass (suppressed)."""
+    if min_rate is None and max_rate is None:
+        raise ValueError("stream_compliance_verdicts needs min and/or max")
+    ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+    grp = (F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+           if group_col is not None else F.lit("<global>"))
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
+                 grp.alias("group"))
+        .agg(F.sum(ok.cast("long")).alias("pass_n"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    rate = F.try_divide(F.col("pass_n"), F.col("n"))
+    passed = F.lit(True)
+    if min_rate is not None:
+        passed = passed & (rate >= F.lit(float(min_rate)))
+    if max_rate is not None:
+        passed = passed & (rate <= F.lit(float(max_rate)))
+    passed = F.when(F.col("n") < int(min_count), F.lit(True)) \
+        .otherwise(passed)
+    return agg.select(
+        F.col("__w").getField("start").alias("window_start"),
+        "group",
+        F.coalesce(rate, F.lit(0.0)).cast("double").alias("rate"),
+        "pass_n", "n", passed.alias("passed"))
+
+
 def stream_frequency_alerts(
     sdf: DataFrame,
     column: str,

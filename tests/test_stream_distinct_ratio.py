@@ -70,3 +70,42 @@ def test_min_count_suppression_and_rejection(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stream_distinct_ratio_verdicts(sdf, "v", "ts")
+
+
+def test_stream_compliance_windows(spark, tmp_path):
+    """Streaming x-compliance: the healthy window passes the 0.9 budget,
+    the degraded window (50% positive, NULLs counting as fail) trips —
+    cross-batch conditional sums merge."""
+    from jsonschema_valid_spark.streaming.checks import (
+        stream_compliance_verdicts,
+    )
+
+    path = str(tmp_path / "cin")
+    h0 = "2024-01-01 00:20:00"
+    h1 = "2024-01-01 01:20:00"
+    _write_batch(spark, path, [("A", 1, h0), ("A", 2, h0)])
+    _write_batch(spark, path,
+                 [("A", 3, h0), ("A", 4, h0),
+                  ("A", 5, h1), ("A", -1, h1), ("A", 6, h1), ("A", None, h1)])
+    _write_batch(spark, path, [("Z", 1, "2024-01-01 06:00:00")])
+
+    sdf = (spark.readStream.schema("g string, v long, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = stream_compliance_verdicts(
+        sdf, "v > 0", "ts", group_col="g", min_rate=0.9,
+        window_duration="1 hour")
+    q = (out.writeStream.format("memory").queryName("cp_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(str(r["window_start"]), r["group"]):
+           (r["rate"], r["pass_n"], r["n"], r["passed"])
+           for r in spark.sql("select * from cp_sink").collect()}
+    # window 0: 4/4 positive across batches
+    assert got[("2024-01-01 00:00:00", "A")] == \
+        (pytest.approx(1.0), 4, 4, True)
+    # window 1: 2 positive of 4 (NULL counts as fail)
+    assert got[("2024-01-01 01:00:00", "A")] == \
+        (pytest.approx(0.5), 2, 4, False)
+
+    with pytest.raises(ValueError):
+        stream_compliance_verdicts(sdf, "v > 0", "ts")
