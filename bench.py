@@ -261,6 +261,27 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     timed("frequency_sketch", lambda: heavy_hitters(
         freq_src, "v", max_fraction=0.1).count())
 
+    # r4 waves 17-23: the moment/conditional-aggregate family (x-trend
+    # OLS slope, x-compliance pass-rate, x-distinctRatio exact distinct)
+    # — each ONE map-side-combined aggregate shuffling #groups rows;
+    # distinctRatio's exact mode pays the honest Expand cost
+    from jsonschema_valid_spark.operators.cardinality import (
+        distinct_ratio_violations,
+    )
+    from jsonschema_valid_spark.operators.compliance import (
+        compliance_violations,
+    )
+    from jsonschema_valid_spark.operators.trend import trend_violations
+
+    mom = seq.select("source", did.alias("did"), "n_tok")
+    timed("moment_aggregates", lambda: (
+        trend_violations(mom, "n_tok", "b", order_by="did", by="source",
+                         min_slope=-1.0, max_slope=1.0).count()
+        + compliance_violations(mom, "n_tok", "b", expr="n_tok > 16",
+                                min_rate=0.99, by="source").count()
+        + distinct_ratio_violations(mom, "n_tok", "b", by="source",
+                                    min_ratio=0.5).count()))
+
     wall = timings["flagship_full"]
     totals = seq.agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.size("tokens")).alias("t")).first()
