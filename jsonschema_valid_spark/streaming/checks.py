@@ -767,6 +767,66 @@ def stream_distinct_ratio_verdicts(
         "n", passed.alias("passed"))
 
 
+def stream_trend_verdicts(
+    sdf: DataFrame,
+    column: str,
+    order_col: str,
+    ts_col: str,
+    group_col: str | None = None,
+    min_slope: float | None = None,
+    max_slope: float | None = None,
+    min_count: int = 3,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-trend`` (operators/trend.py lifted to event-time
+    windows): the OLS slope of ``column`` vs ``order_col`` per window
+    (and per ``group_col``) within bounds — rate-of-change verdicts in
+    the window where the creep started ("queue depth grew 40/hour
+    during the 14:00 window").  The slope is a moment statistic, so the
+    whole fit is FOUR mergeable sums + a count:
+    slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) over the
+    pairwise-complete slice — pure NATIVE windowed aggregation, append
+    on watermark close, no Python state; micro-batches merge exactly
+    (sums are associative).  Degenerate windows (constant ``order_col``)
+    have an undefined slope and pass (try_divide NULL), as do windows
+    under ``min_count`` pairs.
+
+    Output: (window_start, group, slope, n, passed)."""
+    if min_slope is None and max_slope is None:
+        raise ValueError("stream_trend_verdicts needs min and/or max")
+    x = F.col(order_col).cast("double")
+    y = F.col(column).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    px = F.when(both, x)
+    py = F.when(both, y)
+    grp = (F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+           if group_col is not None else F.lit("<global>"))
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
+                 grp.alias("group"))
+        .agg(F.sum(px).alias("sx"), F.sum(py).alias("sy"),
+             F.sum(px * py).alias("sxy"), F.sum(px * px).alias("sxx"),
+             F.count(F.when(both, 1)).alias("n"))
+    )
+    slope = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    passed = F.lit(True)
+    if min_slope is not None:
+        passed = passed & (slope >= F.lit(float(min_slope)))
+    if max_slope is not None:
+        passed = passed & (slope <= F.lit(float(max_slope)))
+    passed = F.when(F.col("n") < int(min_count), F.lit(True)) \
+        .when(slope.isNull(), F.lit(True)).otherwise(passed)
+    return agg.select(
+        F.col("__w").getField("start").alias("window_start"),
+        "group",
+        F.coalesce(slope, F.lit(0.0)).cast("double").alias("slope"),
+        "n", passed.alias("passed"))
+
+
 def stream_compliance_verdicts(
     sdf: DataFrame,
     expr: str,

@@ -109,3 +109,56 @@ def test_stream_compliance_windows(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stream_compliance_verdicts(sdf, "v > 0", "ts")
+
+
+def test_stream_trend_windows_match_batch(spark, tmp_path):
+    """Streaming x-trend: per-window OLS slope from four mergeable sums
+    — cross-batch merge is exact, each closed window's slope equals the
+    batch operator on the same slice; the runaway window trips."""
+    from jsonschema_valid_spark.operators.trend import trend_slopes
+    from jsonschema_valid_spark.streaming.checks import (
+        stream_trend_verdicts,
+    )
+
+    def _write(rows):
+        df = spark.createDataFrame(
+            rows, "g: string, x: double, y: double, ts_s: string") \
+            .select("g", "x", "y", F.to_timestamp("ts_s").alias("ts"))
+        df.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+
+    path = str(tmp_path / "tin")
+    h0 = "2024-01-01 00:20:00"
+    h1 = "2024-01-01 01:20:00"
+    # window 0: slope 0.5 split ACROSS batches; window 1: slope 3.0
+    _write([("A", float(i), 10.0 + 0.5 * i, h0) for i in range(5)])
+    _write([("A", float(i), 10.0 + 0.5 * i, h0) for i in range(5, 10)]
+           + [("A", float(i), 3.0 * i, h1) for i in range(8)])
+    _write([("Z", 1.0, 1.0, "2024-01-01 06:00:00")])
+
+    sdf = (spark.readStream
+           .schema("g string, x double, y double, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = stream_trend_verdicts(sdf, "y", "x", "ts", group_col="g",
+                                min_slope=-1.0, max_slope=1.0,
+                                window_duration="1 hour")
+    q = (out.writeStream.format("memory").queryName("tr_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(str(r["window_start"]), r["group"]):
+           (r["slope"], r["n"], r["passed"])
+           for r in spark.sql("select * from tr_sink").collect()}
+    w0 = got[("2024-01-01 00:00:00", "A")]
+    assert w0[0] == pytest.approx(0.5) and w0[1] == 10 and w0[2] is True
+    w1 = got[("2024-01-01 01:00:00", "A")]
+    assert w1[0] == pytest.approx(3.0) and w1[2] is False
+
+    # parity with the batch operator on the same slices
+    batch = spark.read.parquet(path)
+    b0 = trend_slopes(
+        batch.where("g = 'A' AND ts < timestamp'2024-01-01 01:00:00'"),
+        "y", "x").collect()[0]
+    assert w0[0] == pytest.approx(b0["slope"])
+
+    with pytest.raises(ValueError):
+        stream_trend_verdicts(sdf, "y", "x", "ts")
