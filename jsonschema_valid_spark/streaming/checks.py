@@ -767,6 +767,89 @@ def stream_distinct_ratio_verdicts(
         "n", passed.alias("passed"))
 
 
+def stream_funnel_conversions(
+    sdf: DataFrame,
+    key: str,
+    ts_col: str,
+    steps: list[tuple[str, str]],
+    window_duration: str = "1 hour",
+    watermark: str = "0 seconds",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Streaming ordered funnel (operators/funnel.py lifted to
+    event-time windows): per (window × key), how deep did the key
+    convert through the ordered ``steps`` chain WITHIN the window —
+    step i completes at the earliest event matching condition i
+    STRICTLY AFTER the step-(i-1) time (first-touch, identical to the
+    batch rule: the batch running-min chain and this final-value
+    iteration provably agree, since the running step-(i-1) minimum at
+    any qualifying event already equals its final value).
+
+    Execution: one NATIVE windowed aggregation collects each key's
+    in-window events as a sorted (ts, flags) array (state bounded by
+    events-per-key-per-window — document hot keys; there is no
+    unbounded cross-window state, which is also the semantic choice:
+    chains do not span windows, exactly like batch ``funnel`` with
+    ``within_seconds`` = the window), then the k-step chain is computed
+    by k staged array expressions (filter + array_min per step — each
+    stage references the PREVIOUS stage's scalar column, so no
+    HOF-lambda re-evaluation blowup).  Emitted in append mode as
+    windows close.
+
+    Output: (window_start, key, depth, step_ts array<long> micros) —
+    depth = number of chain steps completed in the window."""
+    if not steps:
+        raise ValueError("steps must be non-empty")
+    m = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ev = F.struct(
+        m.alias("m"),
+        *[F.coalesce(F.expr(cond).cast("boolean"), F.lit(False))
+          .alias(f"c{i}") for i, (_, cond) in enumerate(steps)])
+    agg = (
+        sdf.where(F.col(ts_col).isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
+                 F.col(key).alias("key"))
+        .agg(F.sort_array(F.collect_list(ev)).alias("__evs"))
+    )
+    out = agg
+    tol = (None if within_seconds is None
+           else int(round(float(within_seconds) * 1_000_000)))
+    # closure FACTORIES returning single-arg lambdas — a default-arg
+    # lambda reads as a 2-arg (element, index) HOF and the index binds
+    # into the field name (the documented Spark-4 arity pitfall)
+    def _first(flag):
+        return lambda e: e[flag]
+
+    def _chained(flag, prev):
+        return lambda e: e[flag] & (e["m"] > prev)
+
+    def _chained_tol(flag, prev, t0, us):
+        return lambda e: (e[flag] & (e["m"] > prev)
+                          & (e["m"] <= t0 + F.lit(us)))
+
+    for i in range(len(steps)):
+        flag = f"c{i}"
+        if i == 0:
+            sel = _first(flag)
+        elif tol is None:
+            sel = _chained(flag, F.col(f"__t{i - 1}"))
+        else:
+            sel = _chained_tol(flag, F.col(f"__t{i - 1}"),
+                               F.col("__t0"), tol)
+        out = out.withColumn(
+            f"__t{i}",
+            F.array_min(F.transform(F.filter(F.col("__evs"), sel),
+                                    lambda e: e["m"])))
+    ts_arr = F.array(*[F.col(f"__t{i}") for i in range(len(steps))])
+    depth = F.size(F.filter(ts_arr, lambda t: t.isNotNull()))
+    return out.select(
+        F.col("__w").getField("start").alias("window_start"),
+        "key",
+        depth.alias("depth"),
+        ts_arr.alias("step_ts"))
+
+
 def stream_trend_verdicts(
     sdf: DataFrame,
     column: str,
