@@ -1190,6 +1190,12 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # is invisible to all of them
         plan.dataset_checks.append(
             DatasetCheck(cid, "correlation", colname, dict(v)))
+    elif kw == "x-funnel":
+        # dataset scope: step-to-step conversion-rate floors over an
+        # ordered event chain — the product-health contract between
+        # row-groups that no row/session check can see
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "funnel", colname, dict(v)))
     elif kw == "x-compliance":
         # dataset scope: the ERROR-BUDGET form of x-rowExpr — x-rowExpr
         # names every violating row and one bad row fails; this bounds

@@ -5671,3 +5671,69 @@ def engine_compliance_violations(spark, sf_dir):
         "minCount": 5}}}})
     res = suite.run(ev, key="event_id")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_FUNNEL_KW_SQL = _FUNNEL_SQL.replace("""
+SELECT 0 AS step_idx, 'signup' AS step_name,
+       sum(CASE WHEN a THEN 1 ELSE 0 END) AS n_converted FROM pk
+UNION ALL
+SELECT 1, 'view', sum(CASE WHEN b THEN 1 ELSE 0 END) FROM pk
+UNION ALL
+SELECT 2, 'purchase', sum(CASE WHEN c THEN 1 ELSE 0 END) FROM pk
+""", """,
+cnt AS (
+  SELECT 0 AS step_idx, 'signup' AS step_name,
+         sum(CASE WHEN a THEN 1 ELSE 0 END) AS n FROM pk
+  UNION ALL
+  SELECT 1, 'view', sum(CASE WHEN b THEN 1 ELSE 0 END) FROM pk
+  UNION ALL
+  SELECT 2, 'purchase', sum(CASE WHEN c THEN 1 ELSE 0 END) FROM pk
+),
+lg AS (
+  SELECT *, lag(n) OVER (ORDER BY step_idx) AS prev,
+         CASE step_idx WHEN 1 THEN 0.4 WHEN 2 THEN 0.5 END AS fl
+  FROM cnt
+)
+SELECT step_name AS doc_id,
+       'properties/event_type/x-funnel' AS check_id,
+       'rate=' || CAST(CAST(round(CAST(n AS DOUBLE) / prev, 6)
+                            AS DECIMAL(10,6)) AS VARCHAR)
+         || ',n=' || CAST(n AS VARCHAR)
+         || ',prev=' || CAST(prev AS VARCHAR) AS observed
+FROM lg
+WHERE prev IS NOT NULL AND prev > 0 AND fl IS NOT NULL
+  AND CAST(n AS DOUBLE) / prev < fl
+""")
+
+
+@register_extended("engine_funnel_violations", _FUNNEL_KW_SQL)
+def engine_funnel_violations(spark, sf_dir):
+    """x-funnel as a DECLARATIVE suite keyword: step-to-step
+    conversion-rate floors over the signup -> view -> purchase chain
+    (>= 40% of signups must view within a day; >= 50% of viewers must
+    purchase) — the product-health contract a deploy silently breaks:
+    every row is individually valid, every session well-formed; the
+    failure is the RATE between chain steps, which no row, session, or
+    single-aggregate check can express. Plan (operators/funnel.py
+    funnel_violations): the funnel is the k-chained-running-min-window
+    single-Exchange plan (events_funnel's oracled shape); the rate gate
+    is a lag over the K-ROW counts result — the single-partition window
+    is over step rows, never data rows. Rates are exact-integer
+    divisions (bit-exact cross-engine). 1 violating transition at
+    sf0.001 (purchase 1/8), 2 at sf0.01 (view 39/150, purchase 10/39).
+    EXTENDED mirror entry; full value-hash oracle extends the funnel
+    window replay with the lag gate."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"event_type": {"x-funnel": {
+        "key": "user_id", "ts": "ts",
+        "steps": [
+            {"name": "signup", "when": "event_type = 'signup'"},
+            {"name": "view", "when": "event_type = 'view'"},
+            {"name": "purchase", "when": "event_type = 'purchase'"},
+        ],
+        "minRates": [0.4, 0.5],
+        "withinSeconds": 86400}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")

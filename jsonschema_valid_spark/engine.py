@@ -547,6 +547,20 @@ def _correlation_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _funnel_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-funnel execution for both run paths."""
+    from jsonschema_valid_spark.operators.funnel import funnel_violations
+
+    ws = dc.params.get("withinSeconds")
+    return funnel_violations(
+        df, dc.column, dc.check_id,
+        key=dc.params["key"], ts=dc.params["ts"],
+        steps=[(st["name"], st["when"]) for st in dc.params["steps"]],
+        min_rates=[float(r) for r in dc.params["minRates"]],
+        within_seconds=None if ws is None else float(ws),
+    )
+
+
 def _compliance_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-compliance execution for both run paths."""
     from jsonschema_valid_spark.operators.compliance import (
@@ -920,6 +934,8 @@ def run_suite_summarized(
             vdf = _distinct_ratio_violations(dc, df)
         elif dc.kind == "compliance":
             vdf = _compliance_violations(dc, df)
+        elif dc.kind == "funnel":
+            vdf = _funnel_violations(dc, df)
         elif dc.kind == "level_shift":
             vdf = _level_shift_violations(dc, df, key)
         elif dc.kind == "entropy":
@@ -1398,6 +1414,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("ncr") == 0).alias("passed"),
                     F.col("ncr").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "funnel":
+            fnv = _funnel_violations(dc, df)
+            violation_dfs.append(_with_ipath(fnv))
+            verdict_dfs.append(
+                fnv.agg(F.count(F.lit(1)).alias("nfn")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nfn") == 0).alias("passed"),
+                    F.col("nfn").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

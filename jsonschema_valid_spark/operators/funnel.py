@@ -122,3 +122,62 @@ def retention_cohorts(
             .distinct()
             .groupBy("cohort_period", "periods_since")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def funnel_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    key: str,
+    ts: str,
+    steps: list[tuple[str, str]],
+    min_rates: list[float],
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """``x-funnel`` execution: step-to-step conversion-rate floors over
+    the ordered funnel — "at least 30% of signups must view, at least
+    5% of viewers must purchase" as a declarative VALIDATION check (the
+    product-health contract a deploy can silently break: every row is
+    individually valid, every session well-formed; the failure is the
+    RATE between chain steps).  ``min_rates[i]`` floors
+    n_converted(step i+1) / n_converted(step i).
+
+    One violation row per failing transition: doc_id = the failing
+    step's name, observed = ``rate=<dec>,n=<to>,prev=<from>``.  A
+    transition whose upstream count is 0 has an undefined rate and is
+    suppressed (try_divide NULL — no signal, no false alarm).
+
+    Scale: the funnel itself is the k-chained-window single-Exchange
+    plan; the rate gate is a lag over the K-ROW counts result (k = a
+    handful — the single-partition window is over step rows, never
+    data rows)."""
+    if len(min_rates) != len(steps) - 1:
+        raise ValueError(
+            f"min_rates needs {len(steps) - 1} entries "
+            f"(one per transition), got {len(min_rates)}")
+    counts = funnel(df, key, ts, steps, within_seconds=within_seconds)
+    w = Window.orderBy("step_idx")
+    rates = F.array(*[F.lit(float(r)) for r in min_rates])
+    out = (counts
+           .withColumn("__prev", F.lag("n_converted").over(w))
+           .withColumn("__rate",
+                       F.try_divide(F.col("n_converted"), F.col("__prev")))
+           .withColumn("__floor",
+                       F.when(F.col("step_idx") >= 1,
+                              F.element_at(rates, F.col("step_idx")))))
+    bad = (F.col("__rate").isNotNull() & F.col("__floor").isNotNull()
+           & (F.col("__rate") < F.col("__floor")))
+    exp = (f"step conversion rates >= {[float(r) for r in min_rates]} "
+           f"over steps {[n for n, _ in steps]}")
+    return out.where(bad).select(
+        F.col("step_name").alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(
+            F.lit("rate="),
+            F.round(F.col("__rate"), 6).cast("decimal(10,6)")
+            .cast("string"),
+            F.lit(",n="), F.col("n_converted").cast("string"),
+            F.lit(",prev="), F.col("__prev").cast("string"),
+        ).alias("observed"),
+        F.lit(exp).alias("expected"),
+    )

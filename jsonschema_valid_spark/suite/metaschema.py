@@ -349,6 +349,15 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"enum": ["min", "max"]}},
             ]},
         }}),
+        _kw("x-funnel", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "steps"}},
+                {"contains": {"const": "minRates"}},
+                {"contains": {"const": "key"}},
+                {"contains": {"const": "ts"}},
+            ]},
+        }}),
         _kw("x-compliance", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"allOf": [

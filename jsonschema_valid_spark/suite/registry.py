@@ -99,6 +99,7 @@ DATASET_KEYWORDS = frozenset(
         "x-trend",          # OLS slope of value vs an ordering within bounds per group
         "x-distinctRatio",  # distinct/count rate bounds (soft x-unique, like x-nullRate vs required)
         "x-compliance",     # predicate pass-rate bounds (soft x-rowExpr, the error budget)
+        "x-funnel",         # step-to-step conversion-rate floors over an ordered chain
         "x-levelShift",     # peak rolling-mean jump per group within a bound
         "x-entropy",        # Shannon-entropy bounds (collapse/uniformity guard)
         "x-outlier",        # per-group z-score envelope (data-aware min/max lift)

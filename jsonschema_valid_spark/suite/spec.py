@@ -487,6 +487,34 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-correlation must be {'with': col, "
                               "'min'|'max': number in [-1, 1], "
                               "'by'?: col, 'minCount'?: int>=3}")
+        elif kw == "x-funnel":
+            def _rate01(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and 0.0 <= x <= 1.0)
+            steps_ok = (isinstance(v, dict)
+                        and isinstance(v.get("steps"), list)
+                        and len(v.get("steps", [])) >= 2
+                        and all(isinstance(st, dict)
+                                and isinstance(st.get("name"), str)
+                                and st["name"]
+                                and isinstance(st.get("when"), str)
+                                and st["when"]
+                                for st in v.get("steps", [])))
+            ok = (steps_ok
+                  and isinstance(v.get("key"), str) and v["key"]
+                  and isinstance(v.get("ts"), str) and v["ts"]
+                  and isinstance(v.get("minRates"), list)
+                  and len(v["minRates"]) == len(v["steps"]) - 1
+                  and all(_rate01(r) for r in v["minRates"])
+                  and ("withinSeconds" not in v
+                       or (isinstance(v["withinSeconds"], (int, float))
+                           and not isinstance(v["withinSeconds"], bool)
+                           and v["withinSeconds"] > 0)))
+            if not ok:
+                raise _err(p, "x-funnel must be {'key': col, 'ts': col, "
+                              "'steps': [{'name', 'when'} x>=2], "
+                              "'minRates': [r in [0,1]] x(len(steps)-1), "
+                              "'withinSeconds'?: number>0}")
         elif kw == "x-compliance":
             def _rate_num(x):
                 return (isinstance(x, (int, float))

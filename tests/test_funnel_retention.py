@@ -216,3 +216,65 @@ def test_event_order_spec_validation():
         with pytest.raises(SuiteError):
             validate_suite_spec(
                 {"properties": {"ts": {"x-eventOrder": bad}}})
+
+
+def test_funnel_keyword_rate_floors(spark):
+    """x-funnel: step-to-step conversion-rate floors as a declarative
+    check — both run paths, suppression on zero upstream."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.engine import run_suite_summarized
+    from jsonschema_valid_spark.operators.funnel import funnel_violations
+    from jsonschema_valid_spark.suite.spec import (
+        SuiteError,
+        validate_suite_spec,
+    )
+
+    rows = []
+    t0 = "2024-01-01 00:0{}:00"
+    for u in range(10):
+        rows.append((f"u{u}", "view", t0.format(1)))
+    for u in range(5):
+        rows.append((f"u{u}", "click", t0.format(2)))
+    rows.append(("u0", "buy", t0.format(3)))
+    df = (spark.createDataFrame(rows, "u: string, et: string, s: string")
+          .select("u", "et", F.to_timestamp("s").alias("ts")))
+
+    steps = [{"name": "view", "when": "et = 'view'"},
+             {"name": "click", "when": "et = 'click'"},
+             {"name": "buy", "when": "et = 'buy'"}]
+    # click rate 0.5 >= 0.4 passes; buy rate 0.2 < 0.5 trips
+    spec = {"properties": {"et": {"x-funnel": {
+        "key": "u", "ts": "ts", "steps": steps,
+        "minRates": [0.4, 0.5]}}}}
+    res = CheckSuite(spec).run(df, key="u")
+    viol = res.violations.collect()
+    assert [(r.doc_id, r.observed) for r in viol] == \
+        [("buy", "rate=0.200000,n=1,prev=5")]
+    assert not res.ok()
+    summ = run_suite_summarized(CheckSuite(spec), df, key="u")
+    assert [r.doc_id for r in summ.violations.collect()] == ["buy"]
+
+    # zero upstream: undefined rate suppressed (no false alarm)
+    nody = df.where("et = 'view'")
+    v = funnel_violations(
+        nody, "et", "c", key="u", ts="ts",
+        steps=[("view", "et = 'view'"), ("click", "et = 'click'"),
+               ("buy", "et = 'buy'")],
+        min_rates=[0.4, 0.5])
+    assert [r.doc_id for r in v.collect()] == ["click"]  # 0/10 trips;
+    # buy's 0/0 upstream is suppressed
+
+    with pytest.raises(ValueError, match="min_rates"):
+        funnel_violations(df, "et", "c", key="u", ts="ts",
+                          steps=[("a", "et='view'"), ("b", "et='click'")],
+                          min_rates=[0.1, 0.2])
+    for bad in (
+        {"key": "u", "ts": "ts", "steps": steps},          # no minRates
+        {"key": "u", "ts": "ts", "steps": steps,
+         "minRates": [0.4]},                               # wrong arity
+        {"key": "u", "ts": "ts", "steps": [steps[0]],
+         "minRates": []},                                  # < 2 steps
+        {"ts": "ts", "steps": steps, "minRates": [0.4, 0.5]},
+    ):
+        with pytest.raises(SuiteError):
+            validate_suite_spec({"properties": {"et": {"x-funnel": bad}}})

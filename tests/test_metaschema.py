@@ -119,6 +119,8 @@ INVALID_SUITES = [
         "by": "g"}}}}),
     ("x-compliance-no-expr", {"properties": {"x": {"x-compliance": {
         "min": 0.9}}}}),
+    ("x-funnel-no-steps", {"properties": {"x": {"x-funnel": {
+        "key": "u", "ts": "t", "minRates": [0.5]}}}}),
     ("x-compliance-no-bound", {"properties": {"x": {"x-compliance": {
         "expr": "v > 0"}}}}),
     ("x-trend-no-bound", {"properties": {"x": {"x-trend": {
