@@ -276,14 +276,18 @@ class CheckpointRunner:
         )
 
         cols = sorted(df.columns)
-        part = F.coalesce(F.col(partition_by).cast("string"),
-                          F.lit(_NULL_PARTITION))
-        agg = (df.groupBy(part.alias("__p"))
+        # group on the RAW column and render with Python str() — the same
+        # rendering run() uses for its partition list (a Spark
+        # cast('string') can differ: booleans 'true' vs 'True', floats
+        # '1.0E-8' vs '1e-08' — a mismatched key would silently skip
+        # fingerprint recording for those partitions)
+        agg = (df.groupBy(F.col(partition_by).alias("__p"))
                .agg(F.count(F.lit(1)).alias("n"),
                     F.coalesce(
                         F.sum(row_fingerprint(cols).cast("decimal(38,0)")),
                         F.lit(0).cast("decimal(38,0)")).alias("s")))
-        return {r["__p"]: f'{r["n"]}:{r["s"]}' for r in agg.collect()}
+        return {(_NULL_PARTITION if r["__p"] is None else str(r["__p"])):
+                f'{r["n"]}:{r["s"]}' for r in agg.collect()}
 
     def _recorded_fingerprints(self, spark: SparkSession) -> dict[str, str]:
         """Latest recorded fingerprint per partition for THIS suite_hash
@@ -436,8 +440,8 @@ class CheckpointRunner:
             recorded = self._recorded_fingerprints(spark)
             invalid = sorted(
                 p for p in parts
-                if p in done and p in recorded
-                and recorded[p] != fps_now.get(p))
+                if p in done and p in recorded and p in fps_now
+                and recorded[p] != fps_now[p])
             done -= set(invalid)
             summary.invalidated = invalid
 

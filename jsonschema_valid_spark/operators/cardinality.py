@@ -149,13 +149,11 @@ def distinct_ratio_violations(
         doc = F.lit("<global>")
     # try_divide: a group whose values are ALL NULL has __n == 0 —
     # ratio undefined (NULL, suppressed), not an ANSI DIVIDE_BY_ZERO
+    from jsonschema_valid_spark.operators._bounds import out_of_bounds
+
     ratio = F.try_divide(F.col("__d"), F.col("__n"))
-    bad = F.lit(False)
-    if min_ratio is not None:
-        bad = bad | (ratio < F.lit(float(min_ratio)))
-    if max_ratio is not None:
-        bad = bad | (ratio > F.lit(float(max_ratio)))
-    bad = bad & (F.col("__n") >= F.lit(int(min_count)))
+    bad = (out_of_bounds(ratio, min_ratio, max_ratio)
+           & (F.col("__n") >= F.lit(int(min_count))))
     lo = "0" if min_ratio is None else f"{float(min_ratio):g}"
     hi = "1" if max_ratio is None else f"{float(max_ratio):g}"
     scope = f" per {by}" if by else ""
@@ -196,21 +194,22 @@ def distinct_ratio_group_verdicts(
     c = F.col(column)
     d = (F.approx_count_distinct(c) if approx else F.count_distinct(c))
     g = df.groupBy(F.col(by)).agg(d.alias("__d"), F.count(c).alias("__n"))
+    from jsonschema_valid_spark.operators._bounds import (
+        out_of_bounds,
+        violated_threshold,
+    )
+
     # try_divide: a group whose values are ALL NULL has __n == 0 —
     # ratio undefined (NULL, suppressed), not an ANSI DIVIDE_BY_ZERO
     ratio = F.try_divide(F.col("__d"), F.col("__n"))
-    bad = F.lit(False)
-    if min_ratio is not None:
-        bad = bad | (ratio < F.lit(float(min_ratio)))
-    if max_ratio is not None:
-        bad = bad | (ratio > F.lit(float(max_ratio)))
-    bad = bad & (F.col("__n") >= F.lit(int(min_count)))
-    thr = float(min_ratio if min_ratio is not None else max_ratio)
+    bad = (out_of_bounds(ratio, min_ratio, max_ratio)
+           & (F.col("__n") >= F.lit(int(min_count))))
+    thr = violated_threshold(ratio, min_ratio, max_ratio)
     return g.select(
         F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
         .alias("partition_id"),
         F.lit(check_id).alias("check_id"),
         (~bad).alias("passed"),
         F.coalesce(ratio, F.lit(0.0)).cast("double").alias("metric_value"),
-        F.lit(thr).cast("double").alias("threshold"),
+        thr.cast("double").alias("threshold"),
     )

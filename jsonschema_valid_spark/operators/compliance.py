@@ -57,13 +57,11 @@ def compliance_violations(
     else:
         g = df.agg(*aggs)
         doc = F.lit("<global>")
+    from jsonschema_valid_spark.operators._bounds import out_of_bounds
+
     rate = F.try_divide(F.col("__p"), F.col("__n"))
-    bad = F.lit(False)
-    if min_rate is not None:
-        bad = bad | (rate < F.lit(float(min_rate)))
-    if max_rate is not None:
-        bad = bad | (rate > F.lit(float(max_rate)))
-    bad = bad & (F.col("__n") >= F.lit(int(min_count)))
+    bad = (out_of_bounds(rate, min_rate, max_rate)
+           & (F.col("__n") >= F.lit(int(min_count))))
     lo = "0" if min_rate is None else f"{float(min_rate):g}"
     hi = "1" if max_rate is None else f"{float(max_rate):g}"
     scope = f" per {by}" if by else ""
@@ -99,19 +97,20 @@ def compliance_group_verdicts(
     if min_rate is None and max_rate is None:
         raise ValueError("x-compliance needs min and/or max")
     g = df.groupBy(F.col(by)).agg(*_rate_aggs(expr))
+    from jsonschema_valid_spark.operators._bounds import (
+        out_of_bounds,
+        violated_threshold,
+    )
+
     rate = F.try_divide(F.col("__p"), F.col("__n"))
-    bad = F.lit(False)
-    if min_rate is not None:
-        bad = bad | (rate < F.lit(float(min_rate)))
-    if max_rate is not None:
-        bad = bad | (rate > F.lit(float(max_rate)))
-    bad = bad & (F.col("__n") >= F.lit(int(min_count)))
-    thr = float(min_rate if min_rate is not None else max_rate)
+    bad = (out_of_bounds(rate, min_rate, max_rate)
+           & (F.col("__n") >= F.lit(int(min_count))))
+    thr = violated_threshold(rate, min_rate, max_rate)
     return g.select(
         F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
         .alias("partition_id"),
         F.lit(check_id).alias("check_id"),
         (~bad).alias("passed"),
         F.coalesce(rate, F.lit(0.0)).cast("double").alias("metric_value"),
-        F.lit(thr).cast("double").alias("threshold"),
+        thr.cast("double").alias("threshold"),
     )

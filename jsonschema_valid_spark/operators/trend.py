@@ -99,16 +99,11 @@ def trend_violations(
     else:
         g = df.agg(*aggs)
         doc = F.lit("<global>")
-    out_of_bounds = F.lit(False)
-    if min_slope is not None:
-        out_of_bounds = out_of_bounds | (
-            F.col("__s") < F.lit(float(min_slope)))
-    if max_slope is not None:
-        out_of_bounds = out_of_bounds | (
-            F.col("__s") > F.lit(float(max_slope)))
+    from jsonschema_valid_spark.operators._bounds import out_of_bounds
+
     bad = (F.col("__s").isNotNull()
            & (F.col("__n") >= F.lit(int(min_count)))
-           & out_of_bounds)
+           & out_of_bounds(F.col("__s"), min_slope, max_slope))
     lo = "-inf" if min_slope is None else f"{float(min_slope):g}"
     hi = "inf" if max_slope is None else f"{float(max_slope):g}"
     scope = f" per {by}" if by else ""
@@ -155,14 +150,15 @@ def trend_group_verdicts(
     g = df.groupBy(F.col(by)).agg(
         _slope(x, y).alias("__s"),
         F.count(F.when(x.isNotNull() & y.isNotNull(), 1)).alias("__n"))
-    bad = F.lit(False)
-    if min_slope is not None:
-        bad = bad | (F.col("__s") < F.lit(float(min_slope)))
-    if max_slope is not None:
-        bad = bad | (F.col("__s") > F.lit(float(max_slope)))
-    bad = (bad & F.col("__s").isNotNull()
+    from jsonschema_valid_spark.operators._bounds import (
+        out_of_bounds,
+        violated_threshold,
+    )
+
+    bad = (out_of_bounds(F.col("__s"), min_slope, max_slope)
+           & F.col("__s").isNotNull()
            & (F.col("__n") >= F.lit(int(min_count))))
-    thr = float(min_slope if min_slope is not None else max_slope)
+    thr = violated_threshold(F.col("__s"), min_slope, max_slope)
     return g.select(
         F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
         .alias("partition_id"),
@@ -170,5 +166,5 @@ def trend_group_verdicts(
         (~bad).alias("passed"),
         F.coalesce(F.col("__s"), F.lit(0.0)).cast("double")
         .alias("metric_value"),
-        F.lit(thr).cast("double").alias("threshold"),
+        thr.cast("double").alias("threshold"),
     )

@@ -94,20 +94,29 @@ def zorder_key(df: DataFrame, columns: list[str], bits: int = 8,
         raise ValueError("zorder needs >= 2 columns (use "
                          "write_range_layout for one)")
     bits = int(bits)
+    if bits * len(columns) > 63:
+        raise ValueError(
+            f"bits ({bits}) x columns ({len(columns)}) = "
+            f"{bits * len(columns)} interleaved bits exceeds the 63 a "
+            "signed long key can hold — lower bits")
     n_cells = (1 << bits) - 1
     if edges is None:
         qs = [i / (n_cells + 1) for i in range(1, n_cells + 1)]
-        edges = {}
-        for c in columns:
-            es = df.approxQuantile(c, qs, 0.001)
-            edges[c] = es
+        # ONE pass: approxQuantile accepts a column list and computes
+        # every sketch in a single scan (per-column calls would each
+        # rescan the input)
+        all_es = df.approxQuantile(list(columns), qs, 0.001)
+        edges = dict(zip(columns, all_es))
     key = None
     for ci, c in enumerate(columns):
         es = list(edges[c])
         arr = F.array(*[F.lit(float(e)) for e in es])
         val = F.col(c).cast("double")
         rank = F.size(F.filter(arr, lambda e: val >= e))
-        bucket = F.least(rank, F.lit(n_cells)).cast("int")
+        # LONG before shifting: shiftleft on an int wraps modulo 32, so
+        # bit positions >= 31 would corrupt the key (sign bit at 31,
+        # collisions past 32) for bits x columns > 31
+        bucket = F.least(rank, F.lit(n_cells)).cast("long")
         for j in range(bits):
             bit = F.shiftleft(
                 F.shiftright(bucket, j).bitwiseAND(F.lit(1)),
@@ -150,13 +159,33 @@ def files_matching_box(path: str, ranges: dict[str, tuple]) -> list[str]:
     """The files a min/max-pruning planner would read for a conjunctive
     box predicate ``AND_c (c BETWEEN lo_c AND hi_c)`` — the k-D
     skip-count evidence: a file survives only if its footer interval
-    intersects the box in EVERY dimension."""
-    alive: set[str] | None = None
-    for c, (lo, hi) in ranges.items():
-        stats = file_range_stats(path, c)
-        match = {s["file"] for s in files_matching_range(stats, lo, hi)}
-        alive = match if alive is None else (alive & match)
-    return sorted(alive or set())
+    intersects the box in EVERY dimension.  Each file's footer is
+    opened ONCE and every queried column's bounds extracted from it
+    (k separate file_range_stats passes would pay k metadata reads per
+    file — a real cost on object stores)."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for name in sorted(os.listdir(path)):
+        if not name.endswith(".parquet"):
+            continue
+        pf = pq.ParquetFile(os.path.join(path, name))
+        alive = True
+        for c, (lo, hi) in ranges.items():
+            idx = pf.schema_arrow.get_field_index(c)
+            cmin, cmax = None, None
+            for rg in range(pf.metadata.num_row_groups):
+                st = pf.metadata.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                cmin = st.min if cmin is None else min(cmin, st.min)
+                cmax = st.max if cmax is None else max(cmax, st.max)
+            if cmin is None or cmax < lo or cmin > hi:
+                alive = False
+                break
+        if alive:
+            out.append(name)
+    return out
 
 
 def file_range_stats(path: str, column: str) -> list[dict]:

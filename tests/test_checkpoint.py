@@ -181,3 +181,31 @@ def test_verify_content_backward_compatible(spark, tmp_path):
     shutil.rmtree(f"{base}/fingerprints")  # simulate a pre-knob lineage
     s = r.run(df, "src", key="doc_id", verify_content=True)
     assert s.invalidated == [] and sorted(s.skipped) == ["a", "b"]
+
+
+def test_verify_content_nonstring_partition_rendering(spark, tmp_path):
+    """Regression (review find): the fingerprint dict must be keyed by
+    the same Python str() rendering run() uses for its partition list —
+    boolean partitions ('True' vs Spark's 'true') previously never
+    recorded fingerprints, silently disabling verify_content."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.checkpoint import CheckpointRunner
+
+    suite = CheckSuite({"properties": {"v": {"minimum": 0}}})
+    in_path = str(tmp_path / "in")
+    base = str(tmp_path / "ckpt")
+    df0 = spark.createDataFrame(
+        [(1, True, 5), (2, False, 6)], "doc_id: long, flag: boolean, v: long")
+    df0.write.parquet(in_path)
+    r = CheckpointRunner(suite, base)
+    r.run(spark.read.parquet(in_path), "flag", key="doc_id",
+          verify_content=True)
+    # fingerprints were actually recorded under the runner's keys
+    rec = r._recorded_fingerprints(spark)
+    assert set(rec) == {"True", "False"}
+    # a change to the True partition is detected
+    spark.createDataFrame([(9, True, -1)], df0.schema) \
+        .write.mode("append").parquet(in_path)
+    s2 = r.run(spark.read.parquet(in_path), "flag", key="doc_id",
+               verify_content=True)
+    assert s2.invalidated == ["True"] and s2.processed == ["True"]

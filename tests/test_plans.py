@@ -384,3 +384,29 @@ def test_zorder_layout_prunes_both_dimensions(spark, tmp_path):
         zorder_key(df, ["a"], bits=8)
     with _pt.raises(ValueError):
         zorder_key(df, ["a", "b"], bits=40)
+
+
+def test_zorder_key_wide_interleave_no_int_wrap(spark):
+    """Regression (review find): bit positions >= 31 must not wrap —
+    the bucket is cast to LONG before shifting, so 4-column x 8-bit and
+    2-column x 16-bit keys stay non-negative and order-consistent."""
+    from jsonschema_valid_spark.sources.bucketing import zorder_key
+
+    df = spark.range(2_000).select(
+        ((F.col("id") * 7919) % 100).alias("a"),
+        (((F.col("id") * 7919) / 100).cast("long") % 100).alias("b"),
+        ((F.col("id") * 104729) % 100).alias("c"),
+        (((F.col("id") * 104729) / 100).cast("long") % 100).alias("d"))
+    keyed, _ = zorder_key(df, ["a", "b", "c", "d"], bits=8)
+    stats = keyed.agg(F.min("__zorder"), F.max("__zorder")).first()
+    assert stats[0] >= 0, "sign-bit wrap: negative Morton key"
+    assert stats[1] < (1 << 32)
+    # a row with ALL max buckets must produce the maximal key, not a
+    # wrapped/negative one
+    keyed16, _ = zorder_key(df, ["a", "b"], bits=16)
+    s16 = keyed16.agg(F.min("__zorder"), F.max("__zorder")).first()
+    assert s16[0] >= 0 and s16[1] < (1 << 32)
+
+    import pytest as _pt
+    with _pt.raises(ValueError, match="63"):
+        zorder_key(df, ["a", "b", "c", "d"], bits=16)
