@@ -910,6 +910,73 @@ def stream_trend_verdicts(
         "n", passed.alias("passed"))
 
 
+def stream_correlation_verdicts(
+    sdf: DataFrame,
+    column: str,
+    with_col: str,
+    ts_col: str,
+    group_col: str | None = None,
+    min_corr: float | None = None,
+    max_corr: float | None = None,
+    min_count: int = 3,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-correlation`` (operators/correlation.py lifted to
+    event-time windows): per-window Pearson r between two columns within
+    bounds — decoupling surfaces in the window where it started ("the
+    paired sensors diverged at 14:00").  Like streaming x-trend, the
+    whole statistic is mergeable sums: r = (n·Σxy − Σx·Σy) /
+    (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)) over the pairwise-complete
+    slice — pure NATIVE windowed aggregation, exact cross-batch merge,
+    append on watermark close, no Python state.  Zero-variance windows
+    have undefined r and pass (try_divide NULL), as do windows under
+    ``min_count`` pairs.
+
+    Output: (window_start, group, corr, n, passed)."""
+    if min_corr is None and max_corr is None:
+        raise ValueError("stream_correlation_verdicts needs min and/or max")
+    x = F.col(column).cast("double")
+    y = F.col(with_col).cast("double")
+    both = x.isNotNull() & y.isNotNull()
+    px = F.when(both, x)
+    py = F.when(both, y)
+    grp = (F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+           if group_col is not None else F.lit("<global>"))
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
+                 grp.alias("group"))
+        .agg(F.sum(px).alias("sx"), F.sum(py).alias("sy"),
+             F.sum(px * py).alias("sxy"),
+             F.sum(px * px).alias("sxx"), F.sum(py * py).alias("syy"),
+             F.count(F.when(both, 1)).alias("n"))
+    )
+    # greatest(·, 0): float rounding can push a mathematically
+    # non-negative n·Σx² − (Σx)² a hair below zero — sqrt would yield
+    # NaN, and NaN compares LARGER than any double in Spark, silently
+    # passing a min bound; clamped, zero variance → try_divide NULL
+    vx = F.greatest(
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"), F.lit(0.0))
+    vy = F.greatest(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"), F.lit(0.0))
+    corr = F.try_divide(
+        F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"),
+        F.sqrt(vx) * F.sqrt(vy))
+    passed = F.lit(True)
+    if min_corr is not None:
+        passed = passed & (corr >= F.lit(float(min_corr)))
+    if max_corr is not None:
+        passed = passed & (corr <= F.lit(float(max_corr)))
+    passed = F.when(F.col("n") < int(min_count), F.lit(True)) \
+        .when(corr.isNull(), F.lit(True)).otherwise(passed)
+    return agg.select(
+        F.col("__w").getField("start").alias("window_start"),
+        "group",
+        F.coalesce(corr, F.lit(0.0)).cast("double").alias("corr"),
+        "n", passed.alias("passed"))
+
+
 def stream_compliance_verdicts(
     sdf: DataFrame,
     expr: str,

@@ -162,3 +162,58 @@ def test_stream_trend_windows_match_batch(spark, tmp_path):
 
     with pytest.raises(ValueError):
         stream_trend_verdicts(sdf, "y", "x", "ts")
+
+
+def test_stream_correlation_windows_match_batch(spark, tmp_path):
+    """Streaming x-correlation: per-window Pearson r from five mergeable
+    sums — cross-batch merge equals the batch corr; the anti-correlated
+    window trips min; zero-variance windows pass."""
+    from jsonschema_valid_spark.streaming.checks import (
+        stream_correlation_verdicts,
+    )
+
+    def _write(rows):
+        df = spark.createDataFrame(
+            rows, "g: string, x: double, y: double, ts_s: string") \
+            .select("g", "x", "y", F.to_timestamp("ts_s").alias("ts"))
+        df.coalesce(1).write.mode("append").parquet(path)
+        time.sleep(1.1)
+
+    path = str(tmp_path / "cin2")
+    h0 = "2024-01-01 00:20:00"
+    h1 = "2024-01-01 01:20:00"
+    # window 0: perfect track split across batches; window 1: perfect
+    # anti-correlation; window 2 (same h1, group B): constant y
+    _write([("A", float(i), 2.0 * i + 1, h0) for i in range(5)])
+    _write([("A", float(i), 2.0 * i + 1, h0) for i in range(5, 10)]
+           + [("A", float(i), -3.0 * i, h1) for i in range(8)]
+           + [("B", float(i), 7.0, h1) for i in range(6)])
+    _write([("Z", 1.0, 1.0, "2024-01-01 06:00:00")])
+
+    sdf = (spark.readStream
+           .schema("g string, x double, y double, ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = stream_correlation_verdicts(sdf, "y", "x", "ts", group_col="g",
+                                      min_corr=0.0,
+                                      window_duration="1 hour")
+    q = (out.writeStream.format("memory").queryName("cr_sink")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(str(r["window_start"]), r["group"]):
+           (r["corr"], r["n"], r["passed"])
+           for r in spark.sql("select * from cr_sink").collect()}
+    w0 = got[("2024-01-01 00:00:00", "A")]
+    assert w0[0] == pytest.approx(1.0) and w0[1] == 10 and w0[2] is True
+    w1 = got[("2024-01-01 01:00:00", "A")]
+    assert w1[0] == pytest.approx(-1.0) and w1[2] is False
+    wb = got[("2024-01-01 01:00:00", "B")]
+    assert wb[2] is True  # zero variance: undefined r, suppressed
+
+    # batch parity on the window-0 slice
+    batch = spark.read.parquet(path).where(
+        "g = 'A' AND ts < timestamp'2024-01-01 01:00:00'")
+    bc = batch.agg(F.corr("y", "x")).first()[0]
+    assert w0[0] == pytest.approx(bc)
+
+    with pytest.raises(ValueError):
+        stream_correlation_verdicts(sdf, "y", "x", "ts")
