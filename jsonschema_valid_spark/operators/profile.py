@@ -629,3 +629,65 @@ def suggest_distinct_ratio_bounds(df: DataFrame, column: str,
     if by is not None:
         node["by"] = by
     return node
+
+
+def suggest_compliance_floor(df: DataFrame, column: str, expr: str,
+                             by: str | None = None,
+                             headroom: float = 1.5,
+                             min_count: int = 5) -> dict | None:
+    """Bootstrap an ``x-compliance`` node from the snapshot's own
+    observed pass-rates: pin ``min`` at the WORST observed per-group
+    rate of ``expr`` shrunk by ``headroom`` — a later load whose rate
+    collapses past the historical floor fails; organic variation inside
+    the headroom passes.  NULL predicate results count as
+    non-compliant, matching the keyword.  Returns None when no group
+    clears ``min_count``."""
+    if headroom <= 1.0:
+        raise ValueError(f"headroom must be > 1, got {headroom}")
+    ok = F.coalesce(F.expr(expr).cast("boolean"), F.lit(False))
+    aggs = [F.sum(ok.cast("long")).alias("p"),
+            F.count(F.lit(1)).alias("n")]
+    g = df.groupBy(F.col(by)).agg(*aggs) if by is not None \
+        else df.agg(*aggs)
+    worst = (g.where(F.col("n") >= int(min_count))
+             .agg(F.min(F.try_divide(F.col("p"), F.col("n")))
+                  .alias("r")).collect()[0]["r"])
+    if worst is None:
+        return None
+    import math
+
+    lo = max(0.0, math.floor(worst / float(headroom) * 1e6 + 1e-6) / 1e6)
+    node: dict = {"expr": expr, "min": lo, "minCount": int(min_count)}
+    if by is not None:
+        node["by"] = by
+    return node
+
+
+def suggest_trend_bounds(df: DataFrame, column: str, order_by: str,
+                         by: str | None = None,
+                         headroom: float = 2.0,
+                         min_count: int = 5) -> dict | None:
+    """Bootstrap an ``x-trend`` node: bound the slope by the WIDEST
+    observed per-group slope x ``headroom`` symmetrically — a later
+    load whose rate-of-change escapes the historical envelope fails.
+    Groups under ``min_count`` pairs are ignored.  Returns None when no
+    defined slope survives the count filter (e.g. constant
+    ``order_by``)."""
+    if headroom <= 1.0:
+        raise ValueError(f"headroom must be > 1, got {headroom}")
+    from jsonschema_valid_spark.operators.trend import trend_slopes
+
+    g = trend_slopes(df, column, order_by, by=by)
+    peak = (g.where(F.col("n") >= int(min_count))
+            .agg(F.max(F.abs(F.col("slope"))).alias("m"))
+            .collect()[0]["m"])
+    if peak is None:
+        return None
+    import math
+
+    hi = math.ceil(peak * float(headroom) * 1e6 + 1e-6) / 1e6
+    node: dict = {"orderBy": order_by, "min": -hi, "max": hi,
+                  "minCount": int(min_count)}
+    if by is not None:
+        node["by"] = by
+    return node

@@ -1,0 +1,74 @@
+"""Dispatch-matrix guard: EVERY dataset-scope x-keyword must emit a
+verdict row in BOTH run paths — the regression class where a keyword
+compiles to a DatasetCheck whose `kind` silently falls through an
+engine elif chain (the r3 nested-if/then/else bug shape, and the exact
+risk every new keyword wave reintroduces)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from jsonschema_valid_spark import CheckSuite
+from jsonschema_valid_spark.engine import run_suite_summarized
+
+
+def _df(spark):
+    rows = []
+    for i in range(30):
+        rows.append((i, f"g{i % 3}", float(i), float(i) * 2.0 + 1.0,
+                     float(i * 60)))
+    return spark.createDataFrame(
+        rows, "id: long, grp: string, v: double, w: double, ts_s: double") \
+        .withColumn("ts", F.timestamp_seconds(F.col("ts_s")))
+
+
+# one minimal instance of every dataset-scope statistical/relational
+# keyword added since wave 5 (the older families are pinned by their own
+# driver queries); check_id fragment -> spec node
+KEYWORD_SPECS = {
+    "x-trend": {"v": {"x-trend": {"orderBy": "ts_s", "by": "grp",
+                                  "min": -100.0, "max": 100.0}}},
+    "x-distinctRatio": {"v": {"x-distinctRatio": {"min": 0.0001}}},
+    "x-compliance": {"v": {"x-compliance": {"expr": "v >= 0",
+                                            "min": 0.0001}}},
+    "x-correlation": {"v": {"x-correlation": {"with": "w",
+                                              "min": -1.0}}},
+    "x-monotonic": {"v": {"x-monotonic": {"orderBy": "ts_s",
+                                          "by": "grp"}}},
+    "x-noOverlap": {"ts_s": {"x-noOverlap": {"endColumn": "w",
+                                             "by": "grp"}}},
+    "x-levelShift": {"v": {"x-levelShift": {"orderBy": "ts_s",
+                                            "maxShift": 1e9,
+                                            "window": 2}}},
+    "x-entropy": {"grp": {"x-entropy": {"max": 100.0}}},
+    "x-outlier": {"v": {"x-outlier": {"by": "grp", "maxZ": 100.0}}},
+    "x-functionalDependency": {"grp": {
+        "x-functionalDependency": {"determines": "grp"}}},
+    "x-rowCount": {"grp": {"x-rowCount": {"min": 1}}},
+    "x-maxFrequency": {"grp": {"x-maxFrequency": {"maxFraction": 0.99}}},
+    "x-eventOrder": {"ts": {"x-eventOrder": {
+        "by": "grp", "first": "v < 10", "then": "v >= 10"}}},
+    "x-session": {"ts": {"x-session": {"by": "grp", "gapSeconds": 1e9,
+                                       "maxEvents": 10_000}}},
+    "x-funnel": {"grp": {"x-funnel": {
+        "key": "grp", "ts": "ts",
+        "steps": [{"name": "lo", "when": "v < 10"},
+                  {"name": "hi", "when": "v >= 10"}],
+        "minRates": [0.0]}}},
+    "x-distribution": {"v": {"x-distribution": {
+        "family": "uniform", "min": -1, "max": 60,
+        "bucketWidth": 10.0, "psiMax": 1e9}}},
+}
+
+
+@pytest.mark.parametrize("kw", sorted(KEYWORD_SPECS))
+def test_keyword_emits_verdict_in_both_paths(spark, kw):
+    df = _df(spark)
+    suite = CheckSuite({"properties": KEYWORD_SPECS[kw]})
+    lazy = CheckSuite({"properties": KEYWORD_SPECS[kw]}).run(df, key="id")
+    lazy_ids = {r["check_id"] for r in lazy.verdicts.collect()}
+    assert any(kw in cid for cid in lazy_ids), \
+        f"{kw}: no verdict in the lazy path — kind fell through dispatch"
+    summ = run_suite_summarized(suite, df, key="id")
+    summ_ids = {r["check_id"] for r in summ.verdicts.collect()}
+    assert any(kw in cid for cid in summ_ids), \
+        f"{kw}: no verdict in the summarized path"

@@ -439,3 +439,42 @@ def test_suggest_distinct_ratio_bounds(spark):
     empty = spark.createDataFrame([(1, "a", None)],
                                   "id: long, grp: string, v: long")
     assert suggest_distinct_ratio_bounds(empty, "v", by="grp") is None
+
+
+def test_suggest_compliance_and_trend_bounds(spark):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_compliance_floor,
+        suggest_trend_bounds,
+    )
+
+    rows = []
+    for i in range(50):
+        rows.append((i, "a", float(i), float(i + 1)))          # all pass
+        rows.append((100 + i, "b", float(i),
+                     float(i + 1) if i % 5 else -1.0))         # 80% pass
+    df = spark.createDataFrame(rows, "id: long, grp: string, x: double, "
+                                     "v: double")
+    node = suggest_compliance_floor(df, "v", "v > 0", by="grp")
+    assert node["min"] == 0.533333 and node["by"] == "grp"
+    suite = CheckSuite({"properties": {"v": {"x-compliance": node}}})
+    assert suite.run(df, key="id").ok()
+    # a collapse past the floor trips
+    bad = df.union(spark.createDataFrame(
+        [(200 + i, "c", float(i), -1.0) for i in range(50)], df.schema))
+    assert not suite.run(bad, key="id").ok()
+
+    tnode = suggest_trend_bounds(df, "v", "x", by="grp")
+    assert tnode["max"] >= 1.0 and tnode["min"] == -tnode["max"]
+    tsuite = CheckSuite({"properties": {"v": {"x-trend": tnode}}})
+    assert tsuite.run(df, key="id").ok()
+    runaway = df.union(spark.createDataFrame(
+        [(300 + i, "r", float(i), 50.0 * i) for i in range(50)],
+        df.schema))
+    assert not tsuite.run(runaway, key="id").ok()
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        suggest_compliance_floor(df, "v", "v > 0", headroom=1.0)
+    flat = spark.createDataFrame([(1, "a", 1.0, 1.0)], df.schema)
+    assert suggest_trend_bounds(flat, "v", "x", by="grp") is None
