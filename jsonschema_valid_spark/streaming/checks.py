@@ -241,6 +241,99 @@ def stream_monotonic_violations(
     )
 
 
+def stream_level_shift_alerts(
+    sdf: DataFrame,
+    column: str,
+    order_by: str,
+    by: str,
+    key: str,
+    ts_col: str,
+    window: int = 20,
+    max_shift: float = 1.0,
+    watermark: str = "10 minutes",
+    check_id: str | None = None,
+) -> DataFrame:
+    """Streaming ``x-levelShift`` (operators/changepoint.py lifted to an
+    unbounded stream): the jump of the LOCAL MEAN detected as it
+    happens — state carries each group's trailing 2·window−1 values so
+    the two adjacent rolling means survive micro-batch boundaries
+    (a step that straddles a batch edge is exactly what a stateless
+    per-batch recompute would miss).  State is a bounded double array
+    per group: O(#groups · window), independent of stream length.
+
+    Semantic difference from batch, by design: the batch operator
+    reports each group's PEAK shift over the whole table (a rank over
+    completed data); a stream cannot know the future peak, so this
+    emits an alert at EVERY position whose shift exceeds ``max_shift``
+    — the alert-stream form.  Parity contract (pytest): the set of
+    (group, at) alerts equals the positions where the batch
+    ``level_shifts`` series exceeds the bound, batches split anywhere.
+    Positions where either window contains a NULL are silent (the batch
+    ``count == n`` fullness rule).
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    n = int(window)
+    if n < 2:
+        raise ValueError("window must be >= 2")
+    cid = check_id or f"properties/{column}/x-levelShift"
+    exp_msg = (f"max |mean(last {n}) - mean(prior {n})| of {column} "
+               f"<= {float(max_shift):g} per {by} (stream)")
+    out_schema = ("doc_id string, check_id string, observed string, "
+                  "expected string")
+    state_schema = "vals array<double>"
+    thr = float(max_shift)
+
+    def update(key_tuple, pdfs, state: GroupState):
+        buf = list(state.get[0]) if state.exists else []
+        chunks = [p for p in pdfs if len(p)]
+        if not chunks:
+            return
+        pdf = (pd.concat(chunks) if len(chunks) > 1 else chunks[0]) \
+            .sort_values(["__ord", "__key"], kind="mergesort")
+        grp = str(key_tuple[0])
+        docs, obs = [], []
+        for ord_v, cur in zip(pdf["__ord"].to_numpy(),
+                              pdf["__val"].to_numpy()):
+            buf.append(float("nan") if pd.isna(cur) else float(cur))
+            if len(buf) > 2 * n:
+                buf.pop(0)
+            if len(buf) == 2 * n:
+                rec, pri = buf[n:], buf[:n]
+                if not any(math.isnan(v) for v in buf):
+                    shift = abs(sum(rec) / n - sum(pri) / n)
+                    if shift > thr:
+                        docs.append(grp)
+                        obs.append("shift=%.4f,at=%s"
+                                   % (shift, "%g" % ord_v))
+        state.update((buf[-(2 * n - 1):],))
+        if docs:
+            yield pd.DataFrame({
+                "doc_id": docs,
+                "check_id": cid,
+                "observed": obs,
+                "expected": exp_msg,
+            })
+
+    prepped = (
+        sdf.withWatermark(ts_col, watermark)
+        .select(
+            F.col(by).alias("__by"),
+            F.col(ts_col).alias(ts_col),
+            F.col(order_by).cast("double").alias("__ord"),
+            F.col(key).cast("string").alias("__key"),
+            F.col(column).cast("double").alias("__val"),
+        )
+    )
+    return prepped.groupBy("__by").applyInPandasWithState(
+        update, outputStructType=out_schema, stateStructType=state_schema,
+        outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_overlap_violations(
     sdf: DataFrame,
     column: str,
