@@ -427,6 +427,7 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             compliance_group_verdicts,
         )
 
+        df = _scoped(dc, df)
         mn, mx = dc.params.get("min"), dc.params.get("max")
         return compliance_group_verdicts(
             df, dc.column, dc.check_id,
@@ -439,6 +440,7 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             distinct_ratio_group_verdicts,
         )
 
+        df = _scoped(dc, df)
         mn, mx = dc.params.get("min"), dc.params.get("max")
         return distinct_ratio_group_verdicts(
             df, dc.column, dc.check_id, by=dc.params["by"],
@@ -451,6 +453,7 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             trend_group_verdicts,
         )
 
+        df = _scoped(dc, df)
         mn, mx = dc.params.get("min"), dc.params.get("max")
         return trend_group_verdicts(
             df, dc.column, dc.check_id,
@@ -561,12 +564,23 @@ def _funnel_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _scoped(dc, df: DataFrame) -> DataFrame:
+    """Deequ-style subpopulation scoping: an optional ``where`` SQL
+    boolean narrows a dataset check to the rows it governs ("only
+    purchase events must keep this rate") — a pure pre-filter that
+    Catalyst pushes into the scan, so the scoped check reads less, not
+    more."""
+    w = dc.params.get("where")
+    return df.where(w) if w else df
+
+
 def _compliance_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-compliance execution for both run paths."""
     from jsonschema_valid_spark.operators.compliance import (
         compliance_violations,
     )
 
+    df = _scoped(dc, df)
     mn, mx = dc.params.get("min"), dc.params.get("max")
     return compliance_violations(
         df, dc.column, dc.check_id,
@@ -584,6 +598,7 @@ def _distinct_ratio_violations(dc, df: DataFrame) -> DataFrame:
         distinct_ratio_violations,
     )
 
+    df = _scoped(dc, df)
     mn, mx = dc.params.get("min"), dc.params.get("max")
     return distinct_ratio_violations(
         df, dc.column, dc.check_id,
@@ -599,6 +614,7 @@ def _trend_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-trend execution for both run paths."""
     from jsonschema_valid_spark.operators.trend import trend_violations
 
+    df = _scoped(dc, df)
     mn, mx = dc.params.get("min"), dc.params.get("max")
     return trend_violations(
         df, dc.column, dc.check_id,

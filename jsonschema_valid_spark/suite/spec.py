@@ -521,6 +521,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                         and not isinstance(x, bool) and 0.0 <= x <= 1.0)
             ok = (isinstance(v, dict)
                   and isinstance(v.get("expr"), str) and v["expr"]
+                  and ("where" not in v
+                       or (isinstance(v["where"], str) and v["where"]))
                   and ("min" in v or "max" in v)
                   and ("min" not in v or _rate_num(v["min"]))
                   and ("max" not in v or _rate_num(v["max"]))
@@ -546,6 +548,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                   and ("min" not in v or _ratio_num(v["min"]))
                   and ("max" not in v or _ratio_num(v["max"]))
                   and ("by" not in v or isinstance(v["by"], str))
+                  and ("where" not in v
+                       or (isinstance(v["where"], str) and v["where"]))
                   and isinstance(v.get("approx", False), bool)
                   and ("minCount" not in v
                        or (isinstance(v["minCount"], int)
@@ -565,6 +569,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                         and not isinstance(x, bool))
             ok = (isinstance(v, dict)
                   and isinstance(v.get("orderBy"), str) and v["orderBy"]
+                  and ("where" not in v
+                       or (isinstance(v["where"], str) and v["where"]))
                   and ("min" in v or "max" in v)
                   and ("min" not in v or _slope_num(v["min"]))
                   and ("max" not in v or _slope_num(v["max"]))

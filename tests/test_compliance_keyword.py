@@ -102,3 +102,40 @@ def test_spec_validation(spark):
     validate_suite_spec({"properties": {"v": {"x-compliance": {
         "expr": "v > 0 AND v < 100", "min": 0.5, "max": 0.99,
         "by": "g", "minCount": 10, "verdicts": "perGroup"}}}})
+
+
+def test_where_scoping(spark):
+    """Deequ-style subpopulation scoping: `where` narrows the rate
+    check to the rows it governs; out-of-scope rows neither help nor
+    hurt the budget."""
+    df = _df(spark)
+    # globally the dirty group drags the rate under 0.9; scoped to the
+    # clean group alone, the budget holds
+    scoped = {"properties": {"v": {"x-compliance": {
+        "expr": "v > 0", "min": 0.9, "where": "grp = 'clean'"}}}}
+    assert CheckSuite(scoped).run(df, key="id").ok()
+    unscoped = {"properties": {"v": {"x-compliance": {
+        "expr": "v > 0", "min": 0.9}}}}
+    assert not CheckSuite(unscoped).run(df, key="id").ok()
+
+    # scoping + perGroup: only in-scope groups are enumerated
+    per = CheckSuite({"properties": {"v": {"x-compliance": {
+        "expr": "v > 0", "min": 0.9, "by": "grp",
+        "where": "grp IN ('clean', 'dirty')",
+        "verdicts": "perGroup"}}}}).run(df, key="id")
+    verd = {r.partition_id: r.passed for r in per.verdicts.collect()}
+    assert verd == {"clean": True, "dirty": False}
+
+    # scoping on x-distinctRatio and x-trend rides the same hook
+    from jsonschema_valid_spark.suite.spec import validate_suite_spec
+    validate_suite_spec({"properties": {"v": {"x-distinctRatio": {
+        "min": 0.5, "where": "grp = 'clean'"}}}})
+    validate_suite_spec({"properties": {"v": {"x-trend": {
+        "orderBy": "id", "max": 1.0, "where": "grp = 'clean'"}}}})
+    sc = CheckSuite({"properties": {"v": {"x-distinctRatio": {
+        "min": 0.99, "where": "grp = 'clean'"}}}}).run(df, key="id")
+    assert sc.ok()  # clean group's values are all distinct
+
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"v": {"x-compliance": {
+            "expr": "v > 0", "min": 0.9, "where": ""}}}})
