@@ -2241,7 +2241,8 @@ v AS (SELECT cand.a, cand.b, cand.h, cand.pos_a, cand.pos_b
       JOIN documents tb ON cand.b = tb.doc_id
       WHERE substr(ta.text, cand.pos_a, 8) = substr(tb.text, cand.pos_b, 8))
 SELECT a, b, count(DISTINCT h) AS shared,
-       CAST(min(pos_a) AS BIGINT) AS pos_a, CAST(min(pos_b) AS BIGINT) AS pos_b
+       CAST(min(pos_a * 2147483648 + pos_b) // 2147483648 AS BIGINT) AS pos_a,
+       CAST(min(pos_a * 2147483648 + pos_b) % 2147483648 AS BIGINT) AS pos_b
 FROM v GROUP BY a, b HAVING count(DISTINCT h) >= 10
 """,
 )

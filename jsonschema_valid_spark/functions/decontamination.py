@@ -208,21 +208,31 @@ def fuzzy_contamination(
     the max (no distinct spent). ``portable=True`` = md5 shingle hash +
     raw band keys for the SQL oracle."""
     from jsonschema_valid_spark.functions.dedup import (
-        minhash_signature,
+        minhash_sig_from_hashes,
+        shingle_hashes,
         word_shingles,
     )
 
-    assert num_perm % bands == 0
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by "
+                         f"bands ({bands})")
     r = num_perm // bands
     bench_key = bench_key or key
     bench_text_col = bench_text_col or text_col
 
     def prep(df, k, t, out_id):
-        return df.select(
-            F.col(k).alias(out_id),
-            F.array_distinct(word_shingles(F.col(t), n)).alias("sh"),
-            minhash_signature(F.col(t), num_perm, n, seed,
-                              portable=portable).alias("sig"))
+        # staged shingle-hash column: the num_perm permutation exprs
+        # reference one materialized array instead of re-tokenizing the
+        # text per permutation (HOFs are CodegenFallback — no CSE)
+        return (df.select(
+                    F.col(k).alias(out_id),
+                    F.array_distinct(word_shingles(F.col(t), n))
+                    .alias("sh"),
+                    shingle_hashes(F.col(t), n, portable=portable)
+                    .alias("__shh"))
+                .withColumn("sig", minhash_sig_from_hashes(
+                    F.col("__shh"), num_perm, seed))
+                .drop("__shh"))
 
     def banded(base, out_id, sh_out):
         # the shingle set RIDES the banding explode: band-bucket misses

@@ -36,7 +36,7 @@ MERSENNE61 = (1 << 61) - 1
 def exact_duplicates(df: DataFrame, key: str, on) -> DataFrame:
     """Rows to DROP under exact dedup on expression/column ``on``; the
     survivor per group is the minimum key (deterministic)."""
-    fp = on if isinstance(on, str) else on
+    fp = on
     base = df.select(F.col(key), F.col(fp).alias("__fp") if isinstance(fp, str) else fp.alias("__fp"))
     w = Window.partitionBy("__fp").orderBy(F.col(key))
     return (
@@ -48,7 +48,7 @@ def exact_duplicates(df: DataFrame, key: str, on) -> DataFrame:
 
 def dedup_exact(df: DataFrame, key: str, on) -> DataFrame:
     """The deduplicated table (keep min-key row per fingerprint group)."""
-    w = Window.partitionBy(on if isinstance(on, str) else on).orderBy(F.col(key))
+    w = Window.partitionBy(on).orderBy(F.col(key))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
@@ -164,24 +164,49 @@ def _affine_min(hashes, a: int, b: int):
     ))
 
 
-def minhash_signature(col, num_perm: int = 64, n: int = 3, seed: int = 42,
-                      portable: bool = False):
-    """Array<long> MinHash signature of the text's n-gram shingle set.
-    One xxhash64 per shingle (folded to 31 bits), then num_perm affine
-    permutations min-reduced per row — all native array HOFs.
-
-    ``portable=True`` swaps xxhash64 for the md5-based ``portable_hash60``
-    so an external SQL engine (the driver's DuckDB oracle) can replay the
-    identical signature; the permutation/banding math is unchanged."""
+def shingle_hashes(col, n: int = 3, portable: bool = False):
+    """Array<long> of 31-bit shingle hashes — STAGE this as its own
+    column before fanning out the permutations (see
+    :func:`minhash_sig_from_hashes`)."""
     shingle_hash = (
         (lambda s: F.pmod(portable_hash60(s), F.lit(MERSENNE31)))
         if portable
         else (lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
     )
-    hashes = F.transform(
-        F.array_distinct(word_shingles(col, n)), shingle_hash)
-    sig = [_affine_min(hashes, a, b) for a, b in _perm_params(num_perm, seed)]
-    return F.array(*sig)
+    return F.transform(F.array_distinct(word_shingles(col, n)),
+                       shingle_hash)
+
+
+def minhash_sig_from_hashes(hashes, num_perm: int = 64, seed: int = 42):
+    """num_perm affine permutations min-reduced over an ALREADY-STAGED
+    hash-array column.  The staging matters: HOF expressions are
+    CodegenFallback, so a `hashes` built inline would be re-tokenized
+    and re-hashed once per permutation (the O(n·perms) pitfall
+    kgram_hashes documents) — pass a real column (e.g. via
+    ``withColumn``), not the tokenize-and-hash expression."""
+    return F.array(*[_affine_min(hashes, a, b)
+                     for a, b in _perm_params(num_perm, seed)])
+
+
+def minhash_signature(col, num_perm: int = 64, n: int = 3, seed: int = 42,
+                      portable: bool = False):
+    """Array<long> MinHash signature of the text's n-gram shingle set.
+    One hash per shingle (folded to 31 bits), then num_perm affine
+    permutations min-reduced per row — all native array HOFs.
+
+    NOTE (review find): as a single inline expression the shingle
+    hashing is re-evaluated once per permutation (HOFs are
+    CodegenFallback — no CSE).  The df-level operators
+    (minhash_lsh_pairs, fuzzy_contamination) stage
+    :func:`shingle_hashes` as a column and call
+    :func:`minhash_sig_from_hashes`; keep this convenience form for
+    one-off expressions and oracles only.
+
+    ``portable=True`` swaps xxhash64 for the md5-based ``portable_hash60``
+    so an external SQL engine (the driver's DuckDB oracle) can replay the
+    identical signature; the permutation/banding math is unchanged."""
+    return minhash_sig_from_hashes(
+        shingle_hashes(col, n, portable=portable), num_perm, seed)
 
 
 def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str,
@@ -198,14 +223,24 @@ def minhash_lsh_pairs(df: DataFrame, key: str, text_col: str,
     ``portable=True``: md5-based shingle hash + raw concat band keys so the
     whole pipeline is replayable in ANSI SQL (oracle mode); xxhash64 stays
     the production default (faster, same math)."""
-    assert num_perm % bands == 0
+    if num_perm % bands != 0:
+        raise ValueError(f"num_perm ({num_perm}) must be divisible by "
+                         f"bands ({bands})")
     r = num_perm // bands
-    sh = df.select(
-        F.col(key).alias("id"),
-        F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"),
-        minhash_signature(F.col(text_col), num_perm, n, seed,
-                          portable=portable).alias("sig"),
-    )
+    # STAGED: the shingle-hash array becomes a real column before the
+    # num_perm permutation expressions reference it — inline it and every
+    # permutation re-tokenizes and re-hashes the text (no CSE in HOFs)
+    sh = (df.select(
+            F.col(key).alias("id"),
+            F.array_distinct(word_shingles(F.col(text_col), n)).alias("sh"))
+          .withColumn("__shh", F.transform(
+              F.col("sh"),
+              (lambda s: F.pmod(portable_hash60(s), F.lit(MERSENNE31)))
+              if portable
+              else (lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))))
+          .withColumn("sig", minhash_sig_from_hashes(
+              F.col("__shh"), num_perm, seed))
+          .drop("__shh"))
     # band hashes via literal indexing (bands/r are driver constants) —
     # avoids nested HOF lambdas, which Catalyst's lambda binder rejects.
     # Portable mode joins on the raw signature-slice string (no xxhash64
@@ -274,6 +309,12 @@ def simhash64(col, portable: bool = False):
         hashes = F.transform(F.split(F.lower(F.trim(col)), r"\s+"),
                              lambda w: F.xxhash64(w))
         n_bits = 64
+    return simhash_from_hashes(hashes, n_bits)
+
+
+def simhash_from_hashes(hashes, n_bits: int = 64):
+    """SimHash bit votes over an (ideally STAGED) word-hash array —
+    see :func:`minhash_sig_from_hashes` for the staging rationale."""
     sig = F.lit(0).cast("long")
     for b in range(n_bits):
         bit = F.when(_bit_vote(hashes, b) > 0,
@@ -413,9 +454,27 @@ def simhash_pairs(df: DataFrame, key: str, text_col: str,
     """Near-dup pairs with Hamming(simhash) ≤ max_hamming via the pigeonhole
     band join: with 4 chunks of 16 bits, any pair within distance 3 agrees
     exactly on ≥1 chunk → candidates = equi-join per chunk, then exact
-    Hamming verify. Returns (a, b, hamming)."""
-    sigs = df.select(F.col(key).alias("id"),
-                     simhash64(F.col(text_col), portable=portable).alias("sig"))
+    Hamming verify. Returns (a, b, hamming).
+
+    ``max_hamming`` must be ≤ 3: the 4-chunk pigeonhole only GUARANTEES a
+    shared chunk up to distance 3 — a larger bound would silently miss
+    pairs whose differing bits spread across all four chunks (review
+    find: previously accepted and under-reported)."""
+    if not 0 <= int(max_hamming) <= 3:
+        raise ValueError(
+            f"max_hamming must be in [0, 3] (4x16-bit pigeonhole "
+            f"guarantee), got {max_hamming}")
+    # STAGED word-hash array (same CSE rationale as minhash_lsh_pairs):
+    # the 60/64 per-bit vote aggregates reference one materialized column
+    # instead of re-splitting and re-hashing the text per bit
+    wh = (lambda w: portable_hash60(w)) if portable         else (lambda w: F.xxhash64(w))
+    sigs = (df.select(
+                F.col(key).alias("id"),
+                F.transform(F.split(F.lower(F.trim(F.col(text_col))),
+                                    r"\s+"), wh).alias("__wh"))
+            .withColumn("sig", simhash_from_hashes(
+                F.col("__wh"), n_bits=60 if portable else 64))
+            .drop("__wh"))
     chunk_structs = [
         F.struct(
             F.lit(c).alias("chunk"),
@@ -627,10 +686,18 @@ def duplicate_span_pairs(df: DataFrame, key: str, text_col: str,
         .where(F.substr(F.col("__ta"), F.col("pos_a"), F.lit(k))
                == F.substr(F.col("__tb"), F.col("pos_b"), F.lit(k)))
     )
+    # the reported span must be ONE verified match (review find:
+    # independent min(pos_a)/min(pos_b) could combine offsets from two
+    # different fingerprints — addresses that do not match each other);
+    # lexicographic min over the encoded (pos_a, pos_b) pair keeps the
+    # earliest verified span and replays as exact int64 math in DuckDB
+    enc = F.col("pos_a") * F.lit(2_147_483_648) + F.col("pos_b")
     return (
         verified.groupBy("a", "b")
         .agg(F.countDistinct("h").alias("shared"),
-             F.min("pos_a").alias("pos_a"),
-             F.min("pos_b").alias("pos_b"))
+             F.min(enc).alias("__enc"))
         .where(F.col("shared") >= min_shared)
+        .select("a", "b", "shared",
+                F.expr("__enc div 2147483648").alias("pos_a"),
+                (F.col("__enc") % F.lit(2_147_483_648)).alias("pos_b"))
     )

@@ -74,6 +74,13 @@ def _frac_ratio(max_fraction: float) -> tuple[int, int]:
     resolution — the comparison ``count * denom > num * total`` is then
     pure int64 arithmetic in both Spark and the SQL oracle."""
     fr = Fraction(round(float(max_fraction) * 1_000_000), 1_000_000)
+    if fr.numerator == 0:
+        # below the 1e-6 grid the bound would collapse to "count > 0"
+        # (every value a violator); a finer grid would overflow int64 at
+        # 10^12 rows (n * denom), so refuse instead of silently degrading
+        raise ValueError(
+            f"maxFraction={max_fraction!r} is below the 1e-6 integer-"
+            "exact resolution — use maxCount for absolute caps this small")
     return fr.numerator, fr.denominator
 
 
@@ -152,9 +159,12 @@ def heavy_hitters(
     undercount slack total/(k+1) is at most an eighth of the fraction
     threshold (candidate set stays O(1/max_fraction)). With only
     ``max_count``, pass an explicit ``k`` sized so total/(k+1) is small
-    against the cap — the candidate filter degrades (never misses) when
-    the slack swamps the threshold, and the ``max_candidates`` guard
-    refuses rather than collecting an unbounded candidate list."""
+    against the cap — when the slack reaches the threshold the sketch
+    can no longer CERTIFY the candidate superset (a violator may have
+    been fully evicted), so the function refuses with instructions
+    rather than returning silently incomplete results; the
+    ``max_candidates`` guard separately refuses unbounded candidate
+    lists."""
     if max_fraction is None and max_count is None:
         raise ValueError("heavy_hitters needs max_fraction and/or max_count")
     if k is None:
@@ -171,6 +181,27 @@ def heavy_hitters(
               .agg(F.sum("est").alias("total")))
     cand = (merged.where(F.col("value").isNotNull())
             .crossJoin(F.broadcast(totals)))
+
+    # certify the superset: a value ABSENT from the merged sketch has
+    # true count <= total/(k+1), so the filter below can only guarantee
+    # completeness when every declared threshold exceeds that slack —
+    # otherwise a genuine violator may have been evicted everywhere and
+    # no est row exists to keep (review find: the old behavior returned
+    # silently incomplete results in exactly that regime)
+    total_v = (totals.collect()[0]["total"] or 0)
+    slack_v = total_v / float(k + 1) + 2.0
+    thr_vals = []
+    if max_fraction is not None:
+        fnum, fden = _frac_ratio(max_fraction)
+        thr_vals.append(total_v * fnum / fden)
+    if max_count is not None:
+        thr_vals.append(float(int(max_count)))
+    if total_v and min(thr_vals) <= slack_v:
+        raise ValueError(
+            f"sketch cannot certify: threshold {min(thr_vals):g} <= "
+            f"merged slack total/(k+1)+2 = {slack_v:g} — raise k above "
+            f"{int(total_v / max(min(thr_vals) - 2.0, 1.0))} or use the "
+            "exact mode")
 
     # keep every value whose TRUE count could violate: est >= threshold -
     # slack - margin (slack = total/(k+1) merged undercount; margin 2
@@ -228,16 +259,25 @@ def frequency_group_verdicts(
         raise ValueError("x-maxFrequency needs maxFraction and/or maxCount")
     counts = exact_value_counts(df, column, by=by)
     viol = _violation_cond(max_fraction, max_count)
+    # metric/threshold stay COMPARABLE (review find): fraction mode
+    # reports the top share vs maxFraction; count-only mode reports the
+    # top COUNT vs maxCount (the old 0.0 threshold made every passing
+    # group look over-threshold to consumers)
+    if max_fraction is not None:
+        metric = F.max(F.col("n") / F.col("total"))
+        thr = float(max_fraction)
+    else:
+        metric = F.max(F.col("n")).cast("double")
+        thr = float(int(max_count))
     return (counts.groupBy("grp")
             .agg(F.max(viol.cast("int")).alias("nv"),
-                 F.max(F.col("n") / F.col("total")).alias("top_share"))
+                 metric.alias("top_metric"))
             .select(
                 F.col("grp").alias("partition_id"),
                 F.lit(check_id).alias("check_id"),
                 (F.col("nv") == 0).alias("passed"),
-                F.col("top_share").cast("double").alias("metric_value"),
-                F.lit(float(max_fraction if max_fraction is not None
-                            else 0.0)).cast("double").alias("threshold"),
+                F.col("top_metric").cast("double").alias("metric_value"),
+                F.lit(thr).cast("double").alias("threshold"),
             ))
 
 

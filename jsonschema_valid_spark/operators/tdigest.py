@@ -142,6 +142,11 @@ def partition_digests(df: DataFrame, value_col: str,
                 vals = sub["val"].to_numpy(dtype=float)
                 vals = vals[~np.isnan(vals)]
                 if vals.size == 0:
+                    # the GROUP must still surface (review find: an
+                    # all-NULL partition previously vanished instead of
+                    # emitting the documented passing NaN verdict) —
+                    # record an empty digest unless values arrive later
+                    state.setdefault(str(g), (np.empty(0), np.empty(0)))
                     continue
                 m0, w0 = state.get(str(g), (np.empty(0), np.empty(0)))
                 state[str(g)] = _merge(

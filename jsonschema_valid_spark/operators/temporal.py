@@ -111,8 +111,17 @@ def asof_join(
     # by negating time: "smallest ts >= L" == backward on -ts.
     r_side, l_side = (2, 1) if strict else (0, 1)
     sign = -1 if direction == "forward" else 1
-    tb = (F.col(right_tiebreak).cast("long") if right_tiebreak
-          else F.lit(0).cast("long"))
+    # the tiebreak keeps its OWN (orderable) type — the old
+    # cast("long") silently nulled string ids, making tied rights
+    # shuffle-dependent again (review find); numeric tiebreaks keep
+    # numeric ordering (a string cast would sort "10" < "9")
+    if right_tiebreak:
+        tb = F.col(right_tiebreak)
+        tb_left = F.lit(None).cast(
+            right.schema[right_tiebreak].dataType)
+    else:
+        tb = F.lit(0).cast("long")
+        tb_left = F.lit(0).cast("long")
 
     r_struct = F.struct(
         _micros(F.col(rts)).alias("__rm"),
@@ -139,7 +148,7 @@ def asof_join(
         *[F.col(k) for k in keys],
         (F.lit(sign) * _micros(F.col(left_ts))).alias("__ord"),
         F.lit(l_side).alias("__side"),
-        F.lit(0).cast("long").alias("__tb"),
+        tb_left.alias("__tb"),
         F.lit(None).cast(r2.schema["__r"].dataType).alias("__r"),
         l_struct.alias("__l"),
     )

@@ -705,6 +705,13 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-nearDup must be {'method': 'jaccard'|"
                               "'minhash'|'simhash'|'spans'|'semantic', "
                               "...method knobs}")
+            mh = v.get("maxHamming", 3)
+            if v["method"] == "simhash" and not (
+                    isinstance(mh, int) and not isinstance(mh, bool)
+                    and 0 <= mh <= 3):
+                raise _err(p, "x-nearDup simhash maxHamming must be an int "
+                              "in [0, 3] — the 4x16-bit pigeonhole only "
+                              "guarantees a shared chunk up to distance 3")
         elif kw == "x-jsonWellFormed":
             if v is not True:
                 raise _err(p, "x-jsonWellFormed must be true")

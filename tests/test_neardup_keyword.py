@@ -37,7 +37,7 @@ def test_jaccard_method_violations(spark):
 def test_minhash_and_simhash_methods(spark):
     df = _docs(spark)
     for method, knobs in (("minhash", {"threshold": 0.5, "n": 2}),
-                          ("simhash", {"maxHamming": 10})):
+                          ("simhash", {"maxHamming": 3})):
         suite = CheckSuite({"properties": {"text": {
             "x-nearDup": {"method": method, **knobs}}}})
         viol = {r["doc_id"]
@@ -45,6 +45,23 @@ def test_minhash_and_simhash_methods(spark):
         # the exact duplicate pair (1,4) must always be caught
         assert "4" in viol, method
         assert "1" not in viol, method  # survivor stays
+
+
+def test_simhash_maxhamming_bound_rejected(spark):
+    # review find: the 4x16-bit pigeonhole only guarantees candidate
+    # recall up to distance 3 — larger bounds silently under-reported
+    # and are now refused at spec AND operator level
+    from jsonschema_valid_spark.functions.dedup import simhash_pairs
+    from jsonschema_valid_spark.suite.spec import (
+        SuiteError,
+        validate_suite_spec,
+    )
+
+    with pytest.raises(SuiteError, match="pigeonhole"):
+        validate_suite_spec({"properties": {"text": {"x-nearDup": {
+            "method": "simhash", "maxHamming": 10}}}})
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_pairs(_docs(spark), "doc_id", "text", max_hamming=4)
 
 
 def test_semantic_method(spark):

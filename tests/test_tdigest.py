@@ -249,3 +249,20 @@ def test_engine_tree_fanin_knob(spark):
     rows = {r["partition_id"]: r["passed"] for r in res.verdicts.collect()
             if r["check_id"] == "properties/n/x-quantile"}
     assert rows == {"s1": True, "s2": False}
+
+
+def test_all_null_group_emits_passing_verdict(spark):
+    """Regression (review find): a partition whose column is entirely
+    NULL must still produce a verdict row (passed=True, NaN estimate
+    contract) — it previously vanished from the output."""
+    from jsonschema_valid_spark.operators.tdigest import (
+        tdigest_quantile_verdicts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 5.0), (2, "a", 7.0), (3, "b", None), (4, "b", None)],
+        "id: long, grp: string, v: double")
+    out = tdigest_quantile_verdicts(
+        df, "v", "c", {"q": 0.5, "min": 0.0}, partition_by="grp")
+    got = {r.partition_id: r.passed for r in out.collect()}
+    assert got == {"a": True, "b": True}
