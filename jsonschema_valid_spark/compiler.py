@@ -1190,6 +1190,21 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # is invisible to all of them
         plan.dataset_checks.append(
             DatasetCheck(cid, "correlation", colname, dict(v)))
+    elif kw == "x-contiguous":
+        # dataset scope: an integer sequence column must cover its
+        # observed [min..max] with no holes per group — "number 7 is
+        # missing" (partial loads, dropped retries), which x-rowCount
+        # (how many), x-monotonic (ordered), x-unique (no repeats)
+        # cannot express
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "contiguous", colname, dict(v)))
+    elif kw == "x-association":
+        # dataset scope: Cramér's V bounds between two CATEGORICAL
+        # columns — the categorical sibling of x-correlation (Pearson r
+        # is undefined over unordered labels); "these labels must
+        # track" / "this label must not predict that one" (leakage)
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "association", colname, dict(v)))
     elif kw == "x-funnel":
         # dataset scope: step-to-step conversion-rate floors over an
         # ordered event chain — the product-health contract between

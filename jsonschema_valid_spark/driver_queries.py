@@ -5738,3 +5738,257 @@ def engine_funnel_violations(spark, sf_dir):
         "withinSeconds": 86400}}}})
     res = suite.run(ev, key="event_id")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_ASSOC_KW_SQL = """
+WITH base AS (
+  SELECT lang AS a, source AS b FROM documents
+  WHERE lang IS NOT NULL AND source IS NOT NULL
+),
+cont AS (SELECT a, b, count(*) AS o FROM base GROUP BY a, b),
+m AS (
+  SELECT o,
+         sum(o) OVER (PARTITION BY a) AS rt,
+         sum(o) OVER (PARTITION BY b) AS ct
+  FROM cont
+),
+g AS (
+  SELECT sum(CAST(o AS DOUBLE) * o / (rt * ct)) AS t,
+         (SELECT count(DISTINCT a) FROM cont) AS r,
+         (SELECT count(DISTINCT b) FROM cont) AS c,
+         sum(o) AS n
+  FROM m
+),
+v AS (
+  SELECT sqrt(greatest(t - 1.0, 0.0) / (least(r, c) - 1)) AS cv,
+         r, c, n
+  FROM g WHERE least(r, c) >= 2
+)
+SELECT '<global>' AS doc_id,
+       'properties/lang/x-association' AS check_id,
+       'v=' || CAST(CAST(round(cv, 4) AS DECIMAL(10,4)) AS VARCHAR)
+         || ',n=' || CAST(n AS VARCHAR)
+         || ',r=' || CAST(r AS VARCHAR)
+         || ',c=' || CAST(c AS VARCHAR) AS observed
+FROM v
+WHERE n >= 3 AND cv < 0.3
+"""
+
+
+@register_extended("engine_association_violations", _ASSOC_KW_SQL)
+def engine_association_violations(spark, sf_dir):
+    """x-association as a DECLARATIVE suite keyword: documents' lang
+    and source must be ASSOCIATED with Cramér's V >= 0.3 (a corpus
+    whose language mix is supposed to be source-driven) — the
+    CATEGORICAL sibling of x-correlation: Pearson r is undefined over
+    unordered labels, yet "these labels must track" (routing vs shard)
+    and the leakage inverse "this label must NOT predict that one" are
+    exactly the training-data contracts over string columns. The real
+    data sits at V≈0.197 (sf0.001) / 0.199 (sf0.01), so the min-0.3
+    gate trips: ONE global violation. Plan
+    (operators/association.py): the only pass over the data is one
+    map-side-combined groupBy(a, b).count() — the contingency table;
+    chi² collapses to n·(T−1) with T = Σ o²/(rt·ct) over OBSERVED
+    cells only (empty cells cancel algebraically), and n cancels in
+    V = sqrt((T−1)/min(r−1, c−1)), so marginal windows + one final
+    aggregate over #cells rows finish the job — never a join, never a
+    second scan. Witness decimal(10,4); grid margins 3.5e-5 / 1.5e-5,
+    ~1e10 above cross-engine float noise. EXTENDED mirror entry; full
+    value-hash oracle replays the same T-sum identity."""
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suite = CheckSuite({"properties": {"lang": {"x-association": {
+        "with": "source", "min": 0.3}}}})
+    res = suite.run(docs, key="doc_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_ASSOC_PERGROUP_SQL = """
+WITH base AS (
+  SELECT event_type AS g,
+         CASE WHEN value < 10 THEN 'lo'
+              WHEN value < 100 THEN 'mid' ELSE 'hi' END AS a,
+         CAST(user_id % 3 AS VARCHAR) AS b
+  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL
+),
+cont AS (SELECT g, a, b, count(*) AS o FROM base GROUP BY g, a, b),
+m AS (
+  SELECT g, a, b, o,
+         sum(o) OVER (PARTITION BY g, a) AS rt,
+         sum(o) OVER (PARTITION BY g, b) AS ct
+  FROM cont
+),
+st AS (
+  SELECT g, sum(CAST(o AS DOUBLE) * o / (rt * ct)) AS t,
+         count(DISTINCT a) AS r, count(DISTINCT b) AS c,
+         sum(o) AS n
+  FROM m GROUP BY g
+)
+SELECT CAST(g AS VARCHAR) AS partition_id,
+       'properties/vbucket/x-association' AS check_id,
+       NOT (least(r, c) >= 2 AND n >= 5
+            AND sqrt(greatest(t - 1.0, 0.0) / (least(r, c) - 1)) > 0.2)
+         AS passed,
+       round(CASE WHEN least(r, c) >= 2
+                  THEN sqrt(greatest(t - 1.0, 0.0) / (least(r, c) - 1))
+                  ELSE 0.0 END, 6) AS metric,
+       CAST(0.2 AS DOUBLE) AS threshold
+FROM st
+"""
+
+
+@register_extended("engine_association_group_verdicts", _ASSOC_PERGROUP_SQL)
+def engine_association_group_verdicts(spark, sf_dir):
+    """x-association {"verdicts": "perGroup"}: every event_type
+    enumerated with the Cramér's V between its value-bucket and a
+    user-shard label — passing groups included, partition_id = the
+    group value (the per-partition pass/fail shape). A max-0.2 bound
+    ('the value bucket must NOT encode the user shard') holds
+    everywhere on the real data (V 0.017–0.088), so the fixture pins
+    the PASSING enumeration with real metric values, hashed to 1e-6
+    (grid margins >= 8e-8, ~1e6 above float noise). Same single
+    contingency aggregate as the violations form. EXTENDED mirror
+    entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("vbucket", F.expr(
+              "CASE WHEN value < 10 THEN 'lo' "
+              "WHEN value < 100 THEN 'mid' ELSE 'hi' END"))
+          .withColumn("ushard",
+                      F.expr("CAST(user_id % 3 AS STRING)")))
+    suite = CheckSuite({"properties": {"vbucket": {"x-association": {
+        "with": "ushard", "max": 0.2, "by": "event_type",
+        "minCount": 5, "verdicts": "perGroup"}}}})
+    res = suite.run(ev, key="event_id")
+    return res.verdicts.select(
+        "partition_id", "check_id", "passed",
+        F.round("metric_value", 6).alias("metric"), "threshold")
+
+
+_CONTIG_KW_SQL = """
+WITH w AS (
+  SELECT l_orderkey,
+         CAST(l_linenumber AS BIGINT) AS v,
+         lag(CAST(l_linenumber AS BIGINT)) OVER (
+           PARTITION BY l_orderkey ORDER BY l_linenumber) AS prev
+  FROM lineitem WHERE l_linenumber IS NOT NULL
+)
+SELECT CAST(l_orderkey AS VARCHAR) AS doc_id,
+       'properties/l_linenumber/x-contiguous' AS check_id,
+       'gap=[' || CAST(prev + 1 AS VARCHAR) || ','
+         || CAST(v - 1 AS VARCHAR) || '],len='
+         || CAST(v - prev - 1 AS VARCHAR) AS observed
+FROM w
+WHERE prev IS NOT NULL AND v - prev > 1
+"""
+
+
+@register_extended("engine_contiguous_violations", _CONTIG_KW_SQL)
+def engine_contiguous_violations(spark, sf_dir):
+    """x-contiguous (report='gaps') as a DECLARATIVE suite keyword:
+    line numbers per order must cover their observed [min..max] with no
+    holes — the 'number 7 is missing' check for dense identifiers
+    (partial loads, dropped retries, compaction bugs) that x-rowCount
+    (how many), x-monotonic (ordered), and x-unique (no repeats) cannot
+    express. The synthetic generator draws l_linenumber with real gaps,
+    so the fixture needs no corruption: 1,437 located gap runs at
+    sf0.001, ~14k at sf0.01, each named exactly (gap=[lo,hi],len=k).
+    Plan (operators/contiguity.py): ONE lag window per order key — one
+    Exchange, duplicates harmless (equal neighbors step 0); the
+    summary form (the 10^12-row default) is a pure map-side-combined
+    aggregate with no window at all. Exact integer witnesses, bit-equal
+    across engines. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    suite = CheckSuite({"properties": {"l_linenumber": {"x-contiguous": {
+        "by": "l_orderkey", "report": "gaps"}}}})
+    res = suite.run(li, key="l_orderkey")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_SUGGEST_REF_SQL = """
+SELECT 'l_orderkey' AS col, 'orders' AS domain,
+       (SELECT count(DISTINCT l_orderkey) FROM lineitem
+        WHERE l_orderkey IS NOT NULL) AS n_distinct,
+       (SELECT count(*) FROM
+         (SELECT DISTINCT l_orderkey FROM lineitem
+          WHERE l_orderkey IS NOT NULL
+            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderkey IS NOT NULL))) AS missing,
+       (SELECT count(*) FROM
+         (SELECT DISTINCT l_orderkey FROM lineitem
+          WHERE l_orderkey IS NOT NULL
+            AND l_orderkey NOT IN (SELECT o_orderkey FROM orders
+                                   WHERE o_orderkey IS NOT NULL))) = 0
+         AS contained
+UNION ALL
+SELECT 'o_custkey', 'events_users',
+       (SELECT count(DISTINCT o_custkey) FROM orders
+        WHERE o_custkey IS NOT NULL),
+       (SELECT count(*) FROM
+         (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT user_id FROM events
+                                  WHERE user_id IS NOT NULL))),
+       (SELECT count(*) FROM
+         (SELECT DISTINCT o_custkey FROM orders
+          WHERE o_custkey IS NOT NULL
+            AND o_custkey NOT IN (SELECT user_id FROM events
+                                  WHERE user_id IS NOT NULL))) = 0
+UNION ALL
+SELECT 'user_id', 'customer',
+       (SELECT count(DISTINCT user_id) FROM events
+        WHERE user_id IS NOT NULL),
+       (SELECT count(*) FROM
+         (SELECT DISTINCT user_id FROM events
+          WHERE user_id IS NOT NULL
+            AND user_id NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL))),
+       (SELECT count(*) FROM
+         (SELECT DISTINCT user_id FROM events
+          WHERE user_id IS NOT NULL
+            AND user_id NOT IN (SELECT c_custkey FROM customer
+                                WHERE c_custkey IS NOT NULL))) = 0
+"""
+
+
+@register_extended("profile_suggest_referential", _SUGGEST_REF_SQL)
+def profile_suggest_referential(spark, sf_dir):
+    """Inclusion-dependency DISCOVERY (suggest_referential,
+    operators/profile.py): which fact→dimension key relationships hold
+    on this snapshot — the profile bootstrap for x-referential, the one
+    constraint family column profiling cannot see because its subject
+    is a relationship BETWEEN tables. Three candidates over the real
+    star schema: lineitem.l_orderkey ⊆ orders.o_orderkey (TRUE — the
+    generator's FK), events.user_id ⊆ customer.c_custkey (TRUE — events
+    are keyed by the first customers), orders.o_custkey ⊆
+    events.user_id (FALSE — 1,500 customers vs 150 event users: the
+    negative control proving discovery REJECTS non-dependencies).
+    Plan: per candidate, fact distinct values left-join domain distinct
+    keys + one conditional aggregate — #distinct rows meet the join,
+    only two counts reach the driver, AQE picks the join strategy (no
+    forced broadcast: a 10^9-key domain must not OOM discovery).
+    Exact integer counts, bit-equal across engines. EXTENDED mirror
+    entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.profile import suggest_referential
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    cands = [
+        suggest_referential(li, "l_orderkey", orders, "o_orderkey",
+                            "orders"),
+        suggest_referential(orders, "o_custkey", ev, "user_id",
+                            "events_users"),
+        suggest_referential(ev, "user_id", cust, "c_custkey", "customer"),
+    ]
+    return spark.createDataFrame(
+        [(c["column"], c["domain"], c["distinct"], c["missing"],
+          c["contained"]) for c in cands],
+        "col: string, domain: string, n_distinct: long, missing: long, "
+        "contained: boolean")

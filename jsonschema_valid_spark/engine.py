@@ -435,6 +435,28 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             min_rate=None if mn is None else float(mn),
             max_rate=None if mx is None else float(mx),
             min_count=int(dc.params.get("minCount", 1)))
+    if dc.kind == "contiguous" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.contiguity import (
+            contiguity_group_verdicts,
+        )
+
+        df = _scoped(dc, df)
+        return contiguity_group_verdicts(
+            df, dc.column, dc.check_id, by=dc.params["by"],
+            max_missing=int(dc.params.get("maxMissing", 0)))
+    if dc.kind == "association" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.association import (
+            association_group_verdicts,
+        )
+
+        df = _scoped(dc, df)
+        mn, mx = dc.params.get("min"), dc.params.get("max")
+        return association_group_verdicts(
+            df, dc.column, dc.check_id,
+            with_col=dc.params["with"], by=dc.params["by"],
+            min_v=None if mn is None else float(mn),
+            max_v=None if mx is None else float(mx),
+            min_count=int(dc.params.get("minCount", 3)))
     if dc.kind == "distinct_ratio" and dc.params.get("by") is not None:
         from jsonschema_valid_spark.operators.cardinality import (
             distinct_ratio_group_verdicts,
@@ -546,6 +568,39 @@ def _correlation_violations(dc, df: DataFrame) -> DataFrame:
         by=dc.params.get("by"),
         min_corr=None if mn is None else float(mn),
         max_corr=None if mx is None else float(mx),
+        min_count=int(dc.params.get("minCount", 3)),
+    )
+
+
+def _contiguity_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-contiguous execution for both run paths."""
+    from jsonschema_valid_spark.operators.contiguity import (
+        contiguity_violations,
+    )
+
+    df = _scoped(dc, df)
+    return contiguity_violations(
+        df, dc.column, dc.check_id,
+        by=dc.params.get("by"),
+        max_missing=int(dc.params.get("maxMissing", 0)),
+        report=dc.params.get("report", "summary"),
+    )
+
+
+def _association_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-association execution for both run paths."""
+    from jsonschema_valid_spark.operators.association import (
+        association_violations,
+    )
+
+    df = _scoped(dc, df)
+    mn, mx = dc.params.get("min"), dc.params.get("max")
+    return association_violations(
+        df, dc.column, dc.check_id,
+        with_col=dc.params["with"],
+        by=dc.params.get("by"),
+        min_v=None if mn is None else float(mn),
+        max_v=None if mx is None else float(mx),
         min_count=int(dc.params.get("minCount", 3)),
     )
 
@@ -944,6 +999,10 @@ def run_suite_summarized(
             vdf = _unique_within_violations(dc, df, key)
         elif dc.kind == "correlation":
             vdf = _correlation_violations(dc, df)
+        elif dc.kind == "association":
+            vdf = _association_violations(dc, df)
+        elif dc.kind == "contiguous":
+            vdf = _contiguity_violations(dc, df)
         elif dc.kind == "trend":
             vdf = _trend_violations(dc, df)
         elif dc.kind == "distinct_ratio":
@@ -1430,6 +1489,38 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("ncr") == 0).alias("passed"),
                     F.col("ncr").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "contiguous":
+            cgv = _contiguity_violations(dc, df)
+            violation_dfs.append(_with_ipath(cgv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
+            verdict_dfs.append(
+                cgv.agg(F.count(F.lit(1)).alias("ncg")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("ncg") == 0).alias("passed"),
+                    F.col("ncg").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "association":
+            asv = _association_violations(dc, df)
+            violation_dfs.append(_with_ipath(asv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
+            verdict_dfs.append(
+                asv.agg(F.count(F.lit(1)).alias("nas")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nas") == 0).alias("passed"),
+                    F.col("nas").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -691,3 +691,52 @@ def suggest_trend_bounds(df: DataFrame, column: str, order_by: str,
     if by is not None:
         node["by"] = by
     return node
+
+
+def suggest_referential(fact: DataFrame, column: str,
+                        domain: DataFrame, domain_column: str,
+                        domain_name: str,
+                        tolerance: float = 0.0) -> dict:
+    """Inclusion-dependency discovery: does ``fact.column`` ⊆
+    ``domain.domain_column`` hold on this snapshot?  The profile
+    bootstrap for ``x-referential`` — the one constraint family
+    :func:`suggest_constraints` cannot see because its subject is a
+    RELATIONSHIP between tables, not a column's own distribution.
+
+    One pass: the fact side collapses to its distinct values (map-side
+    combined — #distinct rows, not #rows, meet the join), left-joins the
+    domain's distinct keys, and a single conditional aggregate counts
+    hits and misses; only the two counts reach the driver.  No broadcast
+    is forced — AQE picks the join strategy, so a 10^9-key domain
+    neither OOMs the driver (the x-referential inline guard's concern)
+    nor blocks discovery.
+
+    Returns ``{"column", "domain", "domainColumn", "distinct",
+    "missing", "missRatio", "contained", "node"}`` where ``node`` is a
+    ready ``x-referential`` spec ``{"domain": "@<domain_name>",
+    "domainColumn": …}`` when the observed miss ratio is within
+    ``tolerance`` (default: exact containment required), else None —
+    callers register the domain table under ``domain_name`` in the
+    suite context, the ``@`` indirection x-referential already resolves.
+    """
+    if not (0.0 <= float(tolerance) < 1.0):
+        raise ValueError(f"tolerance must be in [0, 1), got {tolerance}")
+    fd = (fact.select(F.col(column).alias("__v"))
+          .where(F.col("__v").isNotNull()).distinct())
+    dd = (domain.select(F.col(domain_column).alias("__v"))
+          .where(F.col("__v").isNotNull()).distinct()
+          .withColumn("__hit", F.lit(1)))
+    r = (fd.join(dd, "__v", "left")
+         .agg(F.count(F.lit(1)).alias("d"),
+              F.sum(F.when(F.col("__hit").isNull(), 1).otherwise(0))
+              .alias("miss"))
+         .collect()[0])
+    d, miss = int(r["d"] or 0), int(r["miss"] or 0)
+    ratio = (miss / d) if d else 0.0
+    contained = d > 0 and ratio <= float(tolerance)
+    node = ({"domain": f"@{domain_name}", "domainColumn": domain_column}
+            if contained else None)
+    return {"column": column, "domain": domain_name,
+            "domainColumn": domain_column, "distinct": d,
+            "missing": miss, "missRatio": ratio,
+            "contained": contained, "node": node}

@@ -349,6 +349,16 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"enum": ["min", "max"]}},
             ]},
         }}),
+        _kw("x-contiguous", {"properties": {
+            "value_type": {"const": "object"},
+        }}),
+        _kw("x-association", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "with"}},
+                {"contains": {"enum": ["min", "max"]}},
+            ]},
+        }}),
         _kw("x-funnel", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"allOf": [

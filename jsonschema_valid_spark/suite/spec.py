@@ -487,6 +487,54 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-correlation must be {'with': col, "
                               "'min'|'max': number in [-1, 1], "
                               "'by'?: col, 'minCount'?: int>=3}")
+        elif kw == "x-contiguous":
+            ok = (isinstance(v, dict)
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("where" not in v
+                       or (isinstance(v["where"], str) and v["where"]))
+                  and ("maxMissing" not in v
+                       or (isinstance(v["maxMissing"], int)
+                           and not isinstance(v["maxMissing"], bool)
+                           and v["maxMissing"] >= 0))
+                  and v.get("report", "summary") in ("summary", "gaps")
+                  and (v.get("report", "summary") != "gaps"
+                       or (isinstance(v.get("by"), str)
+                           and "maxMissing" not in v))
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and isinstance(v.get("by"), str)
+                           and v.get("report", "summary") == "summary")))
+            if not ok:
+                raise _err(p, "x-contiguous must be {'by'?: col, "
+                              "'maxMissing'?: int>=0 (summary only), "
+                              "'report'?: 'summary'|'gaps' (gaps requires "
+                              "'by'), 'where'?: sql-bool, 'verdicts'?: "
+                              "'perGroup' (requires 'by', summary)}")
+        elif kw == "x-association":
+            def _v01(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool)
+                        and 0.0 <= x <= 1.0)
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("with"), str) and v["with"]
+                  and ("min" in v or "max" in v)
+                  and ("min" not in v or _v01(v["min"]))
+                  and ("max" not in v or _v01(v["max"]))
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("where" not in v
+                       or (isinstance(v["where"], str) and v["where"]))
+                  and ("minCount" not in v
+                       or (isinstance(v["minCount"], int)
+                           and not isinstance(v["minCount"], bool)
+                           and v["minCount"] >= 3))
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and isinstance(v.get("by"), str))))
+            if not ok:
+                raise _err(p, "x-association must be {'with': col, "
+                              "'min'|'max': number in [0, 1], 'by'?: col, "
+                              "'where'?: sql-bool, 'minCount'?: int>=3, "
+                              "'verdicts'?: 'perGroup' (requires 'by')}")
         elif kw == "x-funnel":
             def _rate01(x):
                 return (isinstance(x, (int, float))

@@ -32,6 +32,10 @@ KEYWORD_SPECS = {
                                             "min": 0.0001}}},
     "x-correlation": {"v": {"x-correlation": {"with": "w",
                                               "min": -1.0}}},
+    "x-association": {"grp": {"x-association": {"with": "grp",
+                                                "max": 1.0}}},
+    "x-contiguous": {"id": {"x-contiguous": {"by": "grp",
+                                             "maxMissing": 10_000}}},
     "x-monotonic": {"v": {"x-monotonic": {"orderBy": "ts_s",
                                           "by": "grp"}}},
     "x-noOverlap": {"ts_s": {"x-noOverlap": {"endColumn": "w",

@@ -113,6 +113,12 @@ INVALID_SUITES = [
         "by": "src"}}}}),
     ("x-correlation-no-bound", {"properties": {"x": {"x-correlation": {
         "with": "y"}}}}),
+    ("x-association-no-with", {"properties": {"x": {"x-association": {
+        "min": 0.5}}}}),
+    ("x-contiguous-nonobject", {"properties": {"x": {
+        "x-contiguous": 5}}}),
+    ("x-association-no-bound", {"properties": {"x": {"x-association": {
+        "with": "y"}}}}),
     ("x-trend-no-orderby", {"properties": {"x": {"x-trend": {
         "max": 1.0}}}}),
     ("x-distinctRatio-no-bound", {"properties": {"x": {"x-distinctRatio": {

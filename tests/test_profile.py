@@ -478,3 +478,48 @@ def test_suggest_compliance_and_trend_bounds(spark):
         suggest_compliance_floor(df, "v", "v > 0", headroom=1.0)
     flat = spark.createDataFrame([(1, "a", 1.0, 1.0)], df.schema)
     assert suggest_trend_bounds(flat, "v", "x", by="grp") is None
+
+
+# ---- wave 28: inclusion-dependency discovery ----------------------------
+
+def test_suggest_referential_contained_and_roundtrip(spark):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.profile import suggest_referential
+
+    fact = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)] + [(100, None)],
+        "id: long, fk: int")
+    dim = spark.createDataFrame([(k,) for k in range(5)], "pk: int")
+    s = suggest_referential(fact, "fk", dim, "pk", "dim")
+    assert s["contained"] is True and s["missing"] == 0
+    assert s["distinct"] == 5  # NULL fk excluded
+    assert s["node"] == {"domain": "@dim", "domainColumn": "pk"}
+
+    # round-trip: the suggested node validates the snapshot cleanly...
+    suite = CheckSuite({"properties": {"fk": {"x-referential": s["node"]}}})
+    res = suite.run(fact, key="id", context={"dim": dim})
+    assert res.violations.count() == 0
+    # ...and catches a value outside the discovered domain
+    bad = fact.union(spark.createDataFrame([(101, 99)], fact.schema))
+    assert suite.run(bad, key="id",
+                     context={"dim": dim}).violations.count() == 1
+
+
+def test_suggest_referential_rejects_and_tolerance(spark):
+    from jsonschema_valid_spark.operators.profile import suggest_referential
+
+    fact = spark.createDataFrame(
+        [(i, i % 10) for i in range(100)], "id: long, fk: int")
+    dim = spark.createDataFrame([(k,) for k in range(9)], "pk: int")
+
+    s = suggest_referential(fact, "fk", dim, "pk", "dim")
+    assert s["contained"] is False and s["node"] is None
+    assert s["missing"] == 1 and s["distinct"] == 10
+
+    # 1 of 10 distinct values missing = ratio 0.1 -> tolerated at 0.15
+    s2 = suggest_referential(fact, "fk", dim, "pk", "dim", tolerance=0.15)
+    assert s2["contained"] is True and s2["node"] is not None
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        suggest_referential(fact, "fk", dim, "pk", "dim", tolerance=1.0)
