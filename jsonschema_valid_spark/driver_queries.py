@@ -5992,3 +5992,107 @@ def profile_suggest_referential(spark, sf_dir):
           c["contained"]) for c in cands],
         "col: string, domain: string, n_distinct: long, missing: long, "
         "contained: boolean")
+
+
+_ENTROPY_KW_SQL = """
+WITH cnt AS (
+  SELECT source, lang, count(*) AS c FROM documents
+  WHERE lang IS NOT NULL GROUP BY source, lang
+),
+g AS (
+  SELECT source, sum(c) AS n, count(*) AS k,
+         sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s
+  FROM cnt GROUP BY source
+),
+h AS (
+  SELECT source, greatest(log2(CAST(n AS DOUBLE)) - s / n, 0.0) AS hv,
+         k, n
+  FROM g
+)
+SELECT COALESCE(CAST(source AS VARCHAR), '<null>') AS doc_id,
+       'properties/lang/x-entropy' AS check_id,
+       'h=' || CAST(CAST(round(hv, 4) AS DECIMAL(10,4)) AS VARCHAR)
+         || ',k=' || CAST(k AS VARCHAR)
+         || ',n=' || CAST(n AS VARCHAR) AS observed
+FROM h
+WHERE n >= 10 AND hv < 1.95
+"""
+
+
+@register_extended("engine_entropy_violations", _ENTROPY_KW_SQL)
+def engine_entropy_violations(spark, sf_dir):
+    """x-entropy as a DECLARATIVE suite keyword: each source's language
+    mix must keep Shannon entropy >= 1.95 bits — the mix-COLLAPSE
+    detector completing the distribution-health family: x-maxFrequency
+    caps ONE value's dominance and x-distinctRatio bounds HOW MANY
+    values appear, but a mix that skews while every share stays legal
+    and k stays constant is invisible to both; entropy summarizes the
+    whole shape in one comparable number (log2(k) when uniform, -> 0 as
+    it collapses). The real data trips deterministically: 3 sources
+    below 1.95 bits at sf0.001 (1.4937/1.8415/1.9027), 8 at sf0.01;
+    nearest passing source 1.9911 — margins >= 0.04, ~1e12 above
+    cross-engine float noise through the c*log2(c) sum. Plan
+    (operators/entropy.py): the only pass over the data is ONE
+    map-side-combined groupBy(source, lang).count(); H = log2(n) -
+    sum(c*log2(c))/n over the #cells count rows (p never materializes,
+    greatest(.,0) clamps the constant-column noise negative that would
+    otherwise NaN past >= bounds). Witness decimal(10,4). EXTENDED
+    mirror entry; full value-hash oracle replays the same identity."""
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suite = CheckSuite({"properties": {"lang": {"x-entropy": {
+        "min": 1.95, "by": "source", "minCount": 10}}}})
+    res = suite.run(docs, key="doc_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_ENTROPY_PERGROUP_SQL = """
+WITH base AS (
+  SELECT event_type AS g, CAST(user_id % 8 AS VARCHAR) AS v
+  FROM events WHERE user_id IS NOT NULL
+),
+cnt AS (SELECT g, v, count(*) AS c FROM base GROUP BY g, v),
+st AS (
+  SELECT g, sum(c) AS n, count(*) AS k,
+         sum(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) AS s
+  FROM cnt GROUP BY g
+),
+h AS (
+  SELECT g, greatest(log2(CAST(n AS DOUBLE)) - s / n, 0.0) AS hv, n
+  FROM st
+)
+SELECT COALESCE(CAST(g AS VARCHAR), '<null>') AS partition_id,
+       'properties/ushard8/x-entropy' AS check_id,
+       NOT (n >= 1 AND hv < 2.95) AS passed,
+       round(hv, 6) AS metric,
+       CAST(2.95 AS DOUBLE) AS threshold
+FROM h
+"""
+
+
+@register_extended("engine_entropy_group_verdicts", _ENTROPY_PERGROUP_SQL)
+def engine_entropy_group_verdicts(spark, sf_dir):
+    """x-entropy {"verdicts": "perGroup"}: every event_type enumerated
+    with the Shannon entropy (bits) of its user-shard mix — passing
+    groups included, partition_id = the group value (the per-partition
+    pass/fail shape). A min-2.95-bit floor ('each event type must draw
+    from all 8 user shards near-uniformly') splits the real data:
+    'error' sits at 2.938097 bits at sf0.001 (FAILS, margin 0.012),
+    'signup' at 2.954738 (passes, margin 0.005); at sf0.01 all five
+    types pass >= 2.9959 (margin 0.046) — a mixed enumeration at one SF
+    and all-green at the other, both hashed. Same single contingency
+    aggregate as the violations form; metric rounded 1e-6 (boundary
+    distances >= 1e-8, ~1e5 above float noise). EXTENDED mirror entry;
+    full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("ushard8",
+                      F.expr("CAST(user_id % 8 AS STRING)")))
+    suite = CheckSuite({"properties": {"ushard8": {"x-entropy": {
+        "min": 2.95, "by": "event_type", "verdicts": "perGroup"}}}})
+    res = suite.run(ev, key="event_id")
+    return res.verdicts.select(
+        "partition_id", "check_id", "passed",
+        F.round("metric_value", 6).alias("metric"), "threshold")

@@ -457,6 +457,19 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             min_v=None if mn is None else float(mn),
             max_v=None if mx is None else float(mx),
             min_count=int(dc.params.get("minCount", 3)))
+    if dc.kind == "entropy" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.entropy import (
+            entropy_group_verdicts,
+        )
+
+        df = _scoped(dc, df)
+        mn, mx = dc.params.get("min"), dc.params.get("max")
+        return entropy_group_verdicts(
+            df, dc.column, dc.check_id, by=dc.params["by"],
+            min_h=None if mn is None else float(mn),
+            max_h=None if mx is None else float(mx),
+            normalized=bool(dc.params.get("normalized", False)),
+            min_count=int(dc.params.get("minCount", 1)))
     if dc.kind == "distinct_ratio" and dc.params.get("by") is not None:
         from jsonschema_valid_spark.operators.cardinality import (
             distinct_ratio_group_verdicts,
@@ -605,6 +618,22 @@ def _association_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _entropy_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-entropy execution for both run paths."""
+    from jsonschema_valid_spark.operators.entropy import entropy_violations
+
+    df = _scoped(dc, df)
+    mn, mx = dc.params.get("min"), dc.params.get("max")
+    return entropy_violations(
+        df, dc.column, dc.check_id,
+        by=dc.params.get("by"),
+        min_h=None if mn is None else float(mn),
+        max_h=None if mx is None else float(mx),
+        normalized=bool(dc.params.get("normalized", False)),
+        min_count=int(dc.params.get("minCount", 1)),
+    )
+
+
 def _funnel_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-funnel execution for both run paths."""
     from jsonschema_valid_spark.operators.funnel import funnel_violations
@@ -681,17 +710,6 @@ def _trend_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
-def _entropy_violations(dc, df: DataFrame) -> DataFrame:
-    """Shared x-entropy execution for both run paths."""
-    from jsonschema_valid_spark.operators.entropy import entropy_violations
-
-    return entropy_violations(
-        df, dc.column, dc.check_id,
-        by=dc.params.get("by"),
-        min_entropy=dc.params.get("min"),
-        max_entropy=dc.params.get("max"),
-        normalized=bool(dc.params.get("normalized", False)),
-    )
 
 
 def _event_order_violations(dc, df: DataFrame) -> DataFrame:
@@ -1001,6 +1019,8 @@ def run_suite_summarized(
             vdf = _correlation_violations(dc, df)
         elif dc.kind == "association":
             vdf = _association_violations(dc, df)
+        elif dc.kind == "entropy":
+            vdf = _entropy_violations(dc, df)
         elif dc.kind == "contiguous":
             vdf = _contiguity_violations(dc, df)
         elif dc.kind == "trend":
@@ -1013,8 +1033,6 @@ def run_suite_summarized(
             vdf = _funnel_violations(dc, df)
         elif dc.kind == "level_shift":
             vdf = _level_shift_violations(dc, df, key)
-        elif dc.kind == "entropy":
-            vdf = _entropy_violations(dc, df)
         elif dc.kind == "outlier":
             vdf = _outlier_violations(dc, df, key)
         elif dc.kind == "functional_dependency":
@@ -1456,18 +1474,6 @@ def run_suite(
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )
-        elif dc.kind == "entropy":
-            env = _entropy_violations(dc, df)
-            violation_dfs.append(_with_ipath(env))
-            verdict_dfs.append(
-                env.agg(F.count(F.lit(1)).alias("nen")).select(
-                    F.lit("<global>").alias("partition_id"),
-                    F.lit(dc.check_id).alias("check_id"),
-                    (F.col("nen") == 0).alias("passed"),
-                    F.col("nen").cast("double").alias("metric_value"),
-                    F.lit(0.0).cast("double").alias("threshold"),
-                )
-            )
         elif dc.kind == "level_shift":
             lsv = _level_shift_violations(dc, df, key)
             violation_dfs.append(_with_ipath(lsv))
@@ -1521,6 +1527,22 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nas") == 0).alias("passed"),
                     F.col("nas").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "entropy":
+            env = _entropy_violations(dc, df)
+            violation_dfs.append(_with_ipath(env))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
+            verdict_dfs.append(
+                env.agg(F.count(F.lit(1)).alias("nen")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nen") == 0).alias("passed"),
+                    F.col("nen").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -1,107 +1,155 @@
-"""Shannon-entropy bounds on a categorical column (``x-entropy``):
-baseline-free detection of DISTRIBUTION COLLAPSE and unexpected
-uniformity.
+"""Distribution diversity: Shannon-entropy bounds — the ``x-entropy``
+keyword (per-group entropy of a categorical column, in bits).
 
-Why beside ``x-drift``: drift statistics compare against a TRUSTED
-baseline histogram and alert when the shape moves.  Entropy bounds the
-distribution's own concentration with no baseline at all — the checks a
-training-data pipeline actually states in absolute terms:
+The MIX-COLLAPSE detector: ``x-maxFrequency`` caps one value's dominance,
+``x-distinctRatio`` bounds how many distinct values appear — neither sees
+a mix that silently skews while every individual share stays legal and
+the distinct count stays constant ("the balanced 20-source crawl now
+draws 80% from three sources").  Entropy H = −Σ p·log2(p) summarizes the
+WHOLE shape in one comparable number: log2(k) for a perfectly uniform mix
+over k values, → 0 as it collapses.  A ``min`` bound is the diversity
+floor (training-mix balance, shard balance, routing fan-out); a ``max``
+bound is the compactness ceiling (an id column that should be
+near-constant per group starting to fragment).
 
-* ``min`` (collapse guard): "each source's event mix must not collapse
-  to one value" — a generator that mode-collapses, a stuck upstream
-  enum, a template explosion in synthetic data all crater the entropy
-  of the affected group long before any single frequency looks odd;
-* ``max`` (uniformity guard): "this naturally-skewed column must not
-  become uniform noise" — randomized/permuted ids and join
-  misalignments produce near-``ln k`` entropy where real data is
-  concentrated.
+Scale contract: the only pass over the data is ONE map-side-combined
+``groupBy(by?, value).count()`` — #cells rows downstream (bounded by the
+column's cardinality, tiny for genuine categoricals).  The identity used
+everywhere (including the DuckDB oracle replay):
 
-H = −Σ p·ln p is computed as ``ln(T) − (Σ c·ln c)/T`` over the value
-counts c (algebraically identical, one fewer division per value and
-exactly 0.0 for single-value groups).  ``normalized=True`` divides by
-``ln(k)`` (k = observed distinct values), mapping every group onto
-[0, 1] so one threshold serves groups with different alphabet sizes;
-single-value groups define 0.
+    H = log2(n) − (Σ c·log2(c)) / n
 
-Scale contract: two stacked aggregates — ``groupBy(group, value)``
-count (map-side combined; #(groups × values) rows shuffle, never row
-data) then ``groupBy(group)`` folding counts into the entropy — both
-pure Column math, no UDF, no window, no join.  NULLs are excluded
-(x-nullRate territory); a group that is ALL NULL simply has no row.
+over the observed value counts c — p never materializes, empty categories
+contribute nothing by construction.  ``greatest(·, 0)`` clamps the
+float-noise negative a constant column can produce (H ≥ 0 holds in exact
+arithmetic); NaN from a noise-negative would otherwise PASS ``>= min``
+bounds (NaN sorts above every double in Spark).
 
-The reference validates one instance at a time and has no
-distributional checks (lib.rs:84-102); this extends the dataset-scope
-family (SURVEY §2's engine obligations) like x-drift/x-stats.
+``normalized: true`` reports H / log2(k) ∈ [0, 1] (comparable across
+groups with different cardinalities); undefined for k < 2 → NULL →
+suppressed (never violates), the engine's undefined-metric contract.
+NULL values are excluded (the pairwise-complete convention); groups with
+fewer than ``minCount`` non-null rows never violate.
+
+Reference: dataset-scope lift with no analog in the reference's row
+keywords (validators.rs); Shannon (1948) §6.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
-def entropy_stats(df: DataFrame, column: str, by: str | None = None
-                  ) -> DataFrame:
-    """Per-group entropy profile: ``(by?, entropy, n_values, total)``.
-    ``entropy`` is in nats over the non-NULL value frequencies of
-    ``column``; ``n_values`` is the observed distinct-value count and
-    ``total`` the non-NULL row count (both handy for normalization and
-    for reporting)."""
-    gcols = [by] if by else []
-    counts = (df.where(F.col(column).isNotNull())
-              .groupBy(*(gcols + [column]))
-              .agg(F.count(F.lit(1)).alias("__c")))
-    c = F.col("__c").cast("double")
-    aggs = [F.sum("__c").alias("__t"),
-            F.sum(c * F.log(c)).alias("__clc"),
-            F.count(F.lit(1)).alias("n_values")]
-    g = counts.groupBy(*gcols).agg(*aggs) if gcols else counts.agg(*aggs)
-    t = F.col("__t").cast("double")
-    ent = F.log(t) - F.col("__clc") / t
-    return g.select(*(gcols + [ent.alias("entropy"),
-                               F.col("n_values"),
-                               F.col("__t").alias("total")]))
-
-
-def entropy_violations(df: DataFrame, column: str, check_id: str,
-                       by: str | None = None,
-                       min_entropy: float | None = None,
-                       max_entropy: float | None = None,
-                       normalized: bool = False) -> DataFrame:
-    """``x-entropy`` execution: groups whose (optionally normalized)
-    Shannon entropy falls outside [min, max], as engine violation rows
-    ``(doc_id, check_id, observed, expected)`` — one row per offending
-    group (``<global>`` when ``by`` is None).  Witness entropies render
-    as decimal(12,6) for cross-engine string stability."""
-    if min_entropy is None and max_entropy is None:
-        raise ValueError(f"{check_id}: at least one of min/max required")
-    stats = entropy_stats(df, column, by)
-    h = F.col("entropy")
+def _entropy_stats(df: DataFrame, column: str, by: str | None,
+                   normalized: bool) -> DataFrame:
+    """Per-group (or single-row global) entropy statistics:
+    ``(by?, __h, __k, __n)`` where ``__h`` is Shannon entropy in bits
+    (normalized to [0,1] by log2(k) when requested; NULL when
+    undefined).  One groupBy over the data; everything downstream
+    operates on #cells value-count rows."""
+    c = F.col(column)
+    base = df.where(c.isNotNull())
+    keys = ([F.col(by)] if by is not None else []) + [c]
+    cnt = base.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c"))
+    gcols = [by] if by is not None else []
+    cd = F.col("__c").cast("double")
+    if by is not None:
+        g = cnt.groupBy(*gcols).agg(
+            F.sum("__c").alias("__n"),
+            F.count(F.lit(1)).alias("__k"),
+            F.sum(cd * F.log2(cd)).alias("__s"))
+    else:
+        g = cnt.agg(
+            F.sum("__c").alias("__n"),
+            F.count(F.lit(1)).alias("__k"),
+            F.sum(cd * F.log2(cd)).alias("__s"))
+    nd = F.col("__n").cast("double")
+    h = F.greatest(F.log2(nd) - F.col("__s") / nd, F.lit(0.0))
     if normalized:
-        h = F.when(F.col("n_values") > 1,
-                   F.col("entropy")
-                   / F.log(F.col("n_values").cast("double"))) \
-            .otherwise(F.lit(0.0))
-    bad = F.lit(False)
-    if min_entropy is not None:
-        bad = bad | (h < F.lit(float(min_entropy)))
-    if max_entropy is not None:
-        bad = bad | (h > F.lit(float(max_entropy)))
-    label = "normalized entropy" if normalized else "entropy"
-    lo = "0" if min_entropy is None else repr(float(min_entropy))
-    hi = "inf" if max_entropy is None else repr(float(max_entropy))
-    exp_msg = f"{label} of {column} in [{lo}, {hi}]" + (
-        "" if normalized else " nats")
-    group_col = (F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
-                 if by else F.lit("<global>"))
-    return (stats.where(bad)
-            .select(
-                group_col.alias("doc_id"),
-                F.lit(check_id).alias("check_id"),
-                F.concat(
-                    F.lit("entropy="),
-                    F.round(h, 6).cast("decimal(12,6)").cast("string"),
-                    F.lit(",values="),
-                    F.col("n_values").cast("string"),
-                ).alias("observed"),
-                F.lit(exp_msg).alias("expected"),
-            ))
+        h = F.when(F.col("__k") >= F.lit(2),
+                   h / F.log2(F.col("__k").cast("double")))
+    return g.select(*gcols, h.alias("__h"), F.col("__k"), F.col("__n"))
+
+
+def _bad_and_bounds(min_h: float | None, max_h: float | None,
+                    min_count: int) -> tuple[Column, str, str]:
+    from jsonschema_valid_spark.operators._bounds import out_of_bounds
+
+    bad = (F.col("__h").isNotNull()
+           & (F.col("__n") >= F.lit(int(min_count)))
+           & out_of_bounds(F.col("__h"), min_h, max_h))
+    lo = "0" if min_h is None else f"{float(min_h):g}"
+    hi = "inf" if max_h is None else f"{float(max_h):g}"
+    return bad, lo, hi
+
+
+def entropy_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    by: str | None = None,
+    min_h: float | None = None,
+    max_h: float | None = None,
+    normalized: bool = False,
+    min_count: int = 1,
+) -> DataFrame:
+    """``x-entropy`` execution: groups whose Shannon entropy of
+    ``column`` falls outside [min_h, max_h] bits, as engine violation
+    rows.  ``by=None`` checks ONE global mix.  observed renders H as
+    decimal(10,4) (grid 1e-4; cross-engine float noise through the
+    c·log2(c) sum is ~1e-14 — fixture margins are checked at
+    registration, the x-correlation convention)."""
+    if min_h is None and max_h is None:
+        raise ValueError("x-entropy needs min and/or max")
+    g = _entropy_stats(df, column, by, normalized)
+    bad, lo, hi = _bad_and_bounds(min_h, max_h, min_count)
+    doc = (F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
+           if by is not None else F.lit("<global>"))
+    scope = f" per {by}" if by else ""
+    unit = "normalized" if normalized else "bits"
+    exp_msg = (f"entropy({column}) in [{lo}, {hi}] {unit}{scope} "
+               f"(min_count={min_count})")
+    return g.where(bad).select(
+        doc.alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(
+            F.lit("h="),
+            F.round(F.col("__h"), 4).cast("decimal(10,4)").cast("string"),
+            F.lit(",k="), F.col("__k").cast("string"),
+            F.lit(",n="), F.col("__n").cast("string"),
+        ).alias("observed"),
+        F.lit(exp_msg).alias("expected"),
+    )
+
+
+def entropy_group_verdicts(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    by: str,
+    min_h: float | None = None,
+    max_h: float | None = None,
+    normalized: bool = False,
+    min_count: int = 1,
+) -> DataFrame:
+    """``x-entropy {"by", "verdicts": "perGroup"}``: every group
+    enumerated with its entropy as metric_value (partition_id = group),
+    passing ones included — the per-partition pass/fail shape.
+    Undefined normalized H (k < 2) or thin groups report passed=True
+    with metric NULL→0, the suppression contract."""
+    if min_h is None and max_h is None:
+        raise ValueError("x-entropy needs min and/or max")
+    g = _entropy_stats(df, column, by, normalized)
+    bad, _, _ = _bad_and_bounds(min_h, max_h, min_count)
+    from jsonschema_valid_spark.operators._bounds import violated_threshold
+
+    thr = violated_threshold(F.col("__h"), min_h, max_h)
+    return g.select(
+        F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
+        .alias("partition_id"),
+        F.lit(check_id).alias("check_id"),
+        (~bad).alias("passed"),
+        F.coalesce(F.col("__h"), F.lit(0.0)).cast("double")
+        .alias("metric_value"),
+        thr.cast("double").alias("threshold"),
+    )

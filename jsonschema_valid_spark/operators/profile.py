@@ -740,3 +740,40 @@ def suggest_referential(fact: DataFrame, column: str,
             "domainColumn": domain_column, "distinct": d,
             "missing": miss, "missRatio": ratio,
             "contained": contained, "node": node}
+
+
+def suggest_entropy_bounds(df: DataFrame, column: str,
+                           by: str | None = None,
+                           pad: float = 0.15,
+                           min_count: int = 10) -> dict | None:
+    """Bootstrap an ``x-entropy`` node from the snapshot's own observed
+    per-group Shannon entropies — the diversity analog of
+    :func:`suggest_frequency_cap`: profile a trusted load once, pin the
+    floor at the WORST (lowest) group's entropy minus ``pad`` bits and
+    the ceiling at the best plus ``pad``, and every later load fails if
+    any group's mix collapses below the floor (mode collapse, stuck
+    source) or fragments past the ceiling.  Passes on the profiled
+    table by construction (pad > 0).  One contingency aggregate over
+    #cells rows (operators/entropy.py plan); groups under ``min_count``
+    rows are ignored for bound-setting (their entropy is noise).
+    Bounds are floored at 0 and rounded to the check's 1e-4 witness
+    grid (floor down, ceiling up).  Returns None when no group clears
+    ``min_count`` (nothing trustworthy to learn from)."""
+    import math
+
+    if not (0.0 < float(pad)):
+        raise ValueError(f"pad must be > 0, got {pad}")
+    from jsonschema_valid_spark.operators.entropy import _entropy_stats
+
+    g = _entropy_stats(df, column, by, normalized=False)
+    r = (g.where(F.col("__n") >= F.lit(int(min_count)))
+         .agg(F.min("__h").alias("lo"), F.max("__h").alias("hi"))
+         .collect()[0])
+    if r["lo"] is None:
+        return None
+    lo = max(0.0, math.floor((float(r["lo"]) - float(pad)) * 1e4) / 1e4)
+    hi = math.ceil((float(r["hi"]) + float(pad)) * 1e4) / 1e4
+    node: dict = {"min": lo, "max": hi, "minCount": int(min_count)}
+    if by is not None:
+        node["by"] = by
+    return node

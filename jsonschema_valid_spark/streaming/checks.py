@@ -860,6 +860,89 @@ def stream_distinct_ratio_verdicts(
         "n", passed.alias("passed"))
 
 
+def stream_entropy_verdicts(
+    sdf: DataFrame,
+    column: str,
+    ts_col: str,
+    categories: list[str],
+    group_col: str | None = None,
+    min_h: float | None = None,
+    max_h: float | None = None,
+    min_count: int = 1,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-entropy`` (operators/entropy.py lifted to
+    event-time windows): Shannon entropy (bits) of a categorical mix
+    per window (and per ``group_col``) within bounds — the mix COLLAPSE
+    ("the 14:00 deploy made the balanced crawl 80% one source")
+    surfacing in the window where it started.
+
+    Streaming aggregation cannot chain two groupBys (the batch operator
+    counts per value, then aggregates the counts), so the category
+    domain must be DECLARED — exactly the categorical-drift contract
+    (stream_windowed_drift(categorical=True)): each declared category
+    becomes one conditional count in a single NATIVE windowed aggregate
+    (k+1 columns, k = len(categories)); undeclared values collapse into
+    an ``other`` bucket so novel categories still carry entropy mass.
+    H = log2(n) − (Σ c·log2(c))/n over those k+1 count columns — pure
+    column algebra, append mode on watermark close, no Python state;
+    per-window results equal the batch operator on the collapsed
+    column (pytest-pinned).
+
+    Output: (window_start, group, entropy_bits, n, passed) — one
+    verdict row per (window × group) including passing ones; windows
+    under ``min_count`` pass (suppressed).  NULL values are excluded,
+    matching batch."""
+    if min_h is None and max_h is None:
+        raise ValueError("stream_entropy_verdicts needs min and/or max")
+    if not categories:
+        raise ValueError("stream_entropy_verdicts needs a declared "
+                         "category list (the streaming-aggregation "
+                         "contract; use the batch operator for "
+                         "undeclared domains)")
+    cats = sorted(set(str(c) for c in categories))
+    grp = (F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+           if group_col is not None else F.lit("<global>"))
+    c = F.col(column).cast("string")
+    aggs = [
+        F.sum(F.when(c == F.lit(cat), 1).otherwise(0)).alias(f"__c{i}")
+        for i, cat in enumerate(cats)
+    ]
+    aggs.append(
+        F.sum(F.when(c.isNotNull() & ~c.isin(cats), 1).otherwise(0))
+        .alias("__cother"))
+    agg = (
+        sdf.where(c.isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
+                 grp.alias("group"))
+        .agg(*aggs)
+    )
+    names = [f"__c{i}" for i in range(len(cats))] + ["__cother"]
+    n = None
+    s = None
+    for nm in names:
+        cd = F.col(nm).cast("double")
+        term = F.when(F.col(nm) > 0, cd * F.log2(cd)).otherwise(F.lit(0.0))
+        n = cd if n is None else n + cd
+        s = term if s is None else s + term
+    h = F.greatest(F.log2(n) - s / n, F.lit(0.0))
+    passed = F.lit(True)
+    if min_h is not None:
+        passed = passed & (h >= F.lit(float(min_h)))
+    if max_h is not None:
+        passed = passed & (h <= F.lit(float(max_h)))
+    passed = F.when(n < F.lit(float(int(min_count))), F.lit(True)) \
+        .otherwise(passed)
+    return agg.select(
+        F.col("__w").getField("start").alias("window_start"),
+        "group",
+        h.cast("double").alias("entropy_bits"),
+        n.cast("long").alias("n"),
+        passed.alias("passed"))
+
+
 def stream_funnel_conversions(
     sdf: DataFrame,
     key: str,

@@ -338,10 +338,6 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"const": "maxShift"}},
             ]},
         }}),
-        _kw("x-entropy", {"properties": {
-            "value_type": {"const": "object"},
-            "dict_keys": {"contains": {"enum": ["min", "max"]}},
-        }}),
         _kw("x-correlation", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"allOf": [
@@ -358,6 +354,10 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"const": "with"}},
                 {"contains": {"enum": ["min", "max"]}},
             ]},
+        }}),
+        _kw("x-entropy", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"enum": ["min", "max"]}},
         }}),
         _kw("x-funnel", {"properties": {
             "value_type": {"const": "object"},

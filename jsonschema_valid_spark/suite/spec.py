@@ -451,23 +451,6 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-levelShift must be {'orderBy': col, "
                               "'maxShift': number>0, 'by'?: col, "
                               "'window'?: int>=2}")
-        elif kw == "x-entropy":
-            def _enum_ok(x):
-                return (isinstance(x, (int, float))
-                        and not isinstance(x, bool) and x >= 0)
-            norm = v.get("normalized", False) if isinstance(v, dict) else False
-            ok = (isinstance(v, dict)
-                  and ("min" in v or "max" in v)
-                  and ("min" not in v or _enum_ok(v["min"]))
-                  and ("max" not in v or _enum_ok(v["max"]))
-                  and ("by" not in v or isinstance(v["by"], str))
-                  and isinstance(norm, bool)
-                  and (not norm
-                       or all(v[k] <= 1.0 for k in ("min", "max") if k in v)))
-            if not ok:
-                raise _err(p, "x-entropy must be {'min'|'max': number>=0, "
-                              "'by'?: col, 'normalized'?: bool "
-                              "(bounds in [0,1] when normalized)}")
         elif kw == "x-correlation":
             def _corr_num(x):
                 return (isinstance(x, (int, float))
@@ -534,6 +517,35 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-association must be {'with': col, "
                               "'min'|'max': number in [0, 1], 'by'?: col, "
                               "'where'?: sql-bool, 'minCount'?: int>=3, "
+                              "'verdicts'?: 'perGroup' (requires 'by')}")
+        elif kw == "x-entropy":
+            def _hnum(x, normalized):
+                if (not isinstance(x, (int, float))
+                        or isinstance(x, bool) or x < 0):
+                    return False
+                return (x <= 1.0) if normalized else True
+            norm = isinstance(v, dict) and v.get("normalized", False) is True
+            ok = (isinstance(v, dict)
+                  and ("min" in v or "max" in v)
+                  and ("min" not in v or _hnum(v["min"], norm))
+                  and ("max" not in v or _hnum(v["max"], norm))
+                  and ("normalized" not in v
+                       or isinstance(v["normalized"], bool))
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("where" not in v
+                       or (isinstance(v["where"], str) and v["where"]))
+                  and ("minCount" not in v
+                       or (isinstance(v["minCount"], int)
+                           and not isinstance(v["minCount"], bool)
+                           and v["minCount"] >= 1))
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and isinstance(v.get("by"), str))))
+            if not ok:
+                raise _err(p, "x-entropy must be {'min'|'max': bits >= 0 "
+                              "(in [0, 1] when normalized), "
+                              "'normalized'?: bool, 'by'?: col, "
+                              "'where'?: sql-bool, 'minCount'?: int>=1, "
                               "'verdicts'?: 'perGroup' (requires 'by')}")
         elif kw == "x-funnel":
             def _rate01(x):

@@ -1,6 +1,7 @@
-"""x-entropy: Shannon-entropy bounds on a categorical column
-(operators/entropy.py + engine wiring in both paths) — baseline-free
-distribution-collapse / uniformity detection."""
+"""x-entropy: Shannon-entropy bounds of a categorical mix (wave 29) —
+the mix-collapse detector completing the distribution-health family
+(x-maxFrequency caps dominance, x-distinctRatio bounds cardinality,
+this bounds the SHAPE)."""
 
 import math
 
@@ -10,128 +11,186 @@ from pyspark.sql import functions as F
 from jsonschema_valid_spark import CheckSuite
 from jsonschema_valid_spark.engine import run_suite_summarized
 from jsonschema_valid_spark.operators.entropy import (
-    entropy_stats,
+    entropy_group_verdicts,
     entropy_violations,
 )
-from jsonschema_valid_spark.suite.metaschema import validate_suite_with_engine
 from jsonschema_valid_spark.suite.spec import SuiteError, validate_suite_spec
 
 
-def _py_entropy(counts):
-    t = sum(counts)
-    return sum(-(c / t) * math.log(c / t) for c in counts)
-
-
 def _df(spark):
-    # src "mixed": 3 values (2,3,5) — H ≈ 1.03; src "stuck": 1 value — H = 0;
-    # src NULL-col rows: value NULL everywhere ⇒ no entropy row at all
-    rows = ([("mixed", "a")] * 2 + [("mixed", "b")] * 3 + [("mixed", "c")] * 5
-            + [("stuck", "only")] * 6
-            + [("empty", None)] * 4)
-    return spark.createDataFrame(
-        [(i, s, v) for i, (s, v) in enumerate(rows)],
-        "doc_id: long, src: string, et: string")
+    rows = []
+    i = 0
+    # "uniform4": 4 equal categories -> H = 2 bits exactly
+    for v in "abcd":
+        for _ in range(25):
+            rows.append((i, "uniform4", v)); i += 1
+    # "skew": 97/1/1/1 -> H ~ 0.32 bits (collapsed mix, same k=4)
+    for v, n in (("a", 97), ("b", 1), ("c", 1), ("d", 1)):
+        for _ in range(n):
+            rows.append((i, "skew", v)); i += 1
+    # "const": one category -> H = 0 exactly (and normalized undefined)
+    for _ in range(40):
+        rows.append((i, "const", "a")); i += 1
+    # "tiny": below min_count
+    rows.append((i, "tiny", "a")); i += 1
+    rows.append((i, "tiny", "b")); i += 1
+    # NULL values are excluded
+    rows.append((i, "uniform4", None)); i += 1
+    return spark.createDataFrame(rows, "id: long, grp: string, v: string")
 
 
-def test_entropy_stats_matches_python(spark):
-    stats = {r["src"]: r for r in entropy_stats(_df(spark), "et",
-                                                by="src").collect()}
-    assert set(stats) == {"mixed", "stuck"}  # all-NULL group has no row
-    assert stats["mixed"]["entropy"] == pytest.approx(
-        _py_entropy([2, 3, 5]), rel=1e-12)
-    assert stats["mixed"]["n_values"] == 3
-    assert stats["mixed"]["total"] == 10
-    assert stats["stuck"]["entropy"] == pytest.approx(0.0, abs=1e-12)
-    # global (by=None): one row over the pooled non-NULL values
-    g = entropy_stats(_df(spark), "et").collect()
-    assert len(g) == 1
-    assert g[0]["entropy"] == pytest.approx(
-        _py_entropy([2, 3, 5, 6]), rel=1e-12)
-
-
-def test_collapse_detection_per_group(spark):
-    spec = {"properties": {"et": {"x-entropy": {"min": 0.5, "by": "src"}}}}
-    res = CheckSuite(spec).run(_df(spark), key="doc_id")
-    viol = {r["doc_id"]: r for r in res.violations.collect()}
-    assert set(viol) == {"stuck"}  # only the collapsed source
-    assert viol["stuck"]["observed"] == "entropy=0.000000,values=1"
-    assert "in [0.5, inf] nats" in viol["stuck"]["expected"]
-    cid = "properties/et/x-entropy"
-    verd = [r for r in res.verdicts.collect() if r["check_id"] == cid]
-    assert len(verd) == 1 and not verd[0]["passed"]
-    assert verd[0]["metric_value"] == 1.0
-
-
-def test_max_bound_uniformity_guard(spark):
-    # doc_id is (near-)unique ⇒ pooled entropy ≈ ln(n): the uniformity alarm
-    df = _df(spark).withColumn("did_s", F.col("doc_id").cast("string"))
-    res = CheckSuite({"properties": {"did_s": {"x-entropy": {
-        "max": 2.0}}}}).run(df, key="doc_id")
-    viol = res.violations.collect()
-    assert len(viol) == 1 and viol[0]["doc_id"] == "<global>"
-    # a skewed column passes the same bound
-    ok = CheckSuite({"properties": {"et": {"x-entropy": {
-        "max": 2.0}}}}).run(_df(spark), key="doc_id")
-    assert ok.ok() is True
-
-
-def test_normalized_mode(spark):
-    # mixed: H/ln(3) ≈ 0.94; stuck: defined 0 — a [0,1] threshold
-    # separates them regardless of alphabet size
-    out = entropy_violations(_df(spark), "et", "c", by="src",
-                             min_entropy=0.5, normalized=True)
-    got = {r["doc_id"]: r["observed"] for r in out.collect()}
-    assert set(got) == {"stuck"}
-    assert got["stuck"] == "entropy=0.000000,values=1"
-    exp = out.first()["expected"]
-    assert exp.startswith("normalized entropy") and "nats" not in exp
-
-    hn = _py_entropy([2, 3, 5]) / math.log(3)
-    tight = entropy_violations(_df(spark), "et", "c", by="src",
-                               min_entropy=hn + 0.01, normalized=True)
-    assert {r["doc_id"] for r in tight.collect()} == {"mixed", "stuck"}
-
-
-def test_summarized_parity(spark):
-    spec = {"properties": {"et": {"x-entropy": {"min": 0.5, "by": "src"}}}}
+def test_exact_entropy_uniform_and_skewed(spark):
     df = _df(spark)
-    lazy = CheckSuite(spec).run(df, key="doc_id")
-    summ = run_suite_summarized(CheckSuite(spec), df, key="doc_id")
-    cols = ["doc_id", "check_id", "observed", "expected"]
-    assert (sorted(map(tuple, lazy.violations.select(*cols).collect()))
-            == sorted(map(tuple, summ.violations.select(*cols).collect())))
-    cid = "properties/et/x-entropy"
-    for res in (lazy, summ):
-        v = [r for r in res.verdicts.collect() if r["check_id"] == cid]
-        assert len(v) == 1 and not v[0]["passed"]
+    # min bound: the diversity floor -> skew + const trip, uniform4 holds
+    v = entropy_violations(df, "v", "c", by="grp", min_h=1.5, min_count=5)
+    got = {r.doc_id: r.observed for r in v.collect()}
+    assert set(got) == {"skew", "const"}
+    assert got["const"] == "h=0.0000,k=1,n=40"
+    h_skew = (math.log2(100)
+              - (97 * math.log2(97) + 3 * (1 * math.log2(1))) / 100)
+    assert got["skew"] == f"h={h_skew:.4f},k=4,n=100"
+
+    # max bound: the compactness ceiling -> uniform4 trips at exactly 2
+    vmax = entropy_violations(df, "v", "c", by="grp", max_h=1.9,
+                              min_count=5)
+    got = {r.doc_id: r.observed for r in vmax.collect()}
+    assert set(got) == {"uniform4"}
+    assert got["uniform4"] == "h=2.0000,k=4,n=100"
 
 
-def test_spec_validation(spark):
-    with pytest.raises(SuiteError):  # no bound
-        validate_suite_spec({"properties": {"x": {"x-entropy": {
-            "by": "src"}}}})
-    with pytest.raises(SuiteError):  # negative bound
-        validate_suite_spec({"properties": {"x": {"x-entropy": {
-            "min": -0.1}}}})
-    with pytest.raises(SuiteError):  # normalized bounds must be ≤ 1
-        validate_suite_spec({"properties": {"x": {"x-entropy": {
-            "min": 1.5, "normalized": True}}}})
-    with pytest.raises(SuiteError):  # non-bool normalized
-        validate_suite_spec({"properties": {"x": {"x-entropy": {
-            "min": 0.5, "normalized": "yes"}}}})
-    # valid forms pass the walker AND the self-hosted metaschema engine
-    for v in ({"min": 0.5, "by": "src"}, {"max": 3.0},
-              {"min": 0.2, "max": 0.9, "normalized": True}):
-        spec = {"properties": {"x": {"x-entropy": v}}}
-        validate_suite_spec(spec)
-        validate_suite_with_engine(spark, spec)
+def test_normalized_and_suppression(spark):
+    df = _df(spark)
+    # normalized: uniform4 -> exactly 1.0; const k=1 -> undefined ->
+    # suppressed even under a min bound; tiny suppressed by min_count
+    v = entropy_violations(df, "v", "c", by="grp", min_h=0.9,
+                           normalized=True, min_count=5)
+    got = {r.doc_id for r in v.collect()}
+    assert got == {"skew"}
+
+    g = entropy_group_verdicts(df, "v", "c", by="grp", min_h=0.9,
+                               normalized=True, min_count=5)
+    rows = {r.partition_id: r for r in g.collect()}
+    assert set(rows) == {"uniform4", "skew", "const", "tiny"}
+    assert rows["uniform4"].passed
+    assert abs(rows["uniform4"].metric_value - 1.0) < 1e-12
+    assert not rows["skew"].passed
+    assert rows["const"].passed          # undefined -> suppressed
+    assert rows["const"].metric_value == 0.0
+    assert rows["tiny"].passed           # min_count -> suppressed
 
 
-def test_two_shuffle_no_join_plan(spark):
-    out = entropy_violations(_df(spark), "et", "c", by="src",
-                             min_entropy=0.5)
-    plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    # two stacked aggregates: (src, et) counts then src fold — each one
-    # Exchange with map-side partial aggregation, never row data
+def test_global_scope_and_null_exclusion(spark):
+    df = _df(spark)
+    # global: one verdict over the whole table; the NULL row must not
+    # count toward n (201 non-null across all groups)
+    g = entropy_violations(df, "v", "c", min_h=20.0)
+    rows = g.collect()
+    assert len(rows) == 1 and rows[0].doc_id == "<global>"
+    assert ",n=242" in rows[0].observed
+
+
+def test_engine_both_paths_and_verdicts(spark):
+    df = _df(spark)
+    suite = CheckSuite({"properties": {"v": {"x-entropy": {
+        "min": 1.5, "by": "grp", "minCount": 5}}}})
+    res = suite.run(df, key="id")
+    assert {r.doc_id for r in res.violations.collect()} == {"skew", "const"}
+    vd = {r.partition_id: r for r in res.verdicts.collect()}
+    assert vd["<global>"].passed is False
+
+    res2 = run_suite_summarized(suite, df, key="id")
+    assert {r.doc_id
+            for r in res2.violations.collect()} == {"skew", "const"}
+
+    # perGroup verdicts enumerate every group incl. passing ones
+    suite3 = CheckSuite({"properties": {"v": {"x-entropy": {
+        "min": 1.5, "by": "grp", "minCount": 5,
+        "verdicts": "perGroup"}}}})
+    res3 = suite3.run(df, key="id")
+    vd3 = {r.partition_id: r for r in res3.verdicts.collect()}
+    assert set(vd3) == {"uniform4", "skew", "const", "tiny"}
+    assert vd3["uniform4"].passed and not vd3["skew"].passed
+    assert vd3["skew"].threshold == 1.5
+
+
+def test_plan_single_exchange(spark):
+    df = _df(spark)
+    v = entropy_violations(df, "v", "c", by="grp", min_h=1.5)
+    plan = v._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    # two-level agg over one partitioning: cells then group stats —
+    # Spark needs one Exchange per distinct grouping (grp,v) then (grp),
+    # but the second is partial-agg-only data (#cells rows)
     assert plan.count("Exchange") <= 2
+    assert "Join" not in plan
+
+
+def test_spec_validation():
+    validate_suite_spec({"properties": {"v": {"x-entropy": {
+        "min": 1.0, "max": 3.0, "by": "g", "minCount": 5}}}})
+    validate_suite_spec({"properties": {"v": {"x-entropy": {
+        "min": 0.5, "normalized": True}}}})
+    for bad in (
+        {"x-entropy": {}},                            # no bound
+        {"x-entropy": {"min": -0.1}},                 # negative bits
+        {"x-entropy": {"min": 1.2, "normalized": True}},  # >1 normalized
+        {"x-entropy": {"min": True}},                 # bool is not number
+        {"x-entropy": {"min": 1, "minCount": 0}},     # minCount < 1
+        {"x-entropy": {"min": 1, "verdicts": "perGroup"}},  # needs by
+        {"x-entropy": 1.5},                           # not an object
+    ):
+        with pytest.raises(SuiteError):
+            validate_suite_spec({"properties": {"v": bad}})
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    """stream_entropy_verdicts == the batch operator on the collapsed
+    declared-category column, per closed window; cross-batch merge."""
+    from jsonschema_valid_spark.streaming.checks import (
+        stream_entropy_verdicts,
+    )
+
+    rows = []
+    # window 0 (00:00): balanced over a,b,c,d -> 2 bits
+    for i, v in enumerate("abcd" * 5):
+        rows.append((f"2024-01-01 00:00:{i:02d}", v))
+    # window 1 (00:01): collapsed to mostly 'a' + one undeclared 'z'
+    for i, v in enumerate("a" * 18 + "bz"):
+        rows.append((f"2024-01-01 00:01:{i:02d}", v))
+    src = tmp_path / "src"
+    src.mkdir()
+    import json
+
+    # two micro-batches splitting window 0 across them
+    (src / "b0.json").write_text("\n".join(
+        json.dumps({"ts": t, "v": v}) for t, v in rows[:10]))
+    batch2 = rows[10:]
+
+    sdf = (spark.readStream.schema("ts string, v string")
+           .option("maxFilesPerTrigger", 1).json(str(src))
+           .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = stream_entropy_verdicts(
+        sdf, "v", "ts", categories=["a", "b", "c", "d"],
+        min_h=1.5, window_duration="1 minute")
+    q = (out.writeStream.format("memory").queryName("ent_verdicts")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+        (src / "b1.json").write_text("\n".join(
+            json.dumps({"ts": t, "v": v}) for t, v in batch2))
+        q.processAllAvailable()
+        # close both windows
+        (src / "b2.json").write_text(json.dumps(
+            {"ts": "2024-01-01 00:10:00", "v": "a"}))
+        q.processAllAvailable()
+        got = {str(r.window_start): r
+               for r in spark.sql("select * from ent_verdicts").collect()}
+    finally:
+        q.stop()
+    w0 = got["2024-01-01 00:00:00"]
+    w1 = got["2024-01-01 00:01:00"]
+    assert w0.passed and abs(w0.entropy_bits - 2.0) < 1e-12 and w0.n == 20
+    # batch replay of window 1 with the same other-collapse
+    h1 = (math.log2(20) - (18 * math.log2(18)) / 20)
+    assert not w1.passed and abs(w1.entropy_bits - h1) < 1e-12
+    assert w1.n == 20

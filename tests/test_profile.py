@@ -523,3 +523,40 @@ def test_suggest_referential_rejects_and_tolerance(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         suggest_referential(fact, "fk", dim, "pk", "dim", tolerance=1.0)
+
+
+# ---- wave 29: entropy bounds bootstrap -----------------------------------
+
+def test_suggest_entropy_bounds_roundtrip(spark):
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_entropy_bounds,
+    )
+
+    rows = []
+    i = 0
+    for grp, mix in (("a", "uvwx" * 10), ("b", "uuvw" * 10)):
+        for v in mix:
+            rows.append((i, grp, v)); i += 1
+    # a tiny group must not pin the floor
+    rows.append((i, "tiny", "u")); i += 1
+    df = spark.createDataFrame(rows, "id: long, grp: string, v: string")
+
+    node = suggest_entropy_bounds(df, "v", by="grp", pad=0.15)
+    assert node["by"] == "grp" and node["minCount"] == 10
+    assert 0.0 <= node["min"] < node["max"]
+    suite = CheckSuite({"properties": {"v": {"x-entropy": node}}})
+    assert suite.run(df, key="id").ok()
+
+    # a collapsed group trips the learned floor
+    bad = df.union(spark.createDataFrame(
+        [(1000 + j, "c", "u") for j in range(40)], df.schema))
+    assert not suite.run(bad, key="id").ok()
+
+    # nothing trustworthy to learn from -> None
+    flat = spark.createDataFrame([(1, "a", "u")], df.schema)
+    assert suggest_entropy_bounds(flat, "v", by="grp") is None
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        suggest_entropy_bounds(df, "v", pad=0.0)
