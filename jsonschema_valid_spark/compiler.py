@@ -1205,6 +1205,14 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # track" / "this label must not predict that one" (leakage)
         plan.dataset_checks.append(
             DatasetCheck(cid, "association", colname, dict(v)))
+    elif kw == "x-acyclic":
+        # dataset scope: parent-pointer ancestry — every node's chain
+        # must reach a root within maxDepth steps (no cycles, no
+        # over-deep chains); x-referential proves the parent EXISTS,
+        # x-functionalDependency that it's UNIQUE — neither walks the
+        # chain
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "acyclic", colname, dict(v)))
     elif kw == "x-funnel":
         # dataset scope: step-to-step conversion-rate floors over an
         # ordered event chain — the product-health contract between

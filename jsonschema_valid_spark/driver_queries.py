@@ -4702,52 +4702,6 @@ def sample_cluster_split(spark, sf_dir):
         hold.select("doc_id", "cluster_id", F.lit("holdout").alias("side")))
 
 
-_ENTROPY_KW_SQL = """
-WITH e AS (SELECT user_id,
-                  CASE WHEN user_id % 5 = 0 THEN 'error'
-                       ELSE event_type END AS et
-           FROM events),
-c AS (SELECT user_id, et, count(*) AS c FROM e
-      WHERE et IS NOT NULL GROUP BY 1, 2),
-g AS (SELECT user_id, sum(c) AS t, sum(c * ln(c)) AS clc,
-             count(*) AS k
-      FROM c GROUP BY user_id),
-h AS (SELECT user_id, ln(t) - clc / t AS ent, k FROM g)
-SELECT CAST(user_id AS VARCHAR) AS doc_id,
-       'properties/et/x-entropy' AS check_id,
-       'entropy=' || CAST(CAST(round(ent, 6) AS DECIMAL(12,6)) AS VARCHAR)
-         || ',values=' || CAST(k AS VARCHAR) AS observed
-FROM h WHERE ent < 0.8
-"""
-
-
-@register_extended("engine_entropy_violations", _ENTROPY_KW_SQL)
-def engine_entropy_violations(spark, sf_dir):
-    """x-entropy as a DECLARATIVE suite keyword: each user's event-type
-    mix must keep Shannon entropy >= 0.8 nats — the baseline-free
-    DISTRIBUTION-COLLAPSE guard (a mode-collapsed generator, a stuck
-    upstream enum, a template explosion crater one group's entropy long
-    before any single frequency looks odd; x-drift can't see it without
-    a trusted baseline). The fixture deterministically collapses every
-    user_id % 5 == 0 to a single event type; those users' entropy is
-    exactly 0 while organic users sit near ln 5. Plan
-    (operators/entropy.py): two stacked map-side-combined aggregates —
-    (user, value) counts then the per-user ln(T) − Σc·ln(c)/T fold —
-    no window, no join, value counts are all that shuffles. EXTENDED
-    mirror entry; full value-hash oracle replays the corruption and the
-    entropy algebra."""
-    from jsonschema_valid_spark import CheckSuite
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    framed = ev.withColumn(
-        "et", F.when(F.col("user_id") % 5 == 0, F.lit("error"))
-        .otherwise(F.col("event_type")))
-    suite = CheckSuite({"properties": {"et": {"x-entropy": {
-        "min": 0.8, "by": "user_id"}}}})
-    res = suite.run(framed, key="event_id")
-    return res.violations.select("doc_id", "check_id", "observed")
-
-
 _FREQ_KW_SQL = """
 WITH c AS (SELECT coalesce(CAST(lang AS VARCHAR), '<null>') AS v,
                   count(*) AS n
@@ -6096,3 +6050,72 @@ def engine_entropy_group_verdicts(spark, sf_dir):
     return res.verdicts.select(
         "partition_id", "check_id", "passed",
         F.round("metric_value", 6).alias("metric"), "threshold")
+
+
+_ACYCLIC_KW_SQL = """
+WITH RECURSIVE nodes AS (SELECT c_custkey AS u FROM customer),
+parents AS (
+  SELECT u,
+         CASE WHEN u % 26 = 0 THEN u + 1
+              WHEN u > 1 AND (u - 1) % 26 = 0 THEN u - 1
+              WHEN u = 1 THEN NULL
+              ELSE u // 2 END AS p
+  FROM nodes
+),
+e2 AS (
+  SELECT u, p FROM parents
+  WHERE p IS NOT NULL AND p <> u
+    AND p IN (SELECT u FROM nodes)
+),
+walk AS (
+  SELECT u AS node, u AS cur, 0 AS d FROM nodes
+  UNION ALL
+  SELECT w.node, e.p, w.d + 1
+  FROM walk w JOIN e2 e ON e.u = w.cur
+  WHERE w.d < 32
+)
+SELECT CAST(node AS VARCHAR) AS doc_id,
+       'properties/c_custkey/x-acyclic' AS check_id,
+       'anc@32=' || CAST(cur AS VARCHAR) AS observed
+FROM walk
+WHERE d = 32 AND cur IN (SELECT u FROM e2)
+"""
+
+
+@register_extended("engine_acyclic_violations", _ACYCLIC_KW_SQL)
+def engine_acyclic_violations(spark, sf_dir):
+    """x-acyclic as a DECLARATIVE suite keyword: every customer's
+    parent chain must reach a root within 32 steps — hierarchy
+    validation for self-referential tables (category taxonomies, org
+    charts, reply threads): one bad edge and every recursive consumer
+    loops or truncates; x-referential proves the parent EXISTS,
+    x-functionalDependency that it's UNIQUE, neither WALKS the chain.
+    Fixture: a deterministic parent derivation over the real custkey
+    domain — parent(c) = c//2 (a clean ~log2(n)-deep binary forest
+    rooted at 1) EXCEPT each (26k, 26k+1) pair points at each other
+    (2-cycles), so cycle members plus every halving-tree descendant
+    whose chain falls into one violate: 18 nodes at sf0.001, 352 at
+    sf0.01, each named with its ancestor after exactly 32 steps
+    (anc@32= — exact integer witness, bit-equal across engines). Plan
+    (operators/hierarchy.py): POINTER DOUBLING — the 2^k-step jump
+    table squared log2(32)=5 times (entries reaching a root DROP OUT,
+    so the join input only shrinks) + one jump application, ~8 bounded
+    equi-joins total instead of the 32 full-table walks a per-step
+    loop needs (O(n log D) vs O(n D)); per-4-round localCheckpoint
+    truncates the iterative lineage exactly like the
+    connected-components operator. The DuckDB oracle replays the walk
+    with a depth-bounded recursive CTE. EXTENDED mirror entry; full
+    value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .withColumn("parent_key", F.expr(
+                "CASE WHEN c_custkey % 26 = 0 THEN c_custkey + 1 "
+                "WHEN c_custkey > 1 AND (c_custkey - 1) % 26 = 0 "
+                "THEN c_custkey - 1 "
+                "WHEN c_custkey = 1 THEN NULL "
+                "ELSE c_custkey DIV 2 END")))
+    suite = CheckSuite({"properties": {"c_custkey": {"x-acyclic": {
+        "parent": "parent_key", "maxDepth": 32}}}})
+    res = suite.run(cust, key="c_custkey")
+    return res.violations.select("doc_id", "check_id", "observed")

@@ -618,6 +618,21 @@ def _association_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+def _acyclic_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-acyclic execution for both run paths."""
+    from jsonschema_valid_spark.operators.hierarchy import (
+        acyclic_violations,
+    )
+
+    df = _scoped(dc, df)
+    return acyclic_violations(
+        df, dc.column, dc.check_id,
+        parent_col=dc.params["parent"],
+        max_depth=int(dc.params.get("maxDepth", 64)),
+        self_parent_root=bool(dc.params.get("selfParentIsRoot", True)),
+    )
+
+
 def _entropy_violations(dc, df: DataFrame) -> DataFrame:
     """Shared x-entropy execution for both run paths."""
     from jsonschema_valid_spark.operators.entropy import entropy_violations
@@ -1021,6 +1036,8 @@ def run_suite_summarized(
             vdf = _association_violations(dc, df)
         elif dc.kind == "entropy":
             vdf = _entropy_violations(dc, df)
+        elif dc.kind == "acyclic":
+            vdf = _acyclic_violations(dc, df)
         elif dc.kind == "contiguous":
             vdf = _contiguity_violations(dc, df)
         elif dc.kind == "trend":
@@ -1543,6 +1560,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nen") == 0).alias("passed"),
                     F.col("nen").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "acyclic":
+            acv = _acyclic_violations(dc, df)
+            violation_dfs.append(_with_ipath(acv))
+            verdict_dfs.append(
+                acv.agg(F.count(F.lit(1)).alias("nac")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nac") == 0).alias("passed"),
+                    F.col("nac").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -1,0 +1,172 @@
+"""Hierarchy validation: parent-pointer ancestry — the ``x-acyclic``
+keyword (every node's parent chain must reach a root within
+``maxDepth`` steps: no cycles, no over-deep chains).
+
+The data-quality contract of every self-referential table — category
+taxonomies, org charts, thread reply chains, folder trees, BOM
+structures: one bad edge ("Electronics' parent is Phones, Phones'
+parent is Electronics") and every recursive consumer (rollups, breadcrumb
+renderers, permission inheritance) either loops forever or silently
+truncates.  No other keyword can see it: ``x-referential`` proves the
+parent EXISTS, ``x-functionalDependency`` proves it's UNIQUE — neither
+walks the chain.
+
+Scale contract — POINTER DOUBLING, never a per-step walk: the naive
+check follows each chain one hop at a time (``maxDepth`` joins, each
+over all n rows — O(n·D)); instead the 2^k-step jump table is squared
+log2(D) times (``J_{k+1} = J_k ∘ J_k``, an equi-join of #unresolved
+entries that only SHRINKS: entries reaching a root within 2^k steps
+drop out and absence = resolved), and each node's state applies the
+jump tables for the set bits of D — O(n·log D) join work total, ~12
+bounded shuffles for the default D=64 instead of 64 full-table walks.
+A node still unresolved after exactly D composed steps is a violation;
+its ancestor-at-D is the witness (deterministic, so the DuckDB oracle
+replays it bit-for-bit with a depth-bounded recursive CTE).
+
+Semantics:
+
+* Root = a node whose parent is NULL, equal to itself (the org-chart
+  "CEO reports to self" convention — ``self_parent_root=False`` turns
+  that into a 1-cycle violation instead), or absent from the node
+  column (a dangling parent id ends the chain: x-referential's job,
+  not this check's).
+* A node with MULTIPLE distinct parents breaks the functional-graph
+  precondition: flagged as its own violation (``multiparent k=…``) and
+  excluded from chain evaluation (its chain is undefined).
+* Violations name the node (doc_id) with ``anc@D=…`` — cycle members
+  AND nodes feeding into a cycle AND chains genuinely deeper than D
+  all surface (the three failure modes are indistinguishable to a
+  bounded walk, deliberately: pick D above the legal max depth).
+
+Reference: dataset-scope lift with no analog in the reference's row
+keywords (validators.rs); jump tables ≙ Valiant (1975) pointer doubling.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def unresolved_ancestry(
+    df: DataFrame,
+    column: str,
+    parent_col: str,
+    max_depth: int = 64,
+    self_parent_root: bool = True,
+) -> DataFrame:
+    """Nodes whose parent chain does NOT reach a root within
+    ``max_depth`` steps, as ``(__node, __anc)`` — ``__anc`` is the
+    ancestor after exactly ``max_depth`` composed steps (the
+    deterministic witness).  Multi-parent nodes are excluded (see
+    :func:`multi_parent_nodes`)."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    node, parent = F.col("__u"), F.col("__p")
+    base = df.select(F.col(column).alias("__u"),
+                     F.col(parent_col).alias("__p"))
+    nodes = base.select("__u").where(node.isNotNull()).distinct()
+    edges = (base.where(node.isNotNull() & parent.isNotNull())
+             .distinct())
+    if self_parent_root:
+        edges = edges.where(node != parent)
+    # functional-graph precondition: one parent per node
+    multi = (edges.groupBy("__u").agg(F.count(F.lit(1)).alias("__k"))
+             .where(F.col("__k") > 1).select("__u"))
+    edges = edges.join(multi, "__u", "left_anti")
+    # a dangling parent (id not present as a node) ends the chain:
+    # drop those edges so the chain resolves there
+    edges = edges.join(nodes.select(F.col("__u").alias("__p")),
+                       "__p", "semi")
+
+    # state: ancestor after the steps consumed so far; a node absent
+    # from the remaining jump table is RESOLVED (reaches a root first)
+    state = (nodes.join(multi, "__u", "left_anti")
+             .select(F.col("__u").alias("__node"),
+                     F.col("__u").alias("__anc"),
+                     F.lit(False).alias("__res")))
+    step1 = edges  # kept for the exact-D boundary check below
+    jump = edges  # (__u -> __p): the 2^0-step table
+    bits = int(max_depth)
+    k = 0
+    while bits:
+        if bits & 1:
+            j = jump.select(F.col("__u").alias("__ju"),
+                            F.col("__p").alias("__jp"))
+            state = (state.join(j, state["__anc"] == j["__ju"], "left")
+                     .select(
+                         F.col("__node"),
+                         F.when(F.col("__res") | F.col("__jp").isNull(),
+                                F.col("__anc"))
+                         .otherwise(F.col("__jp")).alias("__anc"),
+                         (F.col("__res") | F.col("__jp").isNull())
+                         .alias("__res")))
+        bits >>= 1
+        if bits:
+            a = jump.select(F.col("__u"), F.col("__p").alias("__m"))
+            b = jump.select(F.col("__u").alias("__m"),
+                            F.col("__p"))
+            jump = a.join(b, "__m", "inner").select("__u", "__p")
+            k += 1
+            if k % 4 == 0:
+                jump = jump.localCheckpoint(eager=False)
+    # a chain that lands ON a root at exactly D steps is resolved: a
+    # node violates only if its ancestor-at-D still has an outgoing
+    # edge (the chain genuinely needs more than D steps)
+    unres = state.where(~F.col("__res")).select("__node", "__anc")
+    return unres.join(
+        step1.select(F.col("__u").alias("__anc")), "__anc", "semi")
+
+
+def multi_parent_nodes(
+    df: DataFrame,
+    column: str,
+    parent_col: str,
+    self_parent_root: bool = True,
+) -> DataFrame:
+    """Nodes with more than one distinct parent — the functional-graph
+    precondition violations, as ``(__node, __k)``."""
+    node, parent = F.col("__u"), F.col("__p")
+    edges = (df.select(F.col(column).alias("__u"),
+                       F.col(parent_col).alias("__p"))
+             .where(node.isNotNull() & parent.isNotNull())
+             .distinct())
+    if self_parent_root:
+        edges = edges.where(node != parent)
+    return (edges.groupBy("__u").agg(F.count(F.lit(1)).alias("__k"))
+            .where(F.col("__k") > 1)
+            .select(F.col("__u").alias("__node"), F.col("__k")))
+
+
+def acyclic_violations(
+    df: DataFrame,
+    column: str,
+    check_id: str,
+    parent_col: str,
+    max_depth: int = 64,
+    self_parent_root: bool = True,
+) -> DataFrame:
+    """``x-acyclic`` execution as engine violation rows: unresolved
+    chains (``anc@D=…`` — the ancestor after exactly D steps, exact
+    and cross-engine deterministic) plus multi-parent precondition
+    breaks (``multiparent k=…``)."""
+    exp_msg = (f"{column} parent chain via {parent_col} reaches a root "
+               f"within {int(max_depth)} steps")
+    unres = unresolved_ancestry(df, column, parent_col,
+                                max_depth=max_depth,
+                                self_parent_root=self_parent_root)
+    v1 = unres.select(
+        F.col("__node").cast("string").alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(F.lit(f"anc@{int(max_depth)}="),
+                 F.col("__anc").cast("string")).alias("observed"),
+        F.lit(exp_msg).alias("expected"),
+    )
+    v2 = multi_parent_nodes(df, column, parent_col,
+                            self_parent_root=self_parent_root).select(
+        F.col("__node").cast("string").alias("doc_id"),
+        F.lit(check_id).alias("check_id"),
+        F.concat(F.lit("multiparent k="),
+                 F.col("__k").cast("string")).alias("observed"),
+        F.lit(exp_msg).alias("expected"),
+    )
+    return v1.unionByName(v2)

@@ -355,6 +355,10 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"enum": ["min", "max"]}},
             ]},
         }}),
+        _kw("x-acyclic", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "parent"}},
+        }}),
         _kw("x-entropy", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"enum": ["min", "max"]}},

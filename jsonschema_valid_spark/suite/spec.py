@@ -518,6 +518,22 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                               "'min'|'max': number in [0, 1], 'by'?: col, "
                               "'where'?: sql-bool, 'minCount'?: int>=3, "
                               "'verdicts'?: 'perGroup' (requires 'by')}")
+        elif kw == "x-acyclic":
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("parent"), str) and v["parent"]
+                  and ("maxDepth" not in v
+                       or (isinstance(v["maxDepth"], int)
+                           and not isinstance(v["maxDepth"], bool)
+                           and 1 <= v["maxDepth"] <= 2 ** 20))
+                  and ("selfParentIsRoot" not in v
+                       or isinstance(v["selfParentIsRoot"], bool))
+                  and ("where" not in v
+                       or (isinstance(v["where"], str) and v["where"])))
+            if not ok:
+                raise _err(p, "x-acyclic must be {'parent': col, "
+                              "'maxDepth'?: int in [1, 2^20], "
+                              "'selfParentIsRoot'?: bool, "
+                              "'where'?: sql-bool}")
         elif kw == "x-entropy":
             def _hnum(x, normalized):
                 if (not isinstance(x, (int, float))

@@ -36,6 +36,8 @@ KEYWORD_SPECS = {
                                                 "max": 1.0}}},
     "x-contiguous": {"id": {"x-contiguous": {"by": "grp",
                                              "maxMissing": 10_000}}},
+    "x-acyclic": {"id": {"x-acyclic": {"parent": "id",
+                                       "maxDepth": 4}}},
     "x-monotonic": {"v": {"x-monotonic": {"orderBy": "ts_s",
                                           "by": "grp"}}},
     "x-noOverlap": {"ts_s": {"x-noOverlap": {"endColumn": "w",

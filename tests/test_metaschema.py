@@ -119,6 +119,8 @@ INVALID_SUITES = [
         "x-contiguous": 5}}}),
     ("x-association-no-bound", {"properties": {"x": {"x-association": {
         "with": "y"}}}}),
+    ("x-acyclic-no-parent", {"properties": {"x": {"x-acyclic": {
+        "maxDepth": 4}}}}),
     ("x-trend-no-orderby", {"properties": {"x": {"x-trend": {
         "max": 1.0}}}}),
     ("x-distinctRatio-no-bound", {"properties": {"x": {"x-distinctRatio": {
