@@ -282,6 +282,23 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
         + distinct_ratio_violations(mom, "n_tok", "b", by="source",
                                     min_ratio=0.5).count()))
 
+    # r4 wave 30: the iterative pointer-doubling family (x-acyclic) — a
+    # deterministic parent derivation over the row ids (halving forest +
+    # seeded 2-cycles at (26k, 26k+1)); O(n log D) bounded equi-joins,
+    # the jump table shrinking as chains resolve
+    from jsonschema_valid_spark.operators.hierarchy import (
+        acyclic_violations,
+    )
+
+    hier = seq.select(
+        did.alias("nid"),
+        F.when(did % 26 == 0, did + 1)
+        .when((did > 1) & ((did - 1) % 26 == 0), did - 1)
+        .when(did <= 1, F.lit(None).cast("long"))
+        .otherwise((did / F.lit(2)).cast("long")).alias("pid"))
+    timed("hierarchy_doubling", lambda: acyclic_violations(
+        hier, "nid", "b", parent_col="pid", max_depth=32).count())
+
     wall = timings["flagship_full"]
     totals = seq.agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.size("tokens")).alias("t")).first()

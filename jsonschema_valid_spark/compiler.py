@@ -1205,6 +1205,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # track" / "this label must not predict that one" (leakage)
         plan.dataset_checks.append(
             DatasetCheck(cid, "association", colname, dict(v)))
+    elif kw == "x-cohortParity":
+        # dataset scope: every cohort's metric within maxGap of a
+        # BASELINE cohort's — the A/B-sanity / split-balance / fairness
+        # gate: a RELATIVE gap between sibling populations, immune to
+        # the global drift that breaks constant-threshold checks
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "cohort_parity", colname, dict(v)))
     elif kw == "x-acyclic":
         # dataset scope: parent-pointer ancestry — every node's chain
         # must reach a root within maxDepth steps (no cycles, no

@@ -6119,3 +6119,105 @@ def engine_acyclic_violations(spark, sf_dir):
         "parent": "parent_key", "maxDepth": 32}}}})
     res = suite.run(cust, key="c_custkey")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_COHORT_PARITY_KW_SQL = """
+WITH g AS (
+  SELECT CAST(event_type AS VARCHAR) AS cohort, count(*) AS n,
+         sum(CASE WHEN value > 25 THEN 1 ELSE 0 END) AS p
+  FROM events WHERE event_type IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT cohort, n, CAST(p AS DOUBLE) / n AS r,
+         max(CASE WHEN cohort = 'view' AND n >= 5
+                  THEN CAST(p AS DOUBLE) / n END) OVER () AS rb
+  FROM g
+)
+SELECT cohort AS doc_id,
+       'properties/value/x-cohortParity' AS check_id,
+       'm=' || CAST(CAST(round(r, 6) AS DECIMAL(14,6)) AS VARCHAR)
+         || ',base=' || CAST(CAST(round(rb, 6) AS DECIMAL(14,6)) AS VARCHAR)
+         || ',gap=' || CAST(CAST(round(r - rb, 6) AS DECIMAL(14,6)) AS VARCHAR)
+         || ',n=' || CAST(n AS VARCHAR) AS observed
+FROM m
+WHERE rb IS NOT NULL AND cohort <> 'view' AND n >= 5
+  AND abs(r - rb) > 0.03
+"""
+
+
+@register_extended("engine_cohort_parity_violations", _COHORT_PARITY_KW_SQL)
+def engine_cohort_parity_violations(spark, sf_dir):
+    """x-cohortParity as a DECLARATIVE suite keyword: every event
+    type's value>25 rate must sit within 3 points of the 'view'
+    baseline cohort's — the A/B-sanity gate the statistical family
+    lacked: x-compliance bounds one group's rate against a CONSTANT;
+    this bounds the RELATIVE gap between sibling populations measured
+    the same way at the same time, so global drift (both cohorts move)
+    doesn't false-alarm while a one-arm regression does. The real data
+    splits deterministically: click/error/signup trip at sf0.001 (gaps
+    0.044-0.052 vs the 0.03 budget, purchase passes at 0.015); at
+    sf0.01 only signup trips (0.0343) — a different witness set at
+    each SF, both hashed. Rates are exact-integer p/n (single IEEE
+    division, bit-identical cross-engine; margins >= 0.004 regardless).
+    Plan (operators/parity_cohort.py): ONE map-side-combined
+    conditional aggregate over (cohort); the baseline's rate reaches
+    siblings through a single-frame window over the #cohort aggregated
+    cells — never a join or second scan. EXTENDED mirror entry; full
+    value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    suite = CheckSuite({"properties": {"value": {"x-cohortParity": {
+        "cohort": "event_type", "baseline": "view", "metric": "rate",
+        "expr": "value > 25", "maxGap": 0.03, "minCount": 5}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_COHORT_PARITY_PERGROUP_SQL = """
+WITH g AS (
+  SELECT CAST(lang AS VARCHAR) AS cohort,
+         count(n_chars) AS n, sum(n_chars) AS s
+  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+),
+m AS (
+  SELECT cohort, n, CAST(s AS DOUBLE) / n AS mu,
+         max(CASE WHEN cohort = 'en' AND n >= 10
+                  THEN CAST(s AS DOUBLE) / n END) OVER () AS mb
+  FROM g
+)
+SELECT cohort AS partition_id,
+       'properties/n_chars/x-cohortParity' AS check_id,
+       NOT (mb IS NOT NULL AND mu IS NOT NULL AND cohort <> 'en'
+            AND n >= 10 AND abs(mu - mb) > 20.0) AS passed,
+       round(COALESCE(mu - mb, 0.0), 6) AS metric,
+       CAST(20.0 AS DOUBLE) AS threshold
+FROM m
+"""
+
+
+@register_extended("engine_cohort_parity_group_verdicts",
+                   _COHORT_PARITY_PERGROUP_SQL)
+def engine_cohort_parity_group_verdicts(spark, sf_dir):
+    """x-cohortParity {"verdicts": "perGroup"}: every language cohort
+    enumerated with its mean-n_chars gap to the 'en' baseline as
+    metric_value — passing cohorts and the baseline itself (gap 0)
+    included, the per-partition pass/fail shape. A 20-char parity
+    budget ('document length must not differ by language' — the
+    fairness form) splits the real corpus: fr fails at BOTH SFs (gaps
+    +36.3 / +26.7), de swings from passing-high (+18.98, margin 1.02)
+    at sf0.001 to passing-low (-16.65) at sf0.01. n_chars sums are
+    exact integers so the means and gaps are single IEEE divisions —
+    bit-identical cross-engine, metric rounded 1e-6. Same single
+    cohort aggregate as the violations form. EXTENDED mirror entry;
+    full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    suite = CheckSuite({"properties": {"n_chars": {"x-cohortParity": {
+        "cohort": "lang", "baseline": "en", "maxGap": 20.0,
+        "minCount": 10, "verdicts": "perGroup"}}}})
+    res = suite.run(docs, key="doc_id")
+    return res.verdicts.select(
+        "partition_id", "check_id", "passed",
+        F.round("metric_value", 6).alias("metric"), "threshold")

@@ -457,6 +457,14 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             min_v=None if mn is None else float(mn),
             max_v=None if mx is None else float(mx),
             min_count=int(dc.params.get("minCount", 3)))
+    if dc.kind == "cohort_parity":
+        from jsonschema_valid_spark.operators.parity_cohort import (
+            cohort_parity_group_verdicts,
+        )
+
+        df = _scoped(dc, df)
+        return cohort_parity_group_verdicts(
+            df, dc.column, dc.check_id, **_cohort_parity_args(dc))
     if dc.kind == "entropy" and dc.params.get("by") is not None:
         from jsonschema_valid_spark.operators.entropy import (
             entropy_group_verdicts,
@@ -616,6 +624,29 @@ def _association_violations(dc, df: DataFrame) -> DataFrame:
         max_v=None if mx is None else float(mx),
         min_count=int(dc.params.get("minCount", 3)),
     )
+
+
+def _cohort_parity_args(dc) -> dict:
+    return dict(
+        cohort_col=dc.params["cohort"],
+        baseline=str(dc.params["baseline"]),
+        max_gap=float(dc.params["maxGap"]),
+        metric=dc.params.get("metric", "mean"),
+        expr=dc.params.get("expr"),
+        by=dc.params.get("by"),
+        min_count=int(dc.params.get("minCount", 1)),
+    )
+
+
+def _cohort_parity_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-cohortParity execution for both run paths."""
+    from jsonschema_valid_spark.operators.parity_cohort import (
+        cohort_parity_violations,
+    )
+
+    df = _scoped(dc, df)
+    return cohort_parity_violations(
+        df, dc.column, dc.check_id, **_cohort_parity_args(dc))
 
 
 def _acyclic_violations(dc, df: DataFrame) -> DataFrame:
@@ -1038,6 +1069,8 @@ def run_suite_summarized(
             vdf = _entropy_violations(dc, df)
         elif dc.kind == "acyclic":
             vdf = _acyclic_violations(dc, df)
+        elif dc.kind == "cohort_parity":
+            vdf = _cohort_parity_violations(dc, df)
         elif dc.kind == "contiguous":
             vdf = _contiguity_violations(dc, df)
         elif dc.kind == "trend":
@@ -1572,6 +1605,22 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nac") == 0).alias("passed"),
                     F.col("nac").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "cohort_parity":
+            cpv = _cohort_parity_violations(dc, df)
+            violation_dfs.append(_with_ipath(cpv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
+            verdict_dfs.append(
+                cpv.agg(F.count(F.lit(1)).alias("ncp")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("ncp") == 0).alias("passed"),
+                    F.col("ncp").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -107,8 +107,14 @@ def unresolved_ancestry(
                             F.col("__p"))
             jump = a.join(b, "__m", "inner").select("__u", "__p")
             k += 1
-            if k % 4 == 0:
-                jump = jump.localCheckpoint(eager=False)
+            # EAGER materialization each level: J_k is referenced 2-3
+            # times (both sides of the next composition + the state
+            # apply) — left lazy, the physical plan re-derives the
+            # whole lineage per reference, doubling per level (2^k
+            # copies of the base scan; measured 17 s -> ~3 s at 2M
+            # nodes). Also truncates the iterative lineage like the
+            # connected-components operator.
+            jump = jump.localCheckpoint(eager=True)
     # a chain that lands ON a root at exactly D steps is resolved: a
     # node violates only if its ancestor-at-D still has an outgoing
     # edge (the chain genuinely needs more than D steps)

@@ -943,6 +943,102 @@ def stream_entropy_verdicts(
         passed.alias("passed"))
 
 
+def stream_cohort_parity_verdicts(
+    sdf: DataFrame,
+    ts_col: str,
+    cohort_col: str,
+    cohorts: list[str],
+    baseline: str,
+    max_gap: float,
+    expr: str | None = None,
+    column: str | None = None,
+    min_count: int = 1,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-cohortParity`` (operators/parity_cohort.py lifted
+    to event-time windows): each cohort's metric vs the baseline
+    cohort's, per window — the one-arm regression surfacing in the
+    window where the deploy landed, while global drift (both cohorts
+    move together) stays silent.
+
+    Streaming aggregation cannot chain a second pass over cohort cells,
+    so the cohort domain is DECLARED (the ``stream_entropy_verdicts``
+    contract): each declared cohort becomes one conditional (sum, count)
+    pair in a single NATIVE windowed aggregate; the per-cohort rows are
+    then a pure post-aggregation projection (inline explode — legal in
+    append mode, no second groupBy).  Metric: rate of ``expr`` (NULL ⇒
+    fail, the batch convention) when ``expr`` is given, else mean of
+    ``column``.
+
+    Output: (window_start, cohort, metric, base_metric, gap, n, passed)
+    — one row per (window × declared cohort); thin cohorts, absent
+    baselines, and the baseline row itself pass (gap 0 for baseline,
+    NULL→0 when suppressed)."""
+    if (expr is None) == (column is None):
+        raise ValueError("stream_cohort_parity_verdicts needs exactly "
+                         "one of expr (rate) / column (mean)")
+    if not (float(max_gap) > 0):
+        raise ValueError(f"max_gap must be > 0, got {max_gap}")
+    cohorts = [str(c) for c in cohorts]
+    if str(baseline) not in cohorts:
+        raise ValueError("baseline must be among the declared cohorts")
+    ch = F.col(cohort_col).cast("string")
+    if expr is not None:
+        val = F.coalesce(F.expr(expr).cast("boolean"),
+                         F.lit(False)).cast("double")
+        cnt = F.lit(1.0)
+    else:
+        val = F.col(column).cast("double")
+        cnt = F.when(F.col(column).isNotNull(), 1.0).otherwise(0.0)
+    aggs = []
+    for i, c in enumerate(cohorts):
+        sel = ch == F.lit(c)
+        aggs.append(F.sum(F.when(sel, val).otherwise(F.lit(0.0)))
+                    .alias(f"__s{i}"))
+        aggs.append(F.sum(F.when(sel, cnt).otherwise(F.lit(0.0)))
+                    .alias(f"__n{i}"))
+    agg = (
+        sdf.where(ch.isNotNull())
+        .withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"))
+        .agg(*aggs)
+    )
+    bi = cohorts.index(str(baseline))
+    base_n = F.col(f"__n{bi}")
+    base_m = F.when(base_n >= F.lit(float(int(min_count))),
+                    F.col(f"__s{bi}") / base_n)
+    pairs = []
+    for i, c in enumerate(cohorts):
+        m = F.when(F.col(f"__n{i}") > 0,
+                   F.col(f"__s{i}") / F.col(f"__n{i}"))
+        pairs.append(F.struct(
+            F.lit(c).alias("cohort"),
+            m.alias("metric"),
+            F.col(f"__n{i}").cast("long").alias("n")))
+    exploded = agg.select(
+        F.col("__w").getField("start").alias("window_start"),
+        base_m.alias("__bm"),
+        F.explode(F.array(*pairs)).alias("__c"))
+    m = F.col("__c").getField("metric")
+    n = F.col("__c").getField("n")
+    cohort = F.col("__c").getField("cohort")
+    gap = m - F.col("__bm")
+    bad = (F.col("__bm").isNotNull() & m.isNotNull()
+           & (cohort != F.lit(str(baseline)))
+           & (n >= F.lit(int(min_count)))
+           & (F.abs(gap) > F.lit(float(max_gap))))
+    return exploded.select(
+        "window_start",
+        cohort.alias("cohort"),
+        F.coalesce(m, F.lit(0.0)).cast("double").alias("metric"),
+        F.coalesce(F.col("__bm"), F.lit(0.0)).cast("double")
+        .alias("base_metric"),
+        F.coalesce(gap, F.lit(0.0)).cast("double").alias("gap"),
+        n.alias("n"),
+        (~bad).alias("passed"))
+
+
 def stream_funnel_conversions(
     sdf: DataFrame,
     key: str,

@@ -359,6 +359,14 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "parent"}},
         }}),
+        _kw("x-cohortParity", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "cohort"}},
+                {"contains": {"const": "baseline"}},
+                {"contains": {"const": "maxGap"}},
+            ]},
+        }}),
         _kw("x-entropy", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"enum": ["min", "max"]}},

@@ -518,6 +518,34 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                               "'min'|'max': number in [0, 1], 'by'?: col, "
                               "'where'?: sql-bool, 'minCount'?: int>=3, "
                               "'verdicts'?: 'perGroup' (requires 'by')}")
+        elif kw == "x-cohortParity":
+            def _gap_ok(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and x > 0)
+            met = v.get("metric", "mean") if isinstance(v, dict) else None
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("cohort"), str) and v["cohort"]
+                  and isinstance(v.get("baseline"), str) and v["baseline"]
+                  and _gap_ok(v.get("maxGap"))
+                  and met in ("mean", "rate")
+                  and (met != "rate"
+                       or (isinstance(v.get("expr"), str) and v["expr"]))
+                  and ("expr" not in v or met == "rate")
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("where" not in v
+                       or (isinstance(v["where"], str) and v["where"]))
+                  and ("minCount" not in v
+                       or (isinstance(v["minCount"], int)
+                           and not isinstance(v["minCount"], bool)
+                           and v["minCount"] >= 1))
+                  and ("verdicts" not in v or v["verdicts"] == "perGroup"))
+            if not ok:
+                raise _err(p, "x-cohortParity must be {'cohort': col, "
+                              "'baseline': value, 'maxGap': number>0, "
+                              "'metric'?: 'mean'|'rate' ('rate' requires "
+                              "'expr': sql-bool), 'by'?: col, 'where'?: "
+                              "sql-bool, 'minCount'?: int>=1, "
+                              "'verdicts'?: 'perGroup'}")
         elif kw == "x-acyclic":
             ok = (isinstance(v, dict)
                   and isinstance(v.get("parent"), str) and v["parent"]

@@ -38,6 +38,8 @@ KEYWORD_SPECS = {
                                              "maxMissing": 10_000}}},
     "x-acyclic": {"id": {"x-acyclic": {"parent": "id",
                                        "maxDepth": 4}}},
+    "x-cohortParity": {"v": {"x-cohortParity": {
+        "cohort": "grp", "baseline": "g0", "maxGap": 1e9}}},
     "x-monotonic": {"v": {"x-monotonic": {"orderBy": "ts_s",
                                           "by": "grp"}}},
     "x-noOverlap": {"ts_s": {"x-noOverlap": {"endColumn": "w",

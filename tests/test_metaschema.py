@@ -121,6 +121,8 @@ INVALID_SUITES = [
         "with": "y"}}}}),
     ("x-acyclic-no-parent", {"properties": {"x": {"x-acyclic": {
         "maxDepth": 4}}}}),
+    ("x-cohortParity-no-baseline", {"properties": {"x": {
+        "x-cohortParity": {"cohort": "arm", "maxGap": 0.1}}}}),
     ("x-trend-no-orderby", {"properties": {"x": {"x-trend": {
         "max": 1.0}}}}),
     ("x-distinctRatio-no-bound", {"properties": {"x": {"x-distinctRatio": {
