@@ -48,6 +48,15 @@ def _cohort_stats(df: DataFrame, column: str, cohort_col: str,
         aggs = [F.sum(c).alias("__s"),
                 F.count(c).alias("__n")]
         mcol = F.try_divide(F.col("__s"), F.col("__n"))
+    elif metric == "median":
+        # exact interpolated percentile (the MAD-outlier pattern —
+        # DuckDB quantile_cont replays it bit-for-bit); robust to the
+        # outliers that drag a mean-gap check: the fairness form
+        # usually wants the TYPICAL member's experience, not the tail's
+        c = F.col(column).cast("double")
+        aggs = [F.percentile(c, F.lit(0.5)).alias("__s"),
+                F.count(c).alias("__n")]
+        mcol = F.col("__s")
     elif metric == "rate":
         if not expr:
             raise ValueError("x-cohortParity metric 'rate' needs expr")
@@ -56,8 +65,8 @@ def _cohort_stats(df: DataFrame, column: str, cohort_col: str,
                 F.count(F.lit(1)).alias("__n")]
         mcol = F.try_divide(F.col("__s"), F.col("__n"))
     else:
-        raise ValueError(f"x-cohortParity metric must be 'mean' or "
-                         f"'rate', got {metric!r}")
+        raise ValueError(f"x-cohortParity metric must be 'mean', "
+                         f"'median', or 'rate', got {metric!r}")
     gcols = [by] if by is not None else []
     ch = F.col(cohort_col).cast("string")
     g = (df.where(ch.isNotNull())
@@ -101,7 +110,7 @@ def cohort_parity_violations(
     doc = (F.concat(F.coalesce(F.col(by).cast("string"), F.lit("<null>")),
                     F.lit("|"), F.col("__cohort"))
            if by is not None else F.col("__cohort"))
-    what = f"rate({expr})" if metric == "rate" else f"mean({column})"
+    what = f"rate({expr})" if metric == "rate" else f"{metric}({column})"
     scope = f" per {by}" if by else ""
     exp_msg = (f"|{what} - {what}@{baseline}| <= {float(max_gap):g}"
                f"{scope} (min_count={int(min_count)})")

@@ -527,7 +527,7 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                   and isinstance(v.get("cohort"), str) and v["cohort"]
                   and isinstance(v.get("baseline"), str) and v["baseline"]
                   and _gap_ok(v.get("maxGap"))
-                  and met in ("mean", "rate")
+                  and met in ("mean", "median", "rate")
                   and (met != "rate"
                        or (isinstance(v.get("expr"), str) and v["expr"]))
                   and ("expr" not in v or met == "rate")
@@ -542,9 +542,9 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if not ok:
                 raise _err(p, "x-cohortParity must be {'cohort': col, "
                               "'baseline': value, 'maxGap': number>0, "
-                              "'metric'?: 'mean'|'rate' ('rate' requires "
-                              "'expr': sql-bool), 'by'?: col, 'where'?: "
-                              "sql-bool, 'minCount'?: int>=1, "
+                              "'metric'?: 'mean'|'median'|'rate' ('rate' "
+                              "requires 'expr': sql-bool), 'by'?: col, "
+                              "'where'?: sql-bool, 'minCount'?: int>=1, "
                               "'verdicts'?: 'perGroup'}")
         elif kw == "x-acyclic":
             ok = (isinstance(v, dict)

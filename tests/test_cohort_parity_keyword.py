@@ -204,3 +204,30 @@ def test_streaming_matches_batch(spark, tmp_path):
     obs = {r.doc_id: r.observed for r in bv.collect()}
     assert set(obs) == {"t"}
     assert ",gap=0.500000," in obs["t"]
+
+
+def test_median_metric_robust_to_outliers(spark):
+    # control/t medians both 10; t's mean dragged to 20 by one outlier
+    rows = []
+    i = 0
+    for j in range(21):
+        rows.append((i, "control", float(j))); i += 1   # median 10
+        rows.append((i, "t", float(j))); i += 1          # median 10
+    rows.append((i, "t", 10000.0)); i += 1               # one outlier
+    df = spark.createDataFrame(rows, "id: long, arm: string, v: double")
+    mean_v = cohort_parity_violations(
+        df, "v", "c", cohort_col="arm", baseline="control",
+        metric="mean", max_gap=50.0, min_count=5)
+    assert {r.doc_id for r in mean_v.collect()} == {"t"}  # mean trips
+    med_v = cohort_parity_violations(
+        df, "v", "c", cohort_col="arm", baseline="control",
+        metric="median", max_gap=50.0, min_count=5)
+    assert med_v.count() == 0                             # median robust
+    # interpolated half-integer median: drop the outlier AND one t
+    # value -> even-count cohort, median (9+10)/2 = 9.5
+    df2 = df.where(~F.col("id").isin(41, 42))
+    med2 = cohort_parity_violations(
+        df2, "v", "c", cohort_col="arm", baseline="control",
+        metric="median", max_gap=0.2, min_count=5)
+    got = {r.doc_id: r.observed for r in med2.collect()}
+    assert got == {"t": "m=9.500000,base=10.000000,gap=-0.500000,n=20"}
