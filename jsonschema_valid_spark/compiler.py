@@ -1212,6 +1212,14 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # the global drift that breaks constant-threshold checks
         plan.dataset_checks.append(
             DatasetCheck(cid, "cohort_parity", colname, dict(v)))
+    elif kw == "x-reciprocal":
+        # dataset scope: pair SYMMETRY — every observed (a, b) must
+        # occur reversed as (b, a) (undirected edges stored directed,
+        # double-entry mirrors); the invariant lives between a row and
+        # a different row with the key columns swapped, which no
+        # membership/uniqueness/dependency keyword can see
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "reciprocal", colname, dict(v)))
     elif kw == "x-acyclic":
         # dataset scope: parent-pointer ancestry — every node's chain
         # must reach a root within maxDepth steps (no cycles, no

@@ -6271,3 +6271,132 @@ def engine_cohort_median_parity(spark, sf_dir):
         "maxGap": 20.0, "minCount": 10}}}})
     res = suite.run(docs, key="doc_id")
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_RECIPROCAL_KW_SQL = """
+WITH e AS (
+  SELECT c_custkey AS a,
+         CASE WHEN c_custkey % 17 = 0 THEN c_custkey + 2
+              WHEN c_custkey % 2 = 0 THEN c_custkey + 1
+              ELSE c_custkey - 1 END AS b
+  FROM customer
+),
+cells AS (
+  SELECT least(a, b) AS lo, greatest(a, b) AS hi,
+         sum(CASE WHEN a < b THEN 1 ELSE 0 END) AS fwd,
+         sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS rev
+  FROM e WHERE a IS NOT NULL AND b IS NOT NULL
+  GROUP BY 1, 2
+)
+SELECT CAST(lo AS VARCHAR) || '|' || CAST(hi AS VARCHAR) AS doc_id,
+       'properties/c_custkey/x-reciprocal' AS check_id,
+       'fwd=' || CAST(fwd AS VARCHAR) || ',rev=' || CAST(rev AS VARCHAR)
+         AS observed
+FROM cells
+WHERE (fwd > 0) <> (rev > 0)
+"""
+
+
+@register_extended("engine_reciprocal_violations", _RECIPROCAL_KW_SQL)
+def engine_reciprocal_violations(spark, sf_dir):
+    """x-reciprocal as a DECLARATIVE suite keyword: every observed
+    (a, b) pair must also occur reversed as (b, a) — the SYMMETRY
+    contract of pair-structured data (undirected friendships stored
+    as two directed rows, double-entry transfers, alias<->canonical
+    mappings). No other family can see it: x-referential checks
+    membership in ANOTHER table, x-unique multiplicity of ONE key,
+    x-functionalDependency determination — here the invariant lives
+    between a row and a DIFFERENT row with the key columns swapped.
+    Fixture: a deterministic link derivation over the real custkey
+    domain — even keys point up (c -> c+1), odd keys point down
+    (c -> c-1), a clean mutual pairing, EXCEPT every c % 17 == 0
+    defects to c + 2: the defector's new pair is one-way AND its
+    abandoned partner's pair loses its mirror, so each defector
+    yields two violations (18 cells at sf0.001, 178 at sf0.01 —
+    exact integer witnesses, bit-equal across engines). Plan
+    (operators/reciprocity.py): NEVER a self-join — both directions
+    of a pair share one canonical cell (least, greatest), so the
+    whole check is ONE map-side-combined groupBy carrying two
+    conditional counts; #distinct-pairs rows shuffled, every
+    downstream predicate on cells (the naive distinct-pairs
+    anti-join-to-swap shuffles both sides of a join on the same
+    keys). Plan-asserted: zero Join operators, <= 1 Exchange.
+    EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .withColumn("link_key", F.expr(
+                "CASE WHEN c_custkey % 17 = 0 THEN c_custkey + 2 "
+                "WHEN c_custkey % 2 = 0 THEN c_custkey + 1 "
+                "ELSE c_custkey - 1 END")))
+    suite = CheckSuite({"properties": {"c_custkey": {"x-reciprocal": {
+        "with": "link_key"}}}})
+    res = suite.run(cust, key="c_custkey")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_RECIPROCAL_PERGROUP_SQL = """
+WITH e AS (
+  SELECT c_mktsegment AS seg, c_custkey AS a,
+         CASE WHEN c_custkey % 17 = 0 THEN c_custkey + 2
+              WHEN c_custkey % 2 = 0 THEN c_custkey + 1
+              ELSE c_custkey - 1 END AS b
+  FROM customer
+),
+cells AS (
+  SELECT seg, least(a, b) AS lo, greatest(a, b) AS hi,
+         sum(CASE WHEN a < b THEN 1 ELSE 0 END) AS fwd,
+         sum(CASE WHEN a > b THEN 1 ELSE 0 END) AS rev
+  FROM e WHERE a IS NOT NULL AND b IS NOT NULL
+  GROUP BY 1, 2, 3
+),
+per AS (
+  SELECT seg,
+         count(*) FILTER (fwd + rev > 0) AS pairs,
+         count(*) FILTER ((fwd + rev > 0)
+                          AND NOT ((fwd > 0) <> (rev > 0))) AS ok
+  FROM cells GROUP BY 1
+)
+SELECT CAST(seg AS VARCHAR) AS partition_id,
+       'properties/c_custkey/x-reciprocal' AS check_id,
+       COALESCE(CAST(ok AS DOUBLE) / pairs >= 0.13, TRUE) AS passed,
+       round(COALESCE(CAST(ok AS DOUBLE) / pairs, 1.0), 6) AS metric,
+       CAST(0.13 AS DOUBLE) AS threshold
+FROM per
+"""
+
+
+@register_extended("engine_reciprocal_group_verdicts",
+                   _RECIPROCAL_PERGROUP_SQL)
+def engine_reciprocal_group_verdicts(spark, sf_dir):
+    """x-reciprocal {"by", "verdicts": "perGroup"}: every market
+    segment enumerated with its reciprocated-pair share as
+    metric_value — the PARTITION-LOCALITY form of the symmetry
+    contract: with by=, a pair only reciprocates when both directions
+    land in the SAME group (sharded ledgers where the mirror posting
+    must hit the same shard or per-shard reconciliation breaks).
+    The fixture's mutual (2k, 2k+1) links span segments freely, so
+    per-segment shares sit far below the global rate and split a
+    0.13 floor deterministically: at sf0.001 AUTOMOBILE/FURNITURE/
+    HOUSEHOLD pass (0.15/0.176/0.211), BUILDING/MACHINERY fail
+    (0.0625/0.111); at sf0.01 all five fail (max 0.1202, margin
+    0.0098). Shares are exact-integer ok/pairs — a single IEEE
+    division, bit-identical cross-engine; self-pairs are excluded
+    from the denominator so trivial symmetry can't pad the share.
+    Same single canonical-cell aggregate as the violations form plus
+    one #cells-row rollup. EXTENDED mirror entry; full value-hash
+    oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .withColumn("link_key", F.expr(
+                "CASE WHEN c_custkey % 17 = 0 THEN c_custkey + 2 "
+                "WHEN c_custkey % 2 = 0 THEN c_custkey + 1 "
+                "ELSE c_custkey - 1 END")))
+    suite = CheckSuite({"properties": {"c_custkey": {"x-reciprocal": {
+        "with": "link_key", "by": "c_mktsegment",
+        "verdicts": "perGroup", "minShare": 0.13}}}})
+    res = suite.run(cust, key="c_custkey")
+    return res.verdicts.select(
+        "partition_id", "check_id", "passed",
+        F.round("metric_value", 6).alias("metric"), "threshold")

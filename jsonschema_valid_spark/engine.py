@@ -465,6 +465,17 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
         df = _scoped(dc, df)
         return cohort_parity_group_verdicts(
             df, dc.column, dc.check_id, **_cohort_parity_args(dc))
+    if dc.kind == "reciprocal" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.reciprocity import (
+            reciprocity_group_verdicts,
+        )
+
+        df = _scoped(dc, df)
+        return reciprocity_group_verdicts(
+            df, dc.column, dc.check_id,
+            with_col=dc.params["with"], by=dc.params["by"],
+            min_share=float(dc.params.get("minShare", 1.0)),
+            match_counts=bool(dc.params.get("matchCounts", False)))
     if dc.kind == "entropy" and dc.params.get("by") is not None:
         from jsonschema_valid_spark.operators.entropy import (
             entropy_group_verdicts,
@@ -623,6 +634,21 @@ def _association_violations(dc, df: DataFrame) -> DataFrame:
         min_v=None if mn is None else float(mn),
         max_v=None if mx is None else float(mx),
         min_count=int(dc.params.get("minCount", 3)),
+    )
+
+
+def _reciprocity_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-reciprocal execution for both run paths."""
+    from jsonschema_valid_spark.operators.reciprocity import (
+        reciprocity_violations,
+    )
+
+    df = _scoped(dc, df)
+    return reciprocity_violations(
+        df, dc.column, dc.check_id,
+        with_col=dc.params["with"],
+        by=dc.params.get("by"),
+        match_counts=bool(dc.params.get("matchCounts", False)),
     )
 
 
@@ -1071,6 +1097,8 @@ def run_suite_summarized(
             vdf = _acyclic_violations(dc, df)
         elif dc.kind == "cohort_parity":
             vdf = _cohort_parity_violations(dc, df)
+        elif dc.kind == "reciprocal":
+            vdf = _reciprocity_violations(dc, df)
         elif dc.kind == "contiguous":
             vdf = _contiguity_violations(dc, df)
         elif dc.kind == "trend":
@@ -1593,6 +1621,22 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nen") == 0).alias("passed"),
                     F.col("nen").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "reciprocal":
+            rcv = _reciprocity_violations(dc, df)
+            violation_dfs.append(_with_ipath(rcv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
+            verdict_dfs.append(
+                rcv.agg(F.count(F.lit(1)).alias("nrc")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nrc") == 0).alias("passed"),
+                    F.col("nrc").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -359,6 +359,10 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "parent"}},
         }}),
+        _kw("x-reciprocal", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"contains": {"const": "with"}},
+        }}),
         _kw("x-cohortParity", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"allOf": [

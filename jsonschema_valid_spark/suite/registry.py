@@ -98,6 +98,7 @@ DATASET_KEYWORDS = frozenset(
         "x-correlation",    # Pearson r between two columns within bounds per group
         "x-association",    # Cramér's V between two categorical columns per group
         "x-acyclic",        # parent-pointer chains reach a root within maxDepth
+        "x-reciprocal",     # every (a,b) pair occurs reversed (edge/ledger symmetry)
         "x-cohortParity",   # cohort metric within maxGap of a baseline cohort's
         "x-contiguous",     # integer sequence covers [min..max] with no holes per group
         "x-trend",          # OLS slope of value vs an ordering within bounds per group

@@ -546,6 +546,29 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                               "requires 'expr': sql-bool), 'by'?: col, "
                               "'where'?: sql-bool, 'minCount'?: int>=1, "
                               "'verdicts'?: 'perGroup'}")
+        elif kw == "x-reciprocal":
+            def _share_ok(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and 0 < x <= 1)
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("with"), str) and v["with"]
+                  and ("matchCounts" not in v
+                       or isinstance(v["matchCounts"], bool))
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("where" not in v
+                       or (isinstance(v["where"], str) and v["where"]))
+                  and ("minShare" not in v or _share_ok(v["minShare"]))
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and isinstance(v.get("by"), str)))
+                  and ("minShare" not in v
+                       or v.get("verdicts") == "perGroup"))
+            if not ok:
+                raise _err(p, "x-reciprocal must be {'with': col, "
+                              "'matchCounts'?: bool, 'by'?: col, "
+                              "'where'?: sql-bool, 'verdicts'?: "
+                              "'perGroup' (requires 'by'), 'minShare'?: "
+                              "number in (0, 1] (perGroup only)}")
         elif kw == "x-acyclic":
             ok = (isinstance(v, dict)
                   and isinstance(v.get("parent"), str) and v["parent"]

@@ -40,6 +40,7 @@ KEYWORD_SPECS = {
                                        "maxDepth": 4}}},
     "x-cohortParity": {"v": {"x-cohortParity": {
         "cohort": "grp", "baseline": "g0", "maxGap": 1e9}}},
+    "x-reciprocal": {"id": {"x-reciprocal": {"with": "id"}}},
     "x-monotonic": {"v": {"x-monotonic": {"orderBy": "ts_s",
                                           "by": "grp"}}},
     "x-noOverlap": {"ts_s": {"x-noOverlap": {"endColumn": "w",

@@ -123,6 +123,8 @@ INVALID_SUITES = [
         "maxDepth": 4}}}}),
     ("x-cohortParity-no-baseline", {"properties": {"x": {
         "x-cohortParity": {"cohort": "arm", "maxGap": 0.1}}}}),
+    ("x-reciprocal-no-with", {"properties": {"x": {"x-reciprocal": {
+        "matchCounts": True}}}}),
     ("x-trend-no-orderby", {"properties": {"x": {"x-trend": {
         "max": 1.0}}}}),
     ("x-distinctRatio-no-bound", {"properties": {"x": {"x-distinctRatio": {
