@@ -1772,3 +1772,59 @@ def stream_event_order_violations(
         update, outputStructType=out_schema, stateStructType=state_schema,
         outputMode="append", timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_reciprocity_violations(
+    sdf: DataFrame,
+    column: str,
+    with_col: str,
+    ts_col: str,
+    by: str | None = None,
+    match_counts: bool = False,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-reciprocal`` (operators/reciprocity.py lifted to
+    event-time windows): every (a, b) observed in a window must also
+    occur reversed IN THAT WINDOW — the settlement-window form of the
+    symmetry contract (the mirror posting of a double-entry transfer
+    must arrive within the reconciliation window; a link row's reverse
+    must land before the window closes, or the pair is flagged where
+    the one-way write happened).  Cross-window mirrors are out of scope
+    by design: matching "eventually" needs unbounded state, and batch
+    ``reciprocity_violations`` over the settled table is the eventual
+    check — this is its alerting twin.
+
+    Same scale shape as batch: NEVER a self-join — both directions of
+    a pair share one canonical cell ``(least, greatest)``, so the whole
+    check is ONE native windowed aggregation carrying two conditional
+    counts (state = Spark's windowed-agg store, one row per distinct
+    in-flight pair, bounded by the watermark horizon) plus a pure
+    post-aggregation filter — legal in append mode, no Python state.
+    Self-pairs (a = b) have fwd = rev = 0 and can never be emitted.
+
+    Output on window close: (window_start, pair, fwd, rev) — ``pair``
+    matches the batch operator's doc_id rendering (``by|lo|hi`` when
+    grouped) so window slices compare directly against
+    ``reciprocity_violations`` rows."""
+    a, b = F.col(column), F.col(with_col)
+    gcols = [F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
+             .alias("__g")] if by is not None else []
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .where(a.isNotNull() & b.isNotNull())
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
+                 *gcols,
+                 F.least(a, b).alias("__lo"),
+                 F.greatest(a, b).alias("__hi"))
+        .agg(F.sum(F.when(a < b, 1).otherwise(0)).alias("fwd"),
+             F.sum(F.when(a > b, 1).otherwise(0)).alias("rev"))
+    )
+    fwd, rev = F.col("fwd"), F.col("rev")
+    bad = (fwd != rev) if match_counts else ((fwd > 0) != (rev > 0))
+    parts = ([F.col("__g"), F.lit("|")] if by is not None else [])
+    pair = F.concat(*parts, F.col("__lo").cast("string"),
+                    F.lit("|"), F.col("__hi").cast("string"))
+    return agg.where(bad).select(
+        F.col("__w").getField("start").alias("window_start"),
+        pair.alias("pair"), "fwd", "rev")
