@@ -1254,6 +1254,13 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # x-levelShift (one step, not sustained creep)
         plan.dataset_checks.append(
             DatasetCheck(cid, "trend", colname, dict(v)))
+    elif kw == "x-seasonality":
+        # dataset scope: lag-k AUTOCORRELATION bounds — the
+        # self-dependence member of the statistical family (min =
+        # rhythm retention, max = independence/stuck-sensor); order
+        # is invisible to every distribution check by construction
+        plan.dataset_checks.append(
+            DatasetCheck(cid, "seasonality", colname, dict(v)))
     elif kw == "x-eventOrder":
         # dataset scope: causality between the MINIMA of two row
         # subsets of a group ("no purchase before signup") — a relation

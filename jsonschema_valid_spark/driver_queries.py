@@ -6400,3 +6400,144 @@ def engine_reciprocal_group_verdicts(spark, sf_dir):
     return res.verdicts.select(
         "partition_id", "check_id", "passed",
         F.round("metric_value", 6).alias("metric"), "threshold")
+
+
+_SEASONALITY_KW_SQL = """
+WITH base AS (
+  SELECT event_type AS g, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY event_id) AS rn
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT g, event_id,
+         CASE WHEN g = 'error' THEN value
+              ELSE value + 80 * CAST(rn % 5 AS DOUBLE) END AS v
+  FROM base
+),
+lagged AS (
+  SELECT g, v, lag(v, 5) OVER (PARTITION BY g ORDER BY event_id) AS p
+  FROM s
+),
+cells AS (
+  SELECT g, corr(v, p) AS r,
+         count(*) FILTER (v IS NOT NULL AND p IS NOT NULL) AS n
+  FROM lagged GROUP BY g
+)
+SELECT CAST(g AS VARCHAR) AS doc_id,
+       'properties/pv/x-seasonality' AS check_id,
+       'acf@5=' || CAST(CAST(round(r, 4) AS DECIMAL(10,4)) AS VARCHAR)
+         || ',n=' || CAST(n AS VARCHAR) AS observed
+FROM cells
+WHERE r IS NOT NULL AND n >= 3 AND r < 0.5
+"""
+
+
+@register_extended("engine_seasonality_violations", _SEASONALITY_KW_SQL)
+def engine_seasonality_violations(spark, sf_dir):
+    """x-seasonality as a DECLARATIVE suite keyword: every event
+    type's metric series must keep its declared period-5 rhythm
+    (acf@5 >= 0.5 ordered by event_id) — the SELF-dependence member
+    of the statistical family: x-correlation bounds dependence
+    between two COLUMNS, x-trend the linear rate, x-levelShift one
+    positional jump; none can ask "does this series still track
+    ITSELF k steps ago". Order is invisible to every distribution
+    check by construction (the histogram is permutation-invariant),
+    so a pipeline change that scrambles ordering or drops the
+    periodic driver moves NO drift/mean/range check — only the
+    autocorrelation. Fixture: a deterministic period-5 sawtooth
+    (80 * (row_number % 5), amplitude ~2x the value noise) is added
+    per event type EXCEPT 'error', which keeps the raw aperiodic
+    value — 'error' trips decisively at both SFs (acf -0.121 at
+    sf0.001, -0.0156 at sf0.01 vs healthy groups >= 0.82; margins
+    >= 0.32, ~1e10 above float-sum noise). acf witnesses render as
+    decimal(10,4) (the x-correlation cross-engine convention). Plan
+    (operators/seasonality.py): one lag window over the (order, key)
+    total order + a mergeable moment aggregate that CONSUMES the
+    window's hash-partitioning — ONE Exchange end-to-end, never a
+    self-join (plan-asserted). EXTENDED mirror entry; full
+    value-hash oracle."""
+    from pyspark.sql import Window
+
+    from jsonschema_valid_spark import CheckSuite
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull())
+          .withColumn("rn", F.row_number().over(w))
+          .withColumn("pv", F.when(F.col("event_type") == "error",
+                                   F.col("value"))
+                      .otherwise(F.col("value")
+                                 + 80 * (F.col("rn") % 5)
+                                 .cast("double"))))
+    suite = CheckSuite({"properties": {"pv": {"x-seasonality": {
+        "orderBy": "event_id", "lag": 5, "by": "event_type",
+        "min": 0.5}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_SEASONALITY_PERGROUP_SQL = """
+WITH base AS (
+  SELECT event_type AS g, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY event_id) AS rn
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT g, event_id,
+         CASE WHEN g = 'error' THEN value
+              ELSE value + 80 * CAST(rn % 5 AS DOUBLE) END AS v
+  FROM base
+),
+lagged AS (
+  SELECT g, v, lag(v, 5) OVER (PARTITION BY g ORDER BY event_id) AS p
+  FROM s
+),
+cells AS (
+  SELECT g, corr(v, p) AS r,
+         count(*) FILTER (v IS NOT NULL AND p IS NOT NULL) AS n
+  FROM lagged GROUP BY g
+)
+SELECT CAST(g AS VARCHAR) AS partition_id,
+       'properties/pv/x-seasonality' AS check_id,
+       NOT (r IS NOT NULL AND n >= 3 AND r < 0.5) AS passed,
+       round(COALESCE(r, 0.0), 4) AS metric,
+       CAST(0.5 AS DOUBLE) AS threshold
+FROM cells
+"""
+
+
+@register_extended("engine_seasonality_group_verdicts",
+                   _SEASONALITY_PERGROUP_SQL)
+def engine_seasonality_group_verdicts(spark, sf_dir):
+    """x-seasonality {"verdicts": "perGroup"}: every event type
+    enumerated with its acf@5 as metric_value — passing groups
+    included, partition_id = group value, the per-partition
+    pass/fail shape. Same fixture and single-Exchange plan as
+    engine_seasonality_violations; metric rounded to 4dp (floats
+    from cross-engine sum orders agree far inside that grid — the
+    x-correlation witness convention applied to the verdict
+    metric). EXTENDED mirror entry; full value-hash oracle."""
+    from pyspark.sql import Window
+
+    from jsonschema_valid_spark import CheckSuite
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull())
+          .withColumn("rn", F.row_number().over(w))
+          .withColumn("pv", F.when(F.col("event_type") == "error",
+                                   F.col("value"))
+                      .otherwise(F.col("value")
+                                 + 80 * (F.col("rn") % 5)
+                                 .cast("double"))))
+    suite = CheckSuite({"properties": {"pv": {"x-seasonality": {
+        "orderBy": "event_id", "lag": 5, "by": "event_type",
+        "min": 0.5, "verdicts": "perGroup"}}}})
+    res = suite.run(ev, key="event_id")
+    return res.verdicts.select(
+        "partition_id", "check_id", "passed",
+        F.round("metric_value", 4).alias("metric"), "threshold")

@@ -515,6 +515,20 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             min_slope=None if mn is None else float(mn),
             max_slope=None if mx is None else float(mx),
             min_count=int(dc.params.get("minCount", 3)))
+    if dc.kind == "seasonality" and dc.params.get("by") is not None:
+        from jsonschema_valid_spark.operators.seasonality import (
+            seasonality_group_verdicts,
+        )
+
+        df = _scoped(dc, df)
+        mn, mx = dc.params.get("min"), dc.params.get("max")
+        return seasonality_group_verdicts(
+            df, dc.column, dc.check_id, key=key,
+            order_by=dc.params["orderBy"], lag=int(dc.params["lag"]),
+            by=dc.params["by"],
+            min_acf=None if mn is None else float(mn),
+            max_acf=None if mx is None else float(mx),
+            min_count=int(dc.params.get("minCount", 3)))
     if dc.kind == "no_overlap" and dc.params.get("by") is not None:
         from jsonschema_valid_spark.operators.intervals import (
             overlap_group_verdicts,
@@ -782,6 +796,25 @@ def _trend_violations(dc, df: DataFrame) -> DataFrame:
     )
 
 
+
+
+def _seasonality_violations(dc, df: DataFrame, key: str) -> DataFrame:
+    """Shared x-seasonality execution for both run paths."""
+    from jsonschema_valid_spark.operators.seasonality import (
+        seasonality_violations,
+    )
+
+    df = _scoped(dc, df)
+    mn, mx = dc.params.get("min"), dc.params.get("max")
+    return seasonality_violations(
+        df, dc.column, dc.check_id, key=key,
+        order_by=dc.params["orderBy"],
+        lag=int(dc.params["lag"]),
+        by=dc.params.get("by"),
+        min_acf=None if mn is None else float(mn),
+        max_acf=None if mx is None else float(mx),
+        min_count=int(dc.params.get("minCount", 3)),
+    )
 
 
 def _event_order_violations(dc, df: DataFrame) -> DataFrame:
@@ -1103,6 +1136,8 @@ def run_suite_summarized(
             vdf = _contiguity_violations(dc, df)
         elif dc.kind == "trend":
             vdf = _trend_violations(dc, df)
+        elif dc.kind == "seasonality":
+            vdf = _seasonality_violations(dc, df, key)
         elif dc.kind == "distinct_ratio":
             vdf = _distinct_ratio_violations(dc, df)
         elif dc.kind == "compliance":
@@ -1725,6 +1760,22 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("ntr") == 0).alias("passed"),
                     F.col("ntr").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "seasonality":
+            ssv = _seasonality_violations(dc, df, key)
+            violation_dfs.append(_with_ipath(ssv))
+            gv = _per_group_verdicts(dc, df, key)
+            if gv is not None:
+                verdict_dfs.append(gv)
+                continue
+            verdict_dfs.append(
+                ssv.agg(F.count(F.lit(1)).alias("nss")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nss") == 0).alias("passed"),
+                    F.col("nss").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -402,6 +402,14 @@ METASCHEMA_SUITE: dict = {
                 {"contains": {"enum": ["min", "max"]}},
             ]},
         }}),
+        _kw("x-seasonality", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "orderBy"}},
+                {"contains": {"const": "lag"}},
+                {"contains": {"enum": ["min", "max"]}},
+            ]},
+        }}),
         _kw("x-eventOrder", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"allOf": [

@@ -102,6 +102,7 @@ DATASET_KEYWORDS = frozenset(
         "x-cohortParity",   # cohort metric within maxGap of a baseline cohort's
         "x-contiguous",     # integer sequence covers [min..max] with no holes per group
         "x-trend",          # OLS slope of value vs an ordering within bounds per group
+        "x-seasonality",    # lag-k autocorrelation bounds (rhythm/independence) per group
         "x-distinctRatio",  # distinct/count rate bounds (soft x-unique, like x-nullRate vs required)
         "x-compliance",     # predicate pass-rate bounds (soft x-rowExpr, the error budget)
         "x-funnel",         # step-to-step conversion-rate floors over an ordered chain

@@ -714,6 +714,33 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                               "'min'|'max': number, 'by'?: col, "
                               "'minCount'?: int>=3, 'verdicts'?: "
                               "'perGroup' (requires 'by')}")
+        elif kw == "x-seasonality":
+            def _acf_num(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and -1 <= x <= 1)
+            ok = (isinstance(v, dict)
+                  and isinstance(v.get("orderBy"), str) and v["orderBy"]
+                  and isinstance(v.get("lag"), int)
+                  and not isinstance(v["lag"], bool) and v["lag"] >= 1
+                  and ("where" not in v
+                       or (isinstance(v["where"], str) and v["where"]))
+                  and ("min" in v or "max" in v)
+                  and ("min" not in v or _acf_num(v["min"]))
+                  and ("max" not in v or _acf_num(v["max"]))
+                  and ("by" not in v or isinstance(v["by"], str))
+                  and ("minCount" not in v
+                       or (isinstance(v["minCount"], int)
+                           and not isinstance(v["minCount"], bool)
+                           and v["minCount"] >= 3))
+                  and ("verdicts" not in v
+                       or (v["verdicts"] == "perGroup"
+                           and isinstance(v.get("by"), str))))
+            if not ok:
+                raise _err(p, "x-seasonality must be {'orderBy': col, "
+                              "'lag': int>=1, 'min'|'max': number in "
+                              "[-1, 1], 'by'?: col, 'where'?: sql-bool, "
+                              "'minCount'?: int>=3, 'verdicts'?: "
+                              "'perGroup' (requires 'by')}")
         elif kw == "x-eventOrder":
             ok = (isinstance(v, dict)
                   and isinstance(v.get("by"), str) and v["by"]

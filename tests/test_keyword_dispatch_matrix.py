@@ -41,6 +41,8 @@ KEYWORD_SPECS = {
     "x-cohortParity": {"v": {"x-cohortParity": {
         "cohort": "grp", "baseline": "g0", "maxGap": 1e9}}},
     "x-reciprocal": {"id": {"x-reciprocal": {"with": "id"}}},
+    "x-seasonality": {"v": {"x-seasonality": {
+        "orderBy": "ts_s", "lag": 1, "by": "grp", "max": 0.999}}},
     "x-monotonic": {"v": {"x-monotonic": {"orderBy": "ts_s",
                                           "by": "grp"}}},
     "x-noOverlap": {"ts_s": {"x-noOverlap": {"endColumn": "w",

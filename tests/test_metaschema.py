@@ -125,6 +125,8 @@ INVALID_SUITES = [
         "x-cohortParity": {"cohort": "arm", "maxGap": 0.1}}}}),
     ("x-reciprocal-no-with", {"properties": {"x": {"x-reciprocal": {
         "matchCounts": True}}}}),
+    ("x-seasonality-no-lag", {"properties": {"x": {"x-seasonality": {
+        "orderBy": "ts", "max": 0.5}}}}),
     ("x-trend-no-orderby", {"properties": {"x": {"x-trend": {
         "max": 1.0}}}}),
     ("x-distinctRatio-no-bound", {"properties": {"x": {"x-distinctRatio": {
