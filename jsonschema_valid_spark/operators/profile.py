@@ -777,3 +777,46 @@ def suggest_entropy_bounds(df: DataFrame, column: str,
     if by is not None:
         node["by"] = by
     return node
+
+
+def suggest_seasonality_floor(df: DataFrame, column: str, key: str,
+                              order_by: str, lag: int,
+                              by: str | None = None,
+                              pad: float = 0.1,
+                              min_count: int = 10) -> dict | None:
+    """Bootstrap an ``x-seasonality`` node from the snapshot's own
+    observed per-group lag-``lag`` autocorrelations — the rhythm analog
+    of :func:`suggest_trend_bounds`: profile a trusted load once, pin
+    the floor at the WORST (lowest) group's acf minus ``pad``, and
+    every later load fails if any group loses its periodic structure
+    (scrambled ordering, dropped periodic driver).  Passes on the
+    profiled table by construction (pad > 0).  Floor clamped to
+    [-1, 1 - 1e-4] and rounded DOWN to the 1e-4 grid; groups under
+    ``min_count`` complete pairs or with undefined acf are ignored
+    (noise).  Returns None when nothing trustworthy survives — or when
+    the observed worst acf is so low that the padded floor would be
+    <= -1 (no rhythm to protect; a floor that can never fail is not a
+    check)."""
+    import math
+
+    if not (0.0 < float(pad)):
+        raise ValueError(f"pad must be > 0, got {pad}")
+    from jsonschema_valid_spark.operators.seasonality import (
+        seasonality_acf,
+    )
+
+    g = seasonality_acf(df, column, key, order_by, lag, by=by)
+    r = (g.where(F.col("acf").isNotNull()
+                 & (F.col("n") >= F.lit(int(min_count))))
+         .agg(F.min("acf").alias("lo")).collect()[0])
+    if r["lo"] is None:
+        return None
+    lo = math.floor((float(r["lo"]) - float(pad)) * 1e4) / 1e4
+    if lo <= -1.0:
+        return None
+    lo = min(lo, 1.0 - 1e-4)
+    node: dict = {"orderBy": order_by, "lag": int(lag), "min": lo,
+                  "minCount": max(int(min_count), 3)}
+    if by is not None:
+        node["by"] = by
+    return node

@@ -166,3 +166,22 @@ def seasonality_group_verdicts(
         F.coalesce(r, F.lit(0.0)).cast("double").alias("metric_value"),
         violated_threshold(r, min_acf, max_acf).alias("threshold"),
     )
+
+
+def seasonality_acf(
+    df: DataFrame,
+    column: str,
+    key: str,
+    order_by: str,
+    lag: int,
+    by: str | None = None,
+) -> DataFrame:
+    """Per-group lag-``lag`` autocorrelation as tidy rows
+    ``(group, acf, n)`` — the profiling face of the keyword (feeds
+    ``suggest_seasonality_floor``).  NULL acf (constant series) is
+    kept as NULL — the caller decides whether undefined
+    self-dependence is a finding."""
+    g, doc = _acf_cells(df, column, key, order_by, lag, by)
+    return g.select(doc.alias("group"),
+                    F.col("__r").alias("acf"),
+                    F.col("__n").alias("n"))

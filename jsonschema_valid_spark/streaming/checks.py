@@ -1828,3 +1828,104 @@ def stream_reciprocity_violations(
     return agg.where(bad).select(
         F.col("__w").getField("start").alias("window_start"),
         pair.alias("pair"), "fwd", "rev")
+
+
+def stream_seasonality_verdicts(
+    sdf: DataFrame,
+    column: str,
+    order_col: str,
+    ts_col: str,
+    lag: int,
+    group_col: str | None = None,
+    min_acf: float | None = None,
+    max_acf: float | None = None,
+    min_count: int = 3,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-seasonality`` (operators/seasonality.py lifted to
+    event-time windows): the lag-``lag`` autocorrelation of ``column``
+    ordered by ``order_col`` per (window × group) within bounds — the
+    rhythm loss / stuck-sensor onset surfaces in the window where it
+    started.  acf needs ORDERED pairs, which no mergeable per-row sum
+    can carry across micro-batches, so this uses the funnel-collect
+    shape: one NATIVE windowed aggregation gathers each group's
+    in-window (order, value) structs sorted (state bounded by
+    rows-per-group-per-window; series deliberately do not span windows
+    — the batch operator over the settled table is the cross-window
+    check), then the Pearson r of the series vs its lag-k shift is
+    computed by pure post-aggregation array algebra (slice + zip_with +
+    aggregate sums — append-legal, no Python state).  The pair list is
+    STAGED as its own column first: six sum expressions re-deriving it
+    inline would re-evaluate the zip per reference (the documented HOF
+    staging pitfall).
+
+    Semantics notes: within a window, order ties sort by value (the
+    batch operator breaks ties by the run key — pass a unique
+    ``order_col`` when comparing); NULL values participate as pair
+    holes (pairwise-complete, like batch).  Windows with undefined acf
+    (constant series) or fewer than ``min_count`` complete pairs pass
+    (suppressed), like batch.
+
+    Output: (window_start, group, acf, n, passed)."""
+    if min_acf is None and max_acf is None:
+        raise ValueError("stream_seasonality_verdicts needs min and/or max")
+    k = int(lag)
+    if k < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    grp = (F.coalesce(F.col(group_col).cast("string"), F.lit("<null>"))
+           if group_col is not None else F.lit("<global>"))
+    ev = F.struct(F.col(order_col).alias("o"),
+                  F.col(column).cast("double").alias("v"))
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .where(F.col(order_col).isNotNull())
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
+                 grp.alias("group"))
+        .agg(F.sort_array(F.collect_list(ev)).alias("__evs"))
+    )
+    vals = F.transform(F.col("__evs"), lambda e: e["v"])
+    staged = agg.withColumn("__vals", vals).withColumn(
+        "__pairs",
+        F.when(
+            F.size(F.col("__vals")) > k,
+            F.filter(
+                F.zip_with(
+                    F.slice(F.col("__vals"), k + 1,
+                            F.size(F.col("__vals")) - k),
+                    F.slice(F.col("__vals"), 1,
+                            F.size(F.col("__vals")) - k),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b"))),
+                lambda p: p["a"].isNotNull() & p["b"].isNotNull()),
+        ).otherwise(F.expr("CAST(array() AS array<struct<a:double,b:double>>)")))
+
+    def _sum(field_expr):
+        return F.aggregate(F.col("__pairs"), F.lit(0.0),
+                           lambda acc, p: acc + field_expr(p))
+
+    n = F.size(F.col("__pairs")).cast("double")
+    sx = _sum(lambda p: p["a"])
+    sy = _sum(lambda p: p["b"])
+    sxy = _sum(lambda p: p["a"] * p["b"])
+    sxx = _sum(lambda p: p["a"] * p["a"])
+    syy = _sum(lambda p: p["b"] * p["b"])
+    # greatest(., 0) clamps float-noise-negative variances: their sqrt
+    # is NaN, and NaN sorts LARGER than any double in Spark — it would
+    # silently PASS a min bound (the stream_correlation lesson)
+    denom = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))
+                   * F.greatest(n * syy - sy * sy, F.lit(0.0)))
+    r = F.try_divide(n * sxy - sx * sy, denom)
+    r = F.when(denom > F.lit(0.0), r)
+    passed = F.lit(True)
+    if min_acf is not None:
+        passed = passed & (r >= F.lit(float(min_acf)))
+    if max_acf is not None:
+        passed = passed & (r <= F.lit(float(max_acf)))
+    passed = F.when(n < F.lit(float(int(min_count))), F.lit(True)) \
+        .when(r.isNull(), F.lit(True)).otherwise(passed)
+    return staged.select(
+        F.col("__w").getField("start").alias("window_start"),
+        "group",
+        F.coalesce(r, F.lit(0.0)).cast("double").alias("acf"),
+        n.cast("long").alias("n"),
+        passed.alias("passed"))

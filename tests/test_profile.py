@@ -560,3 +560,49 @@ def test_suggest_entropy_bounds_roundtrip(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         suggest_entropy_bounds(df, "v", pad=0.0)
+
+
+# ---- wave 34: seasonality floor bootstrap --------------------------------
+
+def test_suggest_seasonality_floor_roundtrip(spark):
+    import pytest as _pt
+
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_seasonality_floor,
+    )
+
+    rows = []
+    for i in range(60):
+        rows.append((i, "a", i, float((i % 4) * 10)))       # period 4
+        rows.append((100 + i, "b", i,
+                     float((i % 4) * 10 + (i % 3))))        # noisy period 4
+    df = spark.createDataFrame(rows, "id: long, grp: string, o: int, "
+                                     "v: double")
+    node = suggest_seasonality_floor(df, "v", key="id", order_by="o",
+                                     lag=4, by="grp")
+    assert node["lag"] == 4 and node["by"] == "grp"
+    assert 0.5 < node["min"] < 1.0
+    suite = CheckSuite({"properties": {"v": {"x-seasonality": node}}})
+    assert suite.run(df, key="id").ok()   # passes its own snapshot
+    # a group on the WRONG period (3, not 4) trips the floor: a period-3
+    # sawtooth at lag 4 has acf exactly -0.5
+    bad = df.union(spark.createDataFrame(
+        [(300 + i, "c", i, float((i % 3) * 10)) for i in range(60)],
+        df.schema))
+    assert not suite.run(bad, key="id").ok()
+
+    with _pt.raises(ValueError):
+        suggest_seasonality_floor(df, "v", key="id", order_by="o",
+                                  lag=4, by="grp", pad=0.0)
+    # constant series: undefined acf everywhere -> nothing to learn
+    flat = spark.createDataFrame([(i, "a", i, 5.0) for i in range(20)],
+                                 df.schema)
+    assert suggest_seasonality_floor(flat, "v", key="id", order_by="o",
+                                     lag=4, by="grp") is None
+    # anti-correlated snapshot: padded floor <= -1 is unfailable -> None
+    anti = spark.createDataFrame(
+        [(i, "a", i, float((i % 2) * 8)) for i in range(60)],
+        df.schema)
+    assert suggest_seasonality_floor(anti, "v", key="id", order_by="o",
+                                     lag=1, by="grp", pad=0.5) is None
