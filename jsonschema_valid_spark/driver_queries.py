@@ -6541,3 +6541,173 @@ def engine_seasonality_group_verdicts(spark, sf_dir):
     return res.verdicts.select(
         "partition_id", "check_id", "passed",
         F.round("metric_value", 4).alias("metric"), "threshold")
+
+
+_LEADLAG_KW_SQL = """
+WITH base AS (
+  SELECT event_type AS g, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY event_id) AS rn
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+),
+s AS (
+  SELECT g, event_id,
+         value + 80 * CAST(rn % 5 AS DOUBLE) AS w,
+         CASE WHEN g = 'error' THEN 0.5 * value
+              ELSE 0.5 * value
+                   + 80 * CAST((rn + 2) % 5 AS DOUBLE) END AS c
+  FROM base
+),
+lagged AS (
+  SELECT g, c, lag(w, 3) OVER (PARTITION BY g ORDER BY event_id) AS p
+  FROM s
+),
+cells AS (
+  SELECT g, corr(c, p) AS r,
+         count(*) FILTER (c IS NOT NULL AND p IS NOT NULL) AS n
+  FROM lagged GROUP BY g
+)
+SELECT CAST(g AS VARCHAR) AS doc_id,
+       'properties/c/x-correlation' AS check_id,
+       'r=' || CAST(CAST(round(r, 4) AS DECIMAL(10,4)) AS VARCHAR)
+         || ',n=' || CAST(n AS VARCHAR) AS observed
+FROM cells
+WHERE r IS NOT NULL AND n >= 3 AND r < 0.5
+"""
+
+
+@register_extended("engine_leadlag_violations", _LEADLAG_KW_SQL)
+def engine_leadlag_violations(spark, sf_dir):
+    """x-correlation {"lag"} — the LEAD-LAG (cross-correlation) form:
+    per event type, metric c must track metric w as it stood THREE
+    steps earlier (r(c_t, w_{t-3}) >= 0.5 over the event_id order).
+    The causal-pipeline contract zero-lag correlation cannot see:
+    when an effect follows its driver at a delay (queue depth tracks
+    arrivals a tick ago, spend tracks impressions yesterday), the
+    SAME-row correlation is phase-shifted away while the lagged one
+    is strong — and the leakage inverse ("this feature must NOT track
+    the future label at any lead") is the same check with max.
+    Fixture: w carries a deterministic period-5 sawtooth (amplitude
+    80); c is built from the sawtooth PHASE-SHIFTED BY 3 plus
+    independent half-weight noise, so c_t reproduces w_{t-3}'s
+    periodic part exactly — healthy types sit at r >= 0.87 at both
+    SFs, while 'error' (noise only) trips decisively (0.078 at
+    sf0.001, 0.005 at sf0.01; margins >= 0.42). Plan
+    (operators/correlation.py lag branch): one lag window over the
+    (orderBy, key) total order + the moment aggregate consuming its
+    hash-partitioning — a single Exchange, never a self-join
+    (plan-asserted in tests); zero-lag keeps the original
+    shuffle-free conditional aggregate. EXTENDED mirror entry; full
+    value-hash oracle."""
+    from pyspark.sql import Window
+
+    from jsonschema_valid_spark import CheckSuite
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull())
+          .withColumn("rn", F.row_number().over(w))
+          .withColumn("w", F.col("value")
+                      + 80 * (F.col("rn") % 5).cast("double"))
+          .withColumn("c", F.when(F.col("event_type") == "error",
+                                  0.5 * F.col("value"))
+                      .otherwise(0.5 * F.col("value")
+                                 + 80 * ((F.col("rn") + 2) % 5)
+                                 .cast("double"))))
+    suite = CheckSuite({"properties": {"c": {"x-correlation": {
+        "with": "w", "by": "event_type", "min": 0.5, "lag": 3,
+        "orderBy": "event_id"}}}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed")
+
+
+_DISCOVER_PERIOD_SQL = """
+WITH base AS (
+  SELECT event_type AS g, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY event_id) AS rn
+  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+    AND event_type <> 'error'
+),
+s AS (
+  SELECT g, event_id, value + 80 * CAST(rn % 5 AS DOUBLE) AS v
+  FROM base
+),
+lagged AS (
+  SELECT g, v,
+         lag(v, 1) OVER w AS p1, lag(v, 2) OVER w AS p2,
+         lag(v, 3) OVER w AS p3, lag(v, 4) OVER w AS p4,
+         lag(v, 5) OVER w AS p5, lag(v, 6) OVER w AS p6,
+         lag(v, 7) OVER w AS p7, lag(v, 8) OVER w AS p8
+  FROM s WINDOW w AS (PARTITION BY g ORDER BY event_id)
+),
+cells AS (
+  SELECT g,
+         corr(v, p1) AS r1, count(*) FILTER (p1 IS NOT NULL) AS n1,
+         corr(v, p2) AS r2, count(*) FILTER (p2 IS NOT NULL) AS n2,
+         corr(v, p3) AS r3, count(*) FILTER (p3 IS NOT NULL) AS n3,
+         corr(v, p4) AS r4, count(*) FILTER (p4 IS NOT NULL) AS n4,
+         corr(v, p5) AS r5, count(*) FILTER (p5 IS NOT NULL) AS n5,
+         corr(v, p6) AS r6, count(*) FILTER (p6 IS NOT NULL) AS n6,
+         corr(v, p7) AS r7, count(*) FILTER (p7 IS NOT NULL) AS n7,
+         corr(v, p8) AS r8, count(*) FILTER (p8 IS NOT NULL) AS n8
+  FROM lagged GROUP BY g
+),
+tidy AS (
+  SELECT g, t.lag, t.acf, t.n
+  FROM cells,
+  LATERAL (VALUES (1, r1, n1), (2, r2, n2), (3, r3, n3), (4, r4, n4),
+                  (5, r5, n5), (6, r6, n6), (7, r7, n7), (8, r8, n8))
+    AS t(lag, acf, n)
+),
+ranked AS (
+  SELECT g, lag, acf, n,
+         row_number() OVER (PARTITION BY g
+                            ORDER BY acf DESC, lag ASC) AS rk
+  FROM tidy WHERE acf IS NOT NULL AND n >= 10
+)
+SELECT CAST(g AS VARCHAR) AS grp, lag,
+       round(acf, 4) AS acf, n
+FROM ranked WHERE rk = 1
+"""
+
+
+@register_extended("profile_discover_period", _DISCOVER_PERIOD_SQL)
+def profile_discover_period(spark, sf_dir):
+    """discover_period (operators/seasonality.py): the bootstrap's
+    missing half — suggest_seasonality_floor needs a declared lag,
+    and this finds it by scanning the acf at every lag 1..8 per
+    group and keeping the argmax (ties toward the SHORTEST lag: the
+    fundamental beats its harmonics). Fixture: the period-5 sawtooth
+    derivation shared with the seasonality queries over the four
+    periodic event types ('error' excluded by derivation — its noise
+    argmax would sit inside cross-engine float ties, the exact
+    instability the periodic groups' 0.8-vs-0.05 dominance rules
+    out). All four groups report lag=5 at both SFs with acf >= 0.82
+    vs next-best <= 0.06. Plan: all 8 lag columns ride ONE window
+    (one Exchange shared with the moment aggregate); the explode and
+    argmax rank run on #groups x 8 rows, never data. EXTENDED mirror
+    entry; full value-hash oracle (LATERAL VALUES unpivot + ranked
+    replay)."""
+    from pyspark.sql import Window
+
+    from jsonschema_valid_spark.operators.seasonality import (
+        discover_period,
+    )
+
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .where(F.col("event_type").isNotNull()
+                 & F.col("value").isNotNull()
+                 & (F.col("event_type") != "error"))
+          .withColumn("rn", F.row_number().over(w))
+          .withColumn("pv", F.col("value")
+                      + 80 * (F.col("rn") % 5).cast("double")))
+    best = discover_period(ev, "pv", key="event_id",
+                           order_by="event_id", max_lag=8,
+                           by="event_type", min_count=10,
+                           best_only=True)
+    return best.select(
+        F.col("group").alias("grp"), "lag",
+        F.round("acf", 4).alias("acf"), "n")

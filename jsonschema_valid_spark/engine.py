@@ -601,7 +601,7 @@ def _unique_within_violations(dc, df: DataFrame, key: str) -> DataFrame:
     )
 
 
-def _correlation_violations(dc, df: DataFrame) -> DataFrame:
+def _correlation_violations(dc, df: DataFrame, key: str) -> DataFrame:
     """Shared x-correlation execution for both run paths."""
     from jsonschema_valid_spark.operators.correlation import (
         correlation_violations,
@@ -615,6 +615,9 @@ def _correlation_violations(dc, df: DataFrame) -> DataFrame:
         min_corr=None if mn is None else float(mn),
         max_corr=None if mx is None else float(mx),
         min_count=int(dc.params.get("minCount", 3)),
+        lag=int(dc.params.get("lag", 0)),
+        order_by=dc.params.get("orderBy"),
+        key=key,
     )
 
 
@@ -1121,7 +1124,7 @@ def run_suite_summarized(
         elif dc.kind == "unique_within":
             vdf = _unique_within_violations(dc, df, key)
         elif dc.kind == "correlation":
-            vdf = _correlation_violations(dc, df)
+            vdf = _correlation_violations(dc, df, key)
         elif dc.kind == "association":
             vdf = _association_violations(dc, df)
         elif dc.kind == "entropy":
@@ -1600,7 +1603,7 @@ def run_suite(
                 )
             )
         elif dc.kind == "correlation":
-            crv = _correlation_violations(dc, df)
+            crv = _correlation_violations(dc, df, key)
             violation_dfs.append(_with_ipath(crv))
             verdict_dfs.append(
                 crv.agg(F.count(F.lit(1)).alias("ncr")).select(

@@ -86,12 +86,28 @@ def correlation_violations(
     min_corr: float | None = None,
     max_corr: float | None = None,
     min_count: int = 3,
+    lag: int = 0,
+    order_by: str | None = None,
+    key: str | None = None,
 ) -> DataFrame:
     """``x-correlation`` execution: groups whose Pearson r between
     ``column`` and ``with_col`` falls outside [min_corr, max_corr], as
     engine violation rows.
 
-    ``by=None`` checks ONE global correlation (single-row aggregate).
+    ``lag > 0`` is the LEAD-LAG (cross-correlation) form:
+    r(column_t, with_{t-lag}) over the ``(order_by, key)`` total order
+    (the x-monotonic tie convention) — "this metric tracks that one k
+    steps EARLIER" (cause precedes effect: clicks lead purchases by a
+    step) and the leakage inverse "this feature must NOT track the
+    future label at any declared lead".  Same plan shape as
+    x-seasonality: one lag window whose hash-partitioning the moment
+    aggregate consumes — a single Exchange, never a self-join.  The
+    zero-lag default keeps the original shuffle-free-when-grouped
+    conditional aggregate.
+
+    ``by=None`` checks ONE global correlation (single-row aggregate;
+    with ``lag`` this funnels through one partition for the global
+    sort — fixtures only, declare ``by`` at scale).
     Groups with fewer than ``min_count`` complete pairs or undefined r
     (zero variance) never violate — too little signal to call, same
     suppression contract as x-outlier.  observed renders r as
@@ -99,8 +115,25 @@ def correlation_violations(
     """
     if min_corr is None and max_corr is None:
         raise ValueError("x-correlation needs min and/or max")
+    if lag:
+        if int(lag) < 0:
+            raise ValueError(f"lag must be >= 0, got {lag}")
+        if order_by is None or key is None:
+            raise ValueError("x-correlation with lag needs orderBy "
+                             "(and a run key) to define the sequence")
     ca = F.col(column).cast("double")
     cb = F.col(with_col).cast("double")
+    if lag:
+        from pyspark.sql import Window
+
+        w = (Window.partitionBy(by) if by is not None else Window
+             .partitionBy()).orderBy(F.col(order_by), F.col(key))
+        # keep the ORIGINAL `by` attribute through window -> groupBy
+        # so the aggregate consumes the window's hash-partitioning
+        cols = ([F.col(by)] if by is not None else []) + [
+            ca.alias("__a"), F.lag(cb, int(lag)).over(w).alias("__b")]
+        df = df.select(*cols)
+        ca, cb = F.col("__a"), F.col("__b")
     aggs = [
         _safe_corr(ca, cb).alias("__r"),
         F.count(F.when(ca.isNotNull() & cb.isNotNull(), 1)).alias("__n"),
@@ -122,7 +155,9 @@ def correlation_violations(
     lo = "-inf" if min_corr is None else f"{float(min_corr):g}"
     hi = "inf" if max_corr is None else f"{float(max_corr):g}"
     scope = f" per {by}" if by else ""
-    exp_msg = (f"corr({column}, {with_col}) in [{lo}, {hi}]{scope} "
+    rhs = (f"{with_col}[t-{int(lag)} over {order_by}]" if lag
+           else with_col)
+    exp_msg = (f"corr({column}, {rhs}) in [{lo}, {hi}]{scope} "
                f"(min_count={min_count})")
     return (
         g.where(bad)

@@ -185,3 +185,66 @@ def seasonality_acf(
     return g.select(doc.alias("group"),
                     F.col("__r").alias("acf"),
                     F.col("__n").alias("n"))
+
+
+def discover_period(
+    df: DataFrame,
+    column: str,
+    key: str,
+    order_by: str,
+    max_lag: int,
+    by: str | None = None,
+    min_count: int = 10,
+    best_only: bool = False,
+) -> DataFrame:
+    """Period discovery: the lag-k autocorrelation of ``column`` at
+    EVERY lag 1..``max_lag`` per group, as tidy rows
+    ``(group, lag, acf, n)`` — the bootstrap's missing half:
+    :func:`suggest_seasonality_floor` needs a declared lag, and this
+    finds it (the argmax acf over candidate lags IS the dominant
+    period).  ``best_only=True`` keeps one row per group — the highest
+    acf among lags clearing ``min_count`` pairs, ties broken toward
+    the SHORTEST lag (the fundamental beats its harmonics).
+
+    Scale shape: all ``max_lag`` lag columns ride ONE window over the
+    ``(order_by, key)`` total order (one Exchange on the group key,
+    shared with the moment aggregate exactly like the keyword); the
+    per-lag correlations are one aggregate pass; the explode and the
+    best-only ranking operate on #groups x max_lag rows — never data.
+    ``max_lag`` is capped at 128: each lag adds a window expression
+    and six aggregate moments, and a longer period search belongs in
+    a spectral tool, not a constraint bootstrap."""
+    L = int(max_lag)
+    if not (1 <= L <= 128):
+        raise ValueError(f"max_lag must be in [1, 128], got {max_lag}")
+    w = (Window.partitionBy(by) if by is not None else Window
+         .partitionBy()).orderBy(F.col(order_by), F.col(key))
+    v = F.col(column).cast("double")
+    cols = ([F.col(by)] if by is not None else []) + [v.alias("__v")] + [
+        F.lag(v, k).over(w).alias(f"__p{k}") for k in range(1, L + 1)]
+    staged = df.select(*cols)
+    aggs = []
+    for k in range(1, L + 1):
+        pk = F.col(f"__p{k}")
+        aggs.append(_safe_corr(F.col("__v"), pk).alias(f"__r{k}"))
+        aggs.append(F.count(F.when(F.col("__v").isNotNull()
+                                   & pk.isNotNull(), 1)).alias(f"__n{k}"))
+    if by is not None:
+        g = staged.groupBy(F.col(by)).agg(*aggs)
+        doc = F.coalesce(F.col(by).cast("string"), F.lit("<null>"))
+    else:
+        g = staged.agg(*aggs)
+        doc = F.lit("<global>")
+    rows = F.array(*[
+        F.struct(F.lit(k).alias("lag"), F.col(f"__r{k}").alias("acf"),
+                 F.col(f"__n{k}").alias("n")) for k in range(1, L + 1)])
+    tidy = (g.select(doc.alias("group"), F.explode(rows).alias("p"))
+            .select("group", "p.lag", "p.acf", "p.n"))
+    if not best_only:
+        return tidy
+    rw = Window.partitionBy("group").orderBy(
+        F.col("acf").desc(), F.col("lag").asc())
+    return (tidy.where(F.col("acf").isNotNull()
+                       & (F.col("n") >= F.lit(int(min_count))))
+            .withColumn("__rk", F.row_number().over(rw))
+            .where(F.col("__rk") == 1).drop("__rk"))

@@ -462,6 +462,12 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                   and ("min" not in v or _corr_num(v["min"]))
                   and ("max" not in v or _corr_num(v["max"]))
                   and ("by" not in v or isinstance(v["by"], str))
+                  and ("lag" not in v
+                       or (isinstance(v["lag"], int)
+                           and not isinstance(v["lag"], bool)
+                           and v["lag"] >= 1
+                           and isinstance(v.get("orderBy"), str)
+                           and v["orderBy"]))
                   and ("minCount" not in v
                        or (isinstance(v["minCount"], int)
                            and not isinstance(v["minCount"], bool)
@@ -469,7 +475,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if not ok:
                 raise _err(p, "x-correlation must be {'with': col, "
                               "'min'|'max': number in [-1, 1], "
-                              "'by'?: col, 'minCount'?: int>=3}")
+                              "'by'?: col, 'lag'?: int>=1 (requires "
+                              "'orderBy': col), 'minCount'?: int>=3}")
         elif kw == "x-contiguous":
             ok = (isinstance(v, dict)
                   and ("by" not in v or isinstance(v["by"], str))

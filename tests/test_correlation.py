@@ -77,3 +77,81 @@ def test_correlation_spec_validation():
         with pytest.raises(SuiteError):
             validate_suite_spec(
                 {"properties": {"x": {"x-correlation": bad}}})
+
+
+# ---- wave 35: lead-lag (cross-correlation) form --------------------------
+
+def test_leadlag_tracks_shifted_column(spark):
+    from jsonschema_valid_spark.operators.correlation import (
+        correlation_violations,
+    )
+
+    rows = []
+    for i in range(24):
+        base = float((i % 5) * 10)          # period-5 sawtooth
+        lead = float(((i - 3) % 5) * 10)    # base's value 3 steps ago
+        rows.append((i, "track", lead, base))
+        rows.append((100 + i, "broken", float((i * 31) % 7), base))
+    df = spark.createDataFrame(rows, "id: long, grp: string, c: double, "
+                                     "w: double")
+    # c_t == w_{t-3}: lead-lag corr at lag 3 is exactly 1 for 'track'
+    out = correlation_violations(
+        df, "c", "chk", with_col="w", by="grp", min_corr=0.8,
+        lag=3, order_by="id", key="id")
+    got = {r.doc_id: r.observed for r in out.collect()}
+    assert set(got) == {"broken"}
+    # zero-lag: the same two columns are NOT aligned (phase off by 3)
+    out0 = correlation_violations(
+        df, "c", "chk", with_col="w", by="grp", min_corr=0.8)
+    assert "track" in {r.doc_id for r in out0.collect()}
+
+
+def test_leadlag_keyword_and_spec(spark):
+    import pytest as _pt
+
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.suite.spec import (
+        SuiteError,
+        validate_suite_spec,
+    )
+
+    rows = []
+    for i in range(24):
+        rows.append((i, "track", float(((i - 3) % 5) * 10),
+                     float((i % 5) * 10)))
+    df = spark.createDataFrame(rows, "id: long, grp: string, c: double, "
+                                     "w: double")
+    spec = {"properties": {"c": {"x-correlation": {
+        "with": "w", "by": "grp", "min": 0.8, "lag": 3,
+        "orderBy": "id"}}}}
+    res = CheckSuite(spec).run(df, key="id")
+    assert res.ok()
+    with _pt.raises(SuiteError):   # lag without orderBy
+        validate_suite_spec({"properties": {"c": {"x-correlation": {
+            "with": "w", "min": 0.8, "lag": 3}}}})
+    with _pt.raises(SuiteError):   # lag 0 illegal (omit for zero-lag)
+        validate_suite_spec({"properties": {"c": {"x-correlation": {
+            "with": "w", "min": 0.8, "lag": 0, "orderBy": "id"}}}})
+    from jsonschema_valid_spark.operators.correlation import (
+        correlation_violations,
+    )
+    with _pt.raises(ValueError, match="orderBy"):
+        correlation_violations(df, "c", "chk", with_col="w",
+                               min_corr=0.5, lag=2)
+
+
+def test_leadlag_plan_single_exchange(spark):
+    from jsonschema_valid_spark.operators.correlation import (
+        correlation_violations,
+    )
+
+    df = spark.createDataFrame(
+        [(i, "g", float(i), float(i)) for i in range(10)],
+        "id: long, grp: string, c: double, w: double")
+    out = correlation_violations(
+        df, "c", "chk", with_col="w", by="grp", min_corr=0.8,
+        lag=2, order_by="id", key="id")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 1, plan

@@ -135,3 +135,52 @@ def test_plan_single_exchange_no_join(spark):
     # window hash-partitioning is CONSUMED by the moment aggregate:
     # one Exchange end-to-end (aliasing the key first would buy two)
     assert plan.count("Exchange") <= 1, plan
+
+
+# ---- wave 35: period discovery -------------------------------------------
+
+def test_discover_period_finds_dominant_lag(spark):
+    from jsonschema_valid_spark.operators.seasonality import (
+        discover_period,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append(("p4", i, float((i % 4) * 10)))   # period 4
+        rows.append(("p3", i, float((i % 3) * 10)))   # period 3
+        rows.append(("flat", i, 5.0))                  # undefined acf
+    df = spark.createDataFrame(rows, "grp: string, idx: int, v: double")
+    best = discover_period(df, "v", key="idx", order_by="idx",
+                           max_lag=6, by="grp", best_only=True)
+    got = {r.group: (r.lag, round(r.acf, 4)) for r in best.collect()}
+    # the fundamental wins its harmonics (ties break toward SHORT lag:
+    # p3's acf is 1.0 at lags 3 AND 6 -> 3 reported)
+    assert got == {"p4": (4, 1.0), "p3": (3, 1.0)}
+    tidy = discover_period(df, "v", key="idx", order_by="idx",
+                           max_lag=6, by="grp")
+    assert tidy.count() == 18  # 3 groups x 6 lags, flat rows kept NULL
+    import pytest as _pt
+    with _pt.raises(ValueError, match="max_lag"):
+        discover_period(df, "v", key="idx", order_by="idx", max_lag=0)
+
+
+def test_discover_period_feeds_bootstrap(spark):
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_seasonality_floor,
+    )
+    from jsonschema_valid_spark.operators.seasonality import (
+        discover_period,
+    )
+
+    df = spark.createDataFrame(
+        [("a", i, float((i % 5) * 10 + (i % 2))) for i in range(60)],
+        "grp: string, idx: int, v: double")
+    best = discover_period(df, "v", key="idx", order_by="idx",
+                           max_lag=8, by="grp", best_only=True).collect()
+    assert len(best) == 1 and best[0].lag == 5
+    node = suggest_seasonality_floor(df, "v", key="idx", order_by="idx",
+                                     lag=best[0].lag, by="grp")
+    assert node is not None and node["lag"] == 5
+    from jsonschema_valid_spark import CheckSuite
+    assert CheckSuite({"properties": {"v": {
+        "x-seasonality": node}}}).run(df, key="idx").ok()
