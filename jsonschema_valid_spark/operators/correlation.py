@@ -25,6 +25,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def order_window(by: str | None, order_by: str, key: str):
+    """The lag-window convention shared by every lead/lag operator
+    (x-seasonality, x-correlation's lag form): partition by the group,
+    order by the ``(order_by, key)`` TOTAL order so ``lag()`` is
+    deterministic under order-column ties (the x-monotonic rule).
+    Rows with a NULL order value have no position in the sequence and
+    must be excluded by the caller BEFORE staging — otherwise they
+    sort first and silently occupy lag slots."""
+    from pyspark.sql import Window
+
+    base = (Window.partitionBy(by) if by is not None
+            else Window.partitionBy())
+    return base.orderBy(F.col(order_by), F.col(key))
+
+
 def _safe_corr(a: Column, b: Column) -> Column:
     """Pearson r as ``try_divide(covar_samp, sx·sy)`` — mathematically
     identical to ``F.corr`` (the (n−1) normalizations cancel) but NULL
@@ -116,23 +131,23 @@ def correlation_violations(
     if min_corr is None and max_corr is None:
         raise ValueError("x-correlation needs min and/or max")
     if lag:
-        if int(lag) < 0:
-            raise ValueError(f"lag must be >= 0, got {lag}")
+        if int(lag) < 1:
+            raise ValueError(
+                f"lag must be >= 1 (omit it for the zero-lag form), "
+                f"got {lag}")
         if order_by is None or key is None:
             raise ValueError("x-correlation with lag needs orderBy "
                              "(and a run key) to define the sequence")
     ca = F.col(column).cast("double")
     cb = F.col(with_col).cast("double")
     if lag:
-        from pyspark.sql import Window
-
-        w = (Window.partitionBy(by) if by is not None else Window
-             .partitionBy()).orderBy(F.col(order_by), F.col(key))
+        w = order_window(by, order_by, key)
         # keep the ORIGINAL `by` attribute through window -> groupBy
-        # so the aggregate consumes the window's hash-partitioning
+        # so the aggregate consumes the window's hash-partitioning; a
+        # NULL order value has no position in the sequence
         cols = ([F.col(by)] if by is not None else []) + [
             ca.alias("__a"), F.lag(cb, int(lag)).over(w).alias("__b")]
-        df = df.select(*cols)
+        df = df.where(F.col(order_by).isNotNull()).select(*cols)
         ca, cb = F.col("__a"), F.col("__b")
     aggs = [
         _safe_corr(ca, cb).alias("__r"),

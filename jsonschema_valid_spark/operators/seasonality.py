@@ -46,23 +46,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window, functions as F
 
-from jsonschema_valid_spark.operators.correlation import _safe_corr
+from jsonschema_valid_spark.operators.correlation import (
+    _safe_corr,
+    order_window,
+)
 
 
 def _acf_cells(df: DataFrame, column: str, key: str, order_by: str,
                lag: int, by: str | None):
     """(grouped-or-global aggregate, group-render column): one window
-    lag + one moment aggregate; __r = acf@lag, __n = complete pairs."""
+    lag + one moment aggregate; __r = acf@lag, __n = complete pairs.
+    Rows with a NULL order value have no position in the sequence and
+    are excluded (matching the streaming twin)."""
     if int(lag) < 1:
         raise ValueError(f"x-seasonality lag must be >= 1, got {lag}")
-    w = (Window.partitionBy(by) if by is not None else Window
-         .partitionBy()).orderBy(F.col(order_by), F.col(key))
+    w = order_window(by, order_by, key)
     v = F.col(column).cast("double")
     # keep the ORIGINAL `by` attribute through window -> groupBy (the
     # x-monotonic plan note: aliasing first buys a second Exchange)
     cols = ([F.col(by)] if by is not None else []) + [
         v.alias("__v"), F.lag(v, int(lag)).over(w).alias("__p")]
-    staged = df.select(*cols)
+    staged = df.where(F.col(order_by).isNotNull()).select(*cols)
     aggs = [
         _safe_corr(F.col("__v"), F.col("__p")).alias("__r"),
         F.count(F.when(F.col("__v").isNotNull()
@@ -98,15 +102,12 @@ def seasonality_violations(
     decimal(10,4) for cross-engine witness stability."""
     if min_acf is None and max_acf is None:
         raise ValueError("x-seasonality needs min and/or max")
+    from jsonschema_valid_spark.operators._bounds import out_of_bounds
+
     g, doc = _acf_cells(df, column, key, order_by, lag, by)
-    out_of_bounds = F.lit(False)
-    if min_acf is not None:
-        out_of_bounds = out_of_bounds | (F.col("__r") < F.lit(float(min_acf)))
-    if max_acf is not None:
-        out_of_bounds = out_of_bounds | (F.col("__r") > F.lit(float(max_acf)))
     bad = (F.col("__r").isNotNull()
            & (F.col("__n") >= F.lit(int(min_count)))
-           & out_of_bounds)
+           & out_of_bounds(F.col("__r"), min_acf, max_acf))
     lo = "-inf" if min_acf is None else f"{float(min_acf):g}"
     hi = "inf" if max_acf is None else f"{float(max_acf):g}"
     scope = f" per {by}" if by else ""
@@ -217,12 +218,11 @@ def discover_period(
     L = int(max_lag)
     if not (1 <= L <= 128):
         raise ValueError(f"max_lag must be in [1, 128], got {max_lag}")
-    w = (Window.partitionBy(by) if by is not None else Window
-         .partitionBy()).orderBy(F.col(order_by), F.col(key))
+    w = order_window(by, order_by, key)
     v = F.col(column).cast("double")
     cols = ([F.col(by)] if by is not None else []) + [v.alias("__v")] + [
         F.lag(v, k).over(w).alias(f"__p{k}") for k in range(1, L + 1)]
-    staged = df.select(*cols)
+    staged = df.where(F.col(order_by).isNotNull()).select(*cols)
     aggs = []
     for k in range(1, L + 1):
         pk = F.col(f"__p{k}")

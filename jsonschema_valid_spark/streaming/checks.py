@@ -1915,7 +1915,6 @@ def stream_seasonality_verdicts(
     denom = F.sqrt(F.greatest(n * sxx - sx * sx, F.lit(0.0))
                    * F.greatest(n * syy - sy * sy, F.lit(0.0)))
     r = F.try_divide(n * sxy - sx * sy, denom)
-    r = F.when(denom > F.lit(0.0), r)
     passed = F.lit(True)
     if min_acf is not None:
         passed = passed & (r >= F.lit(float(min_acf)))

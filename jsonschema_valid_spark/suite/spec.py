@@ -468,6 +468,7 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                            and v["lag"] >= 1
                            and isinstance(v.get("orderBy"), str)
                            and v["orderBy"]))
+                  and ("orderBy" not in v or "lag" in v)
                   and ("minCount" not in v
                        or (isinstance(v["minCount"], int)
                            and not isinstance(v["minCount"], bool)
@@ -476,7 +477,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 raise _err(p, "x-correlation must be {'with': col, "
                               "'min'|'max': number in [-1, 1], "
                               "'by'?: col, 'lag'?: int>=1 (requires "
-                              "'orderBy': col), 'minCount'?: int>=3}")
+                              "'orderBy': col; orderBy without lag is "
+                              "inert and refused), 'minCount'?: int>=3}")
         elif kw == "x-contiguous":
             ok = (isinstance(v, dict)
                   and ("by" not in v or isinstance(v["by"], str))

@@ -155,3 +155,40 @@ def test_leadlag_plan_single_exchange(spark):
     plan = plan.split("== Initial Plan ==")[0]
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 1, plan
+
+
+def test_leadlag_null_order_rows_excluded_and_inert_orderby_refused(spark):
+    import pytest as _pt
+
+    from jsonschema_valid_spark.operators.correlation import (
+        correlation_violations,
+    )
+    from jsonschema_valid_spark.suite.spec import (
+        SuiteError,
+        validate_suite_spec,
+    )
+
+    # a NULL order value has no position in the sequence: the lagged
+    # pairing must be identical with and without such rows present
+    rows = [(i, "g", float(((i - 2) % 4) * 10), float((i % 4) * 10))
+            for i in range(16)]
+    df = spark.createDataFrame(rows, "o: int, grp: string, c: double, "
+                                     "w: double")
+    noisy = df.union(spark.createDataFrame(
+        [(None, "g", 999.0, -999.0), (None, "g", -1.0, 1.0)], df.schema))
+    kw = dict(with_col="w", by="grp", min_corr=0.9, lag=2,
+              order_by="o", key="o")
+    clean = {r.doc_id: r.observed
+             for r in correlation_violations(df, "c", "k", **kw).collect()}
+    dirty = {r.doc_id: r.observed
+             for r in correlation_violations(noisy, "c", "k",
+                                             **kw).collect()}
+    assert clean == dirty == {}  # perfectly lag-2 aligned either way
+
+    # orderBy without lag is inert — refused at spec level
+    with _pt.raises(SuiteError):
+        validate_suite_spec({"properties": {"c": {"x-correlation": {
+            "with": "w", "min": 0.5, "orderBy": "o"}}}})
+    with _pt.raises(ValueError, match="lag must be >= 1"):
+        correlation_violations(df, "c", "k", with_col="w", min_corr=0.5,
+                               lag=-2, order_by="o", key="o")
