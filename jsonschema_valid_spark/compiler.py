@@ -1133,16 +1133,23 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
                 cid, "unique_within", colname, dict(v)))
         elif v is True or (isinstance(v, dict) and not v.get("approx")):
             # {'approx': false} means the EXACT check, same as `true` — a
-            # declared uniqueness check must never compile to nothing
-            plan.dataset_checks.append(DatasetCheck(cid, "unique", colname, {}))
+            # declared uniqueness check must never compile to nothing;
+            # an optional `where` narrows the uniqueness domain to the
+            # rows it governs ("active rows must be unique")
+            params = ({"where": v["where"]}
+                      if isinstance(v, dict) and v.get("where") else {})
+            plan.dataset_checks.append(
+                DatasetCheck(cid, "unique", colname, params))
         elif isinstance(v, dict) and v.get("approx"):
             # HLL++ sketch mode: ONE aggregation pass, no key shuffle
             # (operators/uniqueness.py approx_unique_verdict). Trades proof
             # for speed: duplicates below rsd·n can pass — the 10^12-row
             # fast gate; exact mode remains the proof path.
-            plan.dataset_checks.append(DatasetCheck(
-                cid, "unique", colname,
-                {"approx": True, "rsd": float(v.get("rsd", 0.01))}))
+            params = {"approx": True, "rsd": float(v.get("rsd", 0.01))}
+            if v.get("where"):
+                params["where"] = v["where"]
+            plan.dataset_checks.append(
+                DatasetCheck(cid, "unique", colname, params))
     elif kw == "x-referential":
         plan.dataset_checks.append(DatasetCheck(cid, "referential", colname, dict(v)))
     elif kw == "x-rowCount":

@@ -6711,3 +6711,51 @@ def profile_discover_period(spark, sf_dir):
     return best.select(
         F.col("group").alias("grp"), "lag",
         F.round("acf", 4).alias("acf"), "n")
+
+
+_CONDITIONAL_REF_SQL = """
+WITH f AS (
+  SELECT event_id,
+         CASE WHEN event_id % 23 = 0 THEN user_id + 1000000
+              ELSE user_id END AS payer_key
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT CAST(event_id AS VARCHAR) AS doc_id,
+       'properties/payer_key/x-referential' AS check_id,
+       CAST(payer_key AS VARCHAR) AS observed
+FROM f
+WHERE payer_key IS NOT NULL
+  AND payer_key NOT IN (SELECT c_custkey FROM customer)
+"""
+
+
+@register_extended("engine_conditional_referential", _CONDITIONAL_REF_SQL)
+def engine_conditional_referential(spark, sf_dir):
+    """x-referential {"where"} — CONDITIONAL referential integrity:
+    only purchase events must reference a registered customer
+    ("anonymous browsing is fine; anonymous BUYING is a data bug").
+    The subpopulation form every real FK eventually needs — state
+    machines where membership only binds after a transition — and
+    previously inexpressible: the unscoped keyword flags browse rows
+    too (the fixture corrupts every event_id % 23 == 0 row across ALL
+    types: 44 corrupted rows at sf0.001 but only the 6 purchase-side
+    ones violate; 435 vs 92 at sf0.01 — the where is load-bearing,
+    not decoration). Plan: the where is a pure pre-filter Catalyst
+    pushes into the scan (the scoped check reads LESS), then the
+    standard broadcast left-anti join against the dimension — the
+    fact side never shuffles. Same _scoped hook as the rate family,
+    now wired across the membership family (x-referential inline +
+    anti-join, x-unique exact/approx/withinSeconds). EXTENDED mirror
+    entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("payer_key", F.expr(
+              "CASE WHEN event_id % 23 = 0 THEN user_id + 1000000 "
+              "ELSE user_id END")))
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    suite = CheckSuite({"properties": {"payer_key": {"x-referential": {
+        "domain": "@customers", "domainColumn": "c_custkey",
+        "where": "event_type = 'purchase'"}}}})
+    res = suite.run(ev, key="event_id", context={"customers": cust})
+    return res.violations.select("doc_id", "check_id", "observed")

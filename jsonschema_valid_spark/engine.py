@@ -199,11 +199,20 @@ def _inline_referential(plan: BoundPlan, context: dict) -> None:
         col = F.col(dc.column)
         from jsonschema_valid_spark.compiler import RowCheck
 
+        pred = F.coalesce(col.isNull() | col.isin(*values), F.lit(True))
+        scope = ""
+        if dc.params.get("where"):
+            # conditional membership: rows outside the `where` scope are
+            # exempt (NULL scope result => exempt, matching _scoped's
+            # row-dropping semantics on the anti-join path)
+            pred = F.when(F.expr(dc.params["where"]), pred) \
+                .otherwise(F.lit(True))
+            scope = f" where {dc.params['where']}"
         plan.row_checks.append(RowCheck(
             dc.check_id,
-            F.coalesce(col.isNull() | col.isin(*values), F.lit(True)),
+            pred,
             col.cast("string"),
-            f"{dc.column} in domain ({len(values)} values)",
+            f"{dc.column} in domain ({len(values)} values){scope}",
         ))
     plan.dataset_checks = keep
 
@@ -593,6 +602,7 @@ def _unique_within_violations(dc, df: DataFrame, key: str) -> DataFrame:
         recent_duplicate_violations,
     )
 
+    df = _scoped(dc, df)
     return recent_duplicate_violations(
         df, dc.column, dc.check_id, key=key,
         ts=dc.params["ts"],
@@ -1043,16 +1053,17 @@ def run_suite_summarized(
     for dc in plan.dataset_checks:
         if dc.kind == "unique" and dc.params.get("approx"):
             approx_unique_verdicts.append(
-                _approx_unique_verdict_df(df, dc))
+                _approx_unique_verdict_df(_scoped(dc, df), dc))
             continue
         if dc.kind == "unique":
-            vdf = uniq_op.uniqueness_violations(df, dc.column, dc.check_id)
+            vdf = uniq_op.uniqueness_violations(
+                _scoped(dc, df), dc.column, dc.check_id)
         elif dc.kind == "referential":
             dom = dc.params["domain"]
             if isinstance(dom, str) and dom.startswith("@"):
                 dom = context[dom[1:]]
             vdf = ref_op.referential_violations(
-                df, dc.column, dom, dc.check_id, key=key,
+                _scoped(dc, df), dc.column, dom, dc.check_id, key=key,
                 domain_column=dc.params.get("domainColumn"),
                 **_bloom_opts(dc.params))
         elif dc.kind == "parity":
@@ -1340,11 +1351,13 @@ def run_suite(
 
     for dc in plan.dataset_checks:
         if dc.kind == "unique" and dc.params.get("approx"):
-            verdict_dfs.append(_approx_unique_verdict_df(df, dc))
+            verdict_dfs.append(_approx_unique_verdict_df(_scoped(dc, df), dc))
         elif dc.kind == "unique":
-            dups = uniq_op.duplicate_keys(df, dc.column)
+            sdf_u = _scoped(dc, df)
+            dups = uniq_op.duplicate_keys(sdf_u, dc.column)
             violation_dfs.append(
-                _with_ipath(uniq_op.uniqueness_violations(df, dc.column, dc.check_id))
+                _with_ipath(uniq_op.uniqueness_violations(
+                    sdf_u, dc.column, dc.check_id))
             )
             verdict_dfs.append(
                 dups.agg(F.count(F.lit(1)).alias("nd")).select(
@@ -1360,7 +1373,7 @@ def run_suite(
             if isinstance(dom, str) and dom.startswith("@"):
                 dom = context[dom[1:]]
             bad = ref_op.referential_violations(
-                df, dc.column, dom, dc.check_id, key=key,
+                _scoped(dc, df), dc.column, dom, dc.check_id, key=key,
                 domain_column=dc.params.get("domainColumn"),
                 **_bloom_opts(dc.params),
             )

@@ -245,12 +245,14 @@ METASCHEMA_SUITE: dict = {
         _kw("x-unique", {"properties": {"value_type": {
             "enum": ["boolean", "object", "array"]}}}),
         _kw("x-unique", {"properties": {
-            # object form: HLL sketch mode OR time-scoped mode (which
-            # needs its ts column declared alongside the horizon)
+            # object form: HLL sketch mode, time-scoped mode (which
+            # needs its ts column declared alongside the horizon), or
+            # the where-scoped exact form
             "dict_keys": {"anyOf": [
                 {"contains": {"const": "approx"}},
                 {"allOf": [{"contains": {"const": "withinSeconds"}},
                            {"contains": {"const": "ts"}}]},
+                {"contains": {"const": "where"}},
             ]}}},
             value_type={"const": "object"}),
         _kw("x-unique", {"properties": {
