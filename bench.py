@@ -299,6 +299,29 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     timed("hierarchy_doubling", lambda: acyclic_violations(
         hier, "nid", "b", parent_col="pid", max_depth=32).count())
 
+    # r4 waves 32-35: the canonical-cell + lag-window families —
+    # x-reciprocal (one map-side-combined groupBy on (least, greatest),
+    # never a self-join) and x-seasonality (one lag window whose
+    # hash-partitioning the moment aggregate consumes); pair fixture =
+    # mutual (2k, 2k+1) links with every 17th id defecting
+    from jsonschema_valid_spark.operators.reciprocity import (
+        reciprocity_violations,
+    )
+    from jsonschema_valid_spark.operators.seasonality import (
+        seasonality_violations,
+    )
+
+    pair = seq.select(
+        did.alias("a"),
+        F.when(did % 17 == 0, did + 2)
+        .when(did % 2 == 0, did + 1)
+        .otherwise(did - 1).alias("b"))
+    timed("pair_symmetry", lambda: reciprocity_violations(
+        pair, "a", "b1", with_col="b").count())
+    timed("acf_window", lambda: seasonality_violations(
+        mom, "n_tok", "b2", key="did", order_by="did", lag=8,
+        by="source", min_acf=-1.0, max_acf=1.0).count())
+
     wall = timings["flagship_full"]
     totals = seq.agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.size("tokens")).alias("t")).first()
