@@ -273,6 +273,7 @@ def _agg_consistency_violations(dc, df: DataFrame, context: dict) -> DataFrame:
     child = dc.params["child"]
     if isinstance(child, str) and child.startswith("@"):
         child = context[child[1:]]
+    df = _scoped(dc, df)
     return aggregate_violations(
         df, child, dc.column, dc.check_id,
         parent_key=dc.params["key"],
@@ -292,6 +293,7 @@ def _freshness_violations(dc, df: DataFrame) -> DataFrame:
     )
 
     mf = dc.params.get("maxFutureHours")
+    df = _scoped(dc, df)
     return freshness_violations(
         df, dc.column, dc.check_id,
         as_of=dc.params["asOf"],
@@ -308,6 +310,7 @@ def _row_count_violations(dc, df: DataFrame) -> DataFrame:
     )
 
     mn, mx = dc.params.get("min"), dc.params.get("max")
+    df = _scoped(dc, df)
     return row_count_violations(
         df, dc.column, dc.check_id,
         min_count=None if mn is None else int(mn),
@@ -331,6 +334,7 @@ def _decontamination_violations(dc, df: DataFrame, context: dict,
     if isinstance(bench, str) and bench.startswith("@"):
         bench = context[bench[1:]]
     method = dc.params.get("method", "ngram")
+    df = _scoped(dc, df)
     if method == "fuzzy":
         return fuzzy_decontamination_violations(
             df, dc.column, bench, dc.check_id, key=key,
@@ -370,6 +374,7 @@ def _max_frequency_violations(dc, df: DataFrame) -> DataFrame:
 
     mf, mc = dc.params.get("maxFraction"), dc.params.get("maxCount")
     kk = dc.params.get("k")
+    df = _scoped(dc, df)
     return frequency_violations(
         df, dc.column, dc.check_id,
         max_fraction=None if mf is None else float(mf),
@@ -393,6 +398,7 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
         )
 
         ms, ns = dc.params.get("maxStep"), dc.params.get("minStep")
+        df = _scoped(dc, df)
         return monotonic_group_verdicts(
             df, dc.column, dc.check_id, key=key,
             order_by=dc.params["orderBy"], by=dc.params["by"],
@@ -405,6 +411,7 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
         )
 
         mf = dc.params.get("maxFutureHours")
+        df = _scoped(dc, df)
         return freshness_group_verdicts(
             df, dc.column, dc.check_id,
             as_of=dc.params["asOf"],
@@ -417,6 +424,7 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
         )
 
         mf, mc = dc.params.get("maxFraction"), dc.params.get("maxCount")
+        df = _scoped(dc, df)
         return frequency_group_verdicts(
             df, dc.column, dc.check_id, by=dc.params["by"],
             max_fraction=None if mf is None else float(mf),
@@ -427,6 +435,7 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
         )
 
         mn, mx = dc.params.get("min"), dc.params.get("max")
+        df = _scoped(dc, df)
         return row_count_group_verdicts(
             df, dc.column, dc.check_id,
             min_count=None if mn is None else int(mn),
@@ -543,6 +552,7 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             overlap_group_verdicts,
         )
 
+        df = _scoped(dc, df)
         return overlap_group_verdicts(
             df, dc.column, dc.check_id, key=key,
             end_column=dc.params["endColumn"], by=dc.params["by"],
@@ -557,6 +567,7 @@ def _monotonic_violations(dc, df: DataFrame, key: str) -> DataFrame:
     )
 
     ms, ns = dc.params.get("maxStep"), dc.params.get("minStep")
+    df = _scoped(dc, df)
     return monotonic_violations(
         df, dc.column, dc.check_id, key=key,
         order_by=dc.params["orderBy"],
@@ -573,6 +584,7 @@ def _overlap_violations(dc, df: DataFrame, key: str) -> DataFrame:
         overlap_violations,
     )
 
+    df = _scoped(dc, df)
     return overlap_violations(
         df, dc.column, dc.check_id, key=key,
         end_column=dc.params["endColumn"],
@@ -587,6 +599,7 @@ def _level_shift_violations(dc, df: DataFrame, key: str) -> DataFrame:
         level_shift_violations,
     )
 
+    df = _scoped(dc, df)
     return level_shift_violations(
         df, dc.column, dc.check_id, key=key,
         order_by=dc.params["orderBy"],
@@ -618,6 +631,7 @@ def _correlation_violations(dc, df: DataFrame, key: str) -> DataFrame:
     )
 
     mn, mx = dc.params.get("min"), dc.params.get("max")
+    df = _scoped(dc, df)
     return correlation_violations(
         df, dc.column, dc.check_id,
         with_col=dc.params["with"],
@@ -738,6 +752,7 @@ def _funnel_violations(dc, df: DataFrame) -> DataFrame:
     from jsonschema_valid_spark.operators.funnel import funnel_violations
 
     ws = dc.params.get("withinSeconds")
+    df = _scoped(dc, df)
     return funnel_violations(
         df, dc.column, dc.check_id,
         key=dc.params["key"], ts=dc.params["ts"],
@@ -836,6 +851,7 @@ def _event_order_violations(dc, df: DataFrame) -> DataFrame:
         event_order_violations,
     )
 
+    df = _scoped(dc, df)
     return event_order_violations(
         df, dc.column, dc.check_id,
         by=dc.params["by"],
@@ -854,6 +870,7 @@ def _session_violations(dc, df: DataFrame, key: str) -> DataFrame:
     mds = dc.params.get("maxDurationSeconds")
     mev = dc.params.get("maxEvents")
     nev = dc.params.get("minEvents")
+    df = _scoped(dc, df)
     return session_violations(
         df, dc.column, dc.check_id, key=key,
         by=dc.params["by"],
@@ -870,6 +887,7 @@ def _outlier_violations(dc, df: DataFrame, key: str) -> DataFrame:
         outlier_violations,
     )
 
+    df = _scoped(dc, df)
     return outlier_violations(
         df, dc.column, dc.check_id, key=key,
         by=dc.params.get("by"),
@@ -889,6 +907,7 @@ def _fd_violations(dc, df: DataFrame) -> DataFrame:
     det = dc.params["determines"]
     if isinstance(det, str):
         det = [det]
+    df = _scoped(dc, df)
     return functional_dependency_violations(
         df, dc.column, dc.check_id, determines=list(det))
 

@@ -55,6 +55,21 @@ def _check_nonneg_int(path, kw, v):
         raise _err(path, f"{kw} must be a non-negative integer, got {v!r}")
 
 
+# dataset keywords whose engine execution routes through the `_scoped`
+# hook in BOTH run paths (violations + perGroup verdicts) — the only
+# ones allowed to carry a `where` subpopulation scope
+_WHERE_SCOPED_KEYWORDS = frozenset({
+    "x-unique", "x-referential",
+    "x-compliance", "x-distinctRatio", "x-trend", "x-seasonality",
+    "x-contiguous", "x-association", "x-entropy", "x-reciprocal",
+    "x-cohortParity", "x-acyclic", "x-correlation",
+    "x-aggConsistency", "x-freshness", "x-rowCount",
+    "x-decontamination", "x-maxFrequency", "x-monotonic",
+    "x-noOverlap", "x-levelShift", "x-funnel", "x-eventOrder",
+    "x-session", "x-outlier", "x-functionalDependency",
+})
+
+
 def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -> None:
     """Validate a suite node recursively (≙ metaschema validation,
     ``config.rs:75-90``). Raises :class:`SuiteError` on the first problem —
@@ -73,6 +88,19 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
 
     for kw, v in spec.items():
         p = path + (kw,)
+        if kw.startswith("x-") and isinstance(v, dict) and "where" in v:
+            # central `where` rule: a dataset keyword either supports
+            # Deequ-style subpopulation scoping through the engine's
+            # _scoped hook, or the key is REFUSED — an accepted-but-
+            # ignored scope is the worst outcome (the user believes the
+            # check is narrowed when it is not)
+            if kw not in _WHERE_SCOPED_KEYWORDS:
+                raise _err(p, f"{kw} does not support 'where' scoping "
+                              "(supported: "
+                              f"{', '.join(sorted(_WHERE_SCOPED_KEYWORDS))})")
+            if not (isinstance(v["where"], str) and v["where"]):
+                raise _err(p, f"{kw} 'where' must be a non-empty SQL "
+                              "boolean string")
         if kw == "type":
             names = v if isinstance(v, list) else [v]
             if not names:
@@ -367,7 +395,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 return (isinstance(x, int) and not isinstance(x, bool)
                         and x >= 0)
             ok = (isinstance(v, dict)
-                  and set(v) <= {"min", "max", "scope", "verdicts"}
+                  and set(v) <= {"min", "max", "scope", "verdicts",
+                                 "where"}
                   and ("min" in v or "max" in v)
                   and all(_cnt(v[kk]) for kk in ("min", "max") if kk in v)
                   and v.get("scope", "group") in ("group", "table")
@@ -386,7 +415,7 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             mf = v.get("maxFraction") if isinstance(v, dict) else None
             ok = (isinstance(v, dict)
                   and set(v) <= {"maxFraction", "maxCount", "mode", "k",
-                                 "by", "verdicts"}
+                                 "by", "verdicts", "where"}
                   and ("maxFraction" in v or "maxCount" in v)
                   and ("by" not in v
                        or (isinstance(v["by"], str) and v["by"]

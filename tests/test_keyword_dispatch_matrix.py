@@ -83,3 +83,73 @@ def test_keyword_emits_verdict_in_both_paths(spark, kw):
     summ_ids = {r["check_id"] for r in summ.verdicts.collect()}
     assert any(kw in cid for cid in summ_ids), \
         f"{kw}: no verdict in the summarized path"
+
+
+# ---- wave 38: universal `where` scoping --------------------------------
+# A VIOLATING variant of each newly-scoped keyword: unscoped it must
+# trip on the fixture; scoped to an empty subpopulation it must go
+# silent. A keyword that accepted `where` but ignored it would keep its
+# violations — the exact accepted-but-inert regression the central spec
+# rule + _scoped hook exist to prevent. (x-unique / x-referential /
+# the rate trio / x-seasonality / x-reciprocal scoping is pinned in
+# their own test files; x-aggConsistency / x-decontamination share the
+# identical _scoped line but need context tables, covered by their
+# keyword tests.)
+VIOLATING_SPECS = {
+    "x-monotonic": {"v": {"x-monotonic": {
+        "orderBy": "ts_s", "by": "grp", "direction": "decreasing"}}},
+    "x-noOverlap": {"v": {"x-noOverlap": {"endColumn": "w",
+                                          "by": "grp"}}},
+    "x-levelShift": {"v": {"x-levelShift": {
+        "orderBy": "ts_s", "maxShift": 0.5, "window": 2}}},
+    "x-correlation": {"v": {"x-correlation": {"with": "w",
+                                              "max": 0.5}}},
+    "x-funnel": {"grp": {"x-funnel": {
+        "key": "grp", "ts": "ts",
+        "steps": [{"name": "hi", "when": "v >= 10"},
+                  {"name": "lo", "when": "v < 10"}],
+        "minRates": [0.5]}}},
+    "x-eventOrder": {"ts": {"x-eventOrder": {
+        "by": "grp", "first": "v >= 10", "then": "v < 10"}}},
+    "x-session": {"ts": {"x-session": {"by": "grp", "gapSeconds": 1e9,
+                                       "maxEvents": 2}}},
+    "x-outlier": {"v": {"x-outlier": {"by": "grp", "maxZ": 0.1}}},
+    "x-functionalDependency": {"grp": {
+        "x-functionalDependency": {"determines": "v"}}},
+    "x-maxFrequency": {"grp": {"x-maxFrequency": {"maxCount": 5}}},
+    "x-rowCount": {"grp": {"x-rowCount": {"max": 5}}},
+    "x-freshness": {"ts": {"x-freshness": {
+        "asOf": "2024-01-01T00:00:00", "maxAgeHours": 1.0,
+        "by": "grp"}}},
+    "x-contiguous": {"id": {"x-contiguous": {"by": "grp",
+                                             "maxMissing": 0}}},
+    "x-association": {"grp": {"x-association": {"with": "grp",
+                                                "max": 0.5}}},
+    "x-entropy": {"grp": {"x-entropy": {"max": 0.1}}},
+    "x-cohortParity": {"v": {"x-cohortParity": {
+        "cohort": "grp", "baseline": "g0", "maxGap": 0.5}}},
+}
+
+
+def _with_where(spec: dict, where: str) -> dict:
+    (col, kws), = spec.items()
+    (kw, params), = kws.items()
+    return {col: {kw: {**params, "where": where}}}
+
+
+@pytest.mark.parametrize("kw", sorted(VIOLATING_SPECS))
+def test_where_scope_is_applied_not_just_accepted(spark, kw):
+    df = _df(spark)
+    spec = VIOLATING_SPECS[kw]
+    base = CheckSuite({"properties": spec}).run(df, key="id")
+    assert base.violations.count() > 0, \
+        f"{kw}: fixture must violate unscoped, or this test proves nothing"
+    scoped = CheckSuite(
+        {"properties": _with_where(spec, "grp = 'nope'")}).run(df, key="id")
+    assert scoped.violations.count() == 0, \
+        f"{kw}: violations survived an empty `where` scope — inert where"
+    summ = run_suite_summarized(
+        CheckSuite({"properties": _with_where(spec, "grp = 'nope'")}),
+        df, key="id")
+    assert summ.violations.count() == 0, \
+        f"{kw}: inert where in the summarized path"
