@@ -1106,7 +1106,7 @@ def run_suite_summarized(
             if isinstance(model, str) and model.startswith("@"):
                 model = context[model[1:]]
             vdf = lm_score_violations(
-                df, dc.column, dc.check_id, key=key,
+                _scoped(dc, df), dc.column, dc.check_id, key=key,
                 min_score=float(dc.params["minScore"]),
                 model=model,
                 vocab_size=int(dc.params.get("vocabSize", 50_000)),
@@ -1116,7 +1116,8 @@ def run_suite_summarized(
                 neardup_violations,
             )
 
-            vdf = neardup_violations(df, dc.column, dc.check_id, key=key,
+            vdf = neardup_violations(_scoped(dc, df), dc.column,
+                                     dc.check_id, key=key,
                                      params=_resolve_neardup(dc.params,
                                                              context))
         elif dc.kind == "linkage":
@@ -1124,7 +1125,8 @@ def run_suite_summarized(
                 linkage_violations,
             )
 
-            vdf = linkage_violations(df, dc.column, dc.check_id, key=key,
+            vdf = linkage_violations(_scoped(dc, df), dc.column,
+                                     dc.check_id, key=key,
                                      params=dc.params)
         elif dc.kind == "partition_complete":
             from jsonschema_valid_spark.operators.consistency import (
@@ -1270,24 +1272,25 @@ def run_suite_summarized(
             prm = _resolve_drift_baseline(dc.params, context)
             if prm.get("perPartition"):
                 verdict_dfs.append(drift_op.drift_verdicts_per_partition(
-                    df, dc.column, dc.check_id, prm, pk))
+                    _scoped(dc, df), dc.column, dc.check_id, prm, pk))
             else:
                 verdict_dfs.extend(drift_op.drift_verdict_dfs(
-                    df, dc.column, dc.check_id, prm, spark))
+                    _scoped(dc, df), dc.column, dc.check_id, prm, spark))
         elif dc.kind == "distribution":
             from jsonschema_valid_spark.operators.distribution import (
                 distribution_verdict_dfs,
             )
 
             verdict_dfs.extend(distribution_verdict_dfs(
-                df, dc.column, dc.check_id, dc.params, spark))
+                _scoped(dc, df), dc.column, dc.check_id, dc.params,
+                spark))
         elif dc.kind == "tdigest_quantile":
             from jsonschema_valid_spark.operators.tdigest import (
                 tdigest_quantile_verdicts,
             )
 
             verdict_dfs.append(tdigest_quantile_verdicts(
-                df, dc.column, dc.check_id, dc.params,
+                _scoped(dc, df), dc.column, dc.check_id, dc.params,
                 partition_by=partition_by))
 
     verdicts = (_union(verdict_dfs) if verdict_dfs
@@ -1412,23 +1415,24 @@ def run_suite(
             )
 
             verdict_dfs.append(tdigest_quantile_verdicts(
-                df, dc.column, dc.check_id, dc.params,
+                _scoped(dc, df), dc.column, dc.check_id, dc.params,
                 partition_by=partition_by))
         elif dc.kind == "drift":
             prm = _resolve_drift_baseline(dc.params, context)
             if prm.get("perPartition"):
                 verdict_dfs.append(drift_op.drift_verdicts_per_partition(
-                    df, dc.column, dc.check_id, prm, pk))
+                    _scoped(dc, df), dc.column, dc.check_id, prm, pk))
             else:
                 verdict_dfs.extend(drift_op.drift_verdict_dfs(
-                    df, dc.column, dc.check_id, prm, spark))
+                    _scoped(dc, df), dc.column, dc.check_id, prm, spark))
         elif dc.kind == "distribution":
             from jsonschema_valid_spark.operators.distribution import (
                 distribution_verdict_dfs,
             )
 
             verdict_dfs.extend(distribution_verdict_dfs(
-                df, dc.column, dc.check_id, dc.params, spark))
+                _scoped(dc, df), dc.column, dc.check_id, dc.params,
+                spark))
         elif dc.kind == "parity":
             ref_df = dc.params["reference"]
             if isinstance(ref_df, str) and ref_df.startswith("@"):
@@ -1473,7 +1477,7 @@ def run_suite(
             if isinstance(model, str) and model.startswith("@"):
                 model = context[model[1:]]
             lv = lm_score_violations(
-                df, dc.column, dc.check_id, key=key,
+                _scoped(dc, df), dc.column, dc.check_id, key=key,
                 min_score=float(dc.params["minScore"]),
                 model=model,
                 vocab_size=int(dc.params.get("vocabSize", 50_000)),
@@ -1493,7 +1497,8 @@ def run_suite(
                 neardup_violations,
             )
 
-            nv = neardup_violations(df, dc.column, dc.check_id, key=key,
+            nv = neardup_violations(_scoped(dc, df), dc.column,
+                                    dc.check_id, key=key,
                                     params=_resolve_neardup(dc.params,
                                                             context))
             violation_dfs.append(_with_ipath(nv))
@@ -1511,7 +1516,8 @@ def run_suite(
                 linkage_violations,
             )
 
-            lkv = linkage_violations(df, dc.column, dc.check_id, key=key,
+            lkv = linkage_violations(_scoped(dc, df), dc.column,
+                                     dc.check_id, key=key,
                                      params=dc.params)
             violation_dfs.append(_with_ipath(lkv))
             verdict_dfs.append(

@@ -67,6 +67,8 @@ _WHERE_SCOPED_KEYWORDS = frozenset({
     "x-decontamination", "x-maxFrequency", "x-monotonic",
     "x-noOverlap", "x-levelShift", "x-funnel", "x-eventOrder",
     "x-session", "x-outlier", "x-functionalDependency",
+    "x-drift", "x-distribution", "x-lmScore", "x-nearDup", "x-linkage",
+    "x-quantile",  # tdigest backend only — the fused default cannot scope
 })
 
 
@@ -101,6 +103,12 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if not (isinstance(v["where"], str) and v["where"]):
                 raise _err(p, f"{kw} 'where' must be a non-empty SQL "
                               "boolean string")
+            if kw == "x-quantile" and v.get("backend") != "tdigest":
+                raise _err(p, "x-quantile 'where' requires the tdigest "
+                              "backend — the fused percentile_approx "
+                              "path rides the shared aggregate pass and "
+                              "cannot scope (an accepted-but-ignored "
+                              "scope would be worse than a refusal)")
         if kw == "type":
             names = v if isinstance(v, list) else [v]
             if not names:
