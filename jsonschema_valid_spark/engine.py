@@ -273,7 +273,6 @@ def _agg_consistency_violations(dc, df: DataFrame, context: dict) -> DataFrame:
     child = dc.params["child"]
     if isinstance(child, str) and child.startswith("@"):
         child = context[child[1:]]
-    df = _scoped(dc, df)
     return aggregate_violations(
         df, child, dc.column, dc.check_id,
         parent_key=dc.params["key"],
@@ -310,12 +309,15 @@ def _row_count_violations(dc, df: DataFrame) -> DataFrame:
     )
 
     mn, mx = dc.params.get("min"), dc.params.get("max")
-    df = _scoped(dc, df)
+    # NOT _scoped: x-rowCount's where is a conditional COUNT over the
+    # full group domain, so fully-out-of-scope groups count 0 and a
+    # min bound flags them instead of losing them to the pre-filter
     return row_count_violations(
         df, dc.column, dc.check_id,
         min_count=None if mn is None else int(mn),
         max_count=None if mx is None else int(mx),
         scope=dc.params.get("scope", "group"),
+        where=dc.params.get("where"),
     )
 
 
@@ -430,16 +432,17 @@ def _per_group_verdicts(dc, df: DataFrame, key: str) -> DataFrame | None:
             max_fraction=None if mf is None else float(mf),
             max_count=None if mc is None else int(mc))
     if dc.kind == "row_count" and dc.params.get("scope", "group") == "group":
+        # conditional count, not _scoped — see _row_count_violations
         from jsonschema_valid_spark.operators.cardinality import (
             row_count_group_verdicts,
         )
 
         mn, mx = dc.params.get("min"), dc.params.get("max")
-        df = _scoped(dc, df)
         return row_count_group_verdicts(
             df, dc.column, dc.check_id,
             min_count=None if mn is None else int(mn),
-            max_count=None if mx is None else int(mx))
+            max_count=None if mx is None else int(mx),
+            where=dc.params.get("where"))
     if dc.kind == "compliance" and dc.params.get("by") is not None:
         from jsonschema_valid_spark.operators.compliance import (
             compliance_group_verdicts,

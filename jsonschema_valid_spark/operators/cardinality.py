@@ -31,6 +31,7 @@ def row_count_violations(
     min_count: int | None = None,
     max_count: int | None = None,
     scope: str = "group",
+    where: str | None = None,
 ) -> DataFrame:
     """``x-rowCount`` execution: out-of-bounds groups as engine violation
     rows (doc_id, check_id, observed, expected).
@@ -45,7 +46,7 @@ def row_count_violations(
     if min_count is None and max_count is None:
         raise ValueError("x-rowCount needs at least one of min/max")
     return _row_count_agg(df, column, check_id, min_count, max_count,
-                          scope, as_verdicts=False)
+                          scope, as_verdicts=False, where=where)
 
 
 def row_count_group_verdicts(
@@ -54,6 +55,7 @@ def row_count_group_verdicts(
     check_id: str,
     min_count: int | None = None,
     max_count: int | None = None,
+    where: str | None = None,
 ) -> DataFrame:
     """``x-rowCount {"verdicts": "perGroup"}``: one verdict row per group
     — (partition_id=group, check_id, passed, metric_value=count,
@@ -63,16 +65,24 @@ def row_count_group_verdicts(
     if min_count is None and max_count is None:
         raise ValueError("x-rowCount needs at least one of min/max")
     return _row_count_agg(df, column, check_id, min_count, max_count,
-                          "group", as_verdicts=True)
+                          "group", as_verdicts=True, where=where)
 
 
 def _row_count_agg(df, column, check_id, min_count, max_count, scope,
-                   as_verdicts):
+                   as_verdicts, where=None):
+    # `where` scopes WHICH ROWS COUNT, not which groups exist: groups
+    # come from the FULL frame and out-of-scope rows count 0, so a
+    # group whose rows are ALL out of scope is flagged by a min bound
+    # (count 0) instead of silently vanishing — the one dataset
+    # keyword where filter-then-group would hide exactly the failures
+    # a cardinality floor exists to catch
+    cnt = (F.count(F.when(F.expr(where), 1)) if where
+           else F.count(F.lit(1)))
     if scope == "group":
-        agg = df.groupBy(column).agg(F.count(F.lit(1)).alias("n"))
+        agg = df.groupBy(column).agg(cnt.alias("n"))
         doc = F.coalesce(F.col(column).cast("string"), F.lit("<null>"))
     else:
-        agg = df.agg(F.count(F.lit(1)).alias("n"))
+        agg = df.agg(cnt.alias("n"))
         doc = F.lit("<global>")
     conds = []
     exp_parts = []

@@ -310,12 +310,13 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"minItems": 1, "items": {
                 "enum": ["maxFraction", "maxCount", "mode", "k", "by",
-                         "verdicts"]}},
+                         "verdicts", "where"]}},
         }}),
         _kw("x-rowCount", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"minItems": 1, "items": {
-                "enum": ["min", "max", "scope", "verdicts"]}},
+                "enum": ["min", "max", "scope", "verdicts",
+                         "where"]}},
         }}),
         _kw("x-monotonic", {"properties": {
             "value_type": {"const": "object"},

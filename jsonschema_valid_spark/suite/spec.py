@@ -63,7 +63,7 @@ _WHERE_SCOPED_KEYWORDS = frozenset({
     "x-compliance", "x-distinctRatio", "x-trend", "x-seasonality",
     "x-contiguous", "x-association", "x-entropy", "x-reciprocal",
     "x-cohortParity", "x-acyclic", "x-correlation",
-    "x-aggConsistency", "x-freshness", "x-rowCount",
+    "x-freshness", "x-rowCount",
     "x-decontamination", "x-maxFrequency", "x-monotonic",
     "x-noOverlap", "x-levelShift", "x-funnel", "x-eventOrder",
     "x-session", "x-outlier", "x-functionalDependency",
@@ -197,8 +197,7 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             if not isinstance(v, dict) or not ("max" in v or "min" in v):
                 raise _err(p, "x-nullRate must be {'max': τ} and/or {'min': τ}")
         elif kw == "x-unique":
-            where_ok = (not isinstance(v, dict) or "where" not in v
-                        or (isinstance(v["where"], str) and v["where"]))
+            # ("where" value validity is the central rule's job above)
             within_ok = (
                 isinstance(v, dict) and "withinSeconds" in v
                 and isinstance(v["withinSeconds"], (int, float))
@@ -209,14 +208,13 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 and "approx" not in v)
             scoped_exact_ok = (
                 isinstance(v, dict) and set(v) == {"where"})
-            if not (where_ok
-                    and (isinstance(v, bool)
-                         or within_ok
-                         or scoped_exact_ok
-                         or (isinstance(v, dict) and "approx" in v
-                             and "withinSeconds" not in v)
-                         or (isinstance(v, list) and v
-                             and all(isinstance(x, str) for x in v)))):
+            if not (isinstance(v, bool)
+                    or within_ok
+                    or scoped_exact_ok
+                    or (isinstance(v, dict) and "approx" in v
+                        and "withinSeconds" not in v)
+                    or (isinstance(v, list) and v
+                        and all(isinstance(x, str) for x in v))):
                 raise _err(p, "x-unique must be boolean (column scope), "
                               "{'approx': true, 'rsd'?: e} (HLL sketch mode), "
                               "{'withinSeconds': W>0, 'ts': col, 'by'?: col} "
@@ -226,10 +224,6 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
         elif kw == "x-referential":
             if not isinstance(v, dict) or "domain" not in v:
                 raise _err(p, "x-referential must be {'domain': <table|list>, ...}")
-            if "where" in v and not (isinstance(v["where"], str)
-                                     and v["where"]):
-                raise _err(p, "x-referential 'where' must be a non-empty "
-                              "SQL boolean string")
         elif kw == "x-stats":
             if not isinstance(v, dict):
                 raise _err(p, "x-stats must be an object of stat→bounds")

@@ -92,9 +92,12 @@ def test_keyword_emits_verdict_in_both_paths(spark, kw):
 # violations — the exact accepted-but-inert regression the central spec
 # rule + _scoped hook exist to prevent. (x-unique / x-referential /
 # the rate trio / x-seasonality / x-reciprocal scoping is pinned in
-# their own test files; x-aggConsistency / x-decontamination share the
-# identical _scoped line but need context tables, covered by their
-# keyword tests.)
+# their own test files; drift / distribution / tdigest-quantile /
+# nearDup / linkage / lmScore / trend / distinctRatio / acyclic /
+# decontamination / conditional-rowCount in
+# test_where_scoping_extended.py; x-aggConsistency REFUSES where — a
+# one-sided scope on a two-table reconciliation mislabels scoped-out
+# parents as child_only.)
 VIOLATING_SPECS = {
     "x-monotonic": {"v": {"x-monotonic": {
         "orderBy": "ts_s", "by": "grp", "direction": "decreasing"}}},

@@ -128,3 +128,110 @@ def test_unsupported_where_refused():
     with pytest.raises(SuiteError, match="does not support 'where'"):
         validate_suite_spec({"properties": {"v": {"x-stats": {
             "avg": {"min": 0}, "where": "v > 0"}}}})
+
+
+def test_trend_and_distinct_ratio_where(spark):
+    rows = ([(i, "g0", i, float(i)) for i in range(20)]          # slope 1
+            + [(100 + i, "g1", i, 5.0) for i in range(20)])      # slope 0
+    df = spark.createDataFrame(rows, "id: long, grp: string, o: int, "
+                                     "v: double")
+    tnode = {"orderBy": "o", "by": "grp", "max": 0.5}
+    full = CheckSuite({"properties": {"v": {"x-trend": tnode}}}) \
+        .run(df, key="id")
+    assert {r.doc_id for r in full.violations.collect()} == {"g0"}
+    scoped = CheckSuite({"properties": {"v": {"x-trend": {
+        **tnode, "where": "grp = 'g1'"}}}}).run(df, key="id")
+    assert scoped.violations.count() == 0
+
+    # distinctRatio: g1's constant v collapses the ratio; scope it out
+    dnode = {"by": "grp", "min": 0.5}
+    full = CheckSuite({"properties": {"v": {"x-distinctRatio": dnode}}}) \
+        .run(df, key="id")
+    assert {r.doc_id for r in full.violations.collect()} == {"g1"}
+    scoped = CheckSuite({"properties": {"v": {"x-distinctRatio": {
+        **dnode, "where": "grp = 'g0'"}}}}).run(df, key="id")
+    assert scoped.violations.count() == 0
+
+
+def test_acyclic_where(spark):
+    # a 2-cycle between quarantined nodes; active nodes form a clean
+    # chain to the root — "only active nodes participate"
+    rows = [(1, "active", None), (2, "active", 1), (3, "active", 2),
+            (10, "quarantined", 11), (11, "quarantined", 10)]
+    df = spark.createDataFrame(rows, "nid: long, state: string, pid: long")
+    node = {"parent": "pid", "maxDepth": 8}
+    full = CheckSuite({"properties": {"nid": {"x-acyclic": node}}}) \
+        .run(df, key="nid")
+    assert full.violations.count() == 2  # both cycle members
+    scoped = CheckSuite({"properties": {"nid": {"x-acyclic": {
+        **node, "where": "state = 'active'"}}}}).run(df, key="nid")
+    assert scoped.violations.count() == 0
+
+
+def test_decontamination_where(spark):
+    bench = spark.createDataFrame(
+        [("the secret benchmark answer is forty two exactly",)],
+        "text: string")
+    docs = spark.createDataFrame(
+        [(1, "train", "a clean document about spark joins here today"),
+         (2, "eval", "leaked: the secret benchmark answer is forty two "
+                     "exactly wow")],
+        "doc_id: long, split: string, text: string")
+    node = {"benchmark": "@bench", "n": 5}
+    full = CheckSuite({"properties": {"text": {
+        "x-decontamination": node}}}).run(
+        docs, key="doc_id", context={"bench": bench})
+    assert full.violations.count() == 1
+    # only the TRAINING split needs decontamination — the eval doc is
+    # ALLOWED to contain benchmark text
+    scoped = CheckSuite({"properties": {"text": {"x-decontamination": {
+        **node, "where": "split = 'train'"}}}}).run(
+        docs, key="doc_id", context={"bench": bench})
+    assert scoped.violations.count() == 0
+
+
+def test_rowcount_where_is_conditional_count(spark):
+    # x-rowCount's where scopes WHICH ROWS COUNT, not which groups
+    # exist: a group whose rows are ALL out of scope counts 0 and a
+    # min bound FLAGS it (filter-then-group would silently lose it)
+    rows = ([("EU", "stale")] * 4 + [("US", "active")] * 4
+            + [("AP", "active")] * 2)
+    df = spark.createDataFrame(rows, "region: string, status: string")
+    node = {"min": 1, "where": "status = 'active'"}
+    res = CheckSuite({"properties": {"region": {"x-rowCount": node}}}) \
+        .run(df, key="region")
+    v = {r.doc_id: r.observed for r in res.violations.collect()}
+    assert v == {"EU": "count=0"}  # the all-stale region is FLAGGED
+    # perGroup verdicts enumerate every region with its in-scope count
+    resg = CheckSuite({"properties": {"region": {"x-rowCount": {
+        **node, "verdicts": "perGroup"}}}}).run(df, key="region")
+    got = {r.partition_id: (r.passed, int(r.metric_value))
+           for r in resg.verdicts.collect()}
+    assert got == {"EU": (False, 0), "US": (True, 4), "AP": (True, 2)}
+
+
+def test_aggconsistency_where_refused():
+    # a one-sided scope on a two-table reconciliation would relabel
+    # scoped-out parents as child_only false alarms — refused outright
+    with pytest.raises(SuiteError, match="does not support 'where'"):
+        validate_suite_spec({"properties": {"total": {
+            "x-aggConsistency": {"child": "@items", "key": "ok",
+                                 "childKey": "ik", "childAgg": "sum(a)",
+                                 "where": "ok > 0"}}}})
+
+
+def test_engine_metaschema_accepts_scoped_strict_keywords(spark):
+    # the engine-hosted metaschema's key whitelists must admit `where`
+    # wherever the walker does (rowCount/maxFrequency enumerate keys)
+    from jsonschema_valid_spark.suite.metaschema import (
+        validate_suite_with_engine,
+    )
+
+    for spec in [
+        {"properties": {"g": {"x-rowCount": {"max": 5,
+                                             "where": "g = 'a'"}}}},
+        {"properties": {"g": {"x-maxFrequency": {"maxCount": 5,
+                                                 "where": "g = 'a'"}}}},
+    ]:
+        res = validate_suite_with_engine(spark, spec)
+        assert res.ok(), [tuple(r) for r in res.violations.collect()]
