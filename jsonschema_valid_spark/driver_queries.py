@@ -6759,3 +6759,64 @@ def engine_conditional_referential(spark, sf_dir):
         "where": "event_type = 'purchase'"}}}})
     res = suite.run(ev, key="event_id", context={"customers": cust})
     return res.violations.select("doc_id", "check_id", "observed")
+
+
+_STATES_STATS_SQL = """
+WITH m AS (
+  SELECT 'event_type' AS col_name, count(*) AS n,
+         count(event_type) AS n_nonnull,
+         CAST(NULL AS DOUBLE) AS mean_v, CAST(NULL AS DOUBLE) AS stddev_v,
+         CAST(NULL AS DOUBLE) AS min_v, CAST(NULL AS DOUBLE) AS max_v
+  FROM events
+  UNION ALL
+  SELECT 'user_id', count(*), count(user_id),
+         avg(CAST(user_id AS DOUBLE)), stddev_samp(CAST(user_id AS DOUBLE)),
+         min(CAST(user_id AS DOUBLE)), max(CAST(user_id AS DOUBLE))
+  FROM events
+  UNION ALL
+  SELECT 'value', count(*), count("value"),
+         avg("value"), stddev_samp("value"), min("value"), max("value")
+  FROM events
+)
+SELECT col_name, n, n_nonnull,
+       (n - n_nonnull) / CAST(n AS DOUBLE) AS null_rate,
+       round(mean_v, 4) AS mean_r, round(stddev_v, 4) AS stddev_r,
+       min_v, max_v
+FROM m ORDER BY col_name
+"""
+
+
+@register_extended("states_incremental_stats", _STATES_STATS_SQL)
+def states_incremental_stats(spark, sf_dir):
+    """Mergeable validation states (operators/states.py): per-partition
+    (n, n_nonnull, sum, sum_sq, min, max, HLL) states computed in ONE
+    map-side-combined pass over event_type partitions, merged back (sums
+    add, min/max lattice, HLL register-max) and finished into metrics —
+    the incremental-validation primitive that lets an appended day's
+    partitions be validated WITHOUT re-scanning a year of history
+    (StateStore persists per-partition states through the checkpoint
+    commit protocols; the unseen-partition filter is a pushed PARTITION
+    filter, pruning pytest-proven with type-poisoned seen partitions).
+    The oracle checks the monoid law end-to-end: metrics finished from
+    merged per-partition states must equal the whole-table aggregates
+    DuckDB computes directly. approx_distinct is excluded from the
+    result (DataSketches HLL vs DuckDB's HLL differ by design; the
+    merged-equals-single-shot register identity is pytest-pinned).
+    mean/stddev rounded to 4dp (moment-vs-streaming reassociation
+    noise); null_rate is one exact-integer IEEE division — bit-exact
+    cross-engine. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark.operators.states import (
+        column_states, merge_states, metrics_from_states)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    metrics = metrics_from_states(merge_states(column_states(
+        ev, ["event_type", "user_id", "value"],
+        partition_col="event_type")))
+    return metrics.select(
+        F.col("column").alias("col_name"), "n", "n_nonnull",
+        ((F.col("n") - F.col("n_nonnull")) / F.col("n").cast("double"))
+        .alias("null_rate"),
+        F.round("mean", 4).alias("mean_r"),
+        F.round("stddev", 4).alias("stddev_r"),
+        F.col("min").alias("min_v"), F.col("max").alias("max_v"),
+    ).orderBy("col_name")
