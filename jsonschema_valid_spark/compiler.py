@@ -1131,6 +1131,16 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
             # before the exact-unique catch-all below.
             plan.dataset_checks.append(DatasetCheck(
                 cid, "unique_within", colname, dict(v)))
+        elif isinstance(v, dict) and "index" in v:
+            # HISTORICAL uniqueness: the batch-internal exact check PLUS
+            # a collision probe against a persisted UniqueIndex of all
+            # previously ingested values (operators/unique_index.py) —
+            # incremental x-unique across appends, never rescanning
+            # history. MUST dispatch before the exact catch-all (which
+            # would silently drop the index param — the withinSeconds
+            # dispatch-bug shape).
+            plan.dataset_checks.append(
+                DatasetCheck(cid, "unique", colname, dict(v)))
         elif v is True or (isinstance(v, dict) and not v.get("approx")):
             # {'approx': false} means the EXACT check, same as `true` — a
             # declared uniqueness check must never compile to nothing;

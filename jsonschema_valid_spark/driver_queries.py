@@ -6820,3 +6820,58 @@ def states_incremental_stats(spark, sf_dir):
         F.round("stddev", 4).alias("stddev_r"),
         F.col("min").alias("min_v"), F.col("max").alias("max_v"),
     ).orderBy("col_name")
+
+
+_UNIQUE_INDEX_SQL = """
+WITH b AS (
+  SELECT user_id, count(*) AS n
+  FROM events
+  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+  GROUP BY user_id
+),
+hist AS (
+  SELECT DISTINCT user_id FROM events
+  WHERE event_type = 'view' AND user_id IS NOT NULL
+)
+SELECT CAST(user_id AS VARCHAR) AS doc_id,
+       'properties/user_id/x-unique' AS check_id,
+       'count=' || CAST(n AS VARCHAR) AS observed,
+       'unique' AS expected
+FROM b WHERE n > 1
+UNION ALL
+SELECT CAST(b.user_id AS VARCHAR) AS doc_id,
+       'properties/user_id/x-unique' AS check_id,
+       'count=' || CAST(b.n AS VARCHAR) || '; exists in index' AS observed,
+       'unique incl. index' AS expected
+FROM b WHERE b.user_id IN (SELECT user_id FROM hist)
+"""
+
+
+@register_extended("engine_unique_index_collisions", _UNIQUE_INDEX_SQL)
+def engine_unique_index_collisions(spark, sf_dir):
+    """x-unique {"index": "@hist"} — HISTORICAL uniqueness
+    (operators/unique_index.py): today's batch must not collide with ANY
+    previously ingested value, without rescanning history. History (the
+    'view' users) is built ONCE into a hash-bucketed catalog table
+    (UniqueIndex.build); the probe semi-joins the batch's distinct
+    values against it with the index side exchange-free off the bucket
+    layout (plan-asserted in tests/test_unique_index.py; inline mode
+    bucket-prunes the scan instead). The keyword emits BOTH the
+    batch-internal exact duplicates (expected='unique') and the index
+    collisions (expected='unique incl. index') as value-level
+    violations; the oracle replays history as a distinct-IN and the
+    batch as GROUP BY multiplicities. Fixture: batch = purchase events
+    probing the view-user history — 15 dup + 15 collision witnesses at
+    sf0.001. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.operators.unique_index import UniqueIndex
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    uidx = UniqueIndex("uix_mirror_hist", "user_id", buckets=8)
+    uidx.build(ev.where("event_type = 'view'").select("user_id"))
+    batch = ev.where("event_type = 'purchase'")
+    suite = CheckSuite({"properties": {"user_id": {"x-unique": {
+        "index": "@hist"}}}})
+    res = suite.run(batch, key="event_id", context={"hist": uidx})
+    return res.violations.select("doc_id", "check_id", "observed",
+                                 "expected")

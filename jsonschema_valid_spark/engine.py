@@ -249,6 +249,33 @@ def _approx_unique_verdict_df(df: DataFrame, dc) -> DataFrame:
     )
 
 
+def _index_collisions(dc, scoped_df: DataFrame, context: dict) -> DataFrame:
+    """x-unique {"index": "@name"}: collision violations of the (scoped)
+    batch against a persisted UniqueIndex (operators/unique_index.py) —
+    historical uniqueness without rescanning history. The context must
+    supply the UniqueIndex instance; its indexed column must be the
+    checked column (a probe against a different column's history answers
+    a different question)."""
+    from jsonschema_valid_spark.operators.unique_index import UniqueIndex
+
+    ref = dc.params["index"]
+    if not (isinstance(ref, str) and ref.startswith("@")):
+        raise ValueError("x-unique index must be an '@name' context ref")
+    if ref[1:] not in context:
+        raise ValueError(f"x-unique index {ref!r} not in run context")
+    uidx = context[ref[1:]]
+    if not isinstance(uidx, UniqueIndex):
+        raise ValueError(
+            f"context[{ref[1:]!r}] must be a UniqueIndex, "
+            f"got {type(uidx).__name__}")
+    if uidx.column != dc.column:
+        raise ValueError(
+            f"UniqueIndex is over column {uidx.column!r} but the check "
+            f"is on {dc.column!r}")
+    return uidx.collision_violations(
+        scoped_df, dc.check_id, inline=bool(dc.params.get("inline")))
+
+
 def _resolve_neardup(params: dict, context: dict) -> dict:
     """x-nearDup params pass through verbatim except ``centroids`` —
     "@name" resolves from the run context (the same indirection as
@@ -1078,8 +1105,11 @@ def run_suite_summarized(
                 _approx_unique_verdict_df(_scoped(dc, df), dc))
             continue
         if dc.kind == "unique":
+            sdf_u = _scoped(dc, df)
             vdf = uniq_op.uniqueness_violations(
-                _scoped(dc, df), dc.column, dc.check_id)
+                sdf_u, dc.column, dc.check_id)
+            if dc.params.get("index"):
+                vdf = vdf.unionByName(_index_collisions(dc, sdf_u, context))
         elif dc.kind == "referential":
             dom = dc.params["domain"]
             if isinstance(dom, str) and dom.startswith("@"):
@@ -1380,12 +1410,18 @@ def run_suite(
         elif dc.kind == "unique":
             sdf_u = _scoped(dc, df)
             dups = uniq_op.duplicate_keys(sdf_u, dc.column)
-            violation_dfs.append(
-                _with_ipath(uniq_op.uniqueness_violations(
-                    sdf_u, dc.column, dc.check_id))
-            )
+            viol = uniq_op.uniqueness_violations(sdf_u, dc.column,
+                                                 dc.check_id)
+            bad_n = dups.agg(F.count(F.lit(1)).alias("nd"))
+            if dc.params.get("index"):
+                coll = _index_collisions(dc, sdf_u, context)
+                viol = viol.unionByName(coll)
+                bad_n = bad_n.crossJoin(
+                    coll.agg(F.count(F.lit(1)).alias("nc"))
+                ).select((F.col("nd") + F.col("nc")).alias("nd"))
+            violation_dfs.append(_with_ipath(viol))
             verdict_dfs.append(
-                dups.agg(F.count(F.lit(1)).alias("nd")).select(
+                bad_n.select(
                     F.lit("<global>").alias("partition_id"),
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nd") == 0).alias("passed"),

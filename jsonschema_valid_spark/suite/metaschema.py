@@ -253,6 +253,7 @@ METASCHEMA_SUITE: dict = {
                 {"allOf": [{"contains": {"const": "withinSeconds"}},
                            {"contains": {"const": "ts"}}]},
                 {"contains": {"const": "where"}},
+                {"contains": {"const": "index"}},
             ]}}},
             value_type={"const": "object"}),
         _kw("x-unique", {"properties": {

@@ -208,19 +208,28 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 and "approx" not in v)
             scoped_exact_ok = (
                 isinstance(v, dict) and set(v) == {"where"})
+            index_ok = (
+                isinstance(v, dict) and isinstance(v.get("index"), str)
+                and v["index"].startswith("@")
+                and set(v) <= {"index", "where", "inline"}
+                and isinstance(v.get("inline", False), bool))
             if not (isinstance(v, bool)
                     or within_ok
                     or scoped_exact_ok
+                    or index_ok
                     or (isinstance(v, dict) and "approx" in v
-                        and "withinSeconds" not in v)
+                        and "withinSeconds" not in v
+                        and "index" not in v)
                     or (isinstance(v, list) and v
                         and all(isinstance(x, str) for x in v))):
                 raise _err(p, "x-unique must be boolean (column scope), "
                               "{'approx': true, 'rsd'?: e} (HLL sketch mode), "
                               "{'withinSeconds': W>0, 'ts': col, 'by'?: col} "
                               "(time-scoped), {'where': sql-bool} (scoped "
-                              "exact), or a list of columns (root scope, "
-                              "composite key); dict forms accept 'where'")
+                              "exact), {'index': '@name', 'inline'?: bool} "
+                              "(historical UniqueIndex probe), or a list of "
+                              "columns (root scope, composite key); dict "
+                              "forms accept 'where'")
         elif kw == "x-referential":
             if not isinstance(v, dict) or "domain" not in v:
                 raise _err(p, "x-referential must be {'domain': <table|list>, ...}")
