@@ -1928,3 +1928,65 @@ def stream_seasonality_verdicts(
         F.coalesce(r, F.lit(0.0)).cast("double").alias("acf"),
         n.cast("long").alias("n"),
         passed.alias("passed"))
+
+
+def stream_index_collisions(
+    sdf: DataFrame,
+    index,
+    key: str = "doc_id",
+    check_id: str | None = None,
+) -> DataFrame:
+    """Streaming historical uniqueness (operators/unique_index.py lifted
+    to ingest time): every streamed row whose value ALREADY EXISTS in a
+    persisted :class:`UniqueIndex` is flagged as it arrives — the
+    validation-on-ingest form of ``x-unique {"index": "@hist"}``
+    (re-submitted documents, replayed ingest jobs, id-space collisions
+    against the historical corpus).
+
+    Scale shape: a STREAM-STATIC left-semi join — the static side is the
+    index's catalog bucketed table, so Spark plans the same
+    bucket-layout-aware join as the batch probe; no watermark and no
+    state store (the "history" lives in the index files, not in
+    streaming state — the only design whose memory does not grow with
+    the historical value count). Stream-static joins are append-legal.
+
+    Semantic pair with the batch operator (the level-shift convention):
+    batch ``collision_violations`` reports each colliding VALUE once
+    with its batch multiplicity; the stream emits one alert PER ROW
+    (doc_id = the row key) as it arrives — per-value aggregation over an
+    unbounded stream would need a window, and a collision alert should
+    not wait for one. Parity on the value set is pytest-asserted.
+
+    The index snapshot is taken when the static DataFrame is resolved:
+    values ``extend()``-ed after query start become visible per the
+    catalog's file-listing refresh semantics — restart the query (or
+    ``REFRESH TABLE``) for a guaranteed pickup; a validated batch is
+    normally extended BEFORE the next ingest window opens.
+    """
+    from jsonschema_valid_spark.operators.unique_index import UniqueIndex
+
+    if not isinstance(index, UniqueIndex):
+        raise ValueError(
+            f"index must be a UniqueIndex, got {type(index).__name__}")
+    col = index.column
+    if col not in sdf.columns or key not in sdf.columns:
+        raise ValueError(
+            f"stream needs columns {col!r} and {key!r} (have {sdf.columns})")
+    spark = sdf.sparkSession
+    idx = index.index_df(spark).select(col)
+    idx_t = idx.schema[col].dataType
+    bat_t = sdf.schema[col].dataType
+    if idx_t != bat_t:
+        raise ValueError(
+            f"index column type {idx_t.simpleString()} != stream column "
+            f"type {bat_t.simpleString()} — cast the stream explicitly")
+    cid = check_id or f"properties/{col}/x-unique"
+    hits = (sdf.where(F.col(col).isNotNull())
+            .join(idx, col, "left_semi"))
+    return hits.select(
+        F.col(key).cast("string").alias("doc_id"),
+        F.lit(cid).alias("check_id"),
+        F.concat(F.lit("value="), F.col(col).cast("string"),
+                 F.lit("; exists in index")).alias("observed"),
+        F.lit("unique incl. index").alias("expected"),
+    )
