@@ -1409,19 +1409,17 @@ def run_suite(
             verdict_dfs.append(_approx_unique_verdict_df(_scoped(dc, df), dc))
         elif dc.kind == "unique":
             sdf_u = _scoped(dc, df)
-            dups = uniq_op.duplicate_keys(sdf_u, dc.column)
             viol = uniq_op.uniqueness_violations(sdf_u, dc.column,
                                                  dc.check_id)
-            bad_n = dups.agg(F.count(F.lit(1)).alias("nd"))
             if dc.params.get("index"):
-                coll = _index_collisions(dc, sdf_u, context)
-                viol = viol.unionByName(coll)
-                bad_n = bad_n.crossJoin(
-                    coll.agg(F.count(F.lit(1)).alias("nc"))
-                ).select((F.col("nd") + F.col("nc")).alias("nd"))
+                viol = viol.unionByName(
+                    _index_collisions(dc, sdf_u, context))
             violation_dfs.append(_with_ipath(viol))
+            # the verdict counts the SAME unioned violations DF (one DAG
+            # per output — a separate dup/collision recount would run the
+            # probe twice when the caller actions both outputs)
             verdict_dfs.append(
-                bad_n.select(
+                viol.agg(F.count(F.lit(1)).alias("nd")).select(
                     F.lit("<global>").alias("partition_id"),
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nd") == 0).alias("passed"),

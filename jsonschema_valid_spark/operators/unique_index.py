@@ -134,44 +134,71 @@ class UniqueIndex:
                 f"index column type {idx_t.simpleString()} != batch column "
                 f"type {bat_t.simpleString()} — cast the batch explicitly")
 
+    def _inline_hits(self, spark: SparkSession, vals: DataFrame) -> DataFrame:
+        """Collect the batch values (refusing above ``inline_threshold``)
+        and push them as an IN filter on the index scan — the scan
+        BUCKET-PRUNES to only the buckets containing probed values, no
+        join at all (the small-increment regime)."""
+        rows = vals.limit(self.inline_threshold + 1).collect()
+        if len(rows) > self.inline_threshold:
+            raise ValueError(
+                f"inline probe refused: batch has more than "
+                f"{self.inline_threshold} distinct values — use the "
+                f"join probe (inline=False)")
+        lits = [r[0] for r in rows]
+        idx = self.index_df(spark).select(self.column)
+        if not lits:
+            return idx.where(F.lit(False))
+        return idx.where(F.col(self.column).isin(lits))
+
     def hits(self, df: DataFrame, inline: bool = False) -> DataFrame:
         """Distinct batch values already present in the index (one
         column, named ``self.column``).
 
         join mode (default): index ⋉ batch-distinct — index side
-        exchange-free off the bucket layout. inline mode: collect the
-        batch values (refusing above ``inline_threshold``) and push
-        them as an IN filter — the scan bucket-prunes, no join at all.
-        """
+        exchange-free off the bucket layout. inline mode: see
+        :meth:`_inline_hits`."""
         spark = df.sparkSession
         self._check_types(spark, df)
         vals = self._batch_values(df)
-        idx = self.index_df(spark).select(self.column)
         if inline:
-            rows = vals.limit(self.inline_threshold + 1).collect()
-            if len(rows) > self.inline_threshold:
-                raise ValueError(
-                    f"inline probe refused: batch has more than "
-                    f"{self.inline_threshold} distinct values — use the "
-                    f"join probe (inline=False)")
-            lits = [r[0] for r in rows]
-            if not lits:
-                return idx.where(F.lit(False))
-            return idx.where(F.col(self.column).isin(lits))
-        return idx.join(vals, self.column, "leftsemi")
+            return self._inline_hits(spark, vals)
+        return (self.index_df(spark).select(self.column)
+                .join(vals, self.column, "leftsemi"))
 
     def collision_violations(self, df: DataFrame, check_id: str,
                              inline: bool = False) -> DataFrame:
         """Violations DF ``(doc_id, check_id, observed, expected)`` — one
         row per batch value that already exists in the index (value-level,
         mirroring uniqueness_violations): doc_id = the value, observed =
-        its batch multiplicity."""
+        its batch multiplicity.
+
+        ONE batch scan + one bucket-width shuffle: the multiplicity
+        groupBy IS the distinct set, so the probe joins it against the
+        index directly (counts ⋉ index — both sides clustered on the
+        value at the bucket width, no further Exchange) instead of
+        recomputing a separate distinct pass. Inline mode collects the
+        hit VALUES (small by the threshold contract) and filters the
+        counts by an IN literal — the counts DAG executes once in the
+        result plan plus once for the probe collect."""
+        spark = df.sparkSession
+        self._check_types(spark, df)
         counts = (df.select(self.column)
                   .where(F.col(self.column).isNotNull())
+                  .repartition(self.buckets, F.col(self.column))
                   .groupBy(self.column)
                   .agg(F.count(F.lit(1)).alias("__bn")))
-        h = self.hits(df, inline=inline)
-        return (counts.join(h, self.column, "leftsemi").select(
+        if inline:
+            hit_rows = self._inline_hits(
+                spark, counts.select(self.column)).collect()
+            hit_lits = [r[0] for r in hit_rows]
+            hit = counts.where(
+                F.col(self.column).isin(hit_lits) if hit_lits
+                else F.lit(False))
+        else:
+            hit = counts.join(self.index_df(spark).select(self.column),
+                              self.column, "leftsemi")
+        return (hit.select(
             F.col(self.column).cast("string").alias("doc_id"),
             F.lit(check_id).alias("check_id"),
             F.concat(F.lit("count="), F.col("__bn").cast("string"),

@@ -1973,13 +1973,8 @@ def stream_index_collisions(
         raise ValueError(
             f"stream needs columns {col!r} and {key!r} (have {sdf.columns})")
     spark = sdf.sparkSession
+    index._check_types(spark, sdf)  # same coercion-refusal rule as batch
     idx = index.index_df(spark).select(col)
-    idx_t = idx.schema[col].dataType
-    bat_t = sdf.schema[col].dataType
-    if idx_t != bat_t:
-        raise ValueError(
-            f"index column type {idx_t.simpleString()} != stream column "
-            f"type {bat_t.simpleString()} — cast the stream explicitly")
     cid = check_id or f"properties/{col}/x-unique"
     hits = (sdf.where(F.col(col).isNotNull())
             .join(idx, col, "left_semi"))

@@ -205,7 +205,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 and v["withinSeconds"] > 0
                 and isinstance(v.get("ts"), str) and v["ts"]
                 and ("by" not in v or isinstance(v["by"], str))
-                and "approx" not in v)
+                and "approx" not in v and "index" not in v
+                and "inline" not in v)
             scoped_exact_ok = (
                 isinstance(v, dict) and set(v) == {"where"})
             index_ok = (
@@ -219,7 +220,8 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                     or index_ok
                     or (isinstance(v, dict) and "approx" in v
                         and "withinSeconds" not in v
-                        and "index" not in v)
+                        and "index" not in v
+                        and "inline" not in v)
                     or (isinstance(v, list) and v
                         and all(isinstance(x, str) for x in v))):
                 raise _err(p, "x-unique must be boolean (column scope), "

@@ -85,6 +85,18 @@ def test_probe_join_index_side_exchange_free(spark, idx):
     assert "uidx_test" in final
 
 
+def test_collision_violations_one_data_shuffle(spark, idx):
+    """The multiplicity groupBy IS the distinct set, so the whole
+    violations derivation pays ONE data shuffle on the batch (the index
+    side rides its layout or a broadcast) — the old shape recomputed a
+    separate distinct pass and shuffled twice."""
+    plan = _plan(idx.collision_violations(_batch(spark), "c"))
+    final = plan.split("== Initial Plan ==")[0]
+    data_exchanges = final.count("Exchange") - final.count(
+        "BroadcastExchange")
+    assert data_exchanges <= 1, final
+
+
 def test_inline_probe_no_join(spark, idx):
     plan = _plan(idx.hits(_batch(spark), inline=True))
     final = plan.split("== Initial Plan ==")[0]
@@ -190,6 +202,20 @@ def test_spec_forms():
         validate_suite_spec(  # index + approx is contradictory
             {"properties": {"d": {"x-unique": {
                 "index": "@h", "approx": True}}}}, "draft7")
+    with pytest.raises(SuiteError):
+        validate_suite_spec(  # withinSeconds would silently drop index
+            {"properties": {"d": {"x-unique": {
+                "withinSeconds": 60, "ts": "t", "index": "@h"}}}},
+            "draft7")
+    with pytest.raises(SuiteError):
+        validate_suite_spec(  # inline is meaningless without index
+            {"properties": {"d": {"x-unique": {
+                "approx": True, "inline": True}}}}, "draft7")
+    with pytest.raises(SuiteError):
+        validate_suite_spec(
+            {"properties": {"d": {"x-unique": {
+                "withinSeconds": 60, "ts": "t", "inline": True}}}},
+            "draft7")
 
 
 def test_metaschema_accepts_index_form(spark):
