@@ -889,6 +889,21 @@ def bind(suite, df: DataFrame) -> BoundPlan:
         plan.dataset_checks.append(
             DatasetCheck("x-unique", "unique", keys, {}))
 
+    # root-level k-anonymity / l-diversity (x-kAnonymity: the quasi
+    # identifier is a column LIST, so the check lives at table scope like
+    # composite x-unique — privacy release gate, operators/anonymity.py)
+    if isinstance(spec.get("x-kAnonymity"), dict):
+        v = spec["x-kAnonymity"]
+        missing = [c for c in v["quasi"] if c not in fields]
+        if missing:
+            raise SuiteBindError(f"x-kAnonymity quasi columns missing: {missing}")
+        sens = v.get("sensitive")
+        if sens and sens not in fields:
+            raise SuiteBindError(f"x-kAnonymity sensitive column missing: {sens}")
+        plan.dataset_checks.append(
+            DatasetCheck("x-kAnonymity", "k_anonymity",
+                         list(v["quasi"]), dict(v)))
+
     # root-level combinators over ROW suites (draft-gated like value scope:
     # e.g. draft6 has no if/then/else — schemas.rs:137 vs :69)
     for kw in ("allOf", "anyOf", "oneOf", "not", "if", "x-rowExpr"):

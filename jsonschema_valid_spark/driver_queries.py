@@ -6875,3 +6875,55 @@ def engine_unique_index_collisions(spark, sf_dir):
     res = suite.run(batch, key="event_id", context={"hist": uidx})
     return res.violations.select("doc_id", "check_id", "observed",
                                  "expected")
+
+
+_K_ANON_SQL = """
+WITH c AS (
+  SELECT user_id, event_type, count(*) AS n,
+         count(DISTINCT CAST(floor("value" / 25) AS INT)) AS d
+  FROM events GROUP BY user_id, event_type
+)
+SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') || '/' ||
+         coalesce(event_type, 'NULL') AS doc_id,
+       'x-kAnonymity' AS check_id,
+       'count=' || CAST(n AS VARCHAR) AS observed,
+       'group size >= 10' AS expected
+FROM c WHERE n < 10
+UNION ALL
+SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') || '/' ||
+         coalesce(event_type, 'NULL') AS doc_id,
+       'x-kAnonymity' AS check_id,
+       'distinct=' || CAST(d AS VARCHAR) ||
+         ' (count=' || CAST(n AS VARCHAR) || ')' AS observed,
+       'sensitive diversity >= 4' AS expected
+FROM c WHERE d < 4
+"""
+
+
+@register_extended("engine_k_anonymity_violations", _K_ANON_SQL)
+def engine_k_anonymity_violations(spark, sf_dir):
+    """x-kAnonymity — privacy-release validation (operators/anonymity.py,
+    Sweeney 2002 / Machanavajjhala 2007): every (user_id, event_type)
+    quasi cell must hold >= 10 rows (k-anonymity: smaller groups are
+    re-identifiable by joining the quasi columns externally) AND >= 4
+    distinct sensitive values (l-diversity: a k-anonymous group whose
+    members all share the sensitive value still leaks it — the
+    homogeneity attack). Sensitive = the value bucket floor(value/25)
+    (integer-exact in both engines; NULL values are not diversity).
+    ONE map-side-combined groupBy over the quasi columns (+ the standard
+    two-phase count_distinct for l) — violations bounded by #cells,
+    never a join (plan-asserted). Root-scope keyword (quasi is a column
+    LIST, like composite x-unique); property placement spec-refused.
+    Fixture trips 9 k-cells + 10 l-cells at sf0.001, 107 + 72 at
+    sf0.01. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("sens", F.expr(
+              "CAST(floor(value / 25) AS INT)")))
+    suite = CheckSuite({"x-kAnonymity": {
+        "quasi": ["user_id", "event_type"], "k": 10,
+        "l": 4, "sensitive": "sens"}})
+    res = suite.run(ev, key="event_id")
+    return res.violations.select("doc_id", "check_id", "observed",
+                                 "expected")

@@ -942,6 +942,19 @@ def _fd_violations(dc, df: DataFrame) -> DataFrame:
         df, dc.column, dc.check_id, determines=list(det))
 
 
+def _anonymity_violations(dc, df: DataFrame) -> DataFrame:
+    """Shared x-kAnonymity execution for both run paths (the released —
+    i.e. where-scoped — subpopulation is what must be anonymous)."""
+    from jsonschema_valid_spark.operators.anonymity import (
+        anonymity_violations,
+    )
+
+    p = dc.params
+    return anonymity_violations(
+        _scoped(dc, df), list(p["quasi"]), dc.check_id,
+        k=p.get("k"), l=p.get("l"), sensitive=p.get("sensitive"))
+
+
 def _resolve_drift_baseline(params: dict, context: dict) -> dict:
     """x-drift baseline may be a literal {bucket: count} dict or "@name" —
     a context DataFrame of (bucket, count) rows (e.g. a histogram captured
@@ -1218,6 +1231,8 @@ def run_suite_summarized(
             vdf = _outlier_violations(dc, df, key)
         elif dc.kind == "functional_dependency":
             vdf = _fd_violations(dc, df)
+        elif dc.kind == "k_anonymity":
+            vdf = _anonymity_violations(dc, df)
         elif dc.kind == "row_count":
             vdf = _row_count_violations(dc, df)
         elif dc.kind == "max_frequency":
@@ -1902,6 +1917,18 @@ def run_suite(
                     F.lit(dc.check_id).alias("check_id"),
                     (F.col("nfd") == 0).alias("passed"),
                     F.col("nfd").cast("double").alias("metric_value"),
+                    F.lit(0.0).cast("double").alias("threshold"),
+                )
+            )
+        elif dc.kind == "k_anonymity":
+            kav = _anonymity_violations(dc, df)
+            violation_dfs.append(_with_ipath(kav))
+            verdict_dfs.append(
+                kav.agg(F.count(F.lit(1)).alias("nka")).select(
+                    F.lit("<global>").alias("partition_id"),
+                    F.lit(dc.check_id).alias("check_id"),
+                    (F.col("nka") == 0).alias("passed"),
+                    F.col("nka").cast("double").alias("metric_value"),
                     F.lit(0.0).cast("double").alias("threshold"),
                 )
             )

@@ -1985,3 +1985,60 @@ def stream_index_collisions(
                  F.lit("; exists in index")).alias("observed"),
         F.lit("unique incl. index").alias("expected"),
     )
+
+
+def stream_k_anonymity_alerts(
+    sdf: DataFrame,
+    quasi: list[str],
+    ts_col: str,
+    k: int | None = None,
+    l: int | None = None,  # noqa: E741 — the paper's own name
+    sensitive: str | None = None,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming ``x-kAnonymity`` (operators/anonymity.py lifted to
+    event-time windows): per-(window, quasi-cell) anonymity floors for
+    pipelines that RELEASE data per window (hourly exports, daily
+    dumps) — the release unit is the window, so each window must be
+    anonymous on its own; a cell k-anonymous over the whole table can
+    still be a singleton in the hour that actually ships.
+
+    ONE native windowed aggregation (count + ``approx_count_distinct``
+    of the sensitive column when ``l`` is declared — streaming
+    aggregation needs a mergeable sketch, so the diversity floor is
+    HLL-approximate here; declare ``l`` with ~2% headroom, and run the
+    exact batch keyword over the settled table as the authority — the
+    stream_distinct_ratio convention). Append on watermark close; no
+    Python state.
+
+    Output: (window_start, cell, n, d?, passed) — every cell enumerated,
+    passing ones included (the per-partition verdict shape)."""
+    if k is None and l is None:
+        raise ValueError("stream_k_anonymity_alerts needs k and/or l")
+    if l is not None and not sensitive:
+        raise ValueError("l-diversity needs the sensitive column")
+    if not quasi:
+        raise ValueError("needs at least one quasi column")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    if l is not None:
+        aggs.append(F.approx_count_distinct(sensitive).alias("d"))
+    cell = F.concat_ws(
+        "/", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+               for c in quasi])
+    agg = (
+        sdf.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
+                 cell.alias("cell"))
+        .agg(*aggs)
+    )
+    passed = F.lit(True)
+    if k is not None:
+        passed = passed & (F.col("n") >= int(k))
+    if l is not None:
+        passed = passed & (F.col("d") >= int(l))
+    cols = [F.col("__w").getField("start").alias("window_start"),
+            "cell", "n"]
+    if l is not None:
+        cols.append("d")
+    return agg.select(*cols, passed.alias("passed"))

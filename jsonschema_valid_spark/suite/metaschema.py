@@ -435,6 +435,14 @@ METASCHEMA_SUITE: dict = {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "determines"}},
         }}),
+        _kw("x-kAnonymity", {"properties": {
+            "value_type": {"const": "object"},
+            "dict_keys": {"allOf": [
+                {"contains": {"const": "quasi"}},
+                {"anyOf": [{"contains": {"const": "k"}},
+                           {"contains": {"const": "l"}}]},
+            ]},
+        }}),
         _kw("x-freshness", {"properties": {
             "value_type": {"const": "object"},
             "dict_keys": {"contains": {"const": "asOf"}},

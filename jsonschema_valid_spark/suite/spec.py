@@ -66,7 +66,7 @@ _WHERE_SCOPED_KEYWORDS = frozenset({
     "x-freshness", "x-rowCount",
     "x-decontamination", "x-maxFrequency", "x-monotonic",
     "x-noOverlap", "x-levelShift", "x-funnel", "x-eventOrder",
-    "x-session", "x-outlier", "x-functionalDependency",
+    "x-session", "x-outlier", "x-functionalDependency", "x-kAnonymity",
     "x-drift", "x-distribution", "x-lmScore", "x-nearDup", "x-linkage",
     "x-quantile",  # tdigest backend only — the fused default cannot scope
 })
@@ -864,6 +864,34 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                               "(zscore/mad) | 'iqrK': number>0 (iqr), "
                               "'by'?: col, 'method'?: 'zscore' | 'mad' "
                               "| 'iqr', 'minCount'?: int>=2}")
+        elif kw == "x-kAnonymity":
+            if len(p) > 1:
+                # the quasi identifier is a column LIST, so the check has
+                # no single host column — property placement would bind
+                # to nothing (the compiler reads it at root only)
+                raise _err(p, "x-kAnonymity is a root-scope keyword")
+
+            def _floor(x):
+                return (isinstance(x, int) and not isinstance(x, bool)
+                        and x >= 2)
+            q = v.get("quasi") if isinstance(v, dict) else None
+            ok = (isinstance(v, dict)
+                  and isinstance(q, list) and q
+                  and all(isinstance(c, str) and c for c in q)
+                  and set(v) <= {"quasi", "k", "l", "sensitive", "where"}
+                  and ("k" in v or "l" in v)
+                  and ("k" not in v or _floor(v["k"]))
+                  and ("l" not in v or (_floor(v["l"])
+                                        and isinstance(v.get("sensitive"),
+                                                       str)
+                                        and v["sensitive"]))
+                  # sensitive without l is inert — refuse, never ignore
+                  and ("sensitive" not in v or "l" in v))
+            if not ok:
+                raise _err(p, "x-kAnonymity must be {'quasi': [col, ...], "
+                              "'k'?: int>=2, 'l'?: int>=2, 'sensitive': "
+                              "col (required with and only with l), "
+                              "'where'?: sql-bool} with k and/or l")
         elif kw == "x-functionalDependency":
             det = v.get("determines") if isinstance(v, dict) else None
             if isinstance(det, str):

@@ -143,6 +143,8 @@ INVALID_SUITES = [
         "first": "a = 1", "then": "b = 1"}}}}),
     ("x-functionalDependency-empty",
      {"properties": {"x": {"x-functionalDependency": {}}}}),
+    ("x-kAnonymity-no-quasi", {"x-kAnonymity": {"k": 2}}),
+    ("x-kAnonymity-no-floor", {"x-kAnonymity": {"quasi": ["a"]}}),
     ("nonstring-rowexpr", {"x-rowExpr": 42}),
     ("scalar-schema-node", {"properties": {"x": 42}}),
     ("dependency-nonstring-list", {"dependencies": {"a": [1]}}),
