@@ -820,3 +820,46 @@ def suggest_seasonality_floor(df: DataFrame, column: str, key: str,
     if by is not None:
         node["by"] = by
     return node
+
+
+def suggest_anonymity_floors(df: DataFrame, quasi: list[str],
+                             sensitive: str | None = None,
+                             pad: float = 0.5) -> dict | None:
+    """Bootstrap an ``x-kAnonymity`` node from the trusted snapshot's
+    WORST quasi cell: k = the smallest observed cell size (padded DOWN
+    by ``pad`` — floor(min·pad) — so organic volume wobble between
+    releases doesn't trip a pinned-at-exact floor), and with
+    ``sensitive`` l = the smallest observed per-cell sensitive
+    diversity, padded the same way. Passes on the profiled table by
+    construction (floors <= every observed cell); a later release whose
+    worst cell shrinks below the padded floor — a singleton slips into
+    the export, or a cell homogenizes — trips. Returns None when no
+    floor >= 2 survives the pad (the snapshot's own worst cell is
+    already too thin to gate on — k-anonymity needs curation first,
+    not a vacuous suite). ONE count aggregate over #cells rows (plus
+    the count_distinct Expand when ``sensitive`` is given)."""
+    import math
+
+    if not 0 < pad <= 1:
+        raise ValueError(f"pad must be in (0, 1], got {pad}")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if sensitive is not None:
+        aggs.append(F.countDistinct(sensitive).alias("__d"))
+    mins = (df.groupBy(*[F.col(c) for c in quasi]).agg(*aggs)
+            .agg(F.min("__n").alias("mn"),
+                 *([F.min("__d").alias("md")] if sensitive else []))
+            .collect())
+    if not mins or mins[0]["mn"] is None:
+        return None
+    k = math.floor(mins[0]["mn"] * pad)
+    node: dict = {"quasi": list(quasi)}
+    if k >= 2:
+        node["k"] = k
+    if sensitive is not None:
+        l = math.floor(mins[0]["md"] * pad)  # noqa: E741
+        if l >= 2:
+            node["l"] = l
+            node["sensitive"] = sensitive
+    if "k" not in node and "l" not in node:
+        return None
+    return node

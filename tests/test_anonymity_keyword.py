@@ -164,3 +164,38 @@ def test_plan_with_l_no_join(spark):
                                       k=3, l=2, sensitive="diag"))
     assert "Join" not in plan, plan
     assert plan.count("Exchange") <= 3, plan
+
+
+# ---- profile bootstrap --------------------------------------------------
+
+def test_suggest_floors_round_trip(spark):
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_anonymity_floors,
+    )
+    rows = [(i, f"z{i % 2}", f"s{i % 8}") for i in range(40)]
+    df = spark.createDataFrame(rows, "id long, zip string, diag string")
+    node = suggest_anonymity_floors(df, ["zip"], sensitive="diag")
+    # 20 rows and 4 distinct sensitive per cell (i%8 within one parity
+    # class hits 4 residues), padded by 0.5
+    assert node == {"quasi": ["zip"], "k": 10, "l": 2, "sensitive": "diag"}
+    # passes its own snapshot by construction
+    res = CheckSuite({"x-kAnonymity": node}).run(df, key="id")
+    assert res.violations.count() == 0
+    # a release with a thin cell trips the suggested floor
+    bad = df.unionByName(spark.createDataFrame(
+        [(99, "z9", "s0")], "id long, zip string, diag string"))
+    res2 = CheckSuite({"x-kAnonymity": node}).run(bad, key="id")
+    assert {r["doc_id"] for r in res2.violations.collect()} == {"z9"}
+
+
+def test_suggest_floors_refuses_thin_snapshot(spark):
+    from jsonschema_valid_spark.operators.profile import (
+        suggest_anonymity_floors,
+    )
+    df = spark.createDataFrame(
+        [(1, "a", "x"), (2, "b", "y"), (3, "b", "y")],
+        "id long, zip string, diag string")
+    # worst cell is a singleton — floor(1 * 0.5) = 0 < 2 => no gate
+    assert suggest_anonymity_floors(df, ["zip"]) is None
+    with pytest.raises(ValueError, match="pad"):
+        suggest_anonymity_floors(df, ["zip"], pad=0.0)
