@@ -6927,3 +6927,57 @@ def engine_k_anonymity_violations(spark, sf_dir):
     res = suite.run(ev, key="event_id")
     return res.violations.select("doc_id", "check_id", "observed",
                                  "expected")
+
+
+_T_CLOSENESS_SQL = """
+WITH cv AS (
+  SELECT user_id, event_type, count(*)::HUGEINT AS ncv
+  FROM events WHERE event_type IS NOT NULL GROUP BY user_id, event_type
+),
+m AS (SELECT event_type, sum(ncv) AS Nv FROM cv GROUP BY event_type),
+tot AS (SELECT sum(Nv) AS N FROM m),
+j AS (
+  SELECT cv.user_id, cv.ncv, m.Nv, (SELECT N FROM tot) AS N,
+         sum(cv.ncv) OVER (PARTITION BY cv.user_id) AS nc
+  FROM cv JOIN m USING (event_type)
+),
+cells AS (
+  SELECT user_id,
+         sum(abs(ncv * N - Nv * nc) - Nv * nc) AS part,
+         max(nc) AS nc, max(N) AS N
+  FROM j GROUP BY user_id
+)
+SELECT coalesce(CAST(user_id AS VARCHAR), 'NULL') AS doc_id,
+       'x-kAnonymity' AS check_id,
+       'tvd=' || CAST(CAST(round(
+           (part + N * nc)::DOUBLE / (2.0 * nc::DOUBLE * N::DOUBLE), 6)
+           AS DECIMAL(10,6)) AS VARCHAR) AS observed,
+       'sensitive distribution within tvd 0.12 of global' AS expected
+FROM cells
+WHERE (part + N * nc)::DOUBLE / (2.0 * nc::DOUBLE * N::DOUBLE) > 0.12
+"""
+
+
+@register_extended("engine_t_closeness_violations", _T_CLOSENESS_SQL)
+def engine_t_closeness_violations(spark, sf_dir):
+    """x-kAnonymity {"t"} — t-closeness (Li et al. 2007), completing the
+    k/l/t privacy trio: each user's event_type distribution must stay
+    within total-variation distance 0.12 of the table-global one — the
+    SKEW attack k-anonymity and l-diversity are blind to (a large,
+    diverse cell that is 90% one sensitive value still tells the
+    adversary most of what they came for). Distance numerators are
+    INTEGER sums |n_cv·N − N_v·n_c| (exact in any order, decimal(38) /
+    HUGEINT on the two engines) finished by ONE IEEE division — the
+    boundary compare is bit-exact, the x-compliance convention; the
+    witness is the 6dp decimal rendering. Plan: one (quasi, sensitive)
+    aggregate; marginals are a #values-row BROADCAST and a cell window —
+    no sort-merge join (plan-asserted). Trips 4 users at sf0.001,
+    many at sf0.01 (natural per-user mix skew). EXTENDED mirror entry;
+    full value-hash oracle."""
+    from jsonschema_valid_spark.operators.anonymity import (
+        t_closeness_violations,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return t_closeness_violations(
+        ev, ["user_id"], "event_type", 0.12, "x-kAnonymity")

@@ -950,9 +950,22 @@ def _anonymity_violations(dc, df: DataFrame) -> DataFrame:
     )
 
     p = dc.params
-    return anonymity_violations(
-        _scoped(dc, df), list(p["quasi"]), dc.check_id,
-        k=p.get("k"), l=p.get("l"), sensitive=p.get("sensitive"))
+    sdf = _scoped(dc, df)
+    out = None
+    if p.get("k") is not None or p.get("l") is not None:
+        out = anonymity_violations(
+            sdf, list(p["quasi"]), dc.check_id,
+            k=p.get("k"), l=p.get("l"), sensitive=p.get("sensitive"))
+    if p.get("t") is not None:
+        from jsonschema_valid_spark.operators.anonymity import (
+            t_closeness_violations,
+        )
+
+        tv = t_closeness_violations(
+            sdf, list(p["quasi"]), p["sensitive"], float(p["t"]),
+            dc.check_id, ordered=bool(p.get("ordered", False)))
+        out = tv if out is None else out.unionByName(tv)
+    return out
 
 
 def _resolve_drift_baseline(params: dict, context: dict) -> dict:

@@ -440,7 +440,8 @@ METASCHEMA_SUITE: dict = {
             "dict_keys": {"allOf": [
                 {"contains": {"const": "quasi"}},
                 {"anyOf": [{"contains": {"const": "k"}},
-                           {"contains": {"const": "l"}}]},
+                           {"contains": {"const": "l"}},
+                           {"contains": {"const": "t"}}]},
             ]},
         }}),
         _kw("x-freshness", {"properties": {

@@ -874,24 +874,36 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
             def _floor(x):
                 return (isinstance(x, int) and not isinstance(x, bool)
                         and x >= 2)
+            def _t_ok(x):
+                return (isinstance(x, (int, float))
+                        and not isinstance(x, bool) and 0 < x <= 1)
             q = v.get("quasi") if isinstance(v, dict) else None
+            sens_ok = (isinstance(v.get("sensitive"), str)
+                       and v["sensitive"]) if isinstance(v, dict) else False
             ok = (isinstance(v, dict)
                   and isinstance(q, list) and q
                   and all(isinstance(c, str) and c for c in q)
-                  and set(v) <= {"quasi", "k", "l", "sensitive", "where"}
-                  and ("k" in v or "l" in v)
+                  and set(v) <= {"quasi", "k", "l", "t", "ordered",
+                                 "sensitive", "where"}
+                  and ("k" in v or "l" in v or "t" in v)
                   and ("k" not in v or _floor(v["k"]))
-                  and ("l" not in v or (_floor(v["l"])
-                                        and isinstance(v.get("sensitive"),
-                                                       str)
-                                        and v["sensitive"]))
-                  # sensitive without l is inert — refuse, never ignore
-                  and ("sensitive" not in v or "l" in v))
+                  and ("l" not in v or (_floor(v["l"]) and sens_ok))
+                  and ("t" not in v or (_t_ok(v["t"]) and sens_ok))
+                  # ordered only orders the t-closeness EMD — inert alone
+                  and ("ordered" not in v
+                       or (isinstance(v["ordered"], bool) and "t" in v))
+                  # sensitive without l or t is inert — refuse, not ignore
+                  and ("sensitive" not in v or "l" in v or "t" in v)
+                  # a quasi column's within-cell distribution/diversity
+                  # against itself is vacuous by construction
+                  and not (sens_ok and isinstance(q, list)
+                           and v["sensitive"] in q))
             if not ok:
                 raise _err(p, "x-kAnonymity must be {'quasi': [col, ...], "
-                              "'k'?: int>=2, 'l'?: int>=2, 'sensitive': "
-                              "col (required with and only with l), "
-                              "'where'?: sql-bool} with k and/or l")
+                              "'k'?: int>=2, 'l'?: int>=2, 't'?: 0<t<=1, "
+                              "'ordered'?: bool (with t), 'sensitive': "
+                              "col (required with and only with l/t), "
+                              "'where'?: sql-bool} with k, l and/or t")
         elif kw == "x-functionalDependency":
             det = v.get("determines") if isinstance(v, dict) else None
             if isinstance(det, str):

@@ -199,3 +199,124 @@ def test_suggest_floors_refuses_thin_snapshot(spark):
     assert suggest_anonymity_floors(df, ["zip"]) is None
     with pytest.raises(ValueError, match="pad"):
         suggest_anonymity_floors(df, ["zip"], pad=0.0)
+
+
+# ---- t-closeness --------------------------------------------------------
+
+def _tdf(spark):
+    """Global diag distribution: a 6/12, b 3/12, c 3/12.
+    Cell z1 (6 rows): a 6/6 — hand TVD = (|1-.5|+|0-.25|+|0-.25|)/2 = 0.5;
+    cell z2 (6 rows): a 0, b 3/6, c 3/6 — TVD = (.5+.25+.25)/2 = 0.5...
+    use z2 = (a2, b2, c2): TVD = (|1/3-1/2|+|1/3-1/4|x2)/2 = 1/6."""
+    rows = ([(i, "z1", "a") for i in range(6)]
+            + [(10, "z2", "a"), (11, "z2", "a"),
+               (12, "z2", "b"), (13, "z2", "b"),
+               (14, "z2", "c"), (15, "z2", "c")])
+    return spark.createDataFrame(rows, "id long, zip string, diag string")
+
+
+def test_tvd_hand_computed(spark):
+    from jsonschema_valid_spark.operators.anonymity import (
+        t_closeness_violations,
+    )
+    df = _tdf(spark)
+    # global: a 8/12, b 2/12, c 2/12. z1: a=1 -> TVD = (1-8/12) = 1/3.
+    # z2: (2/6,2/6,2/6) vs (8/12,2/12,2/12) -> (1/3 + 1/6 + 1/6)/2 = 1/3
+    v = t_closeness_violations(df, ["zip"], "diag", 0.2, "c")
+    rows = {r["doc_id"]: r["observed"] for r in v.collect()}
+    assert rows == {"z1": "tvd=0.333333", "z2": "tvd=0.333333"}
+    assert t_closeness_violations(df, ["zip"], "diag", 0.34, "c").count() == 0
+
+
+def test_emd_orders_the_distance(spark):
+    from jsonschema_valid_spark.operators.anonymity import (
+        t_closeness_violations,
+    )
+    # values 1<2<3, global (1/3, 1/3, 1/3). Cell A all-1s, cell B all-2s:
+    # same TVD (2/3·... identical), but EMD(A) = (|2/3|+|1/3|)/2 = 0.5 vs
+    # EMD(B) = (|−1/3|+|1/3|)/2 wait — signs: B cum = (-1/3, 2/3-... ;
+    # the point under test: far mass (A: 1 vs 3-heavy tail) > near mass.
+    rows = ([(i, "A", 1) for i in range(3)]
+            + [(10, "B", 2), (11, "B", 2), (12, "B", 2)]
+            + [(20, "C", 1), (21, "C", 2), (22, "C", 3)])
+    df = spark.createDataFrame(rows, "id long, cell string, s int")
+    v = t_closeness_violations(df, ["cell"], "s", 0.0001, "c",
+                               ordered=True)
+    d = {r["doc_id"]: float(r["observed"].split("=")[1])
+         for r in v.collect()}
+    # uniform cell C == one-third-each global? global = (4/9, 4/9, 1/9):
+    # just assert the structural property: all-1s cell (mass far from
+    # the global center) is strictly farther than the all-2s cell
+    assert d["A"] > d["B"] > 0
+    # and a threshold above the max silences it
+    assert t_closeness_violations(
+        df, ["cell"], "s", 0.999, "c", ordered=True).count() == 0
+
+
+def test_t_keyword_and_spec(spark):
+    df = _tdf(spark)
+    suite = CheckSuite({"x-kAnonymity": {
+        "quasi": ["zip"], "t": 0.2, "sensitive": "diag"}})
+    for res in (suite.run(df, key="id"),
+                run_suite_summarized(suite, df, key="id")):
+        assert res.violations.count() == 2
+        verd = {r["check_id"]: r for r in res.verdicts.collect()}
+        assert verd["x-kAnonymity"]["metric_value"] == 2.0
+    # k + t compose: both rule families in one node
+    both = CheckSuite({"x-kAnonymity": {
+        "quasi": ["zip"], "k": 7, "t": 0.2,
+        "sensitive": "diag"}}).run(df, key="id")
+    exp = {r["expected"] for r in both.violations.collect()}
+    assert exp == {"group size >= 7",
+                   "sensitive distribution within tvd 0.2 of global"}
+    for bad in (
+        {"quasi": ["a"], "t": 0.2},              # t without sensitive
+        {"quasi": ["a"], "t": 0.0, "sensitive": "s"},   # t out of range
+        {"quasi": ["a"], "t": True, "sensitive": "s"},  # bool t
+        {"quasi": ["a"], "k": 2, "ordered": True},      # ordered sans t
+    ):
+        with pytest.raises(SuiteError):
+            validate_suite_spec({"x-kAnonymity": bad}, "draft7")
+    validate_suite_spec({"x-kAnonymity": {
+        "quasi": ["a"], "t": 0.15, "ordered": True,
+        "sensitive": "s"}}, "draft7")
+
+
+def test_t_operator_validation(spark):
+    from jsonschema_valid_spark.operators.anonymity import (
+        t_closeness_violations,
+    )
+    df = _tdf(spark)
+    with pytest.raises(ValueError, match="t must be"):
+        t_closeness_violations(df, ["zip"], "diag", 1.5, "c")
+    with pytest.raises(ValueError, match="sensitive"):
+        t_closeness_violations(df, ["zip"], "", 0.2, "c")
+
+
+def test_t_plan_no_cell_level_join_shuffle(spark):
+    """TVD: one (quasi, sensitive) aggregate + cell window + a BROADCAST
+    marginal join — no sort-merge join, and the broadcast carries only
+    #values rows."""
+    from jsonschema_valid_spark.operators.anonymity import (
+        t_closeness_violations,
+    )
+    v = t_closeness_violations(_tdf(spark), ["zip"], "diag", 0.2, "c")
+    plan = v._jdf.queryExecution().executedPlan().toString().split(
+        "== Initial Plan ==")[0]
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sensitive_in_quasi_refused(spark):
+    from jsonschema_valid_spark.operators.anonymity import (
+        t_closeness_violations,
+    )
+    df = _tdf(spark)
+    with pytest.raises(ValueError, match="cannot be a quasi"):
+        t_closeness_violations(df, ["zip"], "zip", 0.1, "c")
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"x-kAnonymity": {
+            "quasi": ["a"], "t": 0.1, "sensitive": "a"}}, "draft7")
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"x-kAnonymity": {
+            "quasi": ["a"], "l": 2, "sensitive": "a"}}, "draft7")
