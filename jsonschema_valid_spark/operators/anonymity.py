@@ -212,3 +212,49 @@ def t_closeness_violations(
                 F.lit(f"sensitive distribution within {kind} {t} of global")
                 .alias("expected"),
             ))
+
+
+def suppress_thin_cells(
+    df: DataFrame,
+    quasi: list[str],
+    k: int | None = None,
+    l: int | None = None,  # noqa: E741 — the paper's own name
+    sensitive: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """``(released, suppressed)`` partition of ``df`` by the cell-level
+    privacy floors — the dataset-scope sibling of ``engine.split_valid``
+    (which partitions by ROW checks): rows whose quasi cell fails
+    k-anonymity / l-diversity are routed to the suppressed side instead
+    of shipping (suppression is the paper's baseline repair; a
+    t-closeness repair needs GENERALIZATION — coarsening the quasi
+    values — which changes the schema and is a modeling decision, not an
+    engine split, so ``t`` is deliberately not accepted here).
+
+    Scale shape: the failing-cell set (bounded by #cells) joins back
+    against the fact scan — null-SAFE on every quasi column (a plain
+    equi-join never matches NULL cells, which would silently RELEASE
+    exactly the rows a NULL-zip cell was supposed to suppress). Spark
+    broadcasts the cell side when small; both outputs are lazy views of
+    one derivation.
+    """
+    if k is None and l is None:
+        raise ValueError("suppress_thin_cells needs k and/or l")
+    if l is not None and not sensitive:
+        raise ValueError("l-diversity needs the sensitive column")
+    aggs = [F.count(F.lit(1)).alias("__n")]
+    if l is not None:
+        aggs.append(F.countDistinct(sensitive).alias("__d"))
+    cells = df.groupBy(*[F.col(c) for c in quasi]).agg(*aggs)
+    bad = F.lit(False)
+    if k is not None:
+        bad = bad | (F.col("__n") < int(k))
+    if l is not None:
+        bad = bad | (F.col("__d") < int(l))
+    bad_cells = cells.where(bad).select(
+        *[F.col(c).alias(f"__q_{c}") for c in quasi])
+    cond = F.lit(True)
+    for c in quasi:
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__q_{c}"))
+    released = df.join(bad_cells, cond, "left_anti")
+    suppressed = df.join(bad_cells, cond, "left_semi")
+    return released, suppressed

@@ -320,3 +320,34 @@ def test_sensitive_in_quasi_refused(spark):
     with pytest.raises(SuiteError):
         validate_suite_spec({"x-kAnonymity": {
             "quasi": ["a"], "l": 2, "sensitive": "a"}}, "draft7")
+
+
+# ---- suppression split --------------------------------------------------
+
+def test_suppress_thin_cells_split(spark):
+    from jsonschema_valid_spark.operators.anonymity import (
+        suppress_thin_cells,
+    )
+    df = _df(spark)
+    rel, sup = suppress_thin_cells(df, ["zip", "grp"], k=3)
+    # violating cells: (z1,b) singleton and (NULL,a) pair — the NULL
+    # cell MUST be suppressed too (null-safe join, not a plain equi-join)
+    assert {r["id"] for r in sup.collect()} == {4, 9, 10}
+    assert {r["id"] for r in rel.collect()} == {1, 2, 3, 5, 6, 7, 8}
+    # released is k-anonymous by construction
+    assert anonymity_violations(rel, ["zip", "grp"], "c", k=3).count() == 0
+
+
+def test_suppress_l_and_validation(spark):
+    from jsonschema_valid_spark.operators.anonymity import (
+        suppress_thin_cells,
+    )
+    df = _df(spark)
+    rel, sup = suppress_thin_cells(df, ["zip", "grp"], l=2,
+                                   sensitive="diag")
+    # homogeneous (z2,a) and singleton (z1,b) rows suppressed
+    assert {r["id"] for r in sup.collect()} == {4, 5, 6, 7, 8}
+    assert anonymity_violations(rel, ["zip", "grp"], "c",
+                                l=2, sensitive="diag").count() == 0
+    with pytest.raises(ValueError, match="k and/or l"):
+        suppress_thin_cells(df, ["zip"])
