@@ -31,6 +31,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def cell_label(quasi: list[str]):
+    """The canonical quasi-cell rendering: slash-joined with NULL spelled
+    out (``concat_ws`` alone silently drops NULLs and two different
+    cells could collide). ONE definition — batch doc_ids and streaming
+    cell labels must stay comparable (parity tests ride it)."""
+    return F.concat_ws(
+        "/", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+               for c in quasi])
+
+
 def anonymity_violations(
     df: DataFrame,
     quasi: list[str],
@@ -60,9 +70,7 @@ def anonymity_violations(
     if l is not None:
         aggs.append(F.countDistinct(sensitive).alias("__d"))
     cells = df.groupBy(*[F.col(c) for c in quasi]).agg(*aggs)
-    label = F.concat_ws(
-        "/", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
-               for c in quasi])
+    label = cell_label(quasi)
 
     out = []
     if k is not None:
@@ -161,11 +169,21 @@ def t_closeness_violations(
         # domain first: (value marginal) × (cell marginal), both tiny,
         # left-joined back onto the observed counts.
         cells_nc = cv.groupBy(*quasi).agg(F.max("__nc").alias("__nc"))
+        # null-SAFE join back onto the observed counts: a plain equi-join
+        # never matches a NULL quasi cell, zeroing its real counts and
+        # replacing its distance with a constant (the suppress_thin_cells
+        # lesson — NULL cells are real, publishable cells)
+        obs = cv.select(
+            *[F.col(c).alias(f"__o_{c}") for c in quasi],
+            F.col(sensitive).alias("__o_s"), "__ncv")
+        jcond = F.col(sensitive) == F.col("__o_s")
+        for c in quasi:
+            jcond = jcond & F.col(c).eqNullSafe(F.col(f"__o_{c}"))
         full = (vals.crossJoin(cells_nc)
-                .join(cv.select(*quasi, sensitive, "__ncv"),
-                      [*quasi, sensitive], "left")
+                .join(obs, jcond, "left")
                 .withColumn("__ncv", F.coalesce(F.col("__ncv"),
-                                                F.lit(0).cast(dec))))
+                                                F.lit(0).cast(dec)))
+                .drop("__o_s", *[f"__o_{c}" for c in quasi]))
         sdiff = (F.col("__ncv") * F.col("__N")
                  - F.col("__Nv") * F.col("__nc"))
         full = full.withColumn(
@@ -193,9 +211,7 @@ def t_closeness_violations(
         dist = (num.cast("double")
                 / (2.0 * F.col("__nc").cast("double")
                    * F.col("__N").cast("double")))
-    label = F.concat_ws(
-        "/", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
-               for c in quasi])
+    label = cell_label(quasi)
     kind = "emd" if ordered else "tvd"
     return (cells.withColumn("__dist", dist)
             .where(F.col("__dist") > float(t))
@@ -237,10 +253,18 @@ def suppress_thin_cells(
     broadcasts the cell side when small; both outputs are lazy views of
     one derivation.
     """
+    if not quasi:
+        raise ValueError("suppress_thin_cells needs at least one "
+                         "quasi column")
+    missing = [c for c in quasi if c not in df.columns]
+    if missing:
+        raise ValueError(f"quasi columns missing from input: {missing}")
     if k is None and l is None:
         raise ValueError("suppress_thin_cells needs k and/or l")
     if l is not None and not sensitive:
         raise ValueError("l-diversity needs the sensitive column")
+    if sensitive is not None and sensitive not in df.columns:
+        raise ValueError(f"sensitive column {sensitive!r} not in input")
     aggs = [F.count(F.lit(1)).alias("__n")]
     if l is not None:
         aggs.append(F.countDistinct(sensitive).alias("__d"))

@@ -1996,6 +1996,7 @@ def stream_k_anonymity_alerts(
     sensitive: str | None = None,
     window_duration: str = "1 minute",
     watermark: str = "0 seconds",
+    rsd: float = 0.02,
 ) -> DataFrame:
     """Streaming ``x-kAnonymity`` (operators/anonymity.py lifted to
     event-time windows): per-(window, quasi-cell) anonymity floors for
@@ -2007,8 +2008,9 @@ def stream_k_anonymity_alerts(
     ONE native windowed aggregation (count + ``approx_count_distinct``
     of the sensitive column when ``l`` is declared — streaming
     aggregation needs a mergeable sketch, so the diversity floor is
-    HLL-approximate here; declare ``l`` with ~2% headroom, and run the
-    exact batch keyword over the settled table as the authority — the
+    HLL-approximate here at relative error ``rsd`` (default 0.02 —
+    matching the documented ~2% headroom advice); run the exact batch
+    keyword over the settled table as the authority — the
     stream_distinct_ratio convention). Append on watermark close; no
     Python state.
 
@@ -2020,17 +2022,22 @@ def stream_k_anonymity_alerts(
         raise ValueError("l-diversity needs the sensitive column")
     if not quasi:
         raise ValueError("needs at least one quasi column")
+    from jsonschema_valid_spark.operators.anonymity import cell_label
+
     aggs = [F.count(F.lit(1)).alias("n")]
     if l is not None:
-        aggs.append(F.approx_count_distinct(sensitive).alias("d"))
-    cell = F.concat_ws(
-        "/", *[F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
-               for c in quasi])
+        aggs.append(F.approx_count_distinct(sensitive, rsd).alias("d"))
+    # group by the RAW quasi columns — grouping by the rendered label
+    # would merge distinct cells whose renderings collide ('a/b','c' vs
+    # 'a','b/c', or a literal 'NULL' string vs a real NULL), inflating a
+    # singleton past the floor; the label is display-only, derived after
+    # aggregation (the batch operator's rule)
     agg = (
         sdf.withWatermark(ts_col, watermark)
         .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"),
-                 cell.alias("cell"))
+                 *[F.col(c) for c in quasi])
         .agg(*aggs)
+        .withColumn("cell", cell_label(quasi))
     )
     passed = F.lit(True)
     if k is not None:

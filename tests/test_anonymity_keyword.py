@@ -351,3 +351,35 @@ def test_suppress_l_and_validation(spark):
                                 l=2, sensitive="diag").count() == 0
     with pytest.raises(ValueError, match="k and/or l"):
         suppress_thin_cells(df, ["zip"])
+
+
+# ---- wave-45 review-fix regressions --------------------------------------
+
+def test_emd_null_quasi_cell_uses_its_real_counts(spark):
+    """ordered=True with a NULL quasi cell: the domain-completion join
+    must be null-SAFE — a plain equi-join zeroes the NULL cell's counts
+    and its distance collapses to a constant independent of its mix."""
+    from jsonschema_valid_spark.operators.anonymity import (
+        t_closeness_violations,
+    )
+    # both cells mirror the global mix exactly => every distance is 0;
+    # under the null-unsafe join the NULL cell read as EMPTY (distance
+    # 0.5 to the global) and was falsely flagged
+    rows = [(1, None, 1), (2, None, 2), (3, None, 3),
+            (4, "z", 1), (5, "z", 2), (6, "z", 3)]
+    df = spark.createDataFrame(rows, "id long, zip string, s int")
+    v = t_closeness_violations(df, ["zip"], "s", 0.1, "c", ordered=True)
+    assert v.count() == 0
+
+
+def test_suppress_validation_matches_siblings(spark):
+    from jsonschema_valid_spark.operators.anonymity import (
+        suppress_thin_cells,
+    )
+    df = _df(spark)
+    with pytest.raises(ValueError, match="at least one quasi"):
+        suppress_thin_cells(df, [], k=10)
+    with pytest.raises(ValueError, match="missing"):
+        suppress_thin_cells(df, ["nope"], k=10)
+    with pytest.raises(ValueError, match="not in input"):
+        suppress_thin_cells(df, ["zip"], l=2, sensitive="nope")

@@ -99,3 +99,33 @@ def test_rejections(spark):
         stream_k_anonymity_alerts(sdf, ["zip"], "ts", l=2)
     with pytest.raises(ValueError, match="quasi"):
         stream_k_anonymity_alerts(sdf, [], "ts", k=2)
+
+
+def test_cells_group_raw_not_rendered(spark, tmp_path):
+    """Distinct cells whose RENDERED labels collide ('a/b','c') vs
+    ('a','b/c') must stay separate groups — grouping by the label would
+    merge them and ship the singleton the floor exists to stop."""
+    from jsonschema_valid_spark.streaming.checks import (
+        stream_k_anonymity_alerts,
+    )
+    rows = ([(1, "a/b", "c", "s", "2024-01-01 00:00:01")]
+            + [(10 + i, "a", "b/c", "s", "2024-01-01 00:00:02")
+               for i in range(3)]
+            + [(99, "flush", "f", "s", "2024-01-01 00:09:00")])
+    path = str(tmp_path / "in")
+    (spark.createDataFrame(
+        rows, "id long, q1 string, q2 string, diag string, ts_s string")
+     .withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s")
+     .coalesce(1).write.mode("append").parquet(path))
+    sdf = (spark.readStream
+           .schema("id long, q1 string, q2 string, diag string, "
+                   "ts timestamp")
+           .option("maxFilesPerTrigger", 1).parquet(path))
+    out = stream_k_anonymity_alerts(sdf, ["q1", "q2"], "ts", k=2)
+    q = (out.writeStream.format("memory").queryName("ka_raw")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["cell"], r["n"], r["passed"])
+           for r in spark.sql("select * from ka_raw").collect()
+           if not r["cell"].startswith("flush")}
+    assert got == {("a/b/c", 1, False), ("a/b/c", 3, True)}
