@@ -322,6 +322,21 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
         mom, "n_tok", "b2", key="did", order_by="did", lag=8,
         by="source", min_acf=-1.0, max_acf=1.0).count())
 
+    # r4 waves 42-44: the privacy family — k/l cells are ONE
+    # map-side-combined groupBy (+ count_distinct Expand for l);
+    # t-closeness adds the per-value broadcast marginal + cell window
+    # with integer-numerator distances
+    from jsonschema_valid_spark.operators.anonymity import (
+        anonymity_violations, t_closeness_violations,
+    )
+
+    anon = seq.select((did % 4096).alias("cell_key"), "source", "n_tok")
+    timed("anonymity_cells", lambda: (
+        anonymity_violations(anon, ["cell_key", "source"], "b",
+                             k=8, l=2, sensitive="n_tok").count()
+        + t_closeness_violations(anon, ["cell_key"], "source", 0.9,
+                                 "b").count()))
+
     wall = timings["flagship_full"]
     totals = seq.agg(F.count(F.lit(1)).alias("n"),
                      F.sum(F.size("tokens")).alias("t")).first()
