@@ -904,6 +904,24 @@ def bind(suite, df: DataFrame) -> BoundPlan:
             DatasetCheck("x-kAnonymity", "k_anonymity",
                          list(v["quasi"]), dict(v)))
 
+    # root-level composite-key referential (x-referential with a
+    # "columns" LIST — the FK shape where each component may exist
+    # individually but the COMBINATION was never registered; no single
+    # host column, so table scope like composite x-unique). The engine's
+    # referential branch passes the list through unchanged —
+    # referential_violations dispatches on it.
+    rv = spec.get("x-referential")
+    if isinstance(rv, dict) and "columns" in rv:
+        missing = [c for c in rv["columns"] if c not in fields]
+        if missing:
+            raise SuiteBindError(
+                f"x-referential key columns missing: {missing}")
+        params = dict(rv)
+        params["domainColumn"] = params.pop("domainColumns", None)
+        plan.dataset_checks.append(
+            DatasetCheck("x-referential", "referential",
+                         list(rv["columns"]), params))
+
     # root-level combinators over ROW suites (draft-gated like value scope:
     # e.g. draft6 has no if/then/else — schemas.rs:137 vs :69)
     for kw in ("allOf", "anyOf", "oneOf", "not", "if", "x-rowExpr"):

@@ -32,6 +32,45 @@ def non_members(df: DataFrame, column: str, domain: DataFrame | Iterable,
     return fact.where(~F.col(column).isin(*values))
 
 
+def composite_non_members(df: DataFrame, columns: list[str],
+                          domain: DataFrame,
+                          domain_columns: list[str] | None = None,
+                          ) -> DataFrame:
+    """Composite-key membership: rows whose (columns...) TUPLE is absent
+    from the domain's (domain_columns...) tuples — the FK shape a
+    one-column check cannot express (each component may individually
+    exist while the COMBINATION was never registered: a valid user and
+    a valid event type that this user never signed up for).
+
+    Same plan as the single-column check: the distinct domain tuples are
+    dimension-sized and BROADCAST; the fact side never shuffles
+    (left-anti on all key columns). Rows with ANY NULL component are
+    exempt like the single-column NULL rule — a partial key cannot name
+    a domain member; ``required`` polices presence."""
+    if not columns or len(columns) < 2:
+        raise ValueError(
+            "composite_non_members needs >= 2 key columns "
+            "(use non_members for a single column)")
+    if not isinstance(domain, DataFrame):
+        raise ValueError("composite membership needs a DataFrame domain "
+                         "(a literal iterable cannot carry tuples "
+                         "unambiguously)")
+    dcols = list(domain_columns or domain.columns[:len(columns)])
+    if len(dcols) != len(columns):
+        raise ValueError(
+            f"domainColumns arity {len(dcols)} != key arity {len(columns)}")
+    missing = [c for c in columns if c not in df.columns]
+    if missing:
+        raise ValueError(f"key columns missing from fact: {missing}")
+    cond = F.lit(True)
+    for c in columns:
+        cond = cond & F.col(c).isNotNull()
+    fact = df.where(cond)
+    dom = domain.select(
+        *[F.col(d).alias(c) for c, d in zip(columns, dcols)]).distinct()
+    return fact.join(F.broadcast(dom), on=list(columns), how="left_anti")
+
+
 def referential_violations(df: DataFrame, column: str, domain,
                            check_id: str, key: str = "doc_id",
                            domain_column: str | None = None,
@@ -42,6 +81,26 @@ def referential_violations(df: DataFrame, column: str, domain,
     ``mode="bloom"``: the shuffle-free approximate path for domains too
     big to broadcast (operators/bloom.py) — every reported violation is
     real; ~FPR of true violations goes unreported (documented there)."""
+    if isinstance(column, (list, tuple)):
+        cols = list(column)
+        if mode != "exact":
+            raise ValueError(
+                "composite x-referential supports mode='exact' only "
+                "(bloom/inline carry single values; concatenate a "
+                "surrogate key column to use them)")
+        dcols = domain_column
+        if isinstance(dcols, str):
+            dcols = [dcols]
+        bad = composite_non_members(df, cols, domain,
+                                    domain_columns=dcols)
+        return bad.select(
+            F.col(key).cast("string").alias("doc_id"),
+            F.lit(check_id).alias("check_id"),
+            F.concat_ws("/", *[
+                F.coalesce(F.col(c).cast("string"), F.lit("NULL"))
+                for c in cols]).alias("observed"),
+            F.lit(f"({', '.join(cols)}) in domain").alias("expected"),
+        )
     if mode == "bloom":
         from jsonschema_valid_spark.operators.bloom import bloom_non_members
 

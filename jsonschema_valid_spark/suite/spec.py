@@ -235,6 +235,31 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
         elif kw == "x-referential":
             if not isinstance(v, dict) or "domain" not in v:
                 raise _err(p, "x-referential must be {'domain': <table|list>, ...}")
+            if "columns" in v:
+                # composite-key form: a column LIST has no host property,
+                # so it is root-scope (the composite x-unique rule), and
+                # the tuple-blind single-value modes are refused
+                if len(p) > 1:
+                    raise _err(p, "composite x-referential ('columns') is "
+                                  "a root-scope keyword")
+                cols = v["columns"]
+                dcols = v.get("domainColumns")
+                ok = (isinstance(cols, list) and len(cols) >= 2
+                      and all(isinstance(c, str) and c for c in cols)
+                      and (dcols is None
+                           or (isinstance(dcols, list)
+                               and len(dcols) == len(cols)
+                               and all(isinstance(c, str) and c
+                                       for c in dcols)))
+                      and "domainColumn" not in v
+                      and not v.get("inline")
+                      and v.get("mode", "exact") == "exact")
+                if not ok:
+                    raise _err(p, "composite x-referential must be "
+                                  "{'columns': [>=2 cols], 'domain': …, "
+                                  "'domainColumns'?: [same arity], "
+                                  "'where'?: sql-bool} — exact mode only "
+                                  "(bloom/inline carry single values)")
         elif kw == "x-stats":
             if not isinstance(v, dict):
                 raise _err(p, "x-stats must be an object of stat→bounds")
