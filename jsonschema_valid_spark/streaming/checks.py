@@ -2049,3 +2049,46 @@ def stream_k_anonymity_alerts(
     if l is not None:
         cols.append("d")
     return agg.select(*cols, passed.alias("passed"))
+
+
+def stream_referential_violations(
+    sdf: DataFrame,
+    domain: DataFrame,
+    column,
+    key: str = "doc_id",
+    domain_column=None,
+    check_id: str | None = None,
+) -> DataFrame:
+    """Streaming ``x-referential`` — membership validated AT INGEST: every
+    arriving row whose value (or key TUPLE, when ``column`` is a list —
+    the wave-46 composite form) is absent from the domain becomes a
+    violation row immediately, instead of waiting for the batch pass
+    over the settled table.
+
+    This is the SAME operator as batch (operators/referential.py): a
+    broadcast left-anti join is stream-static-legal with no watermark
+    and no state store — the domain lives in the broadcast, so memory is
+    bounded by the dimension, not the stream. The wrapper exists to
+    document the streaming contract: the domain snapshot is resolved at
+    query start (the stream_index_collisions rule — restart or REFRESH
+    to pick up later domain growth), and only exact mode applies (bloom
+    is for domains too big to broadcast, which a per-batch rebuild would
+    re-pay; run it over the settled table instead).
+    """
+    from jsonschema_valid_spark.operators.referential import (
+        referential_violations,
+    )
+
+    if not sdf.isStreaming:
+        raise ValueError("stream_referential_violations expects a "
+                         "streaming DataFrame — use "
+                         "referential_violations for batch")
+    if not isinstance(domain, DataFrame) or domain.isStreaming:
+        raise ValueError("the domain must be a STATIC DataFrame "
+                         "(stream-stream membership needs a windowed "
+                         "join — streaming/joins.py)")
+    cid = check_id or (
+        f"properties/{column}/x-referential"
+        if isinstance(column, str) else "x-referential")
+    return referential_violations(sdf, column, domain, cid, key=key,
+                                  domain_column=domain_column)
