@@ -910,6 +910,20 @@ def bind(suite, df: DataFrame) -> BoundPlan:
     # host column, so table scope like composite x-unique). The engine's
     # referential branch passes the list through unchanged —
     # referential_violations dispatches on it.
+    # root-level composite-determinant FD (x-functionalDependency with a
+    # "columns" LIST: "(store, sku) determines price" — neither column
+    # alone does; same table-scope rule as composite x-unique)
+    fv = spec.get("x-functionalDependency")
+    if isinstance(fv, dict) and "columns" in fv:
+        missing = [c for c in fv["columns"] if c not in fields]
+        if missing:
+            raise SuiteBindError(
+                f"x-functionalDependency determinant columns missing: "
+                f"{missing}")
+        plan.dataset_checks.append(
+            DatasetCheck("x-functionalDependency", "functional_dependency",
+                         list(fv["columns"]), dict(fv)))
+
     rv = spec.get("x-referential")
     if isinstance(rv, dict) and "columns" in rv:
         missing = [c for c in rv["columns"] if c not in fields]

@@ -7080,3 +7080,47 @@ def engine_composite_referential(spark, sf_dir):
     res = suite.run(fact, key="event_id", context={"reg": dom})
     return res.violations.select("doc_id", "check_id", "observed",
                                  "expected")
+
+
+_COMPOSITE_FD_SQL = """
+SELECT coalesce(CAST(l_partkey AS VARCHAR), '<null>') || '|' ||
+         coalesce(CAST(l_suppkey AS VARCHAR), '<null>') AS doc_id,
+       'x-functionalDependency' AS check_id,
+       'n_distinct=' || CAST(count(DISTINCT price) AS VARCHAR) ||
+         ',min=' || min(CAST(price AS VARCHAR)) ||
+         ',max=' || max(CAST(price AS VARCHAR)) AS observed,
+       'l_partkey, l_suppkey determines (price)' AS expected
+FROM (SELECT l_partkey, l_suppkey,
+             CAST(l_extendedprice AS DECIMAL(12,2)) AS price
+      FROM lineitem)
+GROUP BY l_partkey, l_suppkey
+HAVING count(DISTINCT price) > 1
+"""
+
+
+@register_extended("engine_composite_fd", _COMPOSITE_FD_SQL)
+def engine_composite_fd(spark, sf_dir):
+    """Composite-determinant x-functionalDependency (operators/
+    dependencies.py): "(part, supplier) should quote ONE list price" —
+    neither column alone determines anything, and TPC-H's
+    quantity-scaled l_extendedprice genuinely violates the contract
+    (1,600 contradicting pairs at sf0.001, 7,500 at sf0.01) — exactly
+    the denormalization-drift signal the FD family exists for. ROOT-
+    scope keyword (the determinant LIST has no host property);
+    determinant/dependent overlap refused at spec AND operator level
+    (a column trivially determines itself); the group key is the RAW
+    columns, never a rendered concatenation (rendering collisions
+    would merge distinct determinants — the cell-grouping rule). One
+    map-side-combined count-distinct aggregate; the dependent is cast
+    decimal(12,2) so min/max witness strings render identically across
+    engines. EXTENDED mirror entry; full value-hash oracle."""
+    from jsonschema_valid_spark import CheckSuite
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .withColumn("price",
+                      F.col("l_extendedprice").cast("decimal(12,2)")))
+    suite = CheckSuite({"x-functionalDependency": {
+        "columns": ["l_partkey", "l_suppkey"], "determines": ["price"]}})
+    res = suite.run(li, key="l_orderkey")
+    return res.violations.select("doc_id", "check_id", "observed",
+                                 "expected")

@@ -30,13 +30,20 @@ from pyspark.sql import DataFrame, functions as F
 
 def functional_dependency_violations(
     df: DataFrame,
-    column: str,
+    column,
     check_id: str,
     determines: list[str],
 ) -> DataFrame:
     """``x-functionalDependency`` execution: determinant values mapped to
     more than one distinct dependent tuple, as engine violation rows
     (doc_id=determinant value, check_id, observed, expected).
+
+    ``column`` may be a LIST for a composite determinant — "(store,
+    sku) determines price" where neither column alone does. The group
+    key is the RAW columns, never a rendered concatenation (rendering
+    collisions would merge distinct determinants and hide
+    contradictions — the cell-grouping rule); the label is derived
+    after aggregation.
 
     observed = ``n_distinct=<k>,min=<tuple>,max=<tuple>`` — the count plus
     the lexicographic extremes of the contradicting dependent renderings,
@@ -45,26 +52,35 @@ def functional_dependency_violations(
     if not determines:
         raise ValueError("x-functionalDependency needs at least one "
                          "dependent column")
+    cols = [column] if isinstance(column, str) else list(column)
+    overlap = set(cols) & set(determines)
+    if overlap:
+        raise ValueError(
+            f"determinant and dependent columns overlap: {sorted(overlap)} "
+            "— a column trivially determines itself")
     dep = F.concat_ws(
         "|",
         *[F.coalesce(F.col(c).cast("string"), F.lit("<null>"))
           for c in determines],
     )
+    dets = [F.col(c).alias(f"__det_{i}") for i, c in enumerate(cols)]
     agg = (
-        df.select(F.col(column).alias("__det"), dep.alias("__dep"))
-        .groupBy("__det")
+        df.select(*dets, dep.alias("__dep"))
+        .groupBy(*[f"__det_{i}" for i in range(len(cols))])
         .agg(
             F.countDistinct("__dep").alias("__k"),
             F.min("__dep").alias("__lo"),
             F.max("__dep").alias("__hi"),
         )
     )
-    exp_msg = f"{column} determines ({', '.join(determines)})"
+    label = F.concat_ws(
+        "|", *[F.coalesce(F.col(f"__det_{i}").cast("string"),
+                          F.lit("<null>")) for i in range(len(cols))])
+    exp_msg = f"{', '.join(cols)} determines ({', '.join(determines)})"
     return (
         agg.where(F.col("__k") > 1)
         .select(
-            F.coalesce(F.col("__det").cast("string"),
-                       F.lit("<null>")).alias("doc_id"),
+            label.alias("doc_id"),
             F.lit(check_id).alias("check_id"),
             F.concat(
                 F.lit("n_distinct="), F.col("__k").cast("string"),

@@ -935,9 +935,26 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 det = [det]
             ok = (isinstance(det, list) and det
                   and all(isinstance(c, str) and c for c in det))
+            if ok and "columns" in v:
+                # composite determinant: root-scope (a column LIST has
+                # no host property — the composite x-unique rule)
+                if len(p) > 1:
+                    raise _err(p, "composite x-functionalDependency "
+                                  "('columns') is a root-scope keyword")
+                cols = v["columns"]
+                ok = (isinstance(cols, list) and len(cols) >= 2
+                      and all(isinstance(c, str) and c for c in cols)
+                      and not set(cols) & set(det))
+            elif ok and len(p) > 1:
+                # property form: the host column trivially determines
+                # itself — an overlap is vacuous, refuse not ignore
+                ok = p[-2] not in det
             if not ok:
                 raise _err(p, "x-functionalDependency must be "
-                              "{'determines': col | [col, ...]}")
+                              "{'determines': col | [col, ...]} (host "
+                              "column excluded), or root-scope "
+                              "{'columns': [>=2 determinant cols], "
+                              "'determines': ...} with disjoint sets")
         elif kw == "x-freshness":
             ok = isinstance(v, dict) and isinstance(v.get("asOf"), str) \
                 and isinstance(v.get("maxAgeHours"), (int, float)) \

@@ -120,3 +120,45 @@ def test_spec_forms(spark):
     with pytest.raises(SuiteBindError, match="key columns missing"):
         CheckSuite({"x-referential": {
             "columns": ["uid", "nope"], "domain": "@d"}}).bind(_fact(spark))
+
+
+# ---- composite-determinant x-functionalDependency (wave 48) --------------
+
+def test_composite_fd_operator_and_keyword(spark):
+    from jsonschema_valid_spark.operators.dependencies import (
+        functional_dependency_violations,
+    )
+    df = spark.createDataFrame(
+        [(1, "s1", "p1", 10.0), (2, "s1", "p1", 10.0),
+         (3, "s1", "p2", 5.0), (4, "s2", "p1", 12.0),
+         (5, "s2", "p1", 13.0),            # (s2,p1) contradicts
+         (6, None, "p1", 1.0), (7, None, "p1", 2.0)],  # NULL det group
+        "rid long, store string, sku string, price double")
+    v = functional_dependency_violations(
+        df, ["store", "sku"], "c", determines=["price"])
+    rows = {r["doc_id"]: r["observed"] for r in v.collect()}
+    assert set(rows) == {"s2|p1", "<null>|p1"}
+    assert rows["s2|p1"].startswith("n_distinct=2,")
+    # keyword, both paths
+    suite = CheckSuite({"x-functionalDependency": {
+        "columns": ["store", "sku"], "determines": ["price"]}})
+    for res in (suite.run(df, key="rid"),
+                run_suite_summarized(suite, df, key="rid")):
+        assert res.violations.count() == 2
+    # refusals: overlap (both scopes), arity, host-column self-determine
+    with pytest.raises(ValueError, match="overlap"):
+        functional_dependency_violations(
+            df, ["store", "sku"], "c", determines=["sku"])
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"x-functionalDependency": {
+            "columns": ["a"], "determines": ["b"]}}, "draft7")
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"x-functionalDependency": {
+            "columns": ["a", "b"], "determines": ["b"]}}, "draft7")
+    with pytest.raises(SuiteError):
+        validate_suite_spec({"properties": {"x": {
+            "x-functionalDependency": {"determines": ["x"]}}}}, "draft7")
+    with pytest.raises(SuiteError, match="root-scope"):
+        validate_suite_spec({"properties": {"x": {
+            "x-functionalDependency": {"columns": ["a", "b"],
+                                       "determines": ["y"]}}}}, "draft7")

@@ -52,7 +52,7 @@ KEYWORD_SPECS = {
                                             "window": 2}}},
     "x-entropy": {"grp": {"x-entropy": {"max": 100.0}}},
     "x-outlier": {"v": {"x-outlier": {"by": "grp", "maxZ": 100.0}}},
-    "x-functionalDependency": {"grp": {
+    "x-functionalDependency": {"id": {
         "x-functionalDependency": {"determines": "grp"}}},
     "x-rowCount": {"grp": {"x-rowCount": {"min": 1}}},
     "x-maxFrequency": {"grp": {"x-maxFrequency": {"maxFraction": 0.99}}},
