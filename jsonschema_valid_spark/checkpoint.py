@@ -219,6 +219,9 @@ class RunSummary:
     # partitions whose lineage said "done" but whose content fingerprint
     # no longer matched — revalidated this run (verify_content=True only)
     invalidated: list[str] = field(default_factory=list)
+    # genuinely-new values folded into the run's UniqueIndex
+    # (unique_index= only); retried partitions contribute 0
+    indexed_values: int = 0
 
 
 class CheckpointRunner:
@@ -370,6 +373,7 @@ class CheckpointRunner:
         run_seq: int | None = None,
         exemplars_k: int | None = None,
         verify_content: bool = False,
+        unique_index=None,
     ) -> RunSummary:
         """Validate ``df`` partition-by-partition, skipping completed ones.
 
@@ -395,6 +399,20 @@ class CheckpointRunner:
         Off by default: the plain resume never rescans the input.
         Partitions validated before this knob existed carry no recorded
         fingerprint and keep the plain lineage skip.
+
+        ``unique_index``: an :class:`operators.unique_index.UniqueIndex` —
+        each partition's values are folded into the historical index
+        (``extend``) as part of its completion, so the next day's
+        ``x-unique {"index": "@hist"}`` probe sees everything this run
+        ingested. Ordering is the retry contract: outputs commit →
+        index extends → lineage appends, so a crash between the last
+        two re-validates the partition on resume and the re-extend
+        inserts NOTHING (extend is idempotent). Extends serialize
+        behind the lineage lock (concurrent anti-join+append against
+        one catalog table would race). ALL of the partition's non-NULL
+        values are indexed — "previously ingested" means seen, not
+        valid; gate with :func:`engine.split_valid` first if only clean
+        rows should enter history.
 
         ``fail_after``: test hook — raise after N partitions to simulate an
         interrupted run (resume tests).
@@ -493,21 +511,32 @@ class CheckpointRunner:
                       else self.protocol.read_partition(
                           spark, "violations", p).count())
             res.unpersist()
-            wall_ms = int((time.perf_counter() - t0) * 1000)
+            n_indexed = 0
             with lock:
+                if unique_index is not None:
+                    # BEFORE the lineage append: a crash after the extend
+                    # re-validates this partition on resume and the
+                    # re-extend is a no-op (idempotent anti-join append);
+                    # the reverse order would mark the partition done
+                    # with its values never indexed — silently un-probed
+                    # history. Serialized: concurrent extends against one
+                    # catalog table would race the anti-join + append.
+                    n_indexed = unique_index.extend(slice_df)
+                wall_ms = int((time.perf_counter() - t0) * 1000)
                 self._append_lineage(
                     spark,
                     (p, self.suite.suite_hash, "done", n_rows, n_viol, wall_ms))
                 if verify_content and p in fps_now:
                     self._append_fingerprint(spark, p, fps_now[p])
-            return p, n_rows, n_viol, wall_ms
+            return p, n_rows, n_viol, wall_ms, n_indexed
 
         def record(result):
-            p, n_rows, n_viol, wall_ms = result
+            p, n_rows, n_viol, wall_ms, n_indexed = result
             summary.processed.append(p)
             summary.total_rows += n_rows
             summary.total_violations += n_viol
             summary.wall_ms += wall_ms
+            summary.indexed_values += n_indexed
 
         if max_concurrency <= 1:
             for i, p in enumerate(todo):

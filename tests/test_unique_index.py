@@ -225,3 +225,42 @@ def test_metaschema_accepts_index_form(spark):
     res = validate_suite_with_engine(
         spark, {"properties": {"d": {"x-unique": {"index": "@h"}}}})
     assert res.ok()
+
+
+# ---- CheckpointRunner integration (wave 49) -------------------------------
+
+def test_runner_maintains_index_across_interrupt(spark, tmp_path):
+    """unique_index=: each completed partition's values fold into the
+    history as part of its completion — extend BEFORE lineage (a crash
+    between them re-validates and the re-extend inserts nothing), skip
+    on resume, full-rerun inserts zero."""
+    from jsonschema_valid_spark import CheckSuite
+    from jsonschema_valid_spark.checkpoint import CheckpointRunner
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 3}", 100 + i) for i in range(30)],
+        "rid long, part string, did long")
+    uidx = UniqueIndex("uidx_runner_test", "did", buckets=4)
+    uidx.build(spark.range(0, 10).select(F.col("id").alias("did")),
+               path=str(tmp_path / "uix"))
+    suite = CheckSuite({"properties": {"did": {"minimum": 0}}})
+    runner = CheckpointRunner(suite, str(tmp_path / "ckpt"))
+    try:
+        with pytest.raises(InterruptedError):
+            runner.run(df, partition_by="part", key="rid", fail_after=1,
+                       unique_index=uidx)
+        n_after_crash = uidx.index_df(spark).count()
+        assert n_after_crash == 20  # 10 historical + one partition's 10
+
+        s2 = runner.run(df, partition_by="part", key="rid",
+                        unique_index=uidx)
+        assert len(s2.skipped) == 1 and s2.indexed_values == 20
+        assert uidx.index_df(spark).count() == 40
+
+        # a full re-run (fresh lineage dir, same index) inserts nothing
+        r3 = CheckpointRunner(suite, str(tmp_path / "ckpt3"))
+        s3 = r3.run(df, partition_by="part", key="rid",
+                    unique_index=uidx)
+        assert s3.indexed_values == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS uidx_runner_test")
