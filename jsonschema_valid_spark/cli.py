@@ -58,6 +58,20 @@ def build_parser() -> argparse.ArgumentParser:
                    help="on --resume, revalidate 'done' partitions whose "
                         "content fingerprint changed since validation "
                         "(late appends / backfill rewrites)")
+    p.add_argument("--unique-index", metavar="TABLE:COLUMN[:PATH]",
+                   default=None,
+                   help="on --resume, maintain a historical UniqueIndex "
+                        "(catalog bucketed TABLE over COLUMN): each "
+                        "completed partition's values extend the index "
+                        "as part of its completion (idempotent — a "
+                        "resumed partition inserts nothing). With :PATH, "
+                        "an existing index layout is ATTACHED to this "
+                        "session's catalog first (fresh spark-submit "
+                        "drivers: the files survive, the catalog does "
+                        "not); otherwise the table must already exist")
+    p.add_argument("--unique-index-buckets", type=int, default=64,
+                   help="bucket count the index layout was written with "
+                        "(attach-time DDL metadata)")
     p.add_argument("--vacuum-age", type=float, default=None,
                    metavar="SECONDS",
                    help="with --resume --commit-protocol snapshot: after "
@@ -189,10 +203,33 @@ def main(argv=None) -> int:
 
         proto = (SnapshotManifestCommit(args.output.rstrip("/"))
                  if args.commit_protocol == "snapshot" else None)
+        uidx = None
+        if args.unique_index:
+            from jsonschema_valid_spark.operators.unique_index import (
+                UniqueIndex,
+            )
+
+            parts_ix = args.unique_index.split(":", 2)
+            if len(parts_ix) < 2:
+                print("--unique-index must be TABLE:COLUMN[:PATH]",
+                      file=sys.stderr)
+                return 2
+            tbl, col = parts_ix[0], parts_ix[1]
+            uidx = UniqueIndex(tbl, col,
+                               buckets=args.unique_index_buckets)
+            if len(parts_ix) == 3:
+                uidx.attach(spark, parts_ix[2])
+            if not uidx.exists(spark):
+                print(f"--unique-index table {tbl!r} does not exist — "
+                      "build it once with UniqueIndex.build, or pass "
+                      "TABLE:COLUMN:PATH to attach the layout",
+                      file=sys.stderr)
+                return 2
         runner = CheckpointRunner(suite, args.output, commit_protocol=proto)
         summary = runner.run(df, partition_by=args.partition_by,
                              key=args.key, exemplars_k=args.exemplars,
-                             verify_content=args.verify_content)
+                             verify_content=args.verify_content,
+                             unique_index=uidx)
         # exit code covers ALL committed partitions — including ones
         # completed (and skipped) by previous interrupted runs — and failed
         # verdicts, not just this invocation's violation count
@@ -204,6 +241,8 @@ def main(argv=None) -> int:
             "rows": summary.total_rows, "violations": summary.total_violations,
             "wall_ms": summary.wall_ms, "failed": failed,
         }
+        if uidx is not None:
+            out["indexed_values"] = summary.indexed_values
         if quarantine is not None:
             out["quarantined"] = n_quar
         if args.vacuum_age is not None and proto is not None:

@@ -101,6 +101,28 @@ class UniqueIndex:
             w = w.option("path", path)
         w.format("parquet").saveAsTable(self.table)
 
+    def attach(self, spark: SparkSession, path: str) -> None:
+        """Register an EXISTING index layout in this session's catalog —
+        the fresh-session step (spark-submit, new driver): the bucketed
+        parquet files survive between sessions, the in-memory catalog
+        does not, and reading them WITHOUT the bucket DDL would lose the
+        clustering every probe relies on. No-op when the table already
+        exists. The bucket count declared here must be the one the
+        layout was written with (it is DDL metadata; a mismatch
+        silently mis-clusters every downstream join). The layout must
+        hold at least one file (the column type is read from the
+        parquet footers — an index that never indexed anything has
+        nothing to attach)."""
+        if self.exists(spark):
+            return
+        dtype = (spark.read.parquet(path)
+                 .schema[self.column].dataType.simpleString())
+        spark.sql(
+            f"CREATE TABLE {self.table} ({self.column} {dtype}) "
+            f"USING parquet CLUSTERED BY ({self.column}) "
+            f"SORTED BY ({self.column}) INTO {self.buckets} BUCKETS "
+            f"LOCATION '{path}'")
+
     def index_df(self, spark: SparkSession) -> DataFrame:
         """The index relation — MUST come from the catalog
         (``spark.read.parquet`` on the same files would not know the

@@ -264,3 +264,64 @@ def test_runner_maintains_index_across_interrupt(spark, tmp_path):
         assert s3.indexed_values == 0
     finally:
         spark.sql("DROP TABLE IF EXISTS uidx_runner_test")
+
+
+def test_cli_unique_index_resume(spark, tmp_path):
+    """--unique-index TABLE:COLUMN threads index maintenance through the
+    resume CLI; a second invocation skips everything and indexes 0."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from jsonschema_valid_spark.operators.unique_index import UniqueIndex
+
+    df = spark.createDataFrame(
+        [(i, f"p{i % 2}", 500 + i) for i in range(20)],
+        "rid long, part string, did long")
+    inp = str(tmp_path / "in")
+    df.write.partitionBy("part").parquet(inp)
+    u = UniqueIndex("uidx_cli_test", "did", buckets=4)
+    u.build(spark.range(0, 5).select(F.col("id").alias("did")),
+            path=str(tmp_path / "ix"))
+    suite_path = str(tmp_path / "suite.json")
+    with open(suite_path, "w") as f:
+        json.dump({"properties": {"did": {"minimum": 0}}}, f)
+
+    import os
+    env = dict(os.environ)
+    # the CLI must see the SAME warehouse so the catalog table resolves
+    wh = spark.conf.get("spark.sql.warehouse.dir")
+    env["SPARK_GRAFT_TEST_WAREHOUSE"] = wh
+
+    def invoke():
+        code = (
+            "import sys, json; sys.path.insert(0, '/root/repo')\n"
+            "from pyspark.sql import SparkSession\n"
+            "import os\n"
+            "spark = (SparkSession.builder.master('local[4]')\n"
+            "  .config('spark.sql.shuffle.partitions','4')\n"
+            "  .config('spark.sql.warehouse.dir',"
+            " os.environ['SPARK_GRAFT_TEST_WAREHOUSE'])\n"
+            "  .config('spark.ui.enabled','false').getOrCreate())\n"
+            "from jsonschema_valid_spark.cli import main\n"
+            f"rc = main(['--suite', {suite_path!r}, '--input', {inp!r},\n"
+            f"  '--key', 'rid', '--partition-by', 'part',\n"
+            f"  '--output', {str(tmp_path / 'out')!r}, '--resume',\n"
+            f"  '--unique-index', 'uidx_cli_test:did:'\n"
+            f"      + {str(tmp_path / 'ix')!r},\n"
+            "  '--unique-index-buckets', '4'])\n"
+            "sys.exit(rc)\n")
+        return subprocess.run([_sys.executable, "-c", code], env=env,
+                              capture_output=True, text=True, timeout=300)
+
+    try:
+        r1 = invoke()
+        assert r1.returncode == 0, r1.stderr[-2000:]
+        o1 = json.loads(r1.stdout.strip().splitlines()[-1])
+        assert o1["indexed_values"] == 20
+        r2 = invoke()
+        assert r2.returncode == 0, r2.stderr[-2000:]
+        o2 = json.loads(r2.stdout.strip().splitlines()[-1])
+        assert o2["indexed_values"] == 0 and len(o2["skipped"]) == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS uidx_cli_test")
