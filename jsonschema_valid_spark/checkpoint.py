@@ -468,6 +468,7 @@ class CheckpointRunner:
         todo = [p for p in parts if p not in done]
         summary.skipped = [p for p in parts if p in done]
         lock = threading.Lock()
+        index_lock = threading.Lock()
 
         def process(p: str) -> tuple:
             t0 = time.perf_counter()
@@ -512,17 +513,22 @@ class CheckpointRunner:
                           spark, "violations", p).count())
             res.unpersist()
             n_indexed = 0
-            with lock:
-                if unique_index is not None:
-                    # BEFORE the lineage append: a crash after the extend
-                    # re-validates this partition on resume and the
-                    # re-extend is a no-op (idempotent anti-join append);
-                    # the reverse order would mark the partition done
-                    # with its values never indexed — silently un-probed
-                    # history. Serialized: concurrent extends against one
-                    # catalog table would race the anti-join + append.
+            if unique_index is not None:
+                # BEFORE the lineage append: a crash after the extend
+                # re-validates this partition on resume and the
+                # re-extend is a no-op (idempotent anti-join append);
+                # the reverse order would mark the partition done
+                # with its values never indexed — silently un-probed
+                # history. Serialized under a DEDICATED lock: concurrent
+                # extends against one catalog table would race the
+                # anti-join + append, but other partitions' lineage
+                # appends must not queue behind a full Spark job.
+                with index_lock:
                     n_indexed = unique_index.extend(slice_df)
-                wall_ms = int((time.perf_counter() - t0) * 1000)
+            # wall_ms measured BEFORE lock acquisition: per-partition
+            # timings must reflect validation work, not lock-wait
+            wall_ms = int((time.perf_counter() - t0) * 1000)
+            with lock:
                 self._append_lineage(
                     spark,
                     (p, self.suite.suite_hash, "done", n_rows, n_viol, wall_ms))

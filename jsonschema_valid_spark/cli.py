@@ -69,9 +69,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "session's catalog first (fresh spark-submit "
                         "drivers: the files survive, the catalog does "
                         "not); otherwise the table must already exist")
-    p.add_argument("--unique-index-buckets", type=int, default=64,
+    p.add_argument("--unique-index-buckets", type=int, default=None,
                    help="bucket count the index layout was written with "
-                        "(attach-time DDL metadata)")
+                        "(attach-time DDL metadata). Normally OMIT this: "
+                        "attach reads the count from the layout's "
+                        "_index_meta.json sidecar, and an explicit value "
+                        "that contradicts the sidecar is refused")
     p.add_argument("--vacuum-age", type=float, default=None,
                    metavar="SECONDS",
                    help="with --resume --commit-protocol snapshot: after "

@@ -822,7 +822,8 @@ def bind(suite, df: DataFrame) -> BoundPlan:
         for kw in sub:
             p = base + (kw,)
             if kw in registry.DATASET_KEYWORDS:
-                _bind_dataset_keyword(plan, kw, sub[kw], colname, col, dtype, p)
+                _bind_dataset_keyword(plan, kw, sub[kw], colname, col, dtype,
+                                      p, fields=fields)
                 continue
             if kw in _NON_ROW_KEYWORDS or kw not in ctx.keywords:
                 continue
@@ -919,6 +920,15 @@ def bind(suite, df: DataFrame) -> BoundPlan:
         if missing:
             raise SuiteBindError(
                 f"x-functionalDependency determinant columns missing: "
+                f"{missing}")
+        # dependents are table columns too — a typo here used to surface
+        # only as a runtime AnalysisException deep in the aggregate
+        det = fv.get("determines", [])
+        missing = [c for c in ([det] if isinstance(det, str) else det)
+                   if c not in fields]
+        if missing:
+            raise SuiteBindError(
+                f"x-functionalDependency determines columns missing: "
                 f"{missing}")
         plan.dataset_checks.append(
             DatasetCheck("x-functionalDependency", "functional_dependency",
@@ -1085,7 +1095,8 @@ def _row_pred(node: Any, fields: dict, ctx: _Ctx, path: tuple) -> Column:
 # ---------------------------------------------------------------------------
 
 def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
-                          col: Column, dtype, path: tuple) -> None:
+                          col: Column, dtype, path: tuple,
+                          fields: dict | None = None) -> None:
     cid = _path_id(path)
     a = f"a{len(plan.agg_checks)}_{colname}"[:48]
 
@@ -1349,6 +1360,14 @@ def _bind_dataset_keyword(plan: BoundPlan, kw: str, v, colname: str,
         # dataset scope: the lift of `dependencies` from keys within one
         # row to values ACROSS rows — one determinant value must map to
         # one dependent tuple table-wide
+        if fields is not None:
+            det = v.get("determines", [])
+            missing = [c for c in ([det] if isinstance(det, str) else det)
+                       if c not in fields]
+            if missing:
+                raise SuiteBindError(
+                    f"{cid}: x-functionalDependency determines columns "
+                    f"missing: {missing}")
         plan.dataset_checks.append(
             DatasetCheck(cid, "functional_dependency", colname, dict(v)))
     elif kw == "x-freshness":

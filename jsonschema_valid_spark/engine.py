@@ -217,6 +217,28 @@ def _inline_referential(plan: BoundPlan, context: dict) -> None:
     plan.dataset_checks = keep
 
 
+def _resolve_domain(dc, context: dict):
+    """Resolve an x-referential domain reference AND validate the declared
+    domain column(s) against the resolved relation — the run-start mirror
+    of the bind-time key/quasi column checks (a typo'd domainColumn used
+    to surface as an AnalysisException mid-job; a positionally-defaulted
+    composite domain is arity-checked in composite_non_members)."""
+    from jsonschema_valid_spark.suite.spec import SuiteBindError
+
+    dom = dc.params["domain"]
+    if isinstance(dom, str) and dom.startswith("@"):
+        dom = context[dom[1:]]
+    dcol = dc.params.get("domainColumn")
+    if isinstance(dom, DataFrame) and dcol is not None:
+        names = [dcol] if isinstance(dcol, str) else list(dcol)
+        missing = [c for c in names if c not in dom.columns]
+        if missing:
+            raise SuiteBindError(
+                f"{dc.check_id}: domain column(s) {missing} not in the "
+                f"resolved domain (have {dom.columns})")
+    return dom
+
+
 def _bloom_opts(params: dict) -> dict:
     """x-referential mode passthrough: {'mode': 'bloom', 'mBits', 'k',
     'seed'} → referential_violations kwargs (exact mode: empty)."""
@@ -605,6 +627,7 @@ def _monotonic_violations(dc, df: DataFrame, key: str) -> DataFrame:
         direction=dc.params.get("direction", "nonDecreasing"),
         max_step=None if ms is None else float(ms),
         min_step=None if ns is None else float(ns),
+        allow_global=bool(dc.params.get("allowGlobal", False)),
     )
 
 
@@ -636,6 +659,7 @@ def _level_shift_violations(dc, df: DataFrame, key: str) -> DataFrame:
         by=dc.params.get("by"),
         window=int(dc.params.get("window", 20)),
         max_shift=float(dc.params["maxShift"]),
+        allow_global=bool(dc.params.get("allowGlobal", False)),
     )
 
 
@@ -672,6 +696,7 @@ def _correlation_violations(dc, df: DataFrame, key: str) -> DataFrame:
         lag=int(dc.params.get("lag", 0)),
         order_by=dc.params.get("orderBy"),
         key=key,
+        allow_global=bool(dc.params.get("allowGlobal", False)),
     )
 
 
@@ -872,6 +897,7 @@ def _seasonality_violations(dc, df: DataFrame, key: str) -> DataFrame:
         min_acf=None if mn is None else float(mn),
         max_acf=None if mx is None else float(mx),
         min_count=int(dc.params.get("minCount", 3)),
+        allow_global=bool(dc.params.get("allowGlobal", False)),
     )
 
 
@@ -1137,9 +1163,7 @@ def run_suite_summarized(
             if dc.params.get("index"):
                 vdf = vdf.unionByName(_index_collisions(dc, sdf_u, context))
         elif dc.kind == "referential":
-            dom = dc.params["domain"]
-            if isinstance(dom, str) and dom.startswith("@"):
-                dom = context[dom[1:]]
+            dom = _resolve_domain(dc, context)
             vdf = ref_op.referential_violations(
                 _scoped(dc, df), dc.column, dom, dc.check_id, key=key,
                 domain_column=dc.params.get("domainColumn"),
@@ -1456,9 +1480,7 @@ def run_suite(
                 )
             )
         elif dc.kind == "referential":
-            dom = dc.params["domain"]
-            if isinstance(dom, str) and dom.startswith("@"):
-                dom = context[dom[1:]]
+            dom = _resolve_domain(dc, context)
             bad = ref_op.referential_violations(
                 _scoped(dc, df), dc.column, dom, dc.check_id, key=key,
                 domain_column=dc.params.get("domainColumn"),

@@ -148,13 +148,17 @@ def t_closeness_violations(
     cv = (df.where(F.col(sensitive).isNotNull())
           .groupBy(*[F.col(c) for c in quasi], F.col(sensitive))
           .agg(F.count(F.lit(1)).cast(dec).alias("__ncv")))
-    # marginals: per-value (Nv, N) is a #values-row table — the global
-    # total rides a single-frame window over THAT (the x-maxFrequency
-    # convention: tiny by construction), never over the #cells×#values
-    # aggregate; the per-cell total is a window partitioned by the cell.
-    vals = (cv.groupBy(sensitive)
-            .agg(F.sum("__ncv").alias("__Nv"))
-            .withColumn("__N", F.sum("__Nv").over(Window.partitionBy())))
+    # marginals: per-value (Nv, N) is a #values-row table. The global
+    # total is a broadcast scalar cross-joined on (the x-maxFrequency
+    # convention since r5) — a single-frame window here would funnel
+    # every distinct SENSITIVE value through one task, unbounded for
+    # numeric sensitives. ReuseExchange makes the scalar branch read
+    # the same shuffle, not re-scan. Never computed over the
+    # #cells×#values aggregate; the per-cell total is a window
+    # partitioned by the cell.
+    vals = cv.groupBy(sensitive).agg(F.sum("__ncv").alias("__Nv"))
+    vals = vals.crossJoin(
+        F.broadcast(vals.agg(F.sum("__Nv").alias("__N"))))
     w_cell = Window.partitionBy(*quasi)
     cv = (cv.withColumn("__nc", F.sum("__ncv").over(w_cell))
           .join(F.broadcast(vals), sensitive))

@@ -42,6 +42,7 @@ def level_shifts(
     key: str,
     by: str | None = None,
     window: int = 20,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Per-row level-shift series: input columns + ``__shift`` (NULL
     where either window is not yet full).  Building block for
@@ -49,6 +50,12 @@ def level_shifts(
     n = int(window)
     if n < 2:
         raise ValueError("window must be >= 2")
+    if by is None and not allow_global:
+        # the x-contiguous refusal convention (uniform since r5)
+        raise ValueError(
+            "x-levelShift with by=None sorts the whole table in ONE "
+            "partition — declare 'by', or pass allowGlobal=true for a "
+            "genuinely single-series table")
     part = [F.col(by)] if by is not None else [F.lit(1)]
     val = F.col(column).cast("double")
     order = [F.col(order_by).asc_nulls_first(), F.col(key)]
@@ -72,13 +79,15 @@ def level_shift_violations(
     by: str | None = None,
     window: int = 20,
     max_shift: float = 1.0,
+    allow_global: bool = False,
 ) -> DataFrame:
     """``x-levelShift`` execution: one violation row per group whose
     peak rolling-mean shift exceeds ``max_shift`` — (doc_id=group,
     observed=``shift=<dec>,at=<order-value>``).  Pass a NUMERIC
     ``order_by`` (e.g. epoch micros) so the ``at=`` witness renders
     identically across engines."""
-    s = level_shifts(df, column, order_by, key, by=by, window=window)
+    s = level_shifts(df, column, order_by, key, by=by, window=window,
+                     allow_global=allow_global)
     part = [F.col(by)] if by is not None else [F.lit(1)]
     rank = Window.partitionBy(*part).orderBy(
         F.col("__shift").desc_nulls_last(),

@@ -25,18 +25,34 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, functions as F
 
 
-def order_window(by: str | None, order_by: str, key: str):
+def order_window(by: str | None, order_by: str, key: str,
+                 allow_global: bool = False):
     """The lag-window convention shared by every lead/lag operator
     (x-seasonality, x-correlation's lag form): partition by the group,
     order by the ``(order_by, key)`` TOTAL order so ``lag()`` is
     deterministic under order-column ties (the x-monotonic rule).
     Rows with a NULL order value have no position in the sequence and
     must be excluded by the caller BEFORE staging — otherwise they
-    sort first and silently occupy lag slots."""
+    sort first and silently occupy lag slots.
+
+    ``by=None`` is REFUSED unless ``allow_global=True`` (spec knob
+    ``allowGlobal``): a global sequence window funnels every row through
+    ONE task — the x-contiguous refusal convention, applied uniformly to
+    the whole window family since r5. The escape hatch exists for
+    genuinely single-series data (one global metric timeline), where the
+    row count is the series length, not the table size."""
     from pyspark.sql import Window
 
+    if by is None and not allow_global:
+        raise ValueError(
+            "global sequence window (by=None) funnels every row through "
+            "ONE partition — declare a group column, or pass "
+            "allowGlobal=true for a genuinely single-series table")
+    # lit(1): same single partition, but explicit — the opt-in is the
+    # allowGlobal refusal above, so the WindowExec warning stays
+    # reserved for unintended hazards
     base = (Window.partitionBy(by) if by is not None
-            else Window.partitionBy())
+            else Window.partitionBy(F.lit(1)))
     return base.orderBy(F.col(order_by), F.col(key))
 
 
@@ -104,6 +120,7 @@ def correlation_violations(
     lag: int = 0,
     order_by: str | None = None,
     key: str | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """``x-correlation`` execution: groups whose Pearson r between
     ``column`` and ``with_col`` falls outside [min_corr, max_corr], as
@@ -120,9 +137,11 @@ def correlation_violations(
     zero-lag default keeps the original shuffle-free-when-grouped
     conditional aggregate.
 
-    ``by=None`` checks ONE global correlation (single-row aggregate;
-    with ``lag`` this funnels through one partition for the global
-    sort — fixtures only, declare ``by`` at scale).
+    ``by=None`` checks ONE global correlation (single-row aggregate —
+    fine at any scale for the zero-lag form); with ``lag`` the global
+    sort funnels through one partition, so it is REFUSED unless
+    ``allow_global=True`` (spec knob ``allowGlobal`` — the x-contiguous
+    refusal convention, uniform across the window family since r5).
     Groups with fewer than ``min_count`` complete pairs or undefined r
     (zero variance) never violate — too little signal to call, same
     suppression contract as x-outlier.  observed renders r as
@@ -141,7 +160,7 @@ def correlation_violations(
     ca = F.col(column).cast("double")
     cb = F.col(with_col).cast("double")
     if lag:
-        w = order_window(by, order_by, key)
+        w = order_window(by, order_by, key, allow_global=allow_global)
         # keep the ORIGINAL `by` attribute through window -> groupBy
         # so the aggregate consumes the window's hash-partitioning; a
         # NULL order value has no position in the sequence

@@ -125,7 +125,11 @@ def ks_value_df(observed_hist: DataFrame, baseline: dict[int, int], spark) -> Da
     """Binned-ECDF Kolmogorov–Smirnov statistic: max |CDF_obs − CDF_base|
     over bucket boundaries. Window over #buckets rows (driver-scale)."""
     n = _normalized_join(observed_hist, baseline, spark)
-    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    # partitionBy(lit(0)): same single partition (#buckets rows — already
+    # driver-scale by construction), but EXPLICIT, so the WindowExec
+    # "No Partition Defined" warning stays reserved for real hazards
+    w = (Window.partitionBy(F.lit(0)).orderBy("bucket")
+         .rowsBetween(Window.unboundedPreceding, 0))
     return (
         n.select(
             F.abs(F.sum("p_obs").over(w) - F.sum("p_base").over(w)).alias("d")
@@ -214,8 +218,11 @@ def emd_value_df(observed_hist: DataFrame, baseline: dict[int, int],
     piecewise-constant CDF gap exactly (a plain per-row sum would
     undercount sparse histograms). Same #buckets-row plan as KS."""
     n = _normalized_join(observed_hist, baseline, spark)
-    cum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
-    nxt = F.lead("bucket").over(Window.orderBy("bucket"))
+    # explicit single partition over #buckets rows (see ks_value_df)
+    cum = (Window.partitionBy(F.lit(0)).orderBy("bucket")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    nxt = F.lead("bucket").over(
+        Window.partitionBy(F.lit(0)).orderBy("bucket"))
     return (
         n.select(
             F.abs(F.sum(F.col("p_obs") - F.col("p_base")).over(cum))

@@ -93,15 +93,19 @@ def exact_value_counts(df: DataFrame, column: str,
     """(value, n, total) — or (grp, value, n, total) with ``by`` — per-
     value counts plus the (group) total, ONE scan.
 
-    The total is the sum of the per-value counts, taken with a window
-    over the ALREADY-AGGREGATED table (#distinct rows; partitioned by
-    the group when ``by`` is set), so the base table is never scanned
-    twice. NULL values under the sentinel."""
+    The global total is a broadcast scalar cross-joined onto the counts
+    (NOT a single-frame window: that would move every distinct value of
+    a high-cardinality column through ONE task — the WindowExec hazard).
+    The scalar's sub-plan is the same groupBy, so Spark's ReuseExchange
+    reads the one shuffle twice instead of re-scanning the base table.
+    With ``by``, the per-group total is a window partitioned by the
+    group (bounded by the group's distinct values). NULL values under
+    the sentinel."""
     if by is None:
         counts = (df.groupBy(_value_str(column).alias("value"))
                   .agg(F.count(F.lit(1)).alias("n")))
-        return counts.withColumn(
-            "total", F.sum("n").over(Window.partitionBy()))
+        total = counts.agg(F.sum("n").alias("total"))
+        return counts.crossJoin(F.broadcast(total))
     counts = (df.groupBy(
         F.coalesce(F.col(by).cast("string"), F.lit("<null>")).alias("grp"),
         _value_str(column).alias("value"))

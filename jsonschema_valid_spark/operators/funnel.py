@@ -156,7 +156,9 @@ def funnel_violations(
             f"min_rates needs {len(steps) - 1} entries "
             f"(one per transition), got {len(min_rates)}")
     counts = funnel(df, key, ts, steps, within_seconds=within_seconds)
-    w = Window.orderBy("step_idx")
+    # explicit single partition over the K step rows (K = a handful) —
+    # keeps the WindowExec warning reserved for real data-scale hazards
+    w = Window.partitionBy(F.lit(0)).orderBy("step_idx")
     rates = F.array(*[F.lit(float(r)) for r in min_rates])
     out = (counts
            .withColumn("__prev", F.lag("n_converted").over(w))

@@ -105,6 +105,7 @@ def monotonic_violations(
     direction: str = "nonDecreasing",
     max_step: float | None = None,
     min_step: float | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """``x-monotonic`` execution: rows that break the declared monotonic
     run as engine violation rows (doc_id, check_id, observed, expected).
@@ -131,6 +132,14 @@ def monotonic_violations(
         raise ValueError(
             f"direction must be one of {sorted(_DIRECTIONS)}, "
             f"got {direction!r}")
+    if by is None and not allow_global:
+        # the x-contiguous refusal convention (uniform across the window
+        # family since r5): a whole-table ordering funnels every row
+        # through ONE task — refuse with guidance instead of degrading
+        raise ValueError(
+            "x-monotonic with by=None sorts the whole table in ONE "
+            "partition — declare 'by', or pass allowGlobal=true for a "
+            "genuinely single-series table")
     part = [by] if by is not None else [F.lit(1)]
     w = Window.partitionBy(*part).orderBy(F.col(order_by), F.col(key))
     prev = F.lag(column).over(w)

@@ -53,14 +53,14 @@ from jsonschema_valid_spark.operators.correlation import (
 
 
 def _acf_cells(df: DataFrame, column: str, key: str, order_by: str,
-               lag: int, by: str | None):
+               lag: int, by: str | None, allow_global: bool = False):
     """(grouped-or-global aggregate, group-render column): one window
     lag + one moment aggregate; __r = acf@lag, __n = complete pairs.
     Rows with a NULL order value have no position in the sequence and
     are excluded (matching the streaming twin)."""
     if int(lag) < 1:
         raise ValueError(f"x-seasonality lag must be >= 1, got {lag}")
-    w = order_window(by, order_by, key)
+    w = order_window(by, order_by, key, allow_global=allow_global)
     v = F.col(column).cast("double")
     # keep the ORIGINAL `by` attribute through window -> groupBy (the
     # x-monotonic plan note: aliasing first buys a second Exchange)
@@ -92,6 +92,7 @@ def seasonality_violations(
     min_acf: float | None = None,
     max_acf: float | None = None,
     min_count: int = 3,
+    allow_global: bool = False,
 ) -> DataFrame:
     """``x-seasonality`` execution: groups whose lag-``lag``
     autocorrelation of ``column`` (ordered by ``(order_by, key)``)
@@ -104,7 +105,8 @@ def seasonality_violations(
         raise ValueError("x-seasonality needs min and/or max")
     from jsonschema_valid_spark.operators._bounds import out_of_bounds
 
-    g, doc = _acf_cells(df, column, key, order_by, lag, by)
+    g, doc = _acf_cells(df, column, key, order_by, lag, by,
+                        allow_global=allow_global)
     bad = (F.col("__r").isNotNull()
            & (F.col("__n") >= F.lit(int(min_count)))
            & out_of_bounds(F.col("__r"), min_acf, max_acf))
@@ -176,13 +178,15 @@ def seasonality_acf(
     order_by: str,
     lag: int,
     by: str | None = None,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Per-group lag-``lag`` autocorrelation as tidy rows
     ``(group, acf, n)`` — the profiling face of the keyword (feeds
     ``suggest_seasonality_floor``).  NULL acf (constant series) is
     kept as NULL — the caller decides whether undefined
     self-dependence is a finding."""
-    g, doc = _acf_cells(df, column, key, order_by, lag, by)
+    g, doc = _acf_cells(df, column, key, order_by, lag, by,
+                        allow_global=allow_global)
     return g.select(doc.alias("group"),
                     F.col("__r").alias("acf"),
                     F.col("__n").alias("n"))
@@ -197,6 +201,7 @@ def discover_period(
     by: str | None = None,
     min_count: int = 10,
     best_only: bool = False,
+    allow_global: bool = False,
 ) -> DataFrame:
     """Period discovery: the lag-k autocorrelation of ``column`` at
     EVERY lag 1..``max_lag`` per group, as tidy rows
@@ -218,7 +223,7 @@ def discover_period(
     L = int(max_lag)
     if not (1 <= L <= 128):
         raise ValueError(f"max_lag must be in [1, 128], got {max_lag}")
-    w = order_window(by, order_by, key)
+    w = order_window(by, order_by, key, allow_global=allow_global)
     v = F.col(column).cast("double")
     cols = ([F.col(by)] if by is not None else []) + [v.alias("__v")] + [
         F.lag(v, k).over(w).alias(f"__p{k}") for k in range(1, L + 1)]

@@ -45,7 +45,15 @@ bounded by the number of colliding values, not row count.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
+
+#: sidecar written next to the bucketed parquet files at build() time —
+#: the bucket count is DDL metadata that does not live in the files
+#: themselves, and an attach() with the wrong count silently assigns
+#: values to the wrong buckets (false-negative collision probes).
+_META_FILE = "_index_meta.json"
 
 
 class UniqueIndex:
@@ -57,19 +65,64 @@ class UniqueIndex:
     probe may collect to the driver (the referential ≤100k refusal
     convention)."""
 
-    def __init__(self, table: str, column: str, buckets: int = 64,
+    def __init__(self, table: str, column: str, buckets: int | None = None,
                  inline_threshold: int = 100_000):
         if not table or not column:
             raise ValueError("UniqueIndex needs a table name and a column")
         self.table = table
         self.column = column
-        self.buckets = int(buckets)
+        # None = "not chosen by the caller": build() defaults to 64 and
+        # RECORDS the choice in the layout's sidecar; attach() then adopts
+        # the recorded count, so nobody has to remember the number. An
+        # EXPLICIT count that contradicts the sidecar is refused (it would
+        # silently mis-cluster every probe).
+        self._buckets_explicit = buckets is not None
+        self.buckets = int(buckets) if buckets is not None else 64
         self.inline_threshold = int(inline_threshold)
 
     # -- lifecycle -------------------------------------------------------
 
     def exists(self, spark: SparkSession) -> bool:
         return spark.catalog.tableExists(self.table)
+
+    def _managed_location(self, spark: SparkSession) -> str | None:
+        wh = spark.conf.get("spark.sql.warehouse.dir", "")
+        if not wh or "." in self.table:
+            return None
+        return wh.rstrip("/") + "/" + self.table.lower()
+
+    @staticmethod
+    def _fs_path(spark: SparkSession, p: str):
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(p)
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        return fs, path
+
+    def _write_meta(self, spark: SparkSession, dirpath: str) -> None:
+        """Persist the layout facts next to the data (Hadoop FS — works on
+        HDFS/S3 at deploy scale, not just the local warehouse)."""
+        fs, path = self._fs_path(
+            spark, dirpath.rstrip("/") + "/" + _META_FILE)
+        out = fs.create(path, True)
+        out.write(bytearray(json.dumps(
+            {"column": self.column, "buckets": self.buckets}).encode()))
+        out.close()
+
+    @staticmethod
+    def _read_meta(spark: SparkSession, dirpath: str) -> dict | None:
+        fs, path = UniqueIndex._fs_path(
+            spark, dirpath.rstrip("/") + "/" + _META_FILE)
+        if not fs.exists(path):
+            return None
+        stream = fs.open(path)
+        try:
+            # py4j passes byte[] by value — read JVM-side (commons-io
+            # ships with Spark) instead of a Python read-into-buffer loop
+            text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8")
+            return json.loads(text)
+        finally:
+            stream.close()
 
     def build(self, df: DataFrame, path: str | None = None) -> None:
         """One-time index build from the historical table: distinct
@@ -85,21 +138,22 @@ class UniqueIndex:
         refuses to reuse its location: LOCATION_ALREADY_EXISTS)."""
         spark = df.sparkSession
         spark.sql(f"DROP TABLE IF EXISTS {self.table}")
-        if path is None and "." not in self.table:
-            wh = spark.conf.get("spark.sql.warehouse.dir", "")
-            if wh:
-                jvm = spark._jvm
-                loc = jvm.org.apache.hadoop.fs.Path(
-                    wh.rstrip("/") + "/" + self.table.lower())
-                fs = loc.getFileSystem(spark._jsc.hadoopConfiguration())
-                if fs.exists(loc):
-                    fs.delete(loc, True)
+        managed_loc = self._managed_location(spark)
+        if path is None and managed_loc is not None:
+            fs, loc = self._fs_path(spark, managed_loc)
+            if fs.exists(loc):
+                fs.delete(loc, True)
         vals = self._batch_values(df)
         w = (vals.write.mode("overwrite")
              .bucketBy(self.buckets, self.column).sortBy(self.column))
         if path is not None:
             w = w.option("path", path)
         w.format("parquet").saveAsTable(self.table)
+        # record the bucket count WITH the layout so a later attach() in a
+        # fresh session cannot re-declare the DDL with a different width
+        loc = path if path is not None else managed_loc
+        if loc is not None:
+            self._write_meta(spark, loc)
 
     def attach(self, spark: SparkSession, path: str) -> None:
         """Register an EXISTING index layout in this session's catalog —
@@ -107,14 +161,34 @@ class UniqueIndex:
         parquet files survive between sessions, the in-memory catalog
         does not, and reading them WITHOUT the bucket DDL would lose the
         clustering every probe relies on. No-op when the table already
-        exists. The bucket count declared here must be the one the
-        layout was written with (it is DDL metadata; a mismatch
-        silently mis-clusters every downstream join). The layout must
-        hold at least one file (the column type is read from the
-        parquet footers — an index that never indexed anything has
-        nothing to attach)."""
+        exists. The bucket count is DDL metadata the files themselves do
+        not carry, so it is read back from the ``_index_meta.json``
+        sidecar ``build()`` wrote next to the data — a count the CALLER
+        supplies that contradicts the sidecar is refused (it would
+        silently assign values to the wrong buckets and turn the
+        collision probe into a false-negative machine). Layouts written
+        before the sidecar existed fall back to the constructor count,
+        with the historical hazard documented. The layout must hold at
+        least one file (the column type is read from the parquet
+        footers — an index that never indexed anything has nothing to
+        attach)."""
         if self.exists(spark):
             return
+        meta = self._read_meta(spark, path)
+        if meta is not None:
+            if meta.get("column") != self.column:
+                raise ValueError(
+                    f"index layout at {path} was built on column "
+                    f"{meta.get('column')!r}, not {self.column!r}")
+            if (self._buckets_explicit
+                    and int(meta["buckets"]) != self.buckets):
+                raise ValueError(
+                    f"index layout at {path} was written with "
+                    f"{meta['buckets']} buckets; caller declared "
+                    f"{self.buckets} — attaching with the wrong width "
+                    "mis-clusters every probe. Omit the bucket count to "
+                    "adopt the recorded one.")
+            self.buckets = int(meta["buckets"])
         dtype = (spark.read.parquet(path)
                  .schema[self.column].dataType.simpleString())
         spark.sql(
@@ -146,7 +220,27 @@ class UniqueIndex:
                 .repartition(self.buckets, F.col(self.column))
                 .dropDuplicates([self.column]))
 
+    def _sync_buckets(self, spark: SparkSession) -> None:
+        """Adopt the CATALOG's bucket count for an existing table — the
+        authoritative width every probe/extend must cluster to. An
+        explicit constructor count that contradicts it is refused (the
+        attach() sidecar rule, applied to the already-attached case)."""
+        if getattr(self, "_buckets_synced", False):
+            return
+        for r in spark.sql(f"DESCRIBE FORMATTED {self.table}").collect():
+            if str(r[0]).strip() == "Num Buckets":
+                n = int(str(r[1]).strip())
+                if self._buckets_explicit and n != self.buckets:
+                    raise ValueError(
+                        f"catalog table {self.table} is bucketed into {n} "
+                        f"buckets; caller declared {self.buckets} — omit "
+                        "the bucket count to adopt the catalog's")
+                self.buckets = n
+                break
+        self._buckets_synced = True
+
     def _check_types(self, spark: SparkSession, df: DataFrame) -> None:
+        self._sync_buckets(spark)
         # implicit coercion would silently change which values collide
         # (the x-reciprocal lesson) — refuse eagerly on type mismatch
         idx_t = self.index_df(spark).schema[self.column].dataType
@@ -241,13 +335,16 @@ class UniqueIndex:
         self._check_types(spark, df)
         new_vals = self._batch_values(df).join(
             self.index_df(spark), self.column, "left_anti")
-        new_vals = new_vals.cache()
-        try:
-            n = new_vals.count()
-            if n:
-                (new_vals.write.mode("append")
-                 .bucketBy(self.buckets, self.column).sortBy(self.column)
-                 .format("parquet").saveAsTable(self.table))
-        finally:
-            new_vals.unpersist()
+        # MATERIALIZE, don't cache: the append writes into the same table
+        # the anti-join reads. cache() is best-effort — evicted partitions
+        # recompute during the write stage and re-read the index table
+        # mid-append (self-referencing insert). localCheckpoint(eager)
+        # truncates the lineage to durable-for-this-job blocks, so the
+        # write stage can never re-run the anti-join.
+        new_vals = new_vals.localCheckpoint(eager=True)
+        n = new_vals.count()
+        if n:
+            (new_vals.write.mode("append")
+             .bucketBy(self.buckets, self.column).sortBy(self.column)
+             .format("parquet").saveAsTable(self.table))
         return n

@@ -485,6 +485,7 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 return isinstance(x, (int, float)) \
                     and not isinstance(x, bool)
             ok = (isinstance(v, dict)
+                  and isinstance(v.get("allowGlobal", False), bool)
                   and isinstance(v.get("orderBy"), str) and v["orderBy"]
                   and v.get("direction", "nonDecreasing") in (
                       "nonDecreasing", "increasing",
@@ -518,6 +519,7 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 return (isinstance(x, (int, float))
                         and not isinstance(x, bool) and x > 0)
             ok = (isinstance(v, dict)
+                  and isinstance(v.get("allowGlobal", False), bool)
                   and isinstance(v.get("orderBy"), str) and v["orderBy"]
                   and _pnum(v.get("maxShift"))
                   and ("by" not in v or isinstance(v["by"], str))
@@ -535,6 +537,7 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                         and not isinstance(x, bool)
                         and -1.0 <= x <= 1.0)
             ok = (isinstance(v, dict)
+                  and isinstance(v.get("allowGlobal", False), bool)
                   and isinstance(v.get("with"), str) and v["with"]
                   and ("min" in v or "max" in v)
                   and ("min" not in v or _corr_num(v["min"]))
@@ -586,6 +589,7 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                         and not isinstance(x, bool)
                         and 0.0 <= x <= 1.0)
             ok = (isinstance(v, dict)
+                  and isinstance(v.get("allowGlobal", False), bool)
                   and isinstance(v.get("with"), str) and v["with"]
                   and ("min" in v or "max" in v)
                   and ("min" not in v or _v01(v["min"]))
@@ -806,6 +810,7 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                 return (isinstance(x, (int, float))
                         and not isinstance(x, bool) and -1 <= x <= 1)
             ok = (isinstance(v, dict)
+                  and isinstance(v.get("allowGlobal", False), bool)
                   and isinstance(v.get("orderBy"), str) and v["orderBy"]
                   and isinstance(v.get("lag"), int)
                   and not isinstance(v["lag"], bool) and v["lag"] >= 1

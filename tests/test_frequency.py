@@ -122,11 +122,16 @@ def test_null_dominance_flagged(spark):
 
 def test_exact_mode_no_join_one_base_scan(spark):
     out = frequency_violations(_skewed(spark), "v", "c", max_fraction=0.25)
+    out.collect()  # AQE: exchange reuse materializes in the FINAL plan
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan
-    # one scan of the range source: the total is a window over the
-    # already-aggregated counts, never a second pass over the base table
-    assert plan.count("Range") == 1
+    # r5: the global total is a broadcast SCALAR cross-join (never a
+    # single-partition window over all distinct values); the only join
+    # allowed is that 1-row nested-loop — no data-grain shuffle join
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert "Window" not in plan
+    # the scalar branch READS THE SAME counts shuffle (stage reuse) —
+    # the base table is physically scanned once
+    assert "ReusedExchange" in plan
 
 
 def test_keyword_both_paths_and_verdict(spark):

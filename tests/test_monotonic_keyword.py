@@ -54,11 +54,13 @@ def test_decreasing_directions(spark):
     rows = [(1, 1, 30), (2, 2, 20), (3, 3, 25), (4, 4, 25)]
     df = spark.createDataFrame(rows, "doc_id: long, seq: long, v: int")
     spec = {"properties": {"v": {"x-monotonic": {
-        "orderBy": "seq", "direction": "nonIncreasing"}}}}
+        "orderBy": "seq", "direction": "nonIncreasing",
+        "allowGlobal": True}}}}
     res = CheckSuite(spec).run(df, key="doc_id")
     assert {r["doc_id"] for r in res.violations.collect()} == {"3"}
     spec = {"properties": {"v": {"x-monotonic": {
-        "orderBy": "seq", "direction": "decreasing"}}}}
+        "orderBy": "seq", "direction": "decreasing",
+        "allowGlobal": True}}}}
     res = CheckSuite(spec).run(df, key="doc_id")
     assert {r["doc_id"] for r in res.violations.collect()} == {"3", "4"}
 
@@ -69,7 +71,7 @@ def test_order_ties_broken_by_key(spark):
     rows = [(1, 1, 10), (2, 1, 5), (3, 2, 7)]
     df = spark.createDataFrame(rows, "doc_id: long, seq: long, v: int")
     out = monotonic_violations(df.repartition(8), "v", "c", key="doc_id",
-                               order_by="seq")
+                               order_by="seq", allow_global=True)
     got = {(r["doc_id"], r["observed"]) for r in out.collect()}
     # order is (seq, doc_id): 10, 5, 7 → doc 2 breaks (5 < 10)
     assert got == {("2", "prev=10,cur=5")}
@@ -152,7 +154,7 @@ def test_max_step_gap_detection(spark):
             (5, 5, 1001)]
     df = spark.createDataFrame(rows, "doc_id: long, seq: long, v: int")
     spec = {"properties": {"v": {"x-monotonic": {
-        "orderBy": "seq", "maxStep": 500}}}}
+        "orderBy": "seq", "maxStep": 500, "allowGlobal": True}}}}
     res = CheckSuite(spec).run(df, key="doc_id")
     got = {r["doc_id"]: r["observed"] for r in res.violations.collect()}
     assert got == {"4": "prev=150,cur=1000"}  # gap of 850
@@ -165,7 +167,7 @@ def test_min_step_and_direction_compose(spark):
     rows = [(1, 1, 0), (2, 2, 5), (3, 3, 6), (4, 4, 2)]
     df = spark.createDataFrame(rows, "doc_id: long, seq: long, v: int")
     spec = {"properties": {"v": {"x-monotonic": {
-        "orderBy": "seq", "minStep": 2}}}}
+        "orderBy": "seq", "minStep": 2, "allowGlobal": True}}}}
     res = CheckSuite(spec).run(df, key="doc_id")
     # doc 3: step 1 < 2; doc 4: direction break (2 < 6) AND step -4 < 2
     assert ({r["doc_id"] for r in res.violations.collect()} == {"3", "4"})
