@@ -100,7 +100,40 @@ def run_pipeline(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
     retried = uidx.extend(batch)
     seen_after = store.seen(spark)
 
+    # ---- historical NEAR-dup membership (the fuzzy sibling) -------------
+    # Yesterday's corpus is indexed ONCE as a bucketed MinHash band/
+    # signature catalog; today's docs probe it through the layout —
+    # history text is never re-paired or re-read. A near-copy of an
+    # ingested doc (one word changed) surfaces as an x-nearDup violation
+    # naming the historical doc; extend() folds today in idempotently.
+    from jsonschema_valid_spark.operators.neardup_index import NearDupIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hist_docs = docs.where("doc_id % 2 = 0").select(
+        F.col("doc_id").cast("string").alias("doc_id"), "text")
+    ndx = NearDupIndex("ndx_ingest_example", num_perm=64, bands=16, n=2,
+                       seed=42, buckets=8)
+    ndx.build(hist_docs, "doc_id", "text")
+    near_copy = (hist_docs.where("doc_id = '0'")
+                 .select(F.lit("today-0").alias("doc_id"),
+                         F.concat(F.col("text"), F.lit(" appended"))
+                         .alias("text")))
+    novel = spark.createDataFrame(
+        [("today-1", " ".join(f"novel{i}" for i in range(30)))],
+        "doc_id string, text string")
+    today = near_copy.unionByName(novel)
+    nd_suite = CheckSuite({"properties": {"text": {"x-nearDup": {
+        "method": "minhash", "threshold": 0.5, "index": "@hist"}}}})
+    nd_res = nd_suite.run(today, key="doc_id", context={"hist": ndx})
+    nd_hits = {r["doc_id"]: r["observed"] for r in
+               nd_res.violations.collect()
+               if r["observed"].startswith("neardup of ")}
+    nd_inserted = ndx.extend(today, "doc_id", "text")
+    nd_retried = ndx.extend(today, "doc_id", "text")
+
     spark.sql("DROP TABLE IF EXISTS uix_ingest_example")
+    spark.sql("DROP TABLE IF EXISTS ndx_ingest_example_bands")
+    spark.sql("DROP TABLE IF EXISTS ndx_ingest_example_sigs")
     return {
         "day1_ok": day1_ok,
         "replays_caught": caught_ids == replay_ids and len(caught_ids) > 0,
@@ -109,6 +142,12 @@ def run_pipeline(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
         "partitions_tracked": sorted(seen_after),
         "index_inserted": inserted,
         "index_retry_inserted": retried,
+        "neardup_caught": ("today-0" in nd_hits
+                           and nd_hits["today-0"].startswith(
+                               "neardup of 0,")
+                           and "today-1" not in nd_hits),
+        "neardup_index_inserted": nd_inserted,
+        "neardup_index_retry_inserted": nd_retried,
     }
 
 

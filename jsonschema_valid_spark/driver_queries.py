@@ -7529,3 +7529,37 @@ def engine_identity_suite(spark, sf_dir):
         .violations.select("doc_id", "check_id", "observed"))
     return (a.unionByName(b).unionByName(c).unionByName(d)
             .unionByName(e))
+
+
+def _neardup_index_oracle():
+    from jsonschema_valid_spark.oracle_gen import neardup_index_sql
+
+    return neardup_index_sql(num_perm=64, bands=16, threshold=0.5, seed=42)
+
+
+@register_extended("neardup_index_hits", _neardup_index_oracle())
+def neardup_index_hits(spark, sf_dir):
+    """Historical near-dup probe (operators/neardup_index.py) — the fuzzy
+    sibling of engine_unique_index_collisions: the even-doc_id half of
+    documents is indexed ONCE as a bucketed MinHash band/signature
+    catalog; the odd half probes it. Candidates come from the band
+    equi-join (index side exchange-free off the bucket layout,
+    plan-asserted in tests/test_neardup_index.py); verification is the
+    signature-agreement Jaccard estimator against the id-clustered sigs
+    catalog — history text is never re-shingled or re-read. FULLY
+    oracled in portable-hash mode (the md5 shingle hash, seeded
+    permutations, band-qualified keys, and the agreement estimator all
+    replay in DuckDB). xxhash64 stays the production default
+    (tests/test_neardup_index.py). Wired declaratively as
+    x-nearDup {"method": "minhash", "index": "@hist"}."""
+    from jsonschema_valid_spark.operators.neardup_index import NearDupIndex
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = NearDupIndex("ndx_mirror_hist", num_perm=64, bands=16, n=2,
+                       seed=42, buckets=8, portable=True)
+    idx.build(docs.where("doc_id % 2 = 0"), "doc_id", "text")
+    out = idx.probe(docs.where("doc_id % 2 = 1"), "doc_id", "text",
+                    est_threshold=0.5)
+    return out.select(F.col("batch_id").cast("bigint").alias("batch_id"),
+                      F.col("hist_id").cast("bigint").alias("hist_id"),
+                      F.round("est", 6).alias("est"))

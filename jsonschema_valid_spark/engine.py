@@ -299,16 +299,19 @@ def _index_collisions(dc, scoped_df: DataFrame, context: dict) -> DataFrame:
 
 
 def _resolve_neardup(params: dict, context: dict) -> dict:
-    """x-nearDup params pass through verbatim except ``centroids`` —
-    "@name" resolves from the run context (the same indirection as
-    x-lmScore's @model / x-drift's @baseline), so a suite can reference
-    ``train_ivf_centroids`` output without embedding the matrix in JSON."""
-    c = params.get("centroids")
-    if isinstance(c, str) and c.startswith("@"):
-        out = dict(params)
-        out["centroids"] = context[c[1:]]
-        return out
-    return params
+    """x-nearDup params pass through verbatim except ``centroids`` and
+    ``index`` — "@name" resolves from the run context (the same
+    indirection as x-lmScore's @model / x-drift's @baseline), so a suite
+    can reference ``train_ivf_centroids`` output or a built
+    :class:`NearDupIndex` without embedding them in JSON."""
+    out = None
+    for k in ("centroids", "index"):
+        v = params.get(k)
+        if isinstance(v, str) and v.startswith("@"):
+            if out is None:
+                out = dict(params)
+            out[k] = context[v[1:]]
+    return out if out is not None else params
 
 
 def _agg_consistency_violations(dc, df: DataFrame, context: dict) -> DataFrame:

@@ -573,13 +573,29 @@ def neardup_violations(df: DataFrame, column: str, check_id: str,
             f"x-nearDup method must be 'jaccard', 'minhash', 'simhash', "
             f"'spans' or 'semantic', got {method!r}")
     marked = neardup_survivors(df, key, pairs.select("a", "b"))
-    return marked.where(~F.col("is_survivor")).select(
+    out = marked.where(~F.col("is_survivor")).select(
         F.col(key).cast("string").alias("doc_id"),
         F.lit(check_id).alias("check_id"),
         F.concat(F.lit("duplicate of "),
                  F.col("cluster_id").cast("string")).alias("observed"),
         F.lit(expected).alias("expected"),
     )
+    idx = p.get("index")
+    if idx is not None:
+        # historical probe (operators/neardup_index.py): like
+        # x-unique {"index"}, the keyword reports BOTH the batch-internal
+        # near-dups above AND collisions against already-ingested history
+        # — history is probed through its bucketed band/signature catalog,
+        # never re-paired. indexThreshold defaults to the method threshold
+        # (estimated Jaccard = signature agreement, E[est] = J).
+        if method != "minhash":
+            raise ValueError(
+                "x-nearDup 'index' requires method='minhash' (the index "
+                "stores MinHash band signatures)")
+        ithr = float(p.get("indexThreshold", p.get("threshold", 0.7)))
+        out = out.unionByName(idx.collision_violations(
+            df, key, column, check_id, est_threshold=ithr))
+    return out
 
 
 # ---------------------------------------------------------------------------

@@ -154,6 +154,47 @@ WHERE {jac} >= {threshold!r}
 """
 
 
+def neardup_index_sql(num_perm: int = 64, bands: int = 16,
+                      threshold: float = 0.5, seed: int = 42) -> str:
+    """Oracle for NearDupIndex.probe(portable=True) over the documents
+    table split even/odd by doc_id (even = indexed history, odd = the
+    probed batch): identical 2-word shingles, portable 60-bit shingle
+    hash, seeded affine permutations, the index's band-qualified
+    comma-joined band keys, and the signature-agreement Jaccard
+    estimator (fraction of equal minhash positions)."""
+    assert num_perm % bands == 0
+    r = num_perm // bands
+    h = HASH60.format(s="s")
+    perms = _perm_params(num_perm, seed)
+    sig_exprs = ", ".join(
+        f"list_min(list_transform(hs, h -> ({a} * h + {b}) % {MERSENNE31}))"
+        for a, b in perms)
+    band_keys = ", ".join(
+        "'{b},' || ".format(b=b)
+        + " || ',' || ".join(f"CAST(sg[{b * r + i + 1}] AS VARCHAR)"
+                             for i in range(r))
+        for b in range(bands))
+    est = (f"list_sum(list_transform(range(1, {num_perm + 1}), "
+           f"i -> CASE WHEN sa.sg[i] = sb.sg[i] THEN 1 ELSE 0 END)) "
+           f"/ {float(num_perm)!r}")
+    return f"""
+WITH w AS (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\\s+') AS wl
+           FROM documents),
+sh AS (SELECT doc_id, list_distinct(list_transform(range(1, len(wl)),
+           i -> wl[i] || ' ' || wl[i+1])) AS shl FROM w),
+h AS (SELECT doc_id, list_transform(shl, s -> {h} % {MERSENNE31}) AS hs FROM sh),
+sig AS (SELECT doc_id, [{sig_exprs}] AS sg FROM h),
+banded AS (SELECT doc_id, unnest([{band_keys}]) AS bk FROM sig),
+cand AS (SELECT DISTINCT b.doc_id AS batch_id, hist.doc_id AS hist_id
+         FROM banded b JOIN banded hist USING (bk)
+         WHERE b.doc_id % 2 = 1 AND hist.doc_id % 2 = 0)
+SELECT cand.batch_id, cand.hist_id, round({est}, 6) AS est
+FROM cand JOIN sig sa ON cand.batch_id = sa.doc_id
+          JOIN sig sb ON cand.hist_id = sb.doc_id
+WHERE {est} >= {threshold!r}
+"""
+
+
 def simhash_sql(max_hamming: int = 3) -> str:
     """Oracle for simhash_pairs(portable=True): 60-bit portable SimHash
     (bits 60–63 always 0 in both engines), 4×16-bit pigeonhole chunk join,

@@ -16,3 +16,8 @@ def test_incremental_ingest_pipeline(spark, tmp_path):
     # day 2 genuinely-new ids were inserted; the retry inserted nothing
     assert out["index_inserted"] > 0
     assert out["index_retry_inserted"] == 0
+    # the near-copy of an ingested doc was caught by the NearDupIndex
+    # probe (and the novel doc was not); the retry inserted nothing
+    assert out["neardup_caught"] is True
+    assert out["neardup_index_inserted"] == 2
+    assert out["neardup_index_retry_inserted"] == 0
