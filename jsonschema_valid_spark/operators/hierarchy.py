@@ -47,6 +47,112 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 
+def _grouped_edges(df: DataFrame, column: str, parent_col: str,
+                   self_parent_root: bool) -> DataFrame:
+    """ONE aggregation carrying everything the check needs per node:
+    ``(__u, __mn/__p = min/max valid parent, __c = valid-parent rows)``
+    — dedup, multi-parent detection (min != max ⟺ >= 2 distinct
+    parents, no count_distinct Expand doubling the shuffle), and the
+    edge table used to be three separate shuffles (distinct + groupBy +
+    anti-join), each re-deriving the base scan; now the scan is read
+    ONCE and the result is eagerly materialized because every
+    downstream branch (edges, multi, dangling check, boundary
+    semi-join) reuses it."""
+    node, parent = F.col(column), F.col(parent_col)
+    valid = parent.isNotNull()
+    if self_parent_root:
+        valid = valid & (node != parent)
+    vp = F.when(valid, parent)
+    g = (df.where(node.isNotNull())
+         .groupBy(node.alias("__u"))
+         .agg(F.min(vp).alias("__mn"), F.max(vp).alias("__p"),
+              F.count(vp).alias("__c")))
+    return g.localCheckpoint(eager=True)
+
+
+def _acyclic_parts(df: DataFrame, column: str, parent_col: str,
+                   max_depth: int, self_parent_root: bool):
+    """(unresolved (__node, __anc), multi-parent (__node, __k)) sharing
+    one prep aggregation.
+
+    Join strategy: every join here keys two similarly-sized long-keyed
+    relations that are discarded immediately — the sort a merge join
+    pays per side buys nothing downstream, so the build sides carry a
+    shuffle_hash hint (measured ~2x on the dangling semi and the state
+    apply at 2M nodes). Build partitions are jump-table-sized / #shuffle
+    partitions; size spark.sql.shuffle.partitions so they fit executor
+    memory at the target scale (the standard SHJ contract)."""
+    if max_depth < 1:
+        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
+    g = _grouped_edges(df, column, parent_col, self_parent_root)
+    has_edge = F.col("__c") > 0
+    multi_ids = (g.where(has_edge & (F.col("__mn") != F.col("__p")))
+                 .select("__u"))
+    # exact distinct-parent count (the multiparent witness) only over
+    # the flagged ids — the common all-clean case pays a semi-filtered
+    # scan and an empty aggregate instead of an Expand over every row
+    node, parent = F.col(column), F.col(parent_col)
+    valid = parent.isNotNull()
+    if self_parent_root:
+        valid = valid & (node != parent)
+    multi = (df.where(node.isNotNull() & valid)
+             .join(multi_ids.hint("shuffle_hash")
+                   .withColumnRenamed("__u", column), column, "semi")
+             .groupBy(node.alias("__node"))
+             .agg(F.count_distinct(parent).alias("__k")))
+    # a dangling parent (id not present as a node) ends the chain:
+    # drop those edges so the chain resolves there
+    edges = (g.where(has_edge & (F.col("__mn") == F.col("__p")))
+             .select("__u", "__p")
+             .join(g.select(F.col("__u").alias("__p"))
+                   .hint("shuffle_hash"), "__p", "semi")
+             .localCheckpoint(eager=True))
+
+    # state: (node, ancestor after the steps consumed so far) for nodes
+    # whose chain is still OPEN — rows whose ancestor leaves the jump
+    # table are resolved (reach a root within the remaining budget) and
+    # are DROPPED immediately instead of carried as __res=True ballast
+    # through every later join. Roots (no valid edge) never enter.
+    state = edges.select(F.col("__u").alias("__node"),
+                         F.col("__u").alias("__anc"))
+    jump = edges  # (__u -> __p): the 2^0-step table
+    bits = int(max_depth)
+    while bits:
+        if bits & 1:
+            j = jump.select(F.col("__u").alias("__ju"),
+                            F.col("__p").alias("__jp")).hint("shuffle_hash")
+            state = (state.join(j, state["__anc"] == j["__ju"], "left")
+                     .where(F.col("__jp").isNotNull())
+                     .select(F.col("__node"),
+                             F.col("__jp").alias("__anc")))
+        bits >>= 1
+        if bits:
+            a = jump.select(F.col("__u"), F.col("__p").alias("__m"))
+            b = jump.select(F.col("__u").alias("__m"),
+                            F.col("__p")).hint("shuffle_hash")
+            jump = a.join(b, "__m", "inner").select("__u", "__p")
+            # EAGER materialization each level: J_k is referenced 2-3
+            # times (both sides of the next composition + the state
+            # apply) — left lazy, the physical plan re-derives the
+            # whole lineage per reference, doubling per level (2^k
+            # copies of the base scan; measured 17 s -> ~3 s at 2M
+            # nodes). Also truncates the iterative lineage like the
+            # connected-components operator. The FINAL composition is
+            # referenced exactly once (the remaining apply), so its
+            # materialization is pure overhead — leave it lazy and let
+            # the apply's job fold the last join in.
+            remaining_refs = (1 if bits & 1 else 0) + (2 if bits >> 1 else 0)
+            if remaining_refs >= 2:
+                jump = jump.localCheckpoint(eager=True)
+    # a chain that lands ON a root at exactly D steps is resolved: a
+    # node violates only if its ancestor-at-D still has an outgoing
+    # edge (the chain genuinely needs more than D steps)
+    unres = state.join(
+        edges.select(F.col("__u").alias("__anc")).hint("shuffle_hash"),
+        "__anc", "semi")
+    return unres, multi
+
+
 def unresolved_ancestry(
     df: DataFrame,
     column: str,
@@ -59,68 +165,9 @@ def unresolved_ancestry(
     ancestor after exactly ``max_depth`` composed steps (the
     deterministic witness).  Multi-parent nodes are excluded (see
     :func:`multi_parent_nodes`)."""
-    if max_depth < 1:
-        raise ValueError(f"max_depth must be >= 1, got {max_depth}")
-    node, parent = F.col("__u"), F.col("__p")
-    base = df.select(F.col(column).alias("__u"),
-                     F.col(parent_col).alias("__p"))
-    nodes = base.select("__u").where(node.isNotNull()).distinct()
-    edges = (base.where(node.isNotNull() & parent.isNotNull())
-             .distinct())
-    if self_parent_root:
-        edges = edges.where(node != parent)
-    # functional-graph precondition: one parent per node
-    multi = (edges.groupBy("__u").agg(F.count(F.lit(1)).alias("__k"))
-             .where(F.col("__k") > 1).select("__u"))
-    edges = edges.join(multi, "__u", "left_anti")
-    # a dangling parent (id not present as a node) ends the chain:
-    # drop those edges so the chain resolves there
-    edges = edges.join(nodes.select(F.col("__u").alias("__p")),
-                       "__p", "semi")
-
-    # state: ancestor after the steps consumed so far; a node absent
-    # from the remaining jump table is RESOLVED (reaches a root first)
-    state = (nodes.join(multi, "__u", "left_anti")
-             .select(F.col("__u").alias("__node"),
-                     F.col("__u").alias("__anc"),
-                     F.lit(False).alias("__res")))
-    step1 = edges  # kept for the exact-D boundary check below
-    jump = edges  # (__u -> __p): the 2^0-step table
-    bits = int(max_depth)
-    k = 0
-    while bits:
-        if bits & 1:
-            j = jump.select(F.col("__u").alias("__ju"),
-                            F.col("__p").alias("__jp"))
-            state = (state.join(j, state["__anc"] == j["__ju"], "left")
-                     .select(
-                         F.col("__node"),
-                         F.when(F.col("__res") | F.col("__jp").isNull(),
-                                F.col("__anc"))
-                         .otherwise(F.col("__jp")).alias("__anc"),
-                         (F.col("__res") | F.col("__jp").isNull())
-                         .alias("__res")))
-        bits >>= 1
-        if bits:
-            a = jump.select(F.col("__u"), F.col("__p").alias("__m"))
-            b = jump.select(F.col("__u").alias("__m"),
-                            F.col("__p"))
-            jump = a.join(b, "__m", "inner").select("__u", "__p")
-            k += 1
-            # EAGER materialization each level: J_k is referenced 2-3
-            # times (both sides of the next composition + the state
-            # apply) — left lazy, the physical plan re-derives the
-            # whole lineage per reference, doubling per level (2^k
-            # copies of the base scan; measured 17 s -> ~3 s at 2M
-            # nodes). Also truncates the iterative lineage like the
-            # connected-components operator.
-            jump = jump.localCheckpoint(eager=True)
-    # a chain that lands ON a root at exactly D steps is resolved: a
-    # node violates only if its ancestor-at-D still has an outgoing
-    # edge (the chain genuinely needs more than D steps)
-    unres = state.where(~F.col("__res")).select("__node", "__anc")
-    return unres.join(
-        step1.select(F.col("__u").alias("__anc")), "__anc", "semi")
+    unres, _ = _acyclic_parts(df, column, parent_col, max_depth,
+                              self_parent_root)
+    return unres
 
 
 def multi_parent_nodes(
@@ -157,9 +204,8 @@ def acyclic_violations(
     breaks (``multiparent k=…``)."""
     exp_msg = (f"{column} parent chain via {parent_col} reaches a root "
                f"within {int(max_depth)} steps")
-    unres = unresolved_ancestry(df, column, parent_col,
-                                max_depth=max_depth,
-                                self_parent_root=self_parent_root)
+    unres, multi = _acyclic_parts(df, column, parent_col, max_depth,
+                                  self_parent_root)
     v1 = unres.select(
         F.col("__node").cast("string").alias("doc_id"),
         F.lit(check_id).alias("check_id"),
@@ -167,8 +213,7 @@ def acyclic_violations(
                  F.col("__anc").cast("string")).alias("observed"),
         F.lit(exp_msg).alias("expected"),
     )
-    v2 = multi_parent_nodes(df, column, parent_col,
-                            self_parent_root=self_parent_root).select(
+    v2 = multi.select(
         F.col("__node").cast("string").alias("doc_id"),
         F.lit(check_id).alias("check_id"),
         F.concat(F.lit("multiparent k="),
