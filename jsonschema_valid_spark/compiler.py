@@ -117,10 +117,43 @@ def _tolerant(col: Column, core: Column) -> Column:
     return F.coalesce(col.isNull() | core, F.lit(True))
 
 
+def _null_only_tolerant(col: Column, core: Column) -> Column:
+    """Tolerance for EQUALITY keywords (const/enum): a NULL target still
+    passes (nulls are required/x-nullRate's business), but a NULL core on
+    a NON-null target means the comparison itself could not hold (a cast
+    mismatch: 'a' == 2) — deep equality FAILS there (util.rs:29-45),
+    unlike the bounds keywords where a null core means 'does not apply'.
+    (r5 fix: 'a' used to PASS {const: 2} through the blanket coalesce.)"""
+    return F.when(col.isNull(), F.lit(True)).otherwise(
+        F.coalesce(core, F.lit(False)))
+
+
 def _lit_of(v: Any) -> Column:
     if isinstance(v, list):
         return F.array(*[_lit_of(x) for x in v])
     return F.lit(v)
+
+
+def _eq_member(col: Column, dtype, x) -> Column:
+    """Deep-equality of a column against one enum/const member, dtype-
+    aware (util.rs:29-45): numeric-tolerant across int/float (1 == 1.0),
+    try_cast for the dynamic string column (never an ANSI runtime cast
+    error: `'a' == 2` must be FALSE, not CAST_INVALID_INPUT), and a
+    STATIC False for members whose JSON type can never equal the
+    column's (a string column never equals `true`)."""
+    numeric = isinstance(x, (int, float)) and not isinstance(x, bool)
+    if isinstance(dtype, T.StringType):
+        if numeric:
+            return col.try_cast("double") == F.lit(float(x))
+        return col == F.lit(x) if isinstance(x, str) else F.lit(False)
+    if isinstance(dtype, T.NumericType):
+        return (col.cast("double") == F.lit(float(x)) if numeric
+                else F.lit(False))
+    if isinstance(dtype, T.BooleanType):
+        return col == F.lit(x) if isinstance(x, bool) else F.lit(False)
+    if isinstance(dtype, T.ArrayType):
+        return col == _lit_of(x) if isinstance(x, list) else F.lit(False)
+    return col == _lit_of(x)  # unknown dtype (lambda element): dynamic
 
 
 def _path_id(path: tuple) -> str:
@@ -201,17 +234,52 @@ def _numeric(col: Column, dtype) -> Column:
     return col
 
 
+#: JSON Schema keywords are TYPE APPLICATORS: a string keyword on a
+#: non-string instance validates trivially (validators.rs matches on the
+#: instance variant and returns Ok for other variants). Relationally the
+#: column dtype IS the instance type, so a keyword whose applicable type
+#: can never match the static dtype compiles to INERT (None) — both for
+#: spec correctness ("ignores non-strings") and because the blind
+#: expression would be an AnalysisException (size() on a string).
+#: StringType stays DYNAMIC for numeric keywords (try_cast — relaxed
+#: sources carry numbers as strings).
+_STRING_KWS = {"minLength", "maxLength", "pattern", "format"}
+_ARRAY_KWS = {"items", "additionalItems", "contains", "minItems",
+              "maxItems", "uniqueItems"}
+_NUMERIC_KWS = {"minimum", "maximum", "exclusiveMinimum",
+                "exclusiveMaximum", "multipleOf"}
+
+
+def _keyword_inert_for_dtype(kw: str, dtype) -> bool:
+    if dtype is None:
+        return False  # unknown (lambda element) dtype stays dynamic
+    if kw in _STRING_KWS:
+        return not isinstance(dtype, T.StringType)
+    if kw in _ARRAY_KWS:
+        return not isinstance(dtype, T.ArrayType)
+    if kw in _NUMERIC_KWS:
+        return not isinstance(
+            dtype, (T.NumericType, T.StringType))
+    return False
+
+
 def _compile_keyword(
     kw: str, spec: dict, col: Column, dtype, ctx: _Ctx, path: tuple
 ) -> Optional[Column]:
     v = spec[kw]
+    if _keyword_inert_for_dtype(kw, dtype):
+        return None
     if kw == "type":
         return _type_pred(v, col, dtype)
     if kw == "enum":
-        # numeric-tolerant equality (util.rs:39-45) — Spark == on
-        # cast-aligned types already treats 1 == 1.0
-        return _tolerant(col, col.isin(*[x for x in v if x is not None])
-                         if any(x is not None for x in v) else F.lit(False))
+        # per-member dtype-aware deep equality (util.rs:39-45)
+        members = [x for x in v if x is not None]
+        if not members:
+            return _null_only_tolerant(col, F.lit(False))
+        pred = _eq_member(col, dtype, members[0])
+        for x in members[1:]:
+            pred = pred | _eq_member(col, dtype, x)
+        return _null_only_tolerant(col, pred)
     if kw == "const":
         if v is None:
             # {const: null}: only JSON null validates (util.rs:29-31 Null
@@ -219,7 +287,7 @@ def _compile_keyword(
             # NULL and be coalesced to pass for EVERY value — special-case
             # to an explicit null test so non-null values are flagged.
             return col.isNull()
-        return _tolerant(col, col == _lit_of(v))
+        return _null_only_tolerant(col, _eq_member(col, dtype, v))
     if kw == "minimum":
         c = _numeric(col, dtype)
         if ctx.draft == 4 and spec.get("exclusiveMinimum") is True:
@@ -582,10 +650,14 @@ def _items_pred(spec, col, dtype, ctx, path) -> Optional[Column]:
         # exists)
         preds = []
         for i, sub in enumerate(v):
-            preds.append(
-                compile_value_pred(sub, F.try_element_at(col, F.lit(i + 1)), el,
-                                   ctx, path + ("items", i))
-            )
+            e = F.try_element_at(col, F.lit(i + 1))
+            p = compile_value_pred(sub, e, el, ctx, path + ("items", i))
+            # a MISSING element (null) passes its positional schema even
+            # when the sub-pred is statically false (e.g. a type check
+            # against a known-other element dtype) — the schema only
+            # applies when the element exists (validators.rs:283-290)
+            preds.append(F.when(e.isNull(), F.lit(True))
+                         .otherwise(F.coalesce(p, F.lit(True))))
         out = preds[0]
         for p in preds[1:]:
             out = out & p

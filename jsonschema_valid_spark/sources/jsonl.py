@@ -41,6 +41,57 @@ def _node_to_dtype(node) -> T.DataType:
     return _TYPE_MAP.get(t, T.StringType())
 
 
+def _dtype_from_value(v) -> T.DataType:
+    if isinstance(v, bool):
+        return T.BooleanType()
+    if isinstance(v, int):
+        return T.LongType()
+    if isinstance(v, float):
+        return T.DoubleType()
+    if isinstance(v, list):
+        els = [_dtype_from_value(x) for x in v if x is not None]
+        if els and all(e == els[0] for e in els):
+            return T.ArrayType(els[0])
+        return T.ArrayType(T.StringType())
+    if isinstance(v, dict):
+        return T.MapType(T.StringType(), T.StringType())
+    return T.StringType()
+
+
+def _doc_dtype(node, values) -> T.DataType:
+    """Refine the suite-derived dtype with the DATA's own JSON types —
+    for the in-memory entry point only (file reads keep the explicit
+    suite-derived schema: no sampling pass at 100 TB). The official
+    test-suite style declares bare keywords (``{"minItems": 1}``) and
+    feeds instances of EVERY JSON type; a suite-only derivation would
+    read them all as strings (or parse 1.0 into a long as NULL), so:
+
+    * dict instances keep the suite-derived object shape (declared
+      properties → struct; else map) — field presence must follow the
+      declaration, not one document's keys;
+    * a declared integer type widens to double when any instance is a
+      float (draft7: 1.0 IS an integer; the dynamic integrality check
+      judges it, a strict long parse would NULL it);
+    * otherwise a consistent data type wins; mixed types across docs
+      fall back to the suite derivation.
+    """
+    node = node if isinstance(node, dict) else {}
+    vals = [v for v in values if v is not None]
+    if not vals:
+        return _node_to_dtype(node)
+    if any(isinstance(v, dict) for v in vals):
+        return _node_to_dtype({**node, "type": "object"})
+    dts = [_dtype_from_value(v) for v in vals]
+    if any(d != dts[0] for d in dts):
+        return _node_to_dtype(node)
+    dt = dts[0]
+    if isinstance(dt, T.ArrayType) and not any(len(v) for v in vals):
+        # every instance is an empty array: the element type is
+        # unknowable from data — fall back to the suite derivation
+        return _node_to_dtype({**node, "type": "array"})
+    return dt
+
+
 def suite_to_spark_schema(spec: dict) -> T.StructType:
     """Derive the input StructType from a root suite's ``properties``
     (the analog of the reference's implicit instance shape)."""
@@ -72,7 +123,11 @@ def validate_documents(spark: SparkSession, docs: list, suite,
     path (batch the documents)."""
     import json as _json
 
-    schema = suite_to_spark_schema(suite.spec)
+    props = suite.spec.get("properties") or {}
+    schema = T.StructType([
+        T.StructField(n, _doc_dtype(node, [d.get(n) for d in docs]))
+        for n, node in props.items()
+    ])
     if key is None:
         schema = T.StructType(
             [T.StructField("__doc_ordinal", T.LongType())] + list(schema))

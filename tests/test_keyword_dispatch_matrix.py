@@ -49,7 +49,8 @@ KEYWORD_SPECS = {
                                              "by": "grp"}}},
     "x-levelShift": {"v": {"x-levelShift": {"orderBy": "ts_s",
                                             "maxShift": 1e9,
-                                            "window": 2}}},
+                                            "window": 2,
+                                            "allowGlobal": True}}},
     "x-entropy": {"grp": {"x-entropy": {"max": 100.0}}},
     "x-outlier": {"v": {"x-outlier": {"by": "grp", "maxZ": 100.0}}},
     "x-functionalDependency": {"id": {
@@ -104,7 +105,8 @@ VIOLATING_SPECS = {
     "x-noOverlap": {"v": {"x-noOverlap": {"endColumn": "w",
                                           "by": "grp"}}},
     "x-levelShift": {"v": {"x-levelShift": {
-        "orderBy": "ts_s", "maxShift": 0.5, "window": 2}}},
+        "orderBy": "ts_s", "maxShift": 0.5, "window": 2,
+        "allowGlobal": True}}},
     "x-correlation": {"v": {"x-correlation": {"with": "w",
                                               "max": 0.5}}},
     "x-funnel": {"grp": {"x-funnel": {
