@@ -2092,3 +2092,88 @@ def stream_referential_violations(
         if isinstance(column, str) else "x-referential")
     return referential_violations(sdf, column, domain, cid, key=key,
                                   domain_column=domain_column)
+
+
+def stream_neardup_collisions(
+    sdf: DataFrame,
+    index,
+    text_col: str,
+    key: str = "doc_id",
+    check_id: str | None = None,
+    est_threshold: float = 0.7,
+    dedup_pairs: bool = True,
+) -> DataFrame:
+    """Streaming historical NEAR-duplicate membership
+    (operators/neardup_index.py lifted to ingest time): every streamed
+    document whose estimated Jaccard against SOME already-ingested doc
+    reaches ``est_threshold`` is flagged as it arrives — the
+    validation-on-ingest form of ``x-nearDup {"index": "@hist"}``
+    (re-crawled pages, lightly-edited resubmissions, template spam
+    against the historical corpus).
+
+    Scale shape: the document is shingled/signed/banded INLINE on the
+    stream (pure codegen array expressions — the batch staging reused
+    verbatim), then TWO stream-static joins against the index's catalog
+    bucketed tables: band rows on ``bkey`` for candidates, signatures on
+    the id for the agreement verify — both static sides read their
+    clustering from the bucket layout, exactly like the batch probe. No
+    watermark and no state store: history lives in the index files, the
+    only design whose memory does not grow with the corpus.
+    Stream-static joins are append-legal.
+
+    Semantic pair with the batch operator (the stream_index_collisions
+    convention): batch ``collision_violations`` reports each colliding
+    batch doc once with its LEXICOGRAPHICALLY-SMALLEST matched
+    historical doc; the stream emits one alert per (doc, matched
+    historical doc) pair as it arrives — per-doc best-match aggregation
+    over an unbounded stream would need a window, and a contamination
+    alert should not wait for one. Parity on the flagged-doc set is
+    pytest-asserted.
+
+    The index snapshot is taken when the static DataFrames are resolved
+    (the stream_index_collisions refresh rule applies verbatim)."""
+    from jsonschema_valid_spark.operators.neardup_index import NearDupIndex
+
+    if not isinstance(index, NearDupIndex):
+        raise ValueError(
+            f"index must be a NearDupIndex, got {type(index).__name__}")
+    if text_col not in sdf.columns or key not in sdf.columns:
+        raise ValueError(
+            f"stream needs columns {text_col!r} and {key!r} "
+            f"(have {sdf.columns})")
+    spark = sdf.sparkSession
+    cid = check_id or f"properties/{text_col}/x-nearDup"
+    sigs = index._sig_frame(sdf, key, text_col)
+    bands = index._band_frame(sigs)
+    cat_bands = spark.table(index.bands_table)
+    cand = (bands.alias("b")
+            .join(cat_bands.alias("h"), "bkey")
+            .where(F.col("b.id") != F.col("h.id"))
+            .select(F.col("b.id").alias("doc_id"),
+                    F.col("h.id").alias("hist_id")))
+    if dedup_pairs:
+        cand = cand.dropDuplicates(["doc_id", "hist_id"])
+    cat_sigs = spark.table(index.sigs_table)
+    est = (F.aggregate(
+               F.zip_with(F.col("bsig"), F.col("hsig"),
+                          lambda x, y: (x == y).cast("int")),
+               F.lit(0), lambda acc, v: acc + v)
+           / F.lit(float(index.num_perm)))
+    return (cand
+            .join(sigs.select(F.col("id").alias("doc_id"),
+                              F.col("sig").alias("bsig")), "doc_id")
+            .join(cat_sigs.select(F.col("id").alias("hist_id"),
+                                  F.col("sig").alias("hsig")), "hist_id")
+            .withColumn("__est", est)
+            .where(F.col("__est") >= F.lit(float(est_threshold)))
+            .select(
+                F.col("doc_id"),
+                F.lit(cid).alias("check_id"),
+                F.concat(F.lit("neardup of "), F.col("hist_id"),
+                         F.lit(", est="),
+                         F.round(F.col("__est"), 6).cast("string"))
+                .alias("observed"),
+                F.lit(f"no near-duplicate of ingested history "
+                      f"(est jaccard >= {est_threshold:g})")
+                .alias("expected"),
+            ))
