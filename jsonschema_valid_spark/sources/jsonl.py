@@ -52,6 +52,12 @@ def _dtype_from_value(v) -> T.DataType:
         els = [_dtype_from_value(x) for x in v if x is not None]
         if els and all(e == els[0] for e in els):
             return T.ArrayType(els[0])
+        # mixed int/float elements widen to double (the same rule the
+        # scalar path applies: util.rs:39-45 numeric equality means
+        # [1.0, 1] must judge as numbers, not as distinct strings)
+        if els and all(isinstance(e, (T.LongType, T.DoubleType))
+                       for e in els):
+            return T.ArrayType(T.DoubleType())
         return T.ArrayType(T.StringType())
     if isinstance(v, dict):
         return T.MapType(T.StringType(), T.StringType())

@@ -150,9 +150,16 @@ def _load_official():
 # these files are AUTHORED from the public suite's documented draft7
 # semantics, one file per keyword, mirroring its case structure — 29
 # files / 136 instances. The real checkout still runs via
-# SPARK_GRAFT_JSTS_DIR when available.
-AUTHORED_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                            "official", "draft7")
+# SPARK_GRAFT_JSTS_DIR when available. r5: draft4 and draft6 corpora
+# join (the reference runs all three drafts, lib.rs:114-160) — the
+# draft4 files exercise the boolean exclusiveMin/Max forms, the draft6
+# files const/contains/numeric-exclusives/propertyNames/bool-schemas,
+# each run with the matching suite `version`.
+_OFFICIAL_BASE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "official")
+AUTHORED_DIR = os.path.join(_OFFICIAL_BASE, "draft7")
+AUTHORED4_DIR = os.path.join(_OFFICIAL_BASE, "draft4")
+AUTHORED6_DIR = os.path.join(_OFFICIAL_BASE, "draft6")
 
 # the lib.rs:112 analog: case-id substrings expected to fail, asserted
 # as xfail so a silent fix or a new regression both surface. Each entry
@@ -183,16 +190,20 @@ def _params(origin, cases):
 
 OFFICIAL = _params("official", _load_official())
 AUTHORED = _params("authored", _load_dir(AUTHORED_DIR))
+AUTHORED4 = _params("authored-d4", _load_dir(AUTHORED4_DIR))
+AUTHORED6 = _params("authored-d6", _load_dir(AUTHORED6_DIR))
 SAMPLES = _params("sample", [("sample.json", c) for c in _SAMPLE_CASES])
 
 
-def _run(spark, schema, data, valid):
-    suite = CheckSuite({"properties": {"value": schema},
-                        "required": ["value"]})
+def _run(spark, schema, data, valid, version=None):
+    spec = {"properties": {"value": schema}, "required": ["value"]}
+    if version is not None:
+        spec["version"] = version
+    suite = CheckSuite(spec)
     res = validate_documents(spark, [{"value": data}], suite)
     assert res.ok() is valid, (
-        f"schema={schema} data={data!r}: expected valid={valid};"
-        f" violations:\n{res.render()}")
+        f"schema={schema} data={data!r} draft={version or 7}: expected "
+        f"valid={valid}; violations:\n{res.render()}")
 
 
 @pytest.mark.parametrize("schema,data,valid", SAMPLES)
@@ -205,6 +216,20 @@ def test_authored_official_corpus(spark, schema, data, valid, request):
     if any(k in request.node.callspec.id for k in _KNOWN_FAILURES):
         pytest.xfail("known failure (lib.rs:112 analog)")
     _run(spark, schema, data, valid)
+
+
+@pytest.mark.parametrize("schema,data,valid", AUTHORED4)
+def test_authored_official_corpus_draft4(spark, schema, data, valid, request):
+    if any(k in request.node.callspec.id for k in _KNOWN_FAILURES):
+        pytest.xfail("known failure (lib.rs:112 analog)")
+    _run(spark, schema, data, valid, version=4)
+
+
+@pytest.mark.parametrize("schema,data,valid", AUTHORED6)
+def test_authored_official_corpus_draft6(spark, schema, data, valid, request):
+    if any(k in request.node.callspec.id for k in _KNOWN_FAILURES):
+        pytest.xfail("known failure (lib.rs:112 analog)")
+    _run(spark, schema, data, valid, version=6)
 
 
 @pytest.mark.skipif(not OFFICIAL,
