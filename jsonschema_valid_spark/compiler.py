@@ -403,10 +403,32 @@ def _compile_keyword(
                     lambda k: compile_value_pred(v, k, el, ctx, path + ("propertyNames",)),
                 ),
             )
-        return None  # struct/row scope handled at bind time
+        if isinstance(dtype, T.StructType):
+            # nested struct: field NAMES are static, presence is per-row
+            # (absent instance property = null field, the struct-collapse
+            # convention `required` uses above) — a statically-bad name
+            # only violates when that field is PRESENT
+            bad = [f.name for f in dtype.fields
+                   if not _eval_name_suite(v, f.name, path)]
+            if not bad:
+                return None
+            out = col.getField(bad[0]).isNull()
+            for n in bad[1:]:
+                out = out & col.getField(n).isNull()
+            return _tolerant(col, out)
+        return None  # root/row scope handled at bind time
     if kw in ("minProperties", "maxProperties"):
         if isinstance(dtype, T.MapType):
             n = F.size(F.map_keys(col))
+            return _tolerant(col, n >= v if kw == "minProperties" else n <= v)
+        if isinstance(dtype, T.StructType):
+            # present-property count = non-null fields (struct collapse)
+            n = None
+            for f in dtype.fields:
+                c = F.when(col.getField(f.name).isNotNull(), 1).otherwise(0)
+                n = c if n is None else n + c
+            if n is None:
+                n = F.lit(0)
             return _tolerant(col, n >= v if kw == "minProperties" else n <= v)
         return None
     if kw == "patternProperties" and isinstance(dtype, T.MapType):
@@ -462,6 +484,49 @@ def _compile_keyword(
                 v, e["value"], vt, ctx, path + ("additionalProperties",))
 
         return _tolerant(col, F.forall(F.map_entries(col), entry_pred))
+    if kw == "patternProperties" and isinstance(dtype, T.StructType):
+        # nested struct: route statically by regex over the KNOWN field
+        # names (same re.search partial-match semantics as the root binder),
+        # then validate each matching field's value (absent = null field =
+        # the sub-pred's own tolerance passes it)
+        preds = []
+        for pat, sub in v.items():
+            rx = re.compile(pat)
+            for f in dtype.fields:
+                if rx.search(f.name):
+                    preds.append(compile_value_pred(
+                        sub, col.getField(f.name), f.dataType, ctx,
+                        path + ("patternProperties", pat, f.name)))
+        if not preds:
+            return None
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return _tolerant(col, out)
+    if kw == "additionalProperties" and isinstance(dtype, T.StructType):
+        # fields not declared in `properties` nor matching any
+        # patternProperties regex are "additional"; `false` forbids them
+        # (= they must be ABSENT, i.e. null under the struct collapse),
+        # a schema validates their values (validators.rs:184-210)
+        declared = set((spec.get("properties") or {}).keys())
+        pats = [re.compile(p) for p in (spec.get("patternProperties") or {})]
+        extras = [f for f in dtype.fields
+                  if f.name not in declared
+                  and not any(rx.search(f.name) for rx in pats)]
+        if not extras or v is True or v == {}:
+            return None
+        if v is False:
+            out = col.getField(extras[0].name).isNull()
+            for f in extras[1:]:
+                out = out & col.getField(f.name).isNull()
+            return _tolerant(col, out)
+        preds = [compile_value_pred(v, col.getField(f.name), f.dataType, ctx,
+                                    path + ("additionalProperties", f.name))
+                 for f in extras]
+        out = preds[0]
+        for p in preds[1:]:
+            out = out & p
+        return _tolerant(col, out)
     if kw == "properties" and isinstance(dtype, T.MapType):
         vt = dtype.valueType
         preds = []

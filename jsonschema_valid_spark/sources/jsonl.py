@@ -86,7 +86,20 @@ def _doc_dtype(node, values) -> T.DataType:
     if not vals:
         return _node_to_dtype(node)
     if any(isinstance(v, dict) for v in vals):
-        return _node_to_dtype({**node, "type": "object"})
+        props = node.get("properties")
+        if not isinstance(props, dict) or not props:
+            return _node_to_dtype({**node, "type": "object"})
+        # declared properties ∪ observed keys: additionalProperties /
+        # patternProperties / propertyNames must be able to SEE an
+        # undeclared instance key to judge it (the file path documents
+        # the opposite trade-off: drop unknowns, no sampling at 100 TB)
+        dicts = [v for v in vals if isinstance(v, dict)]
+        names = list(props) + sorted(
+            {k for d in dicts for k in d if k not in props})
+        return T.StructType([
+            T.StructField(n, _doc_dtype(props.get(n, {}),
+                                        [d.get(n) for d in dicts]))
+            for n in names])
     dts = [_dtype_from_value(v) for v in vals]
     if any(d != dts[0] for d in dts):
         return _node_to_dtype(node)

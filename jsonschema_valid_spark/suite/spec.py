@@ -1119,9 +1119,13 @@ class Resolver:
                 self._collect(v, base)
 
     def _pointer(self, doc: Any, frag: str, ref: str) -> Any:
+        from urllib.parse import unquote
+
         node = doc
         for raw in frag.lstrip("/").split("/"):
-            part = raw.replace("~1", "/").replace("~0", "~")  # RFC-6901, resolver.rs:150-152
+            # URI percent-decoding first (the fragment arrives URI-encoded,
+            # e.g. %25 ⇒ %), then RFC-6901 escapes (resolver.rs:150-152)
+            part = unquote(raw).replace("~1", "/").replace("~0", "~")
             if isinstance(node, dict):
                 if part not in node:
                     raise SuiteError(f"unresolvable $ref {ref!r}: missing key {part!r}")
