@@ -174,10 +174,10 @@ _KNOWN_FAILURES: set[str] = {
     # driver-gated FEATURE) — the strict-JSON "a digit string is not an
     # integer" distinction needs variant columns the lift doesn't use
     "a string of digits is not an integer",
-    # strict-schema parse deviation: a wrong-typed NESTED property
-    # (object where string was declared) parses to NULL through the
-    # suite-derived struct, and NULL is required/x-nullRate's business
-    "object properties validation::one property invalid",
+    # (r5: the former second entry — wrong-typed NESTED property parsing
+    # to NULL — is FIXED: the in-memory loader derives nested dtypes from
+    # the data, so an object-where-string-declared materializes as a map
+    # and the static type check fails it. The case now asserts for real.)
 }
 
 
