@@ -134,17 +134,38 @@ def _lit_of(v: Any) -> Column:
     return F.lit(v)
 
 
+def _contains_map(dtype) -> bool:
+    """True when a dtype carries a MapType anywhere — maps have no Spark
+    ordering, so equality/distinctness must go through a canonical form."""
+    if isinstance(dtype, T.MapType):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _contains_map(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return any(_contains_map(f.dataType) for f in dtype.fields)
+    return False
+
+
 def _eq_member(col: Column, dtype, x) -> Column:
     """Deep-equality of a column against one enum/const member, dtype-
     aware (util.rs:29-45): numeric-tolerant across int/float (1 == 1.0),
     try_cast for the dynamic string column (never an ANSI runtime cast
     error: `'a' == 2` must be FALSE, not CAST_INVALID_INPUT), and a
     STATIC False for members whose JSON type can never equal the
-    column's (a string column never equals `true`)."""
+    column's (a string column never equals `true`). Object members
+    compare entry-wise against map columns and field-wise against
+    struct columns (Spark's `==` has no map ordering, and a struct's
+    absent property is a NULL field under the struct collapse)."""
+    import json as _json
+
     numeric = isinstance(x, (int, float)) and not isinstance(x, bool)
     if isinstance(dtype, T.StringType):
         if numeric:
             return col.try_cast("double") == F.lit(float(x))
+        if isinstance(x, (dict, list)):
+            # a stringified-JSON cell (MapType value / relaxed source):
+            # from_json compacts nested values exactly like separators=(',',':')
+            return col == F.lit(_json.dumps(x, separators=(",", ":")))
         return col == F.lit(x) if isinstance(x, str) else F.lit(False)
     if isinstance(dtype, T.NumericType):
         return (col.cast("double") == F.lit(float(x)) if numeric
@@ -152,7 +173,50 @@ def _eq_member(col: Column, dtype, x) -> Column:
     if isinstance(dtype, T.BooleanType):
         return col == F.lit(x) if isinstance(x, bool) else F.lit(False)
     if isinstance(dtype, T.ArrayType):
-        return col == _lit_of(x) if isinstance(x, list) else F.lit(False)
+        if not isinstance(x, list):
+            return F.lit(False)
+        # element-wise (never a composite literal: maps/structs have no
+        # Spark literal form, and 1 vs 1.0 tolerance applies per element)
+        out = F.size(col) == len(x)
+        for i, xv in enumerate(x):
+            out = out & F.coalesce(
+                _eq_member(F.try_element_at(col, F.lit(i + 1)),
+                           dtype.elementType, xv),
+                F.lit(False))
+        return out
+    if isinstance(dtype, T.MapType):
+        if not isinstance(x, dict):
+            return F.lit(False)
+        out = F.size(col) == len(x)
+        for k, xv in x.items():
+            out = out & F.coalesce(
+                _eq_member(F.try_element_at(col, F.lit(k)),
+                           dtype.valueType, xv),
+                F.lit(False))
+        return out
+    if isinstance(dtype, T.StructType):
+        if not isinstance(x, dict):
+            return F.lit(False)
+        names = {f.name for f in dtype.fields}
+        if any(k not in names for k in x):
+            return F.lit(False)  # instance can never carry that key
+        preds = []
+        for f in dtype.fields:
+            fc = col.getField(f.name)
+            if f.name in x:
+                preds.append(F.coalesce(
+                    _eq_member(fc, f.dataType, x[f.name]), F.lit(False)))
+            else:
+                preds.append(fc.isNull())  # absent = null (struct collapse)
+        out = preds[0] if preds else F.lit(len(x) == 0)
+        for p in preds[1:]:
+            out = out & p
+        return out
+    if isinstance(x, (dict, list)):
+        # unknown dtype (lambda element) with a composite member: no
+        # literal form to compare against — statically unequal, the same
+        # convention as the scalar type-mismatch branches above
+        return F.lit(False)
     return col == _lit_of(x)  # unknown dtype (lambda element): dynamic
 
 
@@ -349,8 +413,23 @@ def _compile_keyword(
         # intra-array distinctness (validators.rs:582-595 + unique.rs);
         # NB the reference's set-equality is stricter about 1 vs 1.0 than
         # its enum equality (unique.rs:53-57 vs util.rs:39-45) — we use
-        # Spark-native equality uniformly (SURVEY.md §7)
-        return _tolerant(col, F.size(col) == F.size(F.array_distinct(col)))
+        # Spark-native equality uniformly (SURVEY.md §7). Map-bearing
+        # elements have no Spark ordering (array_distinct refuses), so
+        # they canonicalize first: a map element sorts its entries (JSON
+        # objects are key-order-insensitive) and serializes; any other
+        # map-bearing shape serializes as-is (to_json keeps from_json's
+        # document key order — an order-insensitive corner documented in
+        # SURVEY.md §7).
+        target = col
+        if isinstance(dtype, T.ArrayType) and _contains_map(dtype.elementType):
+            if isinstance(dtype.elementType, T.MapType):
+                def _canon(m):
+                    return F.to_json(F.array_sort(F.map_entries(m)))
+            else:
+                def _canon(m):
+                    return F.to_json(m)
+            target = F.transform(col, _canon)
+        return _tolerant(col, F.size(col) == F.size(F.array_distinct(target)))
     if kw in ("allOf", "anyOf", "oneOf"):
         subs = [
             compile_value_pred(s, col, dtype, ctx, path + (kw, i))
