@@ -2374,6 +2374,85 @@ def drift_kl_jsd_ntok(spark, sf_dir):
 
 
 @register_extended(
+    "drift_joint_ntok_source",
+    oracle_with_sequences(
+        """
+, obs0 AS (SELECT concat(CAST(CAST(floor(n_tok / 16.0) AS BIGINT) AS VARCHAR),
+                         '|', source) AS cell,
+                  CAST(count(*) AS DOUBLE) AS c
+           FROM sequences
+           WHERE n_tok IS NOT NULL AND source IS NOT NULL GROUP BY 1),
+base AS (SELECT concat(CAST(CAST(floor(((doc_id * 37) % 120 + 8) / 16.0)
+                                 AS BIGINT) AS VARCHAR),
+                       '|', source) AS cell,
+                CAST(count(*) AS DOUBLE) AS c
+         FROM documents WHERE source IS NOT NULL GROUP BY 1),
+obs AS (SELECT CASE WHEN cell IN (SELECT cell FROM base) THEN cell
+                    ELSE '<other>' END AS cell,
+               sum(c) AS c FROM obs0 GROUP BY 1),
+j AS (SELECT coalesce(obs.c, 0) AS oc, coalesce(base.c, 0) AS bc
+      FROM obs FULL OUTER JOIN base ON obs.cell = base.cell),
+t AS (SELECT sum(oc) AS so, sum(bc) AS sb FROM j),
+n AS (SELECT oc / so AS po, bc / sb AS pb FROM j CROSS JOIN t),
+s AS (SELECT
+  sum((po - pb) * ln((po + 1e-9) / (pb + 1e-9))) AS psi,
+  sum((po - pb) * (po - pb) / (pb + 1e-9)) AS chi2,
+  sum(po * ln((po + 1e-9) / (pb + 1e-9))) AS kl,
+  sum(0.5 * po * ln((po + 1e-9) / ((po + pb) / 2 + 1e-9))
+    + 0.5 * pb * ln((pb + 1e-9) / ((po + pb) / 2 + 1e-9))) AS jsd
+  FROM n)
+SELECT * FROM (
+  SELECT '<global>' AS partition_id,
+         'properties/n_tok/x-drift/psi' AS check_id,
+         psi <= 0.05 AS passed, round(psi, 6) AS metric FROM s
+  UNION ALL
+  SELECT '<global>', 'properties/n_tok/x-drift/chi2',
+         chi2 <= 100.0, round(chi2, 6) FROM s
+  UNION ALL
+  SELECT '<global>', 'properties/n_tok/x-drift/kl',
+         kl <= 0.05, round(kl, 6) FROM s
+  UNION ALL
+  SELECT '<global>', 'properties/n_tok/x-drift/jsd',
+         jsd <= 0.01, round(jsd, 6) FROM s)
+"""
+    ),
+)
+def drift_joint_ntok_source(spark, sf_dir):
+    """JOINT (multi-column) distribution drift — x-drift ``joint`` mode
+    (operators/drift.py joint_histogram): the (n_tok-bucket × source)
+    cell histogram of the sequences vs the uncorrupted documents-derived
+    joint baseline, gated on PSI / chi-square / KL / JSD (KS/EMD refused:
+    composite cells are unordered). Catches MIX SHIFTS between columns —
+    e.g. one source drifting long — that each marginal histogram is blind
+    to; undeclared cells (the BOGUS source) collapse to one "other"
+    bucket so novel cells register as drift mass. Engine path: one
+    groupBy over the composite literal-expression cell label (no join,
+    no UDF), #cells rows shuffle. EXTENDED mirror entry; full value-hash
+    oracle (the oracle replays the cell concat, the declared-cell
+    collapse, and all four statistics in SQL). No reference counterpart —
+    dataset-scope lift; nearest analog is the per-column drift family."""
+    from jsonschema_valid_spark import CheckSuite
+
+    seq = load_sequences(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = {
+        f"{int(r['b'])}|{r['source']}": int(r["n"])
+        for r in docs.where(F.col("source").isNotNull())
+        .groupBy(F.floor(((F.col("doc_id") * 37) % 120 + 8) / 16.0)
+                 .cast("long").alias("b"), "source")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    res = CheckSuite({"properties": {"n_tok": {"x-drift": {
+        "joint": [{"bucketWidth": 16.0}, {"column": "source"}],
+        "baseline": base,
+        "psiMax": 0.05, "chi2Max": 100.0, "klMax": 0.05, "jsdMax": 0.01,
+    }}}}).run(seq, key="doc_id")
+    return res.verdicts.select(
+        "partition_id", "check_id", "passed",
+        F.round("metric_value", 6).alias("metric"))
+
+
+@register_extended(
     "text_token_histogram",
     oracle_with_sequences(
         "SELECT token, count(*) AS count FROM "

@@ -1006,7 +1006,13 @@ def _resolve_drift_baseline(params: dict, context: dict) -> dict:
     if isinstance(b, str) and b.startswith("@"):
         bdf = context[b[1:]]
         params = dict(params)
-        params["baseline"] = {int(r[0]): int(r[1]) for r in bdf.collect()}
+        if "joint" in params:
+            # joint cells are keyed by composite LABEL strings, not ints
+            params["baseline"] = {str(r[0]): int(r[1])
+                                  for r in bdf.collect()}
+        else:
+            params["baseline"] = {int(r[0]): int(r[1])
+                                  for r in bdf.collect()}
     cells = params.get("cells")
     if isinstance(cells, dict) and isinstance(cells.get("centroids"), str) \
             and cells["centroids"].startswith("@"):

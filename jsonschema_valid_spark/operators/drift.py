@@ -80,6 +80,58 @@ def categorical_histogram(df: DataFrame, column: str,
     )
 
 
+def joint_cell_parts(dims: list[dict], default_column: str | None = None):
+    """``(label_expr, not_null_pred, columns)`` for a JOINT cell over
+    ``dims``: each dim is ``{"column"?, "bucketWidth"?}`` — numeric dims
+    (``bucketWidth`` present) bucket as ``floor(col / width)``, categorical
+    dims use the raw string value; the cell label is the ``'|'``-joined dim
+    labels. Only the FIRST dim may omit ``column`` (it inherits the property
+    the keyword is attached to). Rows where ANY dim is NULL are excluded —
+    ``concat_ws`` would silently skip the null part and alias the row into
+    a lower-arity cell, so the guard is explicit."""
+    labels, preds, cols = [], [], []
+    for i, spec in enumerate(dims):
+        cname = spec.get("column") or (default_column if i == 0 else None)
+        if not cname:
+            raise ValueError(
+                f"x-drift joint dim {i}: 'column' required (only the first "
+                "dim inherits the attached property)")
+        c = F.col(cname)
+        if "bucketWidth" in spec:
+            w = float(spec["bucketWidth"])
+            labels.append(F.floor(c.cast("double") / F.lit(w))
+                          .cast("long").cast("string"))
+        else:
+            labels.append(c.cast("string"))
+        preds.append(c.isNotNull())
+        cols.append(cname)
+    nn = preds[0]
+    for p in preds[1:]:
+        nn = nn & p
+    return F.concat_ws("|", *labels), nn, cols
+
+
+def joint_histogram(df: DataFrame, dims: list[dict], declared: list[str],
+                    default_column: str | None = None) -> DataFrame:
+    """JOINT (multi-column) cell histogram as ``(bucket, count)``: bucket =
+    index of the composite cell label in the sorted DECLARED cell list
+    (the baseline's keys), undeclared cells collapsing to -1 ("other") —
+    the 2-D lift of :func:`categorical_histogram`, catching mix shifts
+    between columns (e.g. length×source) that every marginal histogram is
+    blind to. Same one-shuffle #cells-row plan: the composite label and the
+    sorted-list mapping are literal Catalyst expressions (no join, no UDF)
+    and replay as CONCAT + CASE in the oracle."""
+    label, nn, _ = joint_cell_parts(dims, default_column)
+    cats = sorted(str(c) for c in declared)
+    mapping = F.array(*[F.lit(c) for c in cats])
+    b = F.array_position(mapping, label)
+    return (
+        df.where(nn)
+        .groupBy((b - 1).cast("long").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
 def _normalized_join(observed_hist: DataFrame, baseline: dict[int, int],
                      spark) -> DataFrame:
     # union + re-aggregate instead of a full_outer join: Spark REJECTS a
@@ -285,6 +337,23 @@ def drift_verdict_dfs(df: DataFrame, column: str, check_id: str, params: dict,
     (:func:`embedding_cell_histogram`) — semantic drift detection, the
     same cells as SemDeDup/IVF. Only PSI/chi2 apply there: cell ids have
     no metric order, so CDF-based KS/EMD are meaningless (rejected)."""
+    if "joint" in params:
+        # joint mode: baseline keyed by COMPOSITE CELL LABEL ("48|news");
+        # cells are indices into the sorted declared labels, undeclared
+        # cells collapse to -1 ("other"). Unordered → PSI/chi2/KL/JSD only.
+        bad = [k for k in ("ksMax", "emdMax") if k in params]
+        if bad:
+            raise ValueError(
+                f"{check_id}: {bad} not valid for joint drift — composite "
+                "cells are unordered (use psiMax/chi2Max/klMax/jsdMax)")
+        cells_sorted = sorted(str(k) for k in params["baseline"])
+        baseline = {i: int(params["baseline"][c])
+                    for i, c in enumerate(cells_sorted)}
+        hist = joint_histogram(df, params["joint"], cells_sorted,
+                               default_column=column)
+        return _stat_verdict_dfs(hist, baseline, check_id, params, spark,
+                                 stats=("psiMax", "chi2Max", "klMax",
+                                        "jsdMax"))
     if params.get("categorical"):
         # categorical mode: baseline keyed by CATEGORY STRING; buckets
         # are indices into the sorted declared categories, undeclared
@@ -383,14 +452,33 @@ def drift_verdicts_per_partition(df: DataFrame, column: str, check_id: str,
     literal map; nothing shuffles but (partition, bucket) counts."""
     eps = EPS
     width = float(params.get("bucketWidth", 1.0))
-    baseline = {int(k): int(v) for k, v in params["baseline"].items()}
+    where_pred = F.col(column).isNotNull()
+    if "joint" in params:
+        # joint mode per partition: composite cells → declared-label
+        # indices (undeclared → -1), then the identical map/HOF machinery
+        # below — cells are unordered so CDF statistics are rejected
+        bad = [k for k in ("ksMax", "emdMax") if k in params]
+        if bad:
+            raise ValueError(
+                f"{check_id}: {bad} not valid for joint drift — composite "
+                "cells are unordered (use psiMax/chi2Max/klMax/jsdMax)")
+        cells_sorted = sorted(str(k) for k in params["baseline"])
+        baseline = {i: int(params["baseline"][c])
+                    for i, c in enumerate(cells_sorted)}
+    else:
+        baseline = {int(k): int(v) for k, v in params["baseline"].items()}
     btotal = float(sum(baseline.values())) or 1.0
     bmap = F.create_map(*[F.lit(v).cast("long")
                           for kv in sorted(baseline.items())
                           for v in (int(kv[0]), int(kv[1]))])
     bbuckets = F.array(*[F.lit(int(b)).cast("long") for b in sorted(baseline)])
 
-    if "edges" in params:
+    if "joint" in params:
+        label, where_pred, _ = joint_cell_parts(params["joint"], column)
+        mapping = F.array(*[F.lit(c) for c in sorted(
+            str(k) for k in params["baseline"])])
+        bucket_expr = (F.array_position(mapping, label) - 1).cast("long")
+    elif "edges" in params:
         # equi-depth mode shares the per-partition machinery: only the
         # bucket expression differs (same rule as quantile_histogram)
         es = [float(e) for e in params["edges"]]
@@ -400,7 +488,7 @@ def drift_verdicts_per_partition(df: DataFrame, column: str, check_id: str,
             .cast("long")
     else:
         bucket_expr = F.floor(F.col(column) / F.lit(width)).cast("long")
-    hist = (df.where(F.col(column).isNotNull())
+    hist = (df.where(where_pred)
             .groupBy(pk.alias("partition_id"),
                      bucket_expr.alias("bucket"))
             .agg(F.count(F.lit(1)).alias("cnt")))

@@ -314,6 +314,37 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
                     raise _err(p, "x-drift edges mode: bucket widths are "
                                   "irregular — emdMax invalid (use "
                                   "psiMax/ksMax/chi2Max/klMax/jsdMax)")
+            if "joint" in v:
+                j = v["joint"]
+
+                def _dim_ok(i, d):
+                    if not isinstance(d, dict) or set(d) - {"column",
+                                                            "bucketWidth"}:
+                        return False
+                    if "column" in d and not (isinstance(d["column"], str)
+                                              and d["column"]):
+                        return False
+                    if "column" not in d and i > 0:
+                        return False
+                    if "bucketWidth" in d:
+                        w = d["bucketWidth"]
+                        if (not isinstance(w, (int, float))
+                                or isinstance(w, bool) or w <= 0):
+                            return False
+                    return True
+                if not (isinstance(j, list) and len(j) >= 2
+                        and all(_dim_ok(i, d) for i, d in enumerate(j))):
+                    raise _err(p, "x-drift joint must be a list of ≥2 dims "
+                                  "({'column'?: str, 'bucketWidth'?: num>0};"
+                                  " only the first dim may omit column)")
+                if (v.get("categorical") or "cells" in v or "edges" in v
+                        or "bucketWidth" in v):
+                    raise _err(p, "x-drift: joint is exclusive with "
+                                  "categorical/cells/edges/bucketWidth")
+                if "ksMax" in v or "emdMax" in v:
+                    raise _err(p, "x-drift joint mode: composite cells are "
+                                  "unordered — ksMax/emdMax invalid (use "
+                                  "psiMax/chi2Max/klMax/jsdMax)")
         elif kw == "x-linkage":
             def _lnum(x):
                 return (isinstance(x, (int, float))

@@ -530,3 +530,120 @@ def test_update_drift_baseline_tracks_slow_drift(spark):
     up = update_drift_baseline(qn, gen(300, 0), "v", decay=1.0)
     assert up["edges"] == [30.0, 60.0]
     assert sum(up["baseline"].values()) == 330
+
+
+# ---- joint (multi-column) mode -------------------------------------------
+
+def _joint_df(spark, swap=False):
+    """(n_tok, source) rows: `swap` flips the length mix WITHIN each source
+    while keeping both marginals identical — only a joint histogram can
+    tell the two datasets apart."""
+    rows = []
+    for i in range(400):
+        src = "news" if i % 2 == 0 else "web"
+        short = (i % 2 == 0) != swap  # news↔short unless swapped
+        rows.append((10 if short else 70, src, i))
+    return spark.createDataFrame(rows, "n_tok int, source string, doc_id long")
+
+
+def test_joint_histogram_cells_and_other(spark):
+    from jsonschema_valid_spark.operators.drift import joint_histogram
+
+    df = spark.createDataFrame(
+        [(10, "news"), (70, "news"), (10, "web"), (200, "blog"),
+         (None, "news"), (10, None)],
+        "n_tok int, source string")
+    dims = [{"column": "n_tok", "bucketWidth": 64.0}, {"column": "source"}]
+    declared = ["0|news", "0|web", "1|news", "1|web"]
+    got = {r["bucket"]: r["count"]
+           for r in joint_histogram(df, dims, declared).collect()}
+    # 10|news→0, 70|news→2, 10|web→1; 200|blog is an UNDECLARED cell → -1;
+    # rows with a NULL in ANY dim are excluded (not aliased into '10' or
+    # 'news' lower-arity cells)
+    assert got == {0: 1, 2: 1, 1: 1, -1: 1}
+
+
+def test_joint_drift_detects_mix_shift_marginals_blind(spark):
+    """The defining property: swapping which source is long preserves BOTH
+    marginal histograms (each per-column drift reads zero) but moves every
+    row to a different joint cell — only x-drift joint fires."""
+    from jsonschema_valid_spark.operators.drift import (
+        categorical_histogram, histogram, joint_histogram, psi,
+    )
+
+    ref, cur = _joint_df(spark), _joint_df(spark, swap=True)
+    dims = [{"column": "n_tok", "bucketWidth": 64.0}, {"column": "source"}]
+    declared = ["0|news", "0|web", "1|news", "1|web"]
+    base_joint = {r["bucket"]: r["count"] for r in
+                  joint_histogram(ref, dims, declared).collect()}
+    base_num = {r["bucket"]: r["count"] for r in
+                histogram(ref, "n_tok", 64.0).collect()}
+    base_cat = {r["bucket"]: r["count"] for r in
+                categorical_histogram(ref, "source",
+                                      ["news", "web"]).collect()}
+    # marginals identical → PSI ≈ 0 on both per-column views
+    assert psi(histogram(cur, "n_tok", 64.0), base_num, spark) < 1e-9
+    assert psi(categorical_histogram(cur, "source", ["news", "web"]),
+               base_cat, spark) < 1e-9
+    # joint view: 100% of mass moved cells → large PSI
+    assert psi(joint_histogram(cur, dims, declared),
+               base_joint, spark) > 1.0
+
+
+def test_x_drift_joint_keyword(spark):
+    """Engine path: first dim inherits the attached property; verdicts per
+    statistic; KS/EMD rejected at spec validation."""
+    from jsonschema_valid_spark.suite.spec import SuiteError
+
+    ref, cur = _joint_df(spark), _joint_df(spark, swap=True)
+    base = {f"{r['b']}|{r['source']}": r["n"] for r in
+            ref.groupBy(F.floor(F.col("n_tok") / 64.0).cast("long")
+                        .alias("b"), "source")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    spec = {"properties": {"n_tok": {"x-drift": {
+        "joint": [{"bucketWidth": 64.0}, {"column": "source"}],
+        "baseline": base, "psiMax": 0.1, "chi2Max": 1.0,
+        "klMax": 0.1, "jsdMax": 0.05}}}}
+    ok = validate(ref, spec, key="doc_id")
+    assert all(r["passed"] for r in ok.verdicts.collect())
+    bad = validate(cur, spec, key="doc_id")
+    verd = {r["check_id"]: r for r in bad.verdicts.collect()}
+    assert not verd["properties/n_tok/x-drift/psi"]["passed"]
+    assert not verd["properties/n_tok/x-drift/chi2"]["passed"]
+    assert not verd["properties/n_tok/x-drift/kl"]["passed"]
+    assert not verd["properties/n_tok/x-drift/jsd"]["passed"]
+
+    with pytest.raises(SuiteError):
+        CheckSuite({"properties": {"n_tok": {"x-drift": {
+            "joint": [{"bucketWidth": 64.0}, {"column": "source"}],
+            "baseline": base, "ksMax": 0.1}}}})
+    with pytest.raises(SuiteError):  # only the first dim may omit column
+        CheckSuite({"properties": {"n_tok": {"x-drift": {
+            "joint": [{"bucketWidth": 64.0}, {}],
+            "baseline": base, "psiMax": 0.1}}}})
+    with pytest.raises(SuiteError):  # exclusive with bucketWidth
+        CheckSuite({"properties": {"n_tok": {"x-drift": {
+            "joint": [{"bucketWidth": 64.0}, {"column": "source"}],
+            "bucketWidth": 8.0, "baseline": base, "psiMax": 0.1}}}})
+
+
+def test_joint_drift_per_partition(spark):
+    """perPartition joint: each partition's joint histogram vs the same
+    baseline — a clean partition passes while the swapped one fails,
+    inside ONE run."""
+    ref = _joint_df(spark).withColumn("part", F.lit("clean"))
+    cur = _joint_df(spark, swap=True).withColumn("part", F.lit("swapped"))
+    both = ref.unionByName(cur)
+    base = {f"{r['b']}|{r['source']}": r["n"] for r in
+            _joint_df(spark)
+            .groupBy(F.floor(F.col("n_tok") / 64.0).cast("long")
+                     .alias("b"), "source")
+            .agg(F.count(F.lit(1)).alias("n")).collect()}
+    res = validate(both, {"properties": {"n_tok": {"x-drift": {
+        "joint": [{"bucketWidth": 64.0}, {"column": "source"}],
+        "baseline": base, "psiMax": 0.1, "perPartition": True}}}},
+        key="doc_id", partition_by="part")
+    verd = {(r["partition_id"], r["check_id"]): r["passed"]
+            for r in res.verdicts.collect()}
+    assert verd[("clean", "properties/n_tok/x-drift/psi")] is True
+    assert verd[("swapped", "properties/n_tok/x-drift/psi")] is False

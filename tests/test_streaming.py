@@ -254,3 +254,48 @@ def test_stream_categorical_drift_matches_batch(spark, stream_dir):
     with _pytest.raises(ValueError):
         stream_windowed_drift(sdf, "cat", "ts", baseline,
                               categorical=True, ks_max=0.1)
+
+
+def test_stream_joint_drift_matches_batch(spark, stream_dir):
+    """Streaming JOINT drift (r5): per-window (v-bucket × parity-category)
+    cell PSI must equal the batch joint operators on the same window
+    slices; undeclared cells land in 'other'; KS/EMD and mode mixing are
+    refused. Rows with a NULL in any dim (s is null every 4th row) are
+    excluded on both sides."""
+    import pytest as _pytest
+
+    from jsonschema_valid_spark.operators.drift import (
+        joint_histogram,
+        psi_value_df,
+    )
+    from jsonschema_valid_spark.streaming.checks import stream_windowed_drift
+
+    path, batch_df = stream_dir
+    dims = [{"column": "v", "bucketWidth": 32.0}, {"column": "s"}]
+    baseline = {"0|src": 30, "1|src": 30, "2|src": 20}
+    sdf = spark.readStream.schema(batch_df.schema).parquet(path)
+    drift = stream_windowed_drift(
+        sdf, "v", "ts", baseline, joint=dims,
+        psi_max=0.1, ks_max=None,
+        window_duration="1 minute", watermark="0 seconds")
+    _run_to_memory(drift, "joint_drift_sink")
+    got = spark.sql("select * from joint_drift_sink").collect()
+    assert len(got) >= 8
+    declared = sorted(baseline)
+    int_base = {i: baseline[c] for i, c in enumerate(declared)}
+    for r in got:
+        sliced = batch_df.where(
+            (F.col("ts") >= r["window_start"])
+            & (F.col("ts") < r["window_end"]))
+        expected = float(psi_value_df(
+            joint_histogram(sliced, dims, declared), int_base,
+            spark).first()["value"])
+        assert abs(r["metric_value"] - expected) < 1e-9, (
+            r["window_start"], r["metric_value"], expected)
+
+    with _pytest.raises(ValueError):
+        stream_windowed_drift(sdf, "v", "ts", baseline, joint=dims,
+                              ks_max=0.1)
+    with _pytest.raises(ValueError):
+        stream_windowed_drift(sdf, "v", "ts", baseline, joint=dims,
+                              categorical=True, psi_max=0.1)
