@@ -2374,6 +2374,71 @@ def drift_kl_jsd_ntok(spark, sf_dir):
 
 
 @register_extended(
+    "engine_referential_coverage",
+    """
+SELECT '<global>' AS partition_id,
+       'properties/c_nationkey/x-referential/coverage' AS check_id,
+       (CAST(n_seen AS DOUBLE) / n_dom) >= 0.9 AS passed,
+       round(CAST(n_seen AS DOUBLE) / n_dom, 6) AS metric
+FROM (SELECT
+        (SELECT count(DISTINCT n_nationkey) FROM nation) AS n_dom,
+        (SELECT count(DISTINCT c_nationkey) FROM customer
+          WHERE c_acctbal > 9900
+            AND c_nationkey IN (SELECT n_nationkey FROM nation)) AS n_seen)
+""",
+)
+def engine_referential_coverage(spark, sf_dir):
+    """x-referential {"coverageMin"} — the REVERSE direction of membership
+    (operators/referential.py domain_coverage): the fraction of DOMAIN
+    values present in the (where-scoped) data must clear τ, catching a
+    feed that silently dropped a whole slice (membership alone passes an
+    EMPTY feed). Scoped here to high-balance customers: which nations
+    still have one? Plan: broadcast semi-join → #domain-bounded
+    count-distinct; the fact table never shuffles. EXTENDED mirror entry;
+    full value-hash oracle. No reference counterpart — nearest analog is
+    enum (validators.rs:715-728) whose direction this reverses."""
+    from jsonschema_valid_spark import CheckSuite
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    res = CheckSuite({"properties": {"c_nationkey": {"x-referential": {
+        "domain": "@nation", "domainColumn": "n_nationkey",
+        "coverageMin": 0.9, "where": "c_acctbal > 9900",
+    }}}}).run(cust, key="c_custkey", context={"nation": nation})
+    return res.verdicts.where(
+        F.col("check_id").endswith("/coverage")).select(
+        "partition_id", "check_id", "passed",
+        F.round("metric_value", 6).alias("metric"))
+
+
+@register_extended(
+    "referential_unused_nations",
+    """
+SELECT n_nationkey AS c_nationkey FROM nation
+WHERE n_nationkey NOT IN
+      (SELECT c_nationkey FROM customer
+        WHERE c_acctbal > 9900 AND c_nationkey IS NOT NULL)
+""",
+)
+def referential_unused_nations(spark, sf_dir):
+    """The exemplar list behind a failed coverage gate — WHICH domain
+    values went missing (operators/referential.py unused_domain_values):
+    nations with no high-balance customer. Plan: broadcast semi-join
+    bounds the distinct() to #domain values; the final anti-join is
+    dimension × dimension. EXTENDED mirror entry; full value-hash
+    oracle."""
+    from jsonschema_valid_spark.operators.referential import (
+        unused_domain_values,
+    )
+
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .where(F.col("c_acctbal") > 9900))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    return unused_domain_values(cust, "c_nationkey", nation,
+                                domain_column="n_nationkey")
+
+
+@register_extended(
     "drift_joint_ntok_source",
     oracle_with_sequences(
         """

@@ -271,6 +271,27 @@ def _approx_unique_verdict_df(df: DataFrame, dc) -> DataFrame:
     )
 
 
+def _coverage_verdict_df(dc, scoped_df: DataFrame, dom) -> DataFrame:
+    """x-referential {"coverageMin": τ}: the REVERSE-direction verdict —
+    the fraction of domain values present in the (scoped) data must be
+    ≥ τ, catching a feed that silently dropped a whole domain slice
+    (operators/referential.py domain_coverage; plan: broadcast semi-join,
+    #domain-bounded count-distinct — no fact shuffle)."""
+    from jsonschema_valid_spark.operators import referential as ref_op
+
+    tau = float(dc.params["coverageMin"])
+    cov = ref_op.domain_coverage(
+        scoped_df, dc.column, dom,
+        domain_column=dc.params.get("domainColumn"))
+    return cov.select(
+        F.lit("<global>").alias("partition_id"),
+        F.lit(f"{dc.check_id}/coverage").alias("check_id"),
+        (F.col("coverage") >= tau).alias("passed"),
+        F.col("coverage").cast("double").alias("metric_value"),
+        F.lit(tau).cast("double").alias("threshold"),
+    )
+
+
 def _index_collisions(dc, scoped_df: DataFrame, context: dict) -> DataFrame:
     """x-unique {"index": "@name"}: collision violations of the (scoped)
     batch against a persisted UniqueIndex (operators/unique_index.py) —
@@ -1177,6 +1198,9 @@ def run_suite_summarized(
                 _scoped(dc, df), dc.column, dom, dc.check_id, key=key,
                 domain_column=dc.params.get("domainColumn"),
                 **_bloom_opts(dc.params))
+            if "coverageMin" in dc.params:
+                approx_unique_verdicts.append(
+                    _coverage_verdict_df(dc, _scoped(dc, df), dom))
         elif dc.kind == "parity":
             ref_df = dc.params["reference"]
             if isinstance(ref_df, str) and ref_df.startswith("@"):
@@ -1496,6 +1520,9 @@ def run_suite(
                 **_bloom_opts(dc.params),
             )
             violation_dfs.append(_with_ipath(bad))
+            if "coverageMin" in dc.params:
+                verdict_dfs.append(
+                    _coverage_verdict_df(dc, _scoped(dc, df), dom))
             verdict_dfs.append(
                 bad.agg(F.count(F.lit(1)).alias("nb")).select(
                     F.lit("<global>").alias("partition_id"),

@@ -124,3 +124,68 @@ def referential_violations(df: DataFrame, column: str, domain,
         F.col(column).cast("string").alias("observed"),
         F.lit(expected).alias("expected"),
     )
+
+
+def domain_coverage(df: DataFrame, column: str, domain: DataFrame | Iterable,
+                    domain_column: str | None = None) -> DataFrame:
+    """One-row ``(n_domain, n_seen, coverage)``: the fraction of DOMAIN
+    values that appear at least once in ``df[column]`` — the REVERSE
+    direction of the membership check (data ⊆ domain polices junk;
+    domain-side coverage catches a feed that silently DROPPED a whole
+    slice: a source that stopped arriving, a region missing from today's
+    batch). ``x-referential {"coverageMin": τ}`` gates on it.
+
+    Plan at 10^12 rows: the fact table is first BROADCAST-semi-joined to
+    the dimension-sized domain (no fact shuffle), so the count-distinct's
+    partial aggregation sees at most #domain distinct values per task —
+    the only shuffle is #domain-bounded. A literal domain compiles to an
+    ``isin`` filter (zero joins)."""
+    fact = df.where(F.col(column).isNotNull())
+    if isinstance(domain, DataFrame):
+        dcol = domain_column or domain.columns[0]
+        dom = domain.select(F.col(dcol).alias(column)) \
+            .where(F.col(column).isNotNull()).distinct()
+        seen = fact.join(F.broadcast(dom), on=column, how="left_semi")
+        n_seen = seen.agg(F.countDistinct(column).alias("n_seen"))
+        n_dom = dom.agg(F.count(F.lit(1)).alias("n_domain"))
+        joined = n_seen.crossJoin(F.broadcast(n_dom))
+    else:
+        values = list(dict.fromkeys(domain))
+        if not values:
+            raise ValueError("domain_coverage: empty literal domain")
+        joined = (fact.where(F.col(column).isin(*values))
+                  .agg(F.countDistinct(column).alias("n_seen"))
+                  .select(F.col("n_seen"),
+                          F.lit(len(values)).cast("long").alias("n_domain")))
+    return joined.select(
+        F.col("n_domain").cast("long").alias("n_domain"),
+        F.col("n_seen").cast("long").alias("n_seen"),
+        F.try_divide(F.col("n_seen").cast("double"),
+                     F.col("n_domain").cast("double")).alias("coverage"),
+    )
+
+
+def unused_domain_values(df: DataFrame, column: str,
+                         domain: DataFrame | Iterable,
+                         domain_column: str | None = None) -> DataFrame:
+    """The domain values with NO row in ``df[column]`` — the exemplar list
+    behind a failed coverage gate (WHICH sources went missing, not just
+    how many). One column, named after ``column``.
+
+    Plan: the fact side is broadcast-semi-joined to the domain first, so
+    the distinct() that follows shuffles at most #domain values; the
+    final anti-join is dimension × dimension."""
+    fact = df.where(F.col(column).isNotNull())
+    if isinstance(domain, DataFrame):
+        dcol = domain_column or domain.columns[0]
+        dom = domain.select(F.col(dcol).alias(column)) \
+            .where(F.col(column).isNotNull()).distinct()
+    else:
+        values = list(dict.fromkeys(domain))
+        if not values:
+            raise ValueError("unused_domain_values: empty literal domain")
+        dom = (df.sparkSession.createDataFrame([(v,) for v in values])
+               .toDF(column).distinct())
+    seen = (fact.join(F.broadcast(dom), on=column, how="left_semi")
+            .select(column).distinct())
+    return dom.join(seen, on=column, how="left_anti")

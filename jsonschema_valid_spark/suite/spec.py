@@ -235,6 +235,19 @@ def validate_suite_spec(spec: Any, draft: int | None = None, path: tuple = ()) -
         elif kw == "x-referential":
             if not isinstance(v, dict) or "domain" not in v:
                 raise _err(p, "x-referential must be {'domain': <table|list>, ...}")
+            if "coverageMin" in v:
+                cm = v["coverageMin"]
+                if (not isinstance(cm, (int, float))
+                        or isinstance(cm, bool) or not 0 < cm <= 1):
+                    raise _err(p, "x-referential coverageMin must be a "
+                                  "number in (0, 1]")
+                if (v.get("inline") or v.get("mode", "exact") != "exact"
+                        or "columns" in v):
+                    raise _err(p, "x-referential coverageMin needs the "
+                                  "exact broadcast path on a single column "
+                                  "(no inline/bloom/composite — inline "
+                                  "rides the row pass and a bloom filter "
+                                  "cannot enumerate domain members)")
             if "columns" in v:
                 # composite-key form: a column LIST has no host property,
                 # so it is root-scope (the composite x-unique rule), and
