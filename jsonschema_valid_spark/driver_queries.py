@@ -7707,3 +7707,45 @@ def neardup_index_hits(spark, sf_dir):
     return out.select(F.col("batch_id").cast("bigint").alias("batch_id"),
                       F.col("hist_id").cast("bigint").alias("hist_id"),
                       F.round("est", 6).alias("est"))
+
+
+@register_extended(
+    "schema_audit_documents",
+    """
+SELECT * FROM (VALUES
+  ('checksum', 'missing_required', 'string',  '<absent>'),
+  ('doc_id',   'ok',               'integer', 'bigint'),
+  ('lang',     'dynamic',          'integer', 'string'),
+  ('n_chars',  'type_mismatch',    'array',   'bigint'),
+  ('score',    'absent',           '-',       '<absent>'),
+  ('source',   'undeclared',       '-',       'string'),
+  ('text',     'ok',               'string',  'string')
+) AS t("column", status, declared, observed)
+""",
+)
+def schema_audit_documents(spark, sf_dir):
+    """Pre-flight schema audit (operators/schema_audit.py) — the
+    non-throwing twin of compiler.bind: the WHOLE structural gap list
+    (missing required, strict-mode undeclared, static type mismatch,
+    dynamic-coercion notes) from df.schema alone, BEFORE any job reads a
+    row of a 10^12-row table. Reference analog: Config::from_schema's
+    up-front schema validation (config.rs:75-90) lifted to the bound
+    table's own schema. Deterministic: the report depends only on the
+    parquet footer schema, so the oracle is the literal expected table.
+    Driver-side metadata; zero data-scale Spark jobs."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    spec = {
+        "additionalProperties": False,
+        "required": ["doc_id", "text", "checksum"],
+        "properties": {
+            "doc_id": {"type": "integer"},
+            "text": {"type": "string"},
+            "lang": {"type": "integer"},
+            "n_chars": {"type": "array"},
+            "checksum": {"type": "string"},
+            "score": {"type": "number"},
+        },
+    }
+    from jsonschema_valid_spark.operators.schema_audit import schema_report
+
+    return schema_report(spec, docs)
