@@ -7749,3 +7749,30 @@ def schema_audit_documents(spark, sf_dir):
     from jsonschema_valid_spark.operators.schema_audit import schema_report
 
     return schema_report(spec, docs)
+
+
+@register_extended(
+    "schema_diff_documents",
+    """
+SELECT * FROM (VALUES
+  ('batch_tag', 'added',   '<absent>', 'string'),
+  ('lang',      'dropped', 'string',   '<absent>'),
+  ('n_chars',   'widened', 'bigint',   'double')
+) AS t("column", status, old, new)
+""",
+)
+def schema_diff_documents(spark, sf_dir):
+    """Table-vs-table schema drift (operators/schema_audit.py::schema_diff)
+    — what changed between yesterday's batch and today's: added/dropped
+    columns and integral→fractional widening (the silent parquet-evolution
+    hazard). Today's batch is a deterministic projection of documents
+    with lang dropped, n_chars arriving as double, and a new batch_tag
+    column. Footer-metadata only: zero data-scale jobs, so the oracle is
+    the literal expected report."""
+    from jsonschema_valid_spark.operators.schema_audit import schema_diff
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    today = docs.select(
+        "doc_id", "text", F.col("n_chars").cast("double").alias("n_chars"),
+        F.lit("b0").alias("batch_tag"), "source")
+    return schema_diff(docs, today)

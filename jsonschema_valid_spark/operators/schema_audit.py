@@ -174,6 +174,38 @@ def schema_report(suite_or_spec, df: DataFrame) -> DataFrame:
     return df.sparkSession.createDataFrame(rows, _REPORT_SCHEMA)
 
 
+def schema_diff(old: DataFrame, new: DataFrame) -> DataFrame:
+    """Table-vs-table schema drift: what changed between yesterday's batch
+    and today's — ``added`` / ``dropped`` / ``retyped`` columns (plus
+    ``widened``/``narrowed`` for integral↔fractional moves, the common
+    silent parquet-evolution hazard: an int64 column that starts arriving
+    as double). One row per difference; empty report = identical schemas.
+    Driver-side footer metadata only — no job touches row data, so it is
+    free to run before every ingest append."""
+    from jsonschema_valid_spark.compiler import _FRACTIONAL, _INTEGRAL
+
+    o = {f.name: f.dataType for f in old.schema.fields}
+    n = {f.name: f.dataType for f in new.schema.fields}
+    rows: list[tuple[str, str, str, str]] = []
+    for name in o.keys() - n.keys():
+        rows.append((name, "dropped", o[name].simpleString(), "<absent>"))
+    for name in n.keys() - o.keys():
+        rows.append((name, "added", "<absent>", n[name].simpleString()))
+    for name in o.keys() & n.keys():
+        if o[name] == n[name]:
+            continue
+        status = "retyped"
+        if isinstance(o[name], _INTEGRAL) and isinstance(n[name], _FRACTIONAL):
+            status = "widened"
+        elif isinstance(o[name], _FRACTIONAL) and isinstance(n[name], _INTEGRAL):
+            status = "narrowed"
+        rows.append((name, status, o[name].simpleString(),
+                     n[name].simpleString()))
+    rows.sort()
+    return old.sparkSession.createDataFrame(
+        rows, "column string, status string, old string, new string")
+
+
 def schema_ok(suite_or_spec, df: DataFrame) -> bool:
     """True iff :func:`compiler.bind` would accept ``df``'s schema AND no
     declared type is a static constant-fail. Driver-side only."""

@@ -7,6 +7,7 @@ import pytest
 from jsonschema_valid_spark import CheckSuite, SuiteBindError
 from jsonschema_valid_spark.operators.schema_audit import (
     FAILING_STATUSES,
+    schema_diff,
     schema_ok,
     schema_report,
 )
@@ -95,6 +96,26 @@ def test_ref_resolution_in_audit(spark, df):
            schema_report(spec, df).collect()}
     assert ("doc_id", "ok") in rep
     assert ("text", "dynamic") in rep  # string coerces to integer
+
+
+def test_schema_diff(spark):
+    old = spark.createDataFrame([(1, 2, "x", 1.5)],
+                                "a bigint, b int, c string, d double")
+    new = spark.createDataFrame([(1.0, 2, True, 7)],
+                                "a double, b int, c boolean, e bigint")
+    got = [(r["column"], r["status"], r["old"], r["new"])
+           for r in schema_diff(old, new).collect()]
+    assert got == [
+        ("a", "widened", "bigint", "double"),
+        ("c", "retyped", "string", "boolean"),
+        ("d", "dropped", "double", "<absent>"),
+        ("e", "added", "<absent>", "bigint"),
+    ]
+    assert schema_diff(old, old).count() == 0
+    # narrowed: fractional -> integral
+    nar = schema_diff(spark.createDataFrame([(1.0,)], "x double"),
+                      spark.createDataFrame([(1,)], "x int")).collect()
+    assert nar[0]["status"] == "narrowed"
 
 
 def test_failing_statuses_frozen():
