@@ -179,8 +179,17 @@ def heavy_hitters(
         k = max(64, math.ceil(8.0 / float(max_fraction)))
     k = int(k)
 
+    # Materialize the merged sketch ONCE: it is tiny (<= k x #partitions
+    # value rows + #partitions total rows, pre-reduced by the groupBy),
+    # but its lineage contains the expensive Arrow/Python MG phase over
+    # the full table — without the checkpoint that phase re-ran for the
+    # totals collect AND the candidate collect (measured 2x the component
+    # cost at 2M rows). localCheckpoint, not cache(): eviction under
+    # memory pressure would silently re-run the scan mid-collect (the
+    # ADVICE-r4 extend() lesson).
     merged = (mg_partition_summaries(df, column, k)
-              .groupBy("value").agg(F.sum("est").alias("est")))
+              .groupBy("value").agg(F.sum("est").alias("est"))
+              .localCheckpoint(eager=True))
     totals = (merged.where(F.col("value").isNull())
               .agg(F.sum("est").alias("total")))
     cand = (merged.where(F.col("value").isNotNull())
