@@ -88,6 +88,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(operators/profile.py suite_from_profile); "
                         "review and commit the output, don't trust it "
                         "blindly")
+    p.add_argument("--audit-schema", action="store_true",
+                   help="pre-flight only: print the schema audit report "
+                        "(missing required / undeclared / static type "
+                        "mismatch ...) as JSON and exit — exit 1 if any "
+                        "failing status; no data-scale job runs")
     p.add_argument("--explain", action="store_true",
                    help="print the formatted physical plans for the "
                         "violations and verdicts passes WITHOUT running "
@@ -187,6 +192,20 @@ def main(argv=None) -> int:
         df = spark.read.orc(args.input)
     else:
         df = spark.read.parquet(args.input)
+
+    if args.audit_schema:
+        # pre-flight: the WHOLE structural gap list from the footer
+        # schema, zero data-scale jobs (operators/schema_audit.py) —
+        # run this before committing cluster hours to a 10^12-row pass
+        from jsonschema_valid_spark.operators.schema_audit import (
+            FAILING_STATUSES,
+            schema_report,
+        )
+
+        rows = [r.asDict() for r in schema_report(suite, df).collect()]
+        failing = [r for r in rows if r["status"] in FAILING_STATUSES]
+        print(json.dumps({"schema_ok": not failing, "report": rows}))
+        return 0 if not failing else 1
 
     def _quarantine_count() -> int:
         if quarantine is None:

@@ -293,3 +293,38 @@ def test_cli_verify_content_resume(spark, tmp_path):
     from jsonschema_valid_spark import CheckSuite
     r = CheckpointRunner(CheckSuite(spec), out)
     assert [v["doc_id"] for v in r.violations(spark).collect()] == ["9"]
+
+
+def test_cli_audit_schema_preflight(spark, tmp_path, capsys):
+    """--audit-schema: pre-flight gap report (operators/schema_audit.py)
+    as JSON, exit 1 on failing statuses, no run output written."""
+    import json as _json
+
+    from jsonschema_valid_spark.cli import main
+
+    spark.createDataFrame([(1, "x")], "doc_id bigint, extra string") \
+        .write.mode("overwrite").parquet(str(tmp_path / "in"))
+    suite_path = tmp_path / "audit_suite.json"
+    suite_path.write_text(_json.dumps({
+        "additionalProperties": False,
+        "required": ["doc_id", "text"],
+        "properties": {"doc_id": {"type": "integer"},
+                       "text": {"type": "string"}},
+    }))
+    rc = main(["--suite", str(suite_path), "--input", str(tmp_path / "in"),
+               "--output", str(tmp_path / "out"), "--audit-schema"])
+    rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 1 and rep["schema_ok"] is False
+    statuses = {(r["column"], r["status"]) for r in rep["report"]}
+    assert ("text", "missing_required") in statuses
+    assert ("extra", "undeclared") in statuses
+    assert not (tmp_path / "out").exists()  # audit never runs the suite
+
+    # clean contract -> exit 0
+    suite_path.write_text(_json.dumps(
+        {"properties": {"doc_id": {"type": "integer"},
+                        "extra": {"type": "string"}}}))
+    rc2 = main(["--suite", str(suite_path), "--input", str(tmp_path / "in"),
+                "--output", str(tmp_path / "out"), "--audit-schema"])
+    rep2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc2 == 0 and rep2["schema_ok"] is True
