@@ -2123,6 +2123,77 @@ def stream_referential_violations(
                                   domain_column=domain_column)
 
 
+def stream_coverage_verdicts(
+    sdf: DataFrame,
+    column: str,
+    ts_col: str,
+    domain,
+    coverage_min: float,
+    domain_column: str | None = None,
+    window_duration: str = "1 minute",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Streaming domain-side coverage — the twin of ``x-referential
+    {"coverageMin"}`` (operators/referential.py domain_coverage), and the
+    check whose failure mode is BORN streaming: "a source stopped
+    arriving" is a per-window question ("did every region report in the
+    last hour?"), not a settled-table one, where the silent slice stays
+    diluted by history.
+
+    Per event-time window: the fraction of DOMAIN values seen at least
+    once among the window's (member) rows must be ≥ ``coverage_min``.
+    Pure NATIVE windowed aggregation: rows are first filtered to domain
+    members (broadcast semi-join for a DataFrame domain, an ``isin``
+    filter for a literal — stream-static-legal, no state), then
+    ``approx_count_distinct`` per window (HLL, mergeable across
+    micro-batches — exact distinct is unavailable to streaming
+    aggregation; the ~2% sketch error means τ needs headroom, the same
+    delta ``stream_distinct_ratio_verdicts`` documents). |domain| is
+    resolved ONCE at query start from the dimension-sized domain (the
+    stream_referential_violations snapshot rule: restart to pick up
+    domain growth).
+
+    Output: (window_start, n_domain, n_seen, coverage, passed) — one
+    verdict row per window as the watermark closes it; a window with
+    ZERO member rows emits nothing (total absence is
+    ``stream_freshness_alerts``' job — the same caveat as
+    stream_rowcount_verdicts)."""
+    from pyspark.sql import DataFrame as _DF
+
+    if not sdf.isStreaming:
+        raise ValueError("stream_coverage_verdicts expects a streaming "
+                         "DataFrame — use domain_coverage for batch")
+    if not 0 < float(coverage_min) <= 1:
+        raise ValueError("coverage_min must be in (0, 1]")
+    fact = sdf.where(F.col(column).isNotNull())
+    if isinstance(domain, _DF):
+        if domain.isStreaming:
+            raise ValueError("the domain must be a STATIC DataFrame")
+        dcol = domain_column or domain.columns[0]
+        dom = (domain.select(F.col(dcol).alias(column))
+               .where(F.col(column).isNotNull()).distinct())
+        n_domain = dom.count()  # dimension-sized, once at query build
+        members = fact.join(F.broadcast(dom), on=column, how="left_semi")
+    else:
+        values = list(dict.fromkeys(domain))
+        if not values:
+            raise ValueError("stream_coverage_verdicts: empty domain")
+        n_domain = len(values)
+        members = fact.where(F.col(column).isin(*values))
+    agg = (
+        members.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window_duration).alias("__w"))
+        .agg(F.approx_count_distinct(F.col(column)).alias("n_seen"))
+    )
+    coverage = F.col("n_seen").cast("double") / F.lit(float(n_domain))
+    return agg.select(
+        F.col("__w").getField("start").alias("window_start"),
+        F.lit(n_domain).cast("long").alias("n_domain"),
+        F.col("n_seen").cast("long").alias("n_seen"),
+        coverage.alias("coverage"),
+        (coverage >= F.lit(float(coverage_min))).alias("passed"))
+
+
 def stream_neardup_collisions(
     sdf: DataFrame,
     index,
