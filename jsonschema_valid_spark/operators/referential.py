@@ -139,7 +139,14 @@ def domain_coverage(df: DataFrame, column: str, domain: DataFrame | Iterable,
     the dimension-sized domain (no fact shuffle), so the count-distinct's
     partial aggregation sees at most #domain distinct values per task —
     the only shuffle is #domain-bounded. A literal domain compiles to an
-    ``isin`` filter (zero joins)."""
+    ``isin`` filter (zero joins).
+
+    Grouped form ("per day, every nation present"): use
+    ``operators/consistency.py::partition_completeness`` over
+    ``["day", "nation"]`` with the cross-product expected domain — the
+    per-cell status matrix is that operator's exact job. Streaming form
+    ("did every region report this hour"):
+    ``streaming/checks.py::stream_coverage_verdicts``."""
     fact = df.where(F.col(column).isNotNull())
     if isinstance(domain, DataFrame):
         dcol = domain_column or domain.columns[0]
