@@ -292,3 +292,32 @@ def test_tokenshape_matches_python_oracle(spark, arrs, prefix, suffix,
     res = suite.run(df, key="doc_id")
     got = {r["doc_id"]: r["observed"] for r in res.violations.collect()}
     assert got == _py_tokenshape(arrs, prefix, suffix, forbidden, pad)
+
+
+_cov_vals = st.lists(
+    st.one_of(st.none(), st.sampled_from(["s1", "s2", "s3", "junk", "x"])),
+    min_size=1, max_size=15)
+_cov_dom = st.lists(st.sampled_from(["s1", "s2", "s3", "s4"]),
+                    min_size=1, max_size=4, unique=True)
+
+
+@SETTINGS
+@given(xs=_cov_vals, dom=_cov_dom,
+       tau=st.floats(min_value=0.1, max_value=1.0))
+def test_domain_coverage_matches_python(spark, xs, dom, tau):
+    """domain_coverage (r5): coverage == |domain ∩ seen| / |domain| for
+    ANY value mix — junk and NULLs contribute nothing; the coverageMin
+    verdict thresholds on exactly that fraction."""
+    from jsonschema_valid_spark.operators.referential import domain_coverage
+
+    df = spark.createDataFrame(
+        [(f"r{i}", x) for i, x in enumerate(xs)], "id string, src string")
+    row = domain_coverage(df, "src", dom).first()
+    seen = {x for x in xs if x in set(dom)}
+    assert (row["n_domain"], row["n_seen"]) == (len(dom), len(seen))
+    assert row["coverage"] == pytest.approx(len(seen) / len(dom))
+    res = CheckSuite({"properties": {"src": {"x-referential": {
+        "domain": list(dom), "coverageMin": tau}}}}).run(df, key="id")
+    cov = [r for r in res.verdicts.collect()
+           if r["check_id"].endswith("/coverage")][0]
+    assert cov["passed"] == (len(seen) / len(dom) >= tau - 1e-9)
