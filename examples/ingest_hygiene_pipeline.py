@@ -1,6 +1,10 @@
 """Ingest-hygiene pipeline — the CORPUS-INTAKE story composing the
 round-4 wave-15 operators end to end:
 
+0. pre-flight (r5): ``schema_report`` audits the batch's schema against
+   the intake contract (zero data-scale jobs), and ``x-referential
+   {"coverageMin"}`` gates domain-side coverage — the silently-missing
+   slice membership can't see;
 1. identity: resolve re-registered records with blocked linkage and keep
    one row per entity (``operators/linkage.py`` — typo'd duplicates under
    fresh keys, the channel exact x-unique cannot see);
@@ -53,6 +57,39 @@ def run(spark: SparkSession, sf_dir: str, work_dir: str) -> dict:
     from jsonschema_valid_spark.sources.sequences import load_sequences
 
     out: dict = {}
+
+    # --- 0. pre-flight (r5): audit the batch's SCHEMA against the intake
+    # contract before any data-scale job — the whole gap list at once
+    # (schema_report never throws; bind would refuse at the first), then
+    # gate domain-side coverage: membership can't see a silently-missing
+    # slice (an EMPTY feed passes it), coverageMin can ---
+    from jsonschema_valid_spark.operators.schema_audit import (
+        schema_ok,
+        schema_report,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    contract = {
+        "required": ["doc_id", "text"],
+        "properties": {"doc_id": {"type": "integer"},
+                       "text": {"type": "string"},
+                       "lang": {"type": "string"},
+                       "source": {"type": "string"},
+                       "n_chars": {"type": "integer"}},
+    }
+    out["schema_ok"] = schema_ok(contract, docs)
+    out["schema_findings"] = schema_report(contract, docs).count()
+    # the intake contract DECLARES the expected slices; 'ja' is licensed
+    # but not yet live, so the bar sits at 5/6 — if any live language
+    # stops arriving the same gate trips
+    res0 = CheckSuite({"properties": {"lang": {"x-referential": {
+        "domain": ["en", "de", "es", "fr", "zh", "ja"],
+        "coverageMin": 0.83,
+    }}}}).run(docs, key="doc_id")
+    cov_row = res0.verdicts.where(
+        "check_id like '%/coverage'").first()
+    out["coverage_ok"] = bool(cov_row["passed"])
+    out["coverage"] = round(float(cov_row["metric_value"]), 4)
 
     # --- 1. identity: fold re-registered customers to one entity row ---
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(

@@ -4,6 +4,8 @@ monotone-shrinkage + clean-gate invariants."""
 import os
 import sys
 
+import pytest
+
 from tests.conftest import SF_DIR
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
@@ -86,6 +88,11 @@ def test_ingest_hygiene_pipeline(spark, tmp_path):
     from tests.conftest import SF_DIR
 
     out = run(spark, SF_DIR, str(tmp_path))
+    # pre-flight: contract matches the footer schema (5 'ok' rows), and
+    # 5 of the 6 declared language slices report (ja licensed, not live)
+    assert out["schema_ok"] is True and out["schema_findings"] == 5
+    assert out["coverage_ok"] is True
+    assert out["coverage"] == pytest.approx(5 / 6, abs=1e-3)
     # every mod-11 twin folds back into its source entity
     assert out["records_in"] - out["entities"] == \
         len([k for k in range(0, 150, 11)])
