@@ -283,11 +283,14 @@ def _coverage_verdict_df(dc, scoped_df: DataFrame, dom) -> DataFrame:
     cov = ref_op.domain_coverage(
         scoped_df, dc.column, dom,
         domain_column=dc.params.get("domainColumn"))
+    # an EMPTY domain makes coverage NULL (0/0) — fail closed rather than
+    # emit a NULL verdict that ok() could not see
+    cov_val = F.coalesce(F.col("coverage").cast("double"), F.lit(0.0))
     return cov.select(
         F.lit("<global>").alias("partition_id"),
         F.lit(f"{dc.check_id}/coverage").alias("check_id"),
-        (F.col("coverage") >= tau).alias("passed"),
-        F.col("coverage").cast("double").alias("metric_value"),
+        (cov_val >= tau).alias("passed"),
+        cov_val.alias("metric_value"),
         F.lit(tau).cast("double").alias("threshold"),
     )
 

@@ -86,6 +86,18 @@ def test_coverage_where_scoped(spark, fact, dom):
     assert cov["passed"] is True
 
 
+def test_empty_dataframe_domain_fails_closed(spark, fact):
+    """An EMPTY domain table (0/0 coverage) must yield passed=False, not
+    a NULL verdict ok() could not see."""
+    empty = spark.createDataFrame([], "src string")
+    res = validate(fact, {"properties": {"source": {"x-referential": {
+        "domain": "@dom", "domainColumn": "src", "coverageMin": 0.5}}}},
+        key="doc_id", context={"dom": empty})
+    cov = [r for r in res.verdicts.collect()
+           if r["check_id"].endswith("/coverage")][0]
+    assert cov["passed"] is False and cov["metric_value"] == 0.0
+
+
 def test_coverage_spec_refusals(spark):
     for bad in ({"domain": "@d", "coverageMin": 0},
                 {"domain": "@d", "coverageMin": 1.5},
