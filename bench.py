@@ -206,6 +206,13 @@ def run_bench(spark: SparkSession, n_rows: int = BENCH_ROWS) -> dict:
     timed("unique_salted", lambda: duplicate_keys(seq, "doc_id").count())
     dom_df = spark.createDataFrame([(s,) for s in domain], "source string")
     timed("referential_anti", lambda: non_members(seq, "source", dom_df).count())
+    # r5: the REVERSE direction — domain-side coverage (x-referential
+    # coverageMin): broadcast semi-join (fact never shuffles) + a
+    # #domain-bounded count-distinct
+    from jsonschema_valid_spark.operators.referential import domain_coverage
+
+    timed("coverage_semi_distinct", lambda: domain_coverage(
+        seq, "source", dom_df).collect())
     timed("hist_psi", lambda: psi(
         histogram(seq, "n_tok", 16.0),
         {b: 100 for b in range(0, 9)}, spark))
