@@ -72,28 +72,31 @@ def anonymity_violations(
     cells = df.groupBy(*[F.col(c) for c in quasi]).agg(*aggs)
     label = cell_label(quasi)
 
-    out = []
+    # r6: ONE subtree, not a union of per-rule filters — the old
+    # union(k-rows, l-rows) let per-branch column pruning specialize each
+    # branch's aggregate (the k branch dropped the count_distinct), so
+    # ReuseExchange never fired and the 10^12-row scan + groupBy ran once
+    # PER DECLARED RULE (plan-verified: two parquet scans). A cell failing
+    # both floors still emits two rows, one per rule, same as before.
+    structs = []
     if k is not None:
-        out.append(cells.where(F.col("__n") < int(k)).select(
-            label.alias("doc_id"),
-            F.lit(check_id).alias("check_id"),
+        structs.append(F.when(F.col("__n") < int(k), F.struct(
             F.concat(F.lit("count="), F.col("__n").cast("string"))
             .alias("observed"),
             F.lit(f"group size >= {int(k)}").alias("expected"),
-        ))
+        )))
     if l is not None:
-        out.append(cells.where(F.col("__d") < int(l)).select(
-            label.alias("doc_id"),
-            F.lit(check_id).alias("check_id"),
+        structs.append(F.when(F.col("__d") < int(l), F.struct(
             F.concat(F.lit("distinct="), F.col("__d").cast("string"),
                      F.lit(" (count="), F.col("__n").cast("string"),
                      F.lit(")")).alias("observed"),
             F.lit(f"sensitive diversity >= {int(l)}").alias("expected"),
-        ))
-    res = out[0]
-    for o in out[1:]:
-        res = res.unionByName(o)
-    return res
+        )))
+    return (cells
+            .select(label.alias("doc_id"),
+                    F.explode(F.array_compact(F.array(*structs))).alias("v"))
+            .select("doc_id", F.lit(check_id).alias("check_id"),
+                    "v.observed", "v.expected"))
 
 
 def t_closeness_violations(
@@ -145,9 +148,18 @@ def t_closeness_violations(
     from pyspark.sql import Window
 
     dec = "decimal(38,0)"
+    # r6: localCheckpoint (lazy) the (quasi, sensitive) aggregate — it is
+    # the root of THREE branches (per-value marginal, global total, the
+    # windowed cell counts) and per-branch optimization used to specialize
+    # each subtree past ReuseExchange, re-running the 10^12-row scan +
+    # groupBy once per branch (plan-verified: three parquet scans). The
+    # aggregate is #cells × #values rows — the operator's own documented
+    # bounded regime — so pinning it is the drift-histogram class of
+    # materialization, not a data-scale cache.
     cv = (df.where(F.col(sensitive).isNotNull())
           .groupBy(*[F.col(c) for c in quasi], F.col(sensitive))
-          .agg(F.count(F.lit(1)).cast(dec).alias("__ncv")))
+          .agg(F.count(F.lit(1)).cast(dec).alias("__ncv"))
+          .localCheckpoint(eager=False))
     # marginals: per-value (Nv, N) is a #values-row table. The global
     # total is a broadcast scalar cross-joined on (the x-maxFrequency
     # convention since r5) — a single-frame window here would funnel

@@ -128,20 +128,37 @@ def mg_partition_summaries(df: DataFrame, column: str, k: int) -> DataFrame:
     src = df.select(_value_str(column).alias("val"))
 
     def build(batches):
-        counters: dict[str, int] = {}
+        # Fully vectorized MG (guide §4.2): per-batch hash counting via
+        # pandas value_counts, merged with index-aligned Series.add —
+        # the Python interpreter never loops over distinct values. The
+        # reduction is applied LAZILY (only when the buffer exceeds 8k
+        # counters): each reduction still subtracts the (k+1)-th largest
+        # count (np.partition selection, O(n)) from every counter and
+        # drops the non-positive, so each reduction removes >= (k+1)*cut
+        # mass and the classic bound (undercount <= n_p/(k+1), never an
+        # overcount) holds unchanged — only the constant factor of
+        # reductions per task drops.
+        import numpy as np
+
+        def reduce_to_k(acc: pd.Series) -> pd.Series:
+            a = acc.to_numpy()
+            cut = np.partition(a, len(a) - k - 1)[len(a) - k - 1]
+            return (acc[a > cut] - cut).astype("int64")
+
+        acc: pd.Series | None = None
         processed = 0
         for pdf in batches:
             processed += len(pdf)
-            for v, c in pdf["val"].value_counts().items():
-                counters[v] = counters.get(v, 0) + int(c)
-            if len(counters) > k:
-                # MG reduction: subtract the (k+1)-th largest count from
-                # everything, drop the non-positive — <= k survivors
-                cut = sorted(counters.values(), reverse=True)[k]
-                counters = {v: c - cut for v, c in counters.items()
-                            if c > cut}
-        out_vals = list(counters) + [None]
-        out_est = list(counters.values()) + [processed]
+            vc = pdf["val"].value_counts(sort=False)
+            acc = vc if acc is None else \
+                acc.add(vc, fill_value=0).astype("int64")
+            if len(acc) > 8 * k:
+                acc = reduce_to_k(acc)
+        if acc is not None and len(acc) > k:
+            acc = reduce_to_k(acc)
+        out_vals = ([] if acc is None else list(acc.index)) + [None]
+        out_est = ([] if acc is None else
+                   [int(c) for c in acc.to_numpy()]) + [processed]
         yield pd.DataFrame({"value": out_vals, "est": out_est})
 
     return src.mapInPandas(build, "value string, est long")

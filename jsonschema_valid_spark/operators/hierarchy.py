@@ -44,7 +44,7 @@ keywords (validators.rs); jump tables ≙ Valiant (1975) pointer doubling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F, types as T
 
 
 def _grouped_edges(df: DataFrame, column: str, parent_col: str,
@@ -90,16 +90,27 @@ def _acyclic_parts(df: DataFrame, column: str, parent_col: str,
                  .select("__u"))
     # exact distinct-parent count (the multiparent witness) only over
     # the flagged ids — the common all-clean case pays a semi-filtered
-    # scan and an empty aggregate instead of an Expand over every row
+    # scan and an empty aggregate instead of an Expand over every row.
+    # r6: the flag probe is a limit(1) over the already-materialized
+    # prep aggregate (one ~ms cached-scan job), so the ALL-CLEAN case
+    # skips the base re-scan + semi-join + aggregate entirely — the
+    # same data-dependent pruning AQE applies to empty relations, done
+    # where AQE cannot see it (the branch is a separate job).
     node, parent = F.col(column), F.col(parent_col)
     valid = parent.isNotNull()
     if self_parent_root:
         valid = valid & (node != parent)
-    multi = (df.where(node.isNotNull() & valid)
-             .join(multi_ids.hint("shuffle_hash")
-                   .withColumnRenamed("__u", column), column, "semi")
-             .groupBy(node.alias("__node"))
-             .agg(F.count_distinct(parent).alias("__k")))
+    if multi_ids.limit(1).count() == 0:
+        node_type = df.schema[column].dataType
+        multi = df.sparkSession.createDataFrame(
+            [], T.StructType([T.StructField("__node", node_type),
+                              T.StructField("__k", T.LongType())]))
+    else:
+        multi = (df.where(node.isNotNull() & valid)
+                 .join(multi_ids.hint("shuffle_hash")
+                       .withColumnRenamed("__u", column), column, "semi")
+                 .groupBy(node.alias("__node"))
+                 .agg(F.count_distinct(parent).alias("__k")))
     # a dangling parent (id not present as a node) ends the chain:
     # drop those edges so the chain resolves there
     edges = (g.where(has_edge & (F.col("__mn") == F.col("__p")))
@@ -113,18 +124,27 @@ def _acyclic_parts(df: DataFrame, column: str, parent_col: str,
     # table are resolved (reach a root within the remaining budget) and
     # are DROPPED immediately instead of carried as __res=True ballast
     # through every later join. Roots (no valid edge) never enter.
-    state = edges.select(F.col("__u").alias("__node"),
-                         F.col("__u").alias("__anc"))
+    # r6: state starts LAZY (None) — the first applied jump table J_{2^b}
+    # IS the state after 2^b steps (node -> ancestor, open chains only),
+    # so the identity-state apply join is a pure rename. For a power-of-
+    # two D (the common default 64 and the bench's 32) that removes the
+    # one full-width state⋈jump join the old identity init paid.
+    state = None
     jump = edges  # (__u -> __p): the 2^0-step table
     bits = int(max_depth)
     while bits:
         if bits & 1:
-            j = jump.select(F.col("__u").alias("__ju"),
-                            F.col("__p").alias("__jp")).hint("shuffle_hash")
-            state = (state.join(j, state["__anc"] == j["__ju"], "left")
-                     .where(F.col("__jp").isNotNull())
-                     .select(F.col("__node"),
-                             F.col("__jp").alias("__anc")))
+            if state is None:
+                state = jump.select(F.col("__u").alias("__node"),
+                                    F.col("__p").alias("__anc"))
+            else:
+                j = jump.select(F.col("__u").alias("__ju"),
+                                F.col("__p").alias("__jp")) \
+                    .hint("shuffle_hash")
+                state = (state.join(j, state["__anc"] == j["__ju"], "left")
+                         .where(F.col("__jp").isNotNull())
+                         .select(F.col("__node"),
+                                 F.col("__jp").alias("__anc")))
         bits >>= 1
         if bits:
             a = jump.select(F.col("__u"), F.col("__p").alias("__m"))

@@ -39,12 +39,21 @@ def duplicate_keys(df: DataFrame, key, salt_buckets: int = DEFAULT_SALT_BUCKETS)
     cond = F.lit(True)
     for k in keys:
         cond = cond & F.col(k).isNotNull()
+    # r6 salt choice: spark_partition_id() % S instead of the old
+    # monotonically_increasing_id() % S. The row-local salt split a hot
+    # key's rows WITHIN one map partition across up to S partial groups,
+    # defeating map-side combine by up to S× (phase-1 shuffled up to
+    # S rows per key per map task); a partition-constant salt combines
+    # every same-partition occurrence into ONE partial row while keeping
+    # the exact phase-2 guarantee (<= S distinct salts, so <= S partial
+    # rows per key reach the final reducer). Output is identical — the
+    # per-key sum of partials is salt-invariant.
     phase1 = (
         df.select(*[F.col(k) for k in keys])
         .where(cond)
         .groupBy(
             *[F.col(k) for k in keys],
-            (F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))).alias("__salt"),
+            F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).alias("__salt"),
         )
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
