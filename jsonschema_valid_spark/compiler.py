@@ -158,13 +158,25 @@ def _eq_member(col: Column, dtype, x) -> Column:
     absent property is a NULL field under the struct collapse)."""
     import json as _json
 
+    if x is None:
+        # JSON null member: deep equality holds exactly when the value IS
+        # null (util.rs null arm). Without this arm every branch below
+        # returned a static False and a nested null member ({"enum":
+        # [[1, null]]}) could never match its instance (ADVICE r5).
+        return col.isNull()
     numeric = isinstance(x, (int, float)) and not isinstance(x, bool)
     if isinstance(dtype, T.StringType):
         if numeric:
             return col.try_cast("double") == F.lit(float(x))
         if isinstance(x, (dict, list)):
             # a stringified-JSON cell (MapType value / relaxed source):
-            # from_json compacts nested values exactly like separators=(',',':')
+            # from_json compacts nested values exactly like separators=(',',':').
+            # KNOWN CORNER (ADVICE r5 / SURVEY §7): object members compare in
+            # the schema author's key order — an instance object with equal
+            # content but different key order does NOT match. Canonicalizing
+            # would need from_json on the cell (type-dependent) and would
+            # change the oracle convention; declare members in the producer's
+            # key order, or use a Map-typed column for order-free equality.
             return col == F.lit(_json.dumps(x, separators=(",", ":")))
         return col == F.lit(x) if isinstance(x, str) else F.lit(False)
     if isinstance(dtype, T.NumericType):
@@ -189,10 +201,16 @@ def _eq_member(col: Column, dtype, x) -> Column:
             return F.lit(False)
         out = F.size(col) == len(x)
         for k, xv in x.items():
-            out = out & F.coalesce(
+            member_eq = F.coalesce(
                 _eq_member(F.try_element_at(col, F.lit(k)),
                            dtype.valueType, xv),
                 F.lit(False))
+            if xv is None:
+                # try_element_at is NULL for absent key AND for a
+                # present-but-null value; only the latter equals a null
+                # member (ADVICE r5)
+                member_eq = F.map_contains_key(col, F.lit(k)) & member_eq
+            out = out & member_eq
         return out
     if isinstance(dtype, T.StructType):
         if not isinstance(x, dict):

@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, types as T
 
 FAILING_STATUSES = frozenset({
     "type_mismatch", "missing_required", "undeclared", "bad_name",
-    "property_count",
+    "property_count", "reject_all",
 })
 
 _REPORT_SCHEMA = "column string, status string, declared string, observed string"

@@ -121,3 +121,6 @@ def test_schema_diff(spark):
 def test_failing_statuses_frozen():
     assert "dynamic" not in FAILING_STATUSES
     assert "absent" not in FAILING_STATUSES
+    # a `false` root suite rejects every row — the pre-flight gate must
+    # fail it, not wave it through (ADVICE r5)
+    assert "reject_all" in FAILING_STATUSES
