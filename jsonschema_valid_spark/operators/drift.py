@@ -311,6 +311,13 @@ def _stat_verdict_dfs(hist: DataFrame, baseline: dict[int, int],
                h, b, sp, bucket_width=width)}
     names = {"psiMax": "psi", "ksMax": "ks", "chi2Max": "chi2",
              "emdMax": "emd", "klMax": "kl", "jsdMax": "jsd"}
+    # r6: when more than one statistic is enabled, lazily checkpoint the
+    # (bucket, count) histogram — every per-stat verdict DF embeds the
+    # hist subtree, so N declared thresholds used to re-run the base-table
+    # scan + groupBy N times when the verdicts union was actioned (the
+    # anonymity union-rescans disease). #buckets rows — bounded.
+    if sum(1 for name in stats if name in params) > 1:
+        hist = hist.localCheckpoint(eager=False)
     out = []
     for name in stats:
         if name in params:

@@ -66,12 +66,17 @@ def parity_mismatches(df: DataFrame, ref: DataFrame, key: str,
             F.col("column"),
         )
 
-    # native path: one array-equality Column per compared column
+    # native path: ONE pass over the joined rows — a conditional array of
+    # mismatching column names, exploded. The old per-column
+    # union-of-filters re-planned `joined` once per compared column, so a
+    # k-column parity check paid the key JOIN (a full shuffle of both
+    # sides at scale) k times (r6 plan audit; the same union-rescans
+    # disease as anonymity_violations). Result set is identical.
     numeric = {f.name for f in df.schema.fields
                if f.dataType.typeName() in
                ("double", "float", "integer", "long", "short", "byte",
                 "decimal")}
-    frames = []
+    flags = []
     for c in columns:
         if tol is not None and c in numeric:
             a, b = F.col(c), F.col(f"__ref_{c}")
@@ -82,16 +87,11 @@ def parity_mismatches(df: DataFrame, ref: DataFrame, key: str,
             neq = ~close
         else:
             neq = ~(F.col(c).eqNullSafe(F.col(f"__ref_{c}")))
-        frames.append(
-            joined.where(neq).select(
-                F.col(key).cast("string").alias("doc_id"),
-                F.lit(c).alias("column"),
-            )
-        )
-    out = frames[0]
-    for fdf in frames[1:]:
-        out = out.unionByName(fdf)
-    return out
+        flags.append(F.when(neq, F.lit(c)))
+    return joined.select(
+        F.col(key).cast("string").alias("doc_id"),
+        F.explode(F.array_compact(F.array(*flags))).alias("column"),
+    )
 
 
 def _cell_equal(a, b) -> bool:
