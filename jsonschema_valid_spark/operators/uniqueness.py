@@ -39,21 +39,18 @@ def duplicate_keys(df: DataFrame, key, salt_buckets: int = DEFAULT_SALT_BUCKETS)
     cond = F.lit(True)
     for k in keys:
         cond = cond & F.col(k).isNotNull()
-    # r6 salt choice: spark_partition_id() % S instead of the old
-    # monotonically_increasing_id() % S. The row-local salt split a hot
-    # key's rows WITHIN one map partition across up to S partial groups,
-    # defeating map-side combine by up to S× (phase-1 shuffled up to
-    # S rows per key per map task); a partition-constant salt combines
-    # every same-partition occurrence into ONE partial row while keeping
-    # the exact phase-2 guarantee (<= S distinct salts, so <= S partial
-    # rows per key reach the final reducer). Output is identical — the
-    # per-key sum of partials is salt-invariant.
+    # r6 note: a partition-constant salt (spark_partition_id() % S) was
+    # prototyped — it maximizes map-side combining for hot keys while
+    # keeping the <= S phase-2 fan-in — but measured ~25% SLOWER than the
+    # row-local salt on the unique-key regime (alternating A/B, 6 reps
+    # each, same session), so the original salt stays. Output is
+    # salt-invariant either way (per-key sum of partials).
     phase1 = (
         df.select(*[F.col(k) for k in keys])
         .where(cond)
         .groupBy(
             *[F.col(k) for k in keys],
-            F.pmod(F.spark_partition_id(), F.lit(salt_buckets)).alias("__salt"),
+            (F.pmod(F.monotonically_increasing_id(), F.lit(salt_buckets))).alias("__salt"),
         )
         .agg(F.count(F.lit(1)).alias("__partial"))
     )
