@@ -410,3 +410,70 @@ def test_zorder_key_wide_interleave_no_int_wrap(spark):
     import pytest as _pt
     with _pt.raises(ValueError, match="63"):
         zorder_key(df, ["a", "b", "c", "d"], bits=16)
+
+
+def test_anonymity_kl_single_scan(spark, lineitem):
+    """r6: anonymity_violations with BOTH floors declared must be ONE
+    aggregate subtree (explode of conditional structs) — the old
+    union(k-rows, l-rows) re-planned the scan + groupBy per rule."""
+    from jsonschema_valid_spark.operators.anonymity import (
+        anonymity_violations,
+    )
+
+    v = anonymity_violations(lineitem, ["l_returnflag", "l_linestatus"],
+                             "c", k=2, l=2, sensitive="l_quantity")
+    plan = _plan(v)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 1, final
+    assert "Union" not in final, final
+
+
+def test_tcloseness_single_base_scan(spark, lineitem):
+    """r6: t_closeness_violations checkpoints the (quasi, sensitive)
+    aggregate, so the marginal/total/window branches must NOT each carry
+    their own parquet scan (3 scans before; the one real scan lives in
+    the checkpointed aggregate's materialization)."""
+    from jsonschema_valid_spark.operators.anonymity import (
+        t_closeness_violations,
+    )
+
+    v = t_closeness_violations(lineitem, ["l_returnflag"], "l_linestatus",
+                               0.9, "c")
+    final = _plan(v).split("== Initial Plan ==")[0]
+    assert final.count("Scan parquet") == 0, final
+    assert "ExistingRDD" in final or "LogicalRDD" in final, final
+
+
+def test_summarized_row_verdicts_join_is_broadcast(spark, lineitem):
+    """r6: the (parts × catalog) ⋈ counters row-verdicts join is bounded
+    by #partitions × #checks on both sides and must be a broadcast hash
+    join, never a sort-merge join (which bought an Exchange + Sort on
+    both sides)."""
+    from jsonschema_valid_spark.engine import run_suite_summarized
+
+    suite = CheckSuite({"properties": {
+        "l_quantity": {"minimum": 0,
+                       "x-stats": {"avg": {"max": 100}}}}})
+    res = run_suite_summarized(suite, lineitem, key="l_orderkey",
+                               partition_by="l_returnflag")
+    final = _plan(res.verdicts).split("== Initial Plan ==")[0]
+    res.unpersist()
+    assert "SortMergeJoin" not in final, final
+    assert "BroadcastHashJoin" in final, final
+
+
+def test_parity_multi_column_single_join(spark, lineitem):
+    """r6: parity_mismatches native mode must plan ONE key join however
+    many columns are compared — the old per-column union paid the join
+    once per column."""
+    from jsonschema_valid_spark.operators.parity import parity_mismatches
+
+    ref = lineitem.select("l_orderkey", "l_linenumber", "l_quantity",
+                          "l_extendedprice")
+    v = parity_mismatches(
+        lineitem, ref, key="l_orderkey",
+        columns=["l_linenumber", "l_quantity", "l_extendedprice"])
+    final = _plan(v).split("== Initial Plan ==")[0]
+    joins = (final.count("SortMergeJoin") + final.count("ShuffledHashJoin")
+             + final.count("BroadcastHashJoin"))
+    assert joins == 1, final
