@@ -462,6 +462,26 @@ def test_summarized_row_verdicts_join_is_broadcast(spark, lineitem):
     assert "BroadcastHashJoin" in final, final
 
 
+def test_row_pass_prefilters_failing_rows(spark, lineitem):
+    """r6: the violations projection gates the per-row struct-array build
+    behind a boolean any-check-failed Filter BELOW the Generate — clean
+    rows (the vast majority) evaluate only the cheap predicates and never
+    construct the observed/expected strings (measured 0.88 s -> 0.50 s on
+    the 2M-row bench projection; rows emitted are identical because a
+    clean row produced an empty array through array_compact anyway)."""
+    suite = CheckSuite({"properties": {
+        "l_quantity": {"minimum": 0, "maximum": 60},
+        "l_returnflag": {"enum": ["A", "N", "R"]},
+    }})
+    res = suite.run(lineitem, key="l_orderkey")
+    plan = _plan(res.violations)
+    gen = plan.index("Generate")
+    scan = plan.index("Scan parquet")
+    assert gen < scan, plan
+    assert "Filter" in plan[gen:scan], \
+        f"no pre-Generate filter between Generate and Scan:\n{plan}"
+
+
 def test_parity_multi_column_single_join(spark, lineitem):
     """r6: parity_mismatches native mode must plan ONE key join however
     many columns are compared — the old per-column union paid the join
