@@ -16,6 +16,9 @@ Two interchangeable implementations:
 
 from __future__ import annotations
 
+import functools
+import operator
+
 from typing import Iterator
 
 import pandas as pd
@@ -76,7 +79,7 @@ def parity_mismatches(df: DataFrame, ref: DataFrame, key: str,
                if f.dataType.typeName() in
                ("double", "float", "integer", "long", "short", "byte",
                 "decimal")}
-    flags = []
+    flags, neqs = [], []
     for c in columns:
         if tol is not None and c in numeric:
             a, b = F.col(c), F.col(f"__ref_{c}")
@@ -88,7 +91,14 @@ def parity_mismatches(df: DataFrame, ref: DataFrame, key: str,
         else:
             neq = ~(F.col(c).eqNullSafe(F.col(f"__ref_{c}")))
         flags.append(F.when(neq, F.lit(c)))
-    return joined.select(
+        neqs.append(neq)
+    # r6: gate the array build + Generate behind OR(neq_i) — on a healthy
+    # table nearly every joined row matches and compacted to an empty
+    # array anyway; the pre-filter leaves only the boolean compares on the
+    # match path (the engine row pass got the same treatment, measured
+    # 0.88 s -> 0.50 s on its 2M-row projection)
+    any_neq = functools.reduce(operator.or_, neqs)
+    return joined.where(any_neq).select(
         F.col(key).cast("string").alias("doc_id"),
         F.explode(F.array_compact(F.array(*flags))).alias("column"),
     )
